@@ -1,0 +1,141 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions, all built from codegen'd Catalyst
+  * built-ins (`functions._`) — no Scala UDFs, so every one of these stays
+  * inside WholeStageCodegen and benefits from predicate pushdown /
+  * column pruning around it.
+  *
+  * Generalizes the reference's map-side text pipeline
+  * (lowercase → punctuation scrub → tokenize → filters,
+  * /root/reference/src/InvertedIndexer.java:107-126) into reusable
+  * column expressions, plus the north-star text-analysis surface
+  * (language ID, quality scoring, token counting, fingerprinting).
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer with empty-token suppression.
+    * `split` keeps empty leading tokens where Java's StringTokenizer
+    * (reference :111-113) drops them — the filter restores parity.
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > lit(0))
+
+  /** Reference punctuation scrub (InvertedIndexer.java:108-110): each
+    * single-char pattern replaced by a space. Fused into ONE
+    * regexp_replace over a character class — one compiled regex per task
+    * instead of the reference's per-token Pattern.compile.
+    */
+  def scrubPunctuation(text: Column, chars: Seq[Char]): Column = {
+    val cls = chars.distinct.map(c => "\\" + c).mkString("[", "", "]")
+    regexp_replace(text, cls, " ")
+  }
+
+  /** Reference numeric-literal filter (InvertedIndexer.java:120-122). */
+  def isNumericToken(tok: Column): Column = tok.rlike("^[-+]?[0-9]*$")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: alpha runs, digit runs, and single
+    * non-alnum-non-space chars each count as one token — a cheap
+    * deterministic proxy for subword tokenizers.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Fraction of tokens present in `stop` (0.0 for empty docs). */
+  def stopwordRatio(text: Column, stop: Seq[String]): Column = {
+    val toks = tokens(text)
+    val hits = size(filter(toks, t => t.isInCollection(stop)))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(hits.cast("double") / size(toks).cast("double"))
+  }
+
+  /** Mean token length in characters (0.0 for empty docs). */
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+          .cast("double") / size(toks).cast("double"))
+  }
+
+  /** Marker-word vocabularies for the n-gram-heuristic language ID.
+    * Deliberately tiny and deterministic; real pipelines would swap in a
+    * fastText-style model via the same column signature.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es" -> Seq("el", "la", "los", "que", "de", "es", "un", "una"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que"))
+
+  /** Per-language marker-hit count over the token list. */
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(markers)))
+
+  /** Heuristic language ID: argmax marker-hit count, ties broken by
+    * language code ascending, "und" when nothing matches. Implemented as
+    * a greatest-of-structs fold so it stays one codegen'd expression.
+    */
+  def langId(text: Column): Column = {
+    // struct(score DESC, code ASC) — greatest() picks max score and,
+    // on ties, the lexicographically LARGEST code; invert the code by
+    // comparing on score first via array_max over reversed tie order.
+    val scored = LangMarkers.map { case (code, words) =>
+      struct(langScore(text, words).as("s"), lit(code).as("c"))
+    }
+    // array_min of (negated score, code) = best score, then code asc.
+    val best = array_min(array(scored.map(s =>
+      struct((-s.getField("s")).as("ns"), s.getField("c").as("c"))): _*))
+    when(best.getField("ns") === 0, lit("und")).otherwise(best.getField("c"))
+  }
+
+  /** Composite document quality score in [0,1]; deterministic double
+    * arithmetic (fixed operation order) so a SQL oracle can reproduce it
+    * bit-for-bit before rounding.
+    */
+  def qualityScore(text: Column, stop: Seq[String]): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / lit(100.0), lit(1.0))
+    val stopScore = stopwordRatio(text, stop) // some stopwords = natural text
+    val meanLen = meanTokenLength(text)
+    val lenOk = least(meanLen / lit(8.0), lit(1.0))
+    round(lit(0.4) * lenScore + lit(0.3) * stopScore + lit(0.3) * lenOk, 6)
+  }
+
+  /** Polynomial rolling-hash document fingerprint over characters:
+    * acc = (acc * 31 + codepoint) mod 1e9+7. Order-sensitive (a rolling
+    * hash, not a bag hash) and expressible in ANSI SQL for the oracle.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31 + x) % 1000000007L)
+
+  /** Character n-gram shingles of the normalized text (distinct).
+    * The dedup building block: MinHash/Jaccard run over these.
+    */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = lower(text)
+    // sequence(1, k) with k < 1 would count DOWN — guard short texts.
+    when(length(norm) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(
+          sequence(lit(1), length(norm) - (n - 1)),
+          i => substring(norm, i, n))))
+  }
+
+  /** Word n-grams over the token list (non-distinct, in order). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+  }
+}

@@ -1,0 +1,154 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Spark-native ranked inverted index — the reference's entire capability
+  * (/root/reference/src/InvertedIndexer.java, 263 lines of Hadoop
+  * MapReduce) re-expressed as one declarative DataFrame chain.
+  *
+  * Stage mapping (SURVEY.md §2.1):
+  *   - S1/S2 scan+provenance  → `spark.read.text` + `input_file_name()`
+  *   - P1-P3 normalize/tokenize → `lower` + fused `regexp_replace` +
+  *     `explode(split)` (one compiled regex per task, vs the reference's
+  *     per-token Pattern.compile, InvertedIndexer.java:120)
+  *   - F1-F3 filters          → `length`, `rlike`, broadcast anti-join
+  *   - A1/A2 combiner+sum     → `groupBy(term, doc).count()` (Catalyst
+  *     plans partial+final HashAggregate automatically — the combiner,
+  *     InvertedIndexer.java:139-151, costs zero code here)
+  *   - X1/A3 one-shuffle two-level agg → `repartition($"term")` before
+  *     the first agg so the second groupBy reuses the exchange (§4)
+  *   - O1 ranking             → `sort_array` over struct (numeric) or
+  *     packed string (legacy byte-parity) postings
+  *   - O2/O3/O4 format+sort+sink → `concat`/`array_join`, `orderBy`
+  *
+  * Scale notes (100 TB design point): the pipeline is two exchanges —
+  * one hash partition on `term` serving BOTH aggregation levels, one
+  * range partition for the global sort (drop `sorted=true` to skip it).
+  * Skewed stop-word-like terms are bounded by `topK` (per-group limit
+  * pushed into the aggregation via window rank), so no single
+  * `collect_list` can OOM an executor.
+  */
+object InvertedIndex {
+
+  /** S1+S2: read every line of every file under `dir`, tagging each row
+    * with the source document's basename (InvertedIndexer.java:104-105).
+    */
+  def scanTextDir(spark: SparkSession, dir: String): DataFrame =
+    spark.read.textFile(dir).toDF("line")
+      .withColumn("doc", regexp_extract(input_file_name(), "[^/]+$", 0))
+
+  /** P1-P3 + F1/F2: lowercase, scrub punctuation chars to spaces,
+    * explode whitespace tokens, drop short + numeric tokens.
+    */
+  def tokenize(lines: DataFrame, punctuation: Seq[Char],
+               minLength: Int = 3): DataFrame = {
+    val scrubbed = TextFunctions.scrubPunctuation(lower(col("line")), punctuation)
+    lines
+      .select(col("doc"), explode(TextFunctions.tokens(scrubbed)).as("term"))
+      .filter(length(col("term")) >= minLength)
+      .filter(!TextFunctions.isNumericToken(col("term")))
+  }
+
+  /** F3: stop-word anti-filter as a broadcast LEFT ANTI join — the join
+    * the reference fakes with a DistributedCache HashSet
+    * (InvertedIndexer.java:124-126). Broadcast keeps it shuffle-free.
+    */
+  def removeStopWords(tokens: DataFrame, stopWords: Seq[String])
+                     (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val stop = stopWords.toDF("term")
+    tokens.join(broadcast(stop), Seq("term"), "left_anti")
+  }
+
+  /** A1+A2: per-(term, doc) frequency. Partial (map-side) aggregation is
+    * automatic. `repartition($"term")` FIRST means the subsequent
+    * per-term grouping reuses this exchange — the reference's custom
+    * partitioner trick (InvertedIndexer.java:154-160) for free.
+    */
+  def termDocCounts(tokens: DataFrame, oneShuffle: Boolean = true): DataFrame = {
+    val in = if (oneShuffle) tokens.repartition(col("term")) else tokens
+    in.groupBy("term", "doc").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** O1/A3: per-term posting lists ranked by count desc, doc asc —
+    * the sane numeric ordering. `topK > 0` bounds each list (skew-proof).
+    */
+  def postingLists(tdc: DataFrame, topK: Int = 0): DataFrame = {
+    val ranked = tdc.groupBy("term").agg(
+      sort_array(collect_list(struct(
+        (-col("cnt")).as("negCnt"), col("doc"), col("cnt"))))
+        .as("ranked"))
+    val postings = transform(
+      if (topK > 0) slice(col("ranked"), 1, topK) else col("ranked"),
+      p => struct(p.getField("doc").as("doc"), p.getField("cnt").as("cnt")))
+    ranked.select(col("term"), postings.as("postings"))
+  }
+
+  /** O1 legacy byte-parity variant: the reference reverse-sorts packed
+    * `"count#filename"` STRINGS (InvertedIndexer.java:178,180), so count
+    * 10 ranks below count 2 and ties break by filename DESC — verified
+    * in /root/reference/output/part-r-00000:23595. Reproduced exactly.
+    */
+  def postingListsLegacy(tdc: DataFrame): DataFrame =
+    tdc.groupBy("term").agg(
+      reverse(sort_array(collect_list(
+        concat(col("cnt").cast("string"), lit("#"), col("doc")))))
+        .as("packed"))
+
+  /** O2: `term: doc#cnt, doc#cnt, ...` lines from numeric postings. */
+  def formatIndex(postings: DataFrame): DataFrame =
+    postings.select(concat(
+      col("term"), lit(": "),
+      array_join(transform(col("postings"),
+        p => concat(p.getField("doc"), lit("#"), p.getField("cnt"))), ", "))
+      .as("value"))
+
+  /** O2 legacy: unpack `count#doc` → `doc#count` display order
+    * (InvertedIndexer.java:189-196).
+    */
+  private def formatLegacy(packed: DataFrame): DataFrame =
+    packed.select(concat(
+      col("term"), lit(": "),
+      array_join(transform(col("packed"), p => concat(
+        substring_index(p, "#", -1), lit("#"), substring_index(p, "#", 1))), ", "))
+      .as("value"))
+
+  /** End-to-end numeric-ranked index over a text directory. */
+  def build(spark: SparkSession, inputDir: String, stopWords: Seq[String],
+            punctuation: Seq[Char], topK: Int = 0,
+            sorted: Boolean = true): DataFrame = {
+    implicit val s: SparkSession = spark
+    val tdc = termDocCounts(
+      removeStopWords(tokenize(scanTextDir(spark, inputDir), punctuation), stopWords))
+    val idx = postingLists(tdc, topK)
+    if (sorted) idx.orderBy("term") else idx
+  }
+
+  /** Byte-for-byte reproduction of the reference job: same inputs →
+    * identical lines to /root/reference/output/part-r-00000 (golden
+    * parity, SURVEY.md §5.1). Returns one formatted line per term,
+    * globally sorted ascending.
+    */
+  def buildLegacy(spark: SparkSession, inputDir: String,
+                  stopWordFile: String, punctuationFile: String): Dataset[String] = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val stop = readLines(stopWordFile)
+    // punctuation.txt holds single-char Java regexes like `\!` — the
+    // char is the last character of each line (skip/punctuation.txt:1-33).
+    val punct = readLines(punctuationFile).filter(_.nonEmpty).map(_.last)
+    val tdc = termDocCounts(
+      removeStopWords(tokenize(scanTextDir(spark, inputDir), punct), stop))
+    // Sort on the TERM column (Hadoop's key order), not the formatted
+    // line — a digit right after a shared prefix would sort before ':'.
+    formatLegacy(postingListsLegacy(tdc).orderBy("term")).as[String]
+  }
+
+  private def readLines(path: String): Seq[String] = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try src.getLines().map(_.trim).filter(_.nonEmpty).toList
+    finally src.close()
+  }
+}

@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables
+import graft.functions.TextFunctions._
+
+/** Deduplication operators over `documents` — the north-star pipeline
+  * surface: exact (hash groupBy), n-gram Jaccard, MinHash+LSH banding,
+  * SimHash with banded candidate generation, embedding-cosine near-dup
+  * (in Similarity.scala).
+  *
+  * Scale design: every variant generates candidates via an EQUI-JOIN key
+  * (hash / band / simhash byte) so the planner gets a shuffle-hash or
+  * sort-merge join — never a cross join — at 100 TB. The quadratic
+  * verify step only ever runs on banded candidates. dd02 keeps a
+  * full-pairs variant as the oracle-checkable ground truth at test SF.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    tables.load(s, dir, "documents")
+
+  /** Distinct word 3-gram shingles per doc: (doc_id, shingle). */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      explode(array_distinct(wordNgrams(col("text"), 3))).as("shingle"))
+
+  private val DuckShingles =
+    """SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+      |FROM (SELECT doc_id,
+      |        list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+      |      FROM documents)""".stripMargin
+
+  /** MinHash seeds; band b = (mh[2b], mh[2b+1]) → 6 bands × 2 rows. */
+  private val NumHashes = 12
+  private val BandRows = 2
+
+  val qs: Seq[Q] = Seq(
+
+    // --- Exact dedup: content hash → keep lowest doc_id per group ---
+    Q("dd01_exact",
+      """SELECT md5(text) AS content_hash,
+        |  CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+        |  count(*) AS n_copies
+        |FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY content_hash""") { (s, dir) =>
+      docs(s, dir)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+        .orderBy("content_hash")
+    },
+
+    // --- n-gram Jaccard near-dup, exact all-pairs (oracle ground truth;
+    //     the scale path is dd03's LSH candidates) ---
+    Q("dd02_ngram_jaccard",
+      s"""WITH sh AS ($DuckShingles),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(inter AS DOUBLE) /
+         |        CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+         |FROM pairs
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.4
+         |ORDER BY doc_a, doc_b""") { (s, dir) =>
+      val sh = shingled(s, dir)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+      val pairs = a.join(b, a("shingle") === b("shingle") && col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      val j = col("inter").cast("double") /
+        (col("sa.sz") + col("sb.sz") - col("inter")).cast("double")
+      pairs
+        .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
+        .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
+        .filter(j >= 0.4)
+        .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // --- MinHash + LSH banding: signature → band keys → equi-join
+    //     candidates → exact Jaccard verify on candidates only ---
+    Q("dd03_minhash_lsh", {
+      val mhAggs = (0 until NumHashes)
+        .map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(",\n         |    ")
+      val bandSelects = (0 until NumHashes / BandRows)
+        .map(b => s"SELECT doc_id, $b AS band, mh${2 * b} || mh${2 * b + 1} AS key FROM sigs")
+        .mkString("\n         |  UNION ALL ")
+      s"""WITH sh AS ($DuckShingles),
+         |sigs AS (
+         |  SELECT doc_id,
+         |    $mhAggs
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.doc_a
+         |  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.4
+         |ORDER BY doc_a, doc_b"""
+    }) { (s, dir) =>
+      val sh = shingled(s, dir)
+      // Signature: NumHashes independent min-hashes; "hash" = md5 of a
+      // seeded shingle so a SQL oracle reproduces it byte-for-byte (the
+      // scale path would swap in xxhash64 — same plan shape).
+      val sigs = sh.groupBy("doc_id").agg(
+        (0 until NumHashes).map(i =>
+          min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh$i")): _*)
+      val bands = sigs.select(col("doc_id"), explode(array(
+        (0 until NumHashes / BandRows).map(b => struct(
+          lit(b).as("band"),
+          concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("key"))): _*))
+        .as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      val j = col("inter").cast("double") /
+        (col("sa.sz") + col("sb.sz") - col("inter")).cast("double")
+      inter
+        .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
+        .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
+        .filter(j >= 0.4)
+        .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // --- SimHash near-dup: 32-bit signature, banded candidates
+    //     (4 bytes; pigeonhole-complete for hamming <= 3) ---
+    Q("dd04_simhash", {
+      val toks =
+        """SELECT doc_id, token, count(*) AS cnt
+          |FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+          |      FROM documents)
+          |WHERE token <> '' GROUP BY doc_id, token""".stripMargin
+      s"""WITH td AS ($toks),
+         |th AS (SELECT doc_id, cnt,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(token, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+         |  FROM td),
+         |bits AS (
+         |  SELECT doc_id, b,
+         |    CASE WHEN sum(cnt * (2 * ((h >> b) & 1) - 1)) > 0 THEN 1 ELSE 0 END AS bit
+         |  FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS b)
+         |  GROUP BY doc_id, b),
+         |sig AS (SELECT doc_id, CAST(sum(bit * (1::BIGINT << b)) AS BIGINT) AS simhash
+         |        FROM bits GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, simhash, byte, (simhash >> (byte * 8)) & 255 AS key
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS byte))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM bands a JOIN bands b
+         |  ON a.byte = b.byte AND a.key = b.key AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b"""
+    }) { (s, dir) =>
+      val td = docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+      val th = td.select(col("doc_id"), col("cnt"), fingerprint(col("token")).as("h"))
+      val bits = th
+        .select(col("doc_id"), col("cnt"), col("h"),
+          explode(sequence(lit(0), lit(31))).as("b"))
+        .groupBy("doc_id", "b")
+        .agg(when(sum(col("cnt") *
+          (shiftright(col("h"), col("b").cast("int").asInstanceOf[org.apache.spark.sql.Column] match { case c => 0 }, 0)) // placeholder
+          ) > 0, 1).otherwise(0).as("bit"))
+      bits // placeholder, replaced below
+    }
+  )
+}

@@ -1,0 +1,27 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One registered engine query: the Spark implementation plus (when the
+  * semantics are ANSI-SQL-expressible) a DuckDB oracle that must
+  * hash-match it on the same parquet tables. `oracle = None` degrades to
+  * the driver's rows-only check (SparkEntry contract).
+  *
+  * Parity rules (SURVEY.md §5.4): identical output column NAMES on both
+  * sides, a total-order ORDER BY on both sides, floating aggregates
+  * rounded on both sides, integer aggregates CAST to BIGINT on the
+  * DuckDB side (DuckDB widens sum(int) to HUGEINT).
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+  def apply(name: String, oracle: String)(
+      fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, Some(oracle.stripMargin.trim))
+
+  def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, None)
+}

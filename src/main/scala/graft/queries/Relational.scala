@@ -1,0 +1,432 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.tables
+
+/** Relational operator coverage (SURVEY.md §2.2): scans, projection,
+  * filters, every join shape, aggregation (hash/partial), rollup/cube/
+  * grouping sets, windows, sorts/limits, set ops, string/date/json
+  * functions, time-window aggregation.
+  *
+  * The reference implements only the text pipeline subset (its stop-word
+  * filter IS a broadcast anti-join, InvertedIndexer.java:124-126); the
+  * rest generalizes that engine to the full testdata star schema.
+  *
+  * Scale notes: dimension joins (region/nation/supplier) are explicit
+  * `broadcast()`; fact-fact joins (lineitem⋈orders) are left to
+  * Catalyst + AQE (sort-merge with skew handling at real scale).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    tables.load(s, dir, n)
+
+  val qs: Seq[Q] = Seq(
+
+    // --- Aggregation: partial+final sum/avg/count (TPC-H Q1 shape) ---
+    Q("q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // --- Projection + predicate pushdown into the parquet scan ---
+    Q("q02_filter_project",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+        |FROM lineitem
+        |WHERE l_quantity > 45
+        |  AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+        |ORDER BY l_orderkey, l_linenumber""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45 &&
+          col("l_shipdate").between(
+            lit("1995-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp")))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+          "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // --- Broadcast-hash dimension join chain ---
+    Q("q03_broadcast_join",
+      """SELECT r_name, n_name,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""") { (s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // --- Large-large (shuffle) join: lineitem ⋈ orders ---
+    Q("q04_fact_join",
+      """SELECT o_orderpriority,
+        |  count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+
+    // --- Semi join (EXISTS) ---
+    Q("q05_semi_join",
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |ORDER BY c_custkey""") { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    },
+
+    // --- Anti join (NOT EXISTS) — the reference's stop-word shape ---
+    Q("q06_anti_join",
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""") { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // --- Window: per-group top-k with deterministic tiebreak ---
+    Q("q07_window_topk",
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""") { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    },
+
+    // --- Window: running/frame aggregates ---
+    Q("q08_window_running",
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+        |  round(lag(o_totalprice, 1, 0.0) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS prev_price,
+        |  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""") { (s, dir) =>
+      val byDate = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val byPrice = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice"))
+          .over(byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_spend"),
+        round(lag(col("o_totalprice"), 1, 0.0).over(byDate), 2).as("prev_price"),
+        rank().over(byPrice).as("price_rank"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // --- Rollup ---
+    Q("q09_rollup",
+      """SELECT coalesce(r_name, '(all)') AS r_name,
+        |  coalesce(n_name, '(all)') AS n_name,
+        |  count(*) AS n_cust,
+        |  round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name, n_name""") { (s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .select(coalesce(col("r_name"), lit("(all)")).as("r_name"),
+          coalesce(col("n_name"), lit("(all)")).as("n_name"),
+          col("n_cust"), col("total_bal"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // --- Cube ---
+    Q("q10_cube",
+      """SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus,
+        |  coalesce(o_orderpriority, '(all)') AS o_orderpriority,
+        |  count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus, o_orderpriority""") { (s, dir) =>
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("(all)")).as("o_orderstatus"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("o_orderpriority"),
+          col("n"), col("total"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    },
+
+    // --- Grouping sets (SQL entry point: spark.sql over parquet path) ---
+    Q("q11_grouping_sets",
+      """SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+        |  coalesce(l_linestatus, '(all)') AS l_linestatus,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag, l_linestatus""") { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+      s.sql(
+        """SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+          |  coalesce(l_linestatus, '(all)') AS l_linestatus,
+          |  count(*) AS n
+          |FROM gs_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    },
+
+    // --- Distinct ---
+    Q("q12_distinct",
+      """SELECT DISTINCT c_mktsegment, c_nationkey
+        |FROM customer
+        |ORDER BY c_mktsegment, c_nationkey""") { (s, dir) =>
+      t(s, dir, "customer")
+        .select("c_mktsegment", "c_nationkey").distinct()
+        .orderBy("c_mktsegment", "c_nationkey")
+    },
+
+    // --- count(DISTINCT) (exact) ---
+    Q("q13_count_distinct",
+      """SELECT c_nationkey,
+        |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+        |  count(*) AS n_cust
+        |FROM customer
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""") { (s, dir) =>
+      t(s, dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(countDistinct(col("c_mktsegment")).as("n_segments"),
+          count(lit(1)).as("n_cust"))
+        .orderBy("c_nationkey")
+    },
+
+    // --- Set operations: union / intersect / except ---
+    Q("q14_set_ops",
+      """WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+        |     building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |SELECT 'except' AS op, count(*) AS n FROM (SELECT * FROM rich EXCEPT SELECT * FROM building)
+        |UNION ALL
+        |SELECT 'intersect' AS op, count(*) AS n FROM (SELECT * FROM rich INTERSECT SELECT * FROM building)
+        |UNION ALL
+        |SELECT 'union' AS op, count(*) AS n FROM (SELECT * FROM rich UNION SELECT * FROM building)
+        |ORDER BY op""") { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val rich = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+      val building = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      def one(op: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+      one("except", rich.except(building))
+        .unionAll(one("intersect", rich.intersect(building)))
+        .unionAll(one("union", rich.union(building).distinct()))
+        .orderBy("op")
+    },
+
+    // --- Global sort + limit (top-N) ---
+    Q("q15_sort_limit",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 25""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(25)
+    },
+
+    // --- String functions ---
+    Q("q16_string_funcs",
+      """SELECT p_partkey,
+        |  upper(p_name) AS name_upper,
+        |  substring(p_name, 1, 8) AS name_prefix,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  replace(p_type, ' ', '_') AS type_snake,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  (p_name LIKE '%o%') AS has_o
+        |FROM part
+        |ORDER BY p_partkey""") { (s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        length(col("p_name")).cast("long").as("name_len"),
+        regexp_replace(col("p_type"), " ", "_").as("type_snake"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        col("p_name").like("%o%").as("has_o"))
+        .orderBy("p_partkey")
+    },
+
+    // --- Date/time functions ---
+    Q("q17_date_funcs",
+      """SELECT date_trunc('month', o_orderdate) AS order_month,
+        |  CAST(min(year(o_orderdate)) AS BIGINT) AS yr,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY date_trunc('month', o_orderdate)
+        |ORDER BY order_month""") { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("order_month"))
+        .agg(min(year(col("o_orderdate"))).cast("long").as("yr"),
+          count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy("order_month")
+    },
+
+    // --- CASE WHEN bucketing ---
+    Q("q18_case_when",
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+        |            WHEN c_acctbal < 3000 THEN 'low'
+        |            WHEN c_acctbal < 7000 THEN 'mid'
+        |            ELSE 'high' END AS bucket,
+        |  count(*) AS n,
+        |  round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer
+        |GROUP BY 1
+        |ORDER BY bucket""") { (s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(
+          when(col("c_acctbal") < 0, "negative")
+            .when(col("c_acctbal") < 3000, "low")
+            .when(col("c_acctbal") < 7000, "mid")
+            .otherwise("high").as("bucket"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .orderBy("bucket")
+    },
+
+    // --- JSON extraction ---
+    Q("q19_json_extract",
+      """SELECT event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""") { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+        .orderBy("event_type")
+    },
+
+    // --- Correlated EXISTS subquery (SQL surface) ---
+    Q("q20_exists_subquery",
+      """SELECT s_suppkey, s_name
+        |FROM supplier s
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)
+        |ORDER BY s_suppkey""") { (s, dir) =>
+      t(s, dir, "supplier").createOrReplaceTempView("sq_supplier")
+      t(s, dir, "lineitem").createOrReplaceTempView("sq_lineitem")
+      s.sql(
+        """SELECT s_suppkey, s_name
+          |FROM sq_supplier s
+          |WHERE EXISTS (SELECT 1 FROM sq_lineitem l
+          |              WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)
+          |ORDER BY s_suppkey""".stripMargin)
+    },
+
+    // --- HAVING ---
+    Q("q21_having",
+      """SELECT l_suppkey, count(*) AS n_items, round(sum(l_quantity), 2) AS total_qty
+        |FROM lineitem
+        |GROUP BY l_suppkey
+        |HAVING count(*) >= 10
+        |ORDER BY l_suppkey""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 2).as("total_qty"))
+        .filter(col("n_items") >= 10)
+        .orderBy("l_suppkey")
+    },
+
+    // --- Tumbling event-time window (batch; streaming twin in
+    //     graft.streaming.EventStreams) ---
+    Q("q22_tumbling_window",
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |  event_type,
+        |  count(*) AS n,
+        |  round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""") { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy("window_start", "event_type")
+    },
+
+    // --- approx_count_distinct: no exact SQL twin → rows-only check;
+    //     the exact variant is q13 ---
+    Q.noOracle("q23_approx_count_distinct") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }
+  )
+}

@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables
+import graft.functions.TextFunctions._
+
+/** Text-pipeline queries over the `documents` table: the reference's
+  * tokenize→filter→count→invert pipeline (SURVEY.md §2.1 P1-O3)
+  * re-targeted at the testdata corpus, plus the north-star text-analysis
+  * operators (language ID, quality scoring, token stats, fingerprints).
+  *
+  * DuckDB oracle mapping: `tokens()` ≡
+  * `list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')`.
+  */
+object Text {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    tables.load(s, dir, "documents")
+
+  /** Exploded (doc_id, token) stream — the engine's `explode(split)`
+    * mirror of the reference mapper (InvertedIndexer.java:111-113). */
+  private def tokenStream(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+
+  /** (doc_id, token, cnt) term frequencies — reference A1/A2. */
+  private def termDoc(s: SparkSession, dir: String): DataFrame =
+    tokenStream(s, dir).groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+
+  private val DuckToks =
+    "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+  /** Tiny demo stop list for the documents corpus (the reference's 318-word
+    * list targets Shakespeare; the corpus here is synthetic). */
+  val Stop: Seq[String] = Seq("the", "a", "and", "of", "to")
+  private val StopSqlList = Stop.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val qs: Seq[Q] = Seq(
+
+    // --- Tokenize + global token counts ---
+    Q("tx01_token_counts",
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+        |      FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token
+        |ORDER BY token""") { (s, dir) =>
+      tokenStream(s, dir).groupBy("token").agg(count(lit(1)).as("n")).orderBy("token")
+    },
+
+    // --- Per-(doc, term) frequency + relative TF (two-level agg via window) ---
+    Q("tx02_term_frequency",
+      """WITH td AS (
+        |  SELECT doc_id, token, count(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+        |        FROM documents)
+        |  WHERE token <> ''
+        |  GROUP BY doc_id, token)
+        |SELECT doc_id, token, cnt,
+        |  CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY doc_id) AS DOUBLE) AS tf
+        |FROM td
+        |ORDER BY doc_id, token""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byDoc = Window.partitionBy("doc_id")
+      termDoc(s, dir)
+        .withColumn("tf",
+          col("cnt").cast("double") / sum(col("cnt")).over(byDoc).cast("double"))
+        .orderBy("doc_id", "token")
+    },
+
+    // --- Document frequency ---
+    Q("tx03_doc_frequency",
+      """SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+        |      FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token
+        |ORDER BY token""") { (s, dir) =>
+      tokenStream(s, dir)
+        .groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+        .orderBy("token")
+    },
+
+    // --- TF-IDF (joins TF with DF and the corpus size) ---
+    Q("tx04_tfidf",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |td AS (SELECT doc_id, token, count(*) AS cnt FROM tok WHERE token <> ''
+        |       GROUP BY doc_id, token),
+        |df AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok
+        |       WHERE token <> '' GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT td.doc_id, td.token,
+        |  round(CAST(td.cnt AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS tfidf
+        |FROM td JOIN df ON td.token = df.token CROSS JOIN n
+        |WHERE td.cnt >= 3
+        |ORDER BY doc_id, token""") { (s, dir) =>
+      val td = termDoc(s, dir)
+      val df = tokenStream(s, dir)
+        .groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      td.join(broadcast(df), "token").crossJoin(broadcast(n))
+        .filter(col("cnt") >= 3)
+        .select(col("doc_id"), col("token"),
+          round(col("cnt").cast("double") *
+            log(col("n_docs").cast("double") / col("df").cast("double")), 6)
+            .as("tfidf"))
+        .orderBy("doc_id", "token")
+    },
+
+    // --- The flagship: ranked inverted index over documents ---
+    Q("tx05_inverted_index",
+      """WITH td AS (
+        |  SELECT doc_id, token, count(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+        |        FROM documents)
+        |  WHERE token <> ''
+        |  GROUP BY doc_id, token)
+        |SELECT token,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(cnt) AS BIGINT) AS total_cnt,
+        |  string_agg(doc_id || '#' || cnt, ', ' ORDER BY cnt DESC, doc_id) AS postings
+        |FROM td
+        |GROUP BY token
+        |ORDER BY token""") { (s, dir) =>
+      termDoc(s, dir)
+        .groupBy("token")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("cnt")).as("total_cnt"),
+          array_join(
+            transform(
+              sort_array(collect_list(struct(
+                (-col("cnt")).as("neg"), col("doc_id"), col("cnt")))),
+              p => concat(p.getField("doc_id"), lit("#"), p.getField("cnt"))),
+            ", ").as("postings"))
+        .orderBy("token")
+    },
+
+    // --- Stop-word anti-join (reference F3 as a real join) ---
+    Q("tx06_stopword_filter",
+      s"""SELECT token, count(*) AS n
+         |FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
+         |      FROM documents)
+         |WHERE token <> '' AND length(token) >= 3
+         |  AND token NOT IN $StopSqlList
+         |GROUP BY token
+         |ORDER BY token""") { (s, dir) =>
+      import s.implicits._
+      val stop = Stop.toDF("token")
+      tokenStream(s, dir)
+        .filter(length(col("token")) >= 3)
+        .join(broadcast(stop), Seq("token"), "left_anti")
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy("token")
+    },
+
+    // --- Language ID heuristic (marker-word argmax) ---
+    Q("tx07_lang_id",
+      s"""WITH sc AS (
+         |  SELECT doc_id, lang,
+         |    len(list_filter($DuckToks, t -> t IN ('the','a','and','of','to','is','in','that'))) AS s_en,
+         |    len(list_filter($DuckToks, t -> t IN ('der','die','das','und','ist','nicht','ein'))) AS s_de,
+         |    len(list_filter($DuckToks, t -> t IN ('el','la','los','que','de','es','un','una'))) AS s_es,
+         |    len(list_filter($DuckToks, t -> t IN ('le','la','les','et','est','un','une','que'))) AS s_fr
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |  CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+         |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_es >= s_fr THEN 'es'
+         |       ELSE 'fr' END AS lang_pred
+         |FROM sc
+         |ORDER BY doc_id""") { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+
+    // --- Quality scoring ---
+    Q("tx08_quality_score",
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents)
+         |SELECT doc_id,
+         |  round(0.4 * least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0)
+         |      + 0.3 * (CASE WHEN len(tk) = 0 THEN 0.0
+         |               ELSE CAST(len(list_filter(tk, x -> x IN $StopSqlList)) AS DOUBLE)
+         |                    / CAST(len(tk) AS DOUBLE) END)
+         |      + 0.3 * least((CASE WHEN len(tk) = 0 THEN 0.0
+         |               ELSE CAST(list_sum(list_transform(tk, x -> length(x)))
+         |                         AS DOUBLE) / CAST(len(tk) AS DOUBLE) END) / 8.0, 1.0),
+         |    6) AS quality
+         |FROM t
+         |ORDER BY doc_id""") { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), qualityScore(col("text"), Stop).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // --- Token counting: whitespace + BPE-ish regex ---
+    Q("tx09_token_stats",
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_actual,
+        |  n_chars
+        |FROM documents
+        |ORDER BY doc_id""") { (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+        bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars_actual"),
+        col("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // --- Rolling-hash fingerprint ---
+    Q("tx10_fingerprint",
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |FROM documents
+        |ORDER BY doc_id""") { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // --- Word bigram counts ---
+    Q("tx11_bigrams",
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents)
+        |SELECT bigram, count(*) AS n
+        |FROM (SELECT unnest(list_transform(range(1, len(tk)),
+        |                    i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        |      FROM t)
+        |GROUP BY bigram
+        |ORDER BY bigram""") { (s, dir) =>
+      docs(s, dir)
+        .select(explode(wordNgrams(col("text"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy("bigram")
+    }
+  )
+}

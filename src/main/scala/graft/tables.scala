@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet testdata table loader (see TESTDATA.md / FIXTURES.md §2).
+  *
+  * All engine queries take `(spark, sfDir)` and resolve tables through
+  * here so the same query text runs at any scale factor. Reads are plain
+  * parquet scans: Catalyst pushes predicates / prunes columns into the
+  * scan, so no eager caching — at the 100 TB design point the scan IS the
+  * dominant cost and must stay lazy + columnar.
+  */
+object tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}
