@@ -110,10 +110,17 @@ object TextFunctions {
   /** Polynomial rolling-hash document fingerprint over characters:
     * acc = (acc * 31 + codepoint) mod 1e9+7. Order-sensitive (a rolling
     * hash, not a bag hash) and expressible in ANSI SQL for the oracle.
+    * `split(s, "")` (Java `Pattern.split` limit -1) keeps a TRAILING
+    * empty element that DuckDB's `string_split(s, '')` does not — the
+    * empty-filter keeps both sides byte-identical. Intended for tokens /
+    * shingles; for whole-document identity use `xxhash64`/`sha2`
+    * (dd01 pattern) — a per-character fold over multi-MB docs is the
+    * slow path.
     */
   def fingerprint(text: Column): Column =
     aggregate(
-      transform(split(text, ""), ch => ascii(ch).cast("long")),
+      transform(filter(split(text, ""), ch => length(ch) > 0),
+        ch => ascii(ch).cast("long")),
       lit(0L),
       (acc, x) => (acc * 31 + x) % 1000000007L)
 
@@ -127,7 +134,7 @@ object TextFunctions {
       .otherwise(array_distinct(
         transform(
           sequence(lit(1), length(norm) - (n - 1)),
-          i => substring(norm, i, n))))
+          i => substring(norm, i, lit(n)))))
   }
 
   /** Word n-grams over the token list (non-distinct, in order). */

@@ -63,27 +63,45 @@ object InvertedIndex {
   }
 
   /** A1+A2: per-(term, doc) frequency. Partial (map-side) aggregation is
-    * automatic. `repartition($"term")` FIRST means the subsequent
-    * per-term grouping reuses this exchange — the reference's custom
-    * partitioner trick (InvertedIndexer.java:154-160) for free.
+    * automatic — `groupBy.count` plans partial+final HashAggregate, the
+    * reference's combiner (InvertedIndexer.java:139-151) for free.
+    *
+    * `oneShuffle = true` repartitions on `term` FIRST so the per-term
+    * grouping reuses the exchange (the reference's custom-partitioner
+    * trick, :154-160) — but it ships every RAW token occurrence across
+    * the network, defeating map-side combining. At scale two shuffles of
+    * partially-aggregated (term, doc, cnt) rows beat one shuffle of all
+    * tokens, so the combiner-preserving plan is the default; the
+    * repartition variant stays as a benchmarked opt-in.
     */
-  def termDocCounts(tokens: DataFrame, oneShuffle: Boolean = true): DataFrame = {
+  def termDocCounts(tokens: DataFrame, oneShuffle: Boolean = false): DataFrame = {
     val in = if (oneShuffle) tokens.repartition(col("term")) else tokens
     in.groupBy("term", "doc").agg(count(lit(1)).as("cnt"))
   }
 
   /** O1/A3: per-term posting lists ranked by count desc, doc asc —
-    * the sane numeric ordering. `topK > 0` bounds each list (skew-proof).
+    * the sane numeric ordering.
+    *
+    * `topK > 0` bounds each list BEFORE aggregation: a `row_number`
+    * window over (term) drops rows past rank k, so the `collect_list`
+    * buffer for a stop-word-scale term holds at most k entries — no
+    * single executor can OOM on a skewed term. (The window sorts within
+    * term partitions; combined with the aggregation that follows it,
+    * the plan stays at one hash exchange on `term` plus a sort.)
     */
   def postingLists(tdc: DataFrame, topK: Int = 0): DataFrame = {
-    val ranked = tdc.groupBy("term").agg(
-      sort_array(collect_list(struct(
-        (-col("cnt")).as("negCnt"), col("doc"), col("cnt"))))
-        .as("ranked"))
-    val postings = transform(
-      if (topK > 0) slice(col("ranked"), 1, topK) else col("ranked"),
-      p => struct(p.getField("doc").as("doc"), p.getField("cnt").as("cnt")))
-    ranked.select(col("term"), postings.as("postings"))
+    val bounded = if (topK > 0) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("term").orderBy(col("cnt").desc, col("doc"))
+      tdc.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= topK).drop("rn")
+    } else tdc
+    bounded.groupBy("term").agg(
+      transform(
+        sort_array(collect_list(struct(
+          (-col("cnt")).as("negCnt"), col("doc"), col("cnt")))),
+        p => struct(p.getField("doc").as("doc"), p.getField("cnt").as("cnt")))
+        .as("postings"))
   }
 
   /** O1 legacy byte-parity variant: the reference reverse-sorts packed
@@ -115,15 +133,33 @@ object InvertedIndex {
         substring_index(p, "#", -1), lit("#"), substring_index(p, "#", 1))), ", "))
       .as("value"))
 
+  /** M1 metrics: tag the surviving-token stream with an `observe` named
+    * `metrics` — the reference's INPUT_WORDS counter
+    * (InvertedIndexer.java:37,130-133) without a second pass; read it
+    * back via a QueryExecutionListener or `Observation`.
+    */
+  def observeTokens(tokens: DataFrame): DataFrame =
+    tokens.observe("metrics", count(lit(1)).as("input_words"))
+
   /** End-to-end numeric-ranked index over a text directory. */
   def build(spark: SparkSession, inputDir: String, stopWords: Seq[String],
             punctuation: Seq[Char], topK: Int = 0,
             sorted: Boolean = true): DataFrame = {
     implicit val s: SparkSession = spark
-    val tdc = termDocCounts(
-      removeStopWords(tokenize(scanTextDir(spark, inputDir), punctuation), stopWords))
+    val tdc = termDocCounts(observeTokens(
+      removeStopWords(tokenize(scanTextDir(spark, inputDir), punctuation), stopWords)))
     val idx = postingLists(tdc, topK)
     if (sorted) idx.orderBy("term") else idx
+  }
+
+  /** O4 text sink. Partitioned output is the scale default; the
+    * reference's single `part-r-00000` (`coalesce(1)`) is an opt-in for
+    * golden parity only — one writer task is the anti-scale pattern.
+    */
+  def writeIndex(lines: Dataset[String], outDir: String,
+                 singleFile: Boolean = false): Unit = {
+    val out = if (singleFile) lines.coalesce(1) else lines
+    out.write.mode("overwrite").text(outDir)
   }
 
   /** Byte-for-byte reproduction of the reference job: same inputs →

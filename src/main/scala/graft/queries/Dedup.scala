@@ -124,9 +124,9 @@ object Dedup {
       // Signature: NumHashes independent min-hashes; "hash" = md5 of a
       // seeded shingle so a SQL oracle reproduces it byte-for-byte (the
       // scale path would swap in xxhash64 — same plan shape).
-      val sigs = sh.groupBy("doc_id").agg(
-        (0 until NumHashes).map(i =>
-          min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh$i")): _*)
+      val mhCols = (0 until NumHashes).map(i =>
+        min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh$i"))
+      val sigs = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
       val bands = sigs.select(col("doc_id"), explode(array(
         (0 until NumHashes / BandRows).map(b => struct(
           lit(b).as("band"),
@@ -189,14 +189,35 @@ object Dedup {
         .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
       val th = td.select(col("doc_id"), col("cnt"), fingerprint(col("token")).as("h"))
-      val bits = th
-        .select(col("doc_id"), col("cnt"), col("h"),
-          explode(sequence(lit(0), lit(31))).as("b"))
-        .groupBy("doc_id", "b")
-        .agg(when(sum(col("cnt") *
-          (shiftright(col("h"), col("b").cast("int").asInstanceOf[org.apache.spark.sql.Column] match { case c => 0 }, 0)) // placeholder
-          ) > 0, 1).otherwise(0).as("bit"))
-      bits // placeholder, replaced below
+      // 32 weighted-bit votes folded into ONE aggregation: each bit of
+      // the signature is sign(sum(cnt * ±1)); the Scala loop unrolls the
+      // 32 terms with integer shift amounts, so everything stays in one
+      // codegen'd HashAggregate — no per-bit explode (32× row blowup).
+      val simhash = (0 until 32).map { b =>
+        val vote = sum(col("cnt") *
+          (shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1))
+        when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val sig = th.groupBy("doc_id").agg(simhash.as("simhash"))
+      // Band by byte: hamming <= 3 over 4 bytes pigeonholes at least one
+      // byte equal — band equi-join is candidate-complete, never O(n^2).
+      val bands = sig.select(col("doc_id"), col("simhash"), explode(array(
+        (0 until 4).map(byte => struct(
+          lit(byte).as("byte"),
+          shiftright(col("simhash"), byte * 8).bitwiseAND(lit(255L)).as("key"))): _*))
+        .as("bk"))
+        .select(col("doc_id"), col("simhash"),
+          col("bk.byte").as("byte"), col("bk.key").as("key"))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.byte") === col("b.byte") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 3)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+            .cast("long").as("hamming"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
     }
   )
 }

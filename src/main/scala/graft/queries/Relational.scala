@@ -193,7 +193,10 @@ object Relational {
       t(s, dir, "customer")
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
-        .rollup("r_name", "n_name")
+        // rollup(col(...)) not rollup("name"): the string overload trips
+        // Spark 4.1's DetectAmbiguousSelfJoin on join children even
+        // without a self join; the Column overload resolves cleanly.
+        .rollup(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("total_bal"))
         .select(coalesce(col("r_name"), lit("(all)")).as("r_name"),
           coalesce(col("n_name"), lit("(all)")).as("n_name"),

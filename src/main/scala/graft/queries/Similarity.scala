@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search over `embeddings.embedding` (array<float>, dim 64) —
+  * the north-star ANN surface:
+  *
+  *   - sm01: brute-force cosine top-k per probe — the exactness baseline.
+  *     O(probes × corpus); fine when the probe set is small, and the
+  *     cosine itself is one codegen'd fold (no UDF).
+  *   - sm02: random-hyperplane LSH — signature → band equi-join
+  *     candidates → cosine verify on candidates only. Same shape as
+  *     dd03's MinHash banding: at 100 TB the candidate join is a plain
+  *     shuffle-hash equi-join, never an all-pairs cross join.
+  *
+  * Oracle determinism: Spark's `aggregate()` and DuckDB's `list_reduce`
+  * are both sequential left folds, and both sides promote float→double
+  * element-wise before multiplying, so the pre-rounding doubles are
+  * bit-identical and ranks/rounded values hash-match exactly.
+  */
+object Similarity {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    tables.load(s, dir, "embeddings")
+
+  /** DuckDB mirror of VectorFunctions.dot: element-wise double product,
+    * sequential left fold from 0.0. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
+      s"(acc, x) -> acc + x)"
+
+  private def cosineSql(a: String, b: String): String =
+    s"CASE WHEN sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}) = 0 THEN 0.0 " +
+      s"ELSE ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END"
+
+  /** DuckDB mirror of VectorFunctions.hyperplaneBit's weighted fold. */
+  private def planeDotSql(v: String, p: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(0, len($v)), d -> CAST($v[d + 1] AS DOUBLE) * " +
+      s"CAST((1 + (${p * 31} + d * 7) % 97) - 49 AS DOUBLE))), (acc, x) -> acc + x)"
+
+  private val SigBits = 16
+  private val BandBytes = 2 // two 8-bit bands over the 16-bit signature
+
+  val qs: Seq[Q] = Seq(
+
+    // --- Brute-force cosine top-k: the exact baseline ---
+    Q("sm01_cosine_topk", {
+      val cos = cosineSql("p.pe", "c.embedding")
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
+         |           FROM embeddings WHERE vec_id % 25 = 0),
+         |scored AS (
+         |  SELECT p.probe_id, c.vec_id AS neighbor_id, $cos AS cosine
+         |  FROM p JOIN embeddings c ON c.vec_id <> p.probe_id),
+         |ranked AS (
+         |  SELECT probe_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT probe_id, neighbor_id, CAST(rank AS INT) AS rank,
+         |  round(cosine, 6) AS cosine
+         |FROM ranked WHERE rank <= 10
+         |ORDER BY probe_id, rank"""
+    }) { (s, dir) =>
+      val e = emb(s, dir)
+      val probes = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      // Probe set is small by construction — broadcast it so the scan of
+      // the (100 TB-scale) corpus is shuffle-free.
+      val scored = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          cosine(col("pe"), col("embedding")).as("cosine"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("probe_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("probe_id", "rank")
+    },
+
+    // --- Hyperplane-LSH ANN: banded candidates → cosine verify ---
+    Q("sm02_ann_hyperplane", {
+      val sigTerms = (0 until SigBits)
+        .map(p => s"(CASE WHEN ${planeDotSql("embedding", p)} >= 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString("\n         |      + ")
+      val cos = cosineSql("ea.embedding", "eb.embedding")
+      s"""WITH sigs AS (
+         |  SELECT vec_id, CAST(
+         |        $sigTerms AS BIGINT) AS sig
+         |  FROM embeddings),
+         |bands AS (
+         |  SELECT vec_id, sig, band, (sig >> (band * 8)) & 255 AS key
+         |  FROM sigs CROSS JOIN (SELECT unnest([0, 1]) AS band)),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+         |SELECT c.vec_a, c.vec_b, round($cos, 6) AS cosine
+         |FROM cand c
+         |JOIN embeddings ea ON ea.vec_id = c.vec_a
+         |JOIN embeddings eb ON eb.vec_id = c.vec_b
+         |WHERE $cos >= 0.25
+         |ORDER BY vec_a, vec_b"""
+    }) { (s, dir) =>
+      val e = emb(s, dir)
+      val sigs = e.select(col("vec_id"),
+        hyperplaneSignature(col("embedding"), SigBits).cast("long").as("sig"))
+      val bands = sigs.select(col("vec_id"), explode(array(
+        (0 until BandBytes).map(band => struct(
+          lit(band).as("band"),
+          shiftright(col("sig"), band * 8).bitwiseAND(lit(255L)).as("key"))): _*))
+        .as("bk"))
+        .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+      val cos = cosine(col("ea.embedding"), col("eb.embedding"))
+      cand
+        .join(e.as("ea"), col("ea.vec_id") === col("vec_a"))
+        .join(e.as("eb"), col("eb.vec_id") === col("vec_b"))
+        .filter(cos >= 0.25)
+        .select(col("vec_a"), col("vec_b"), round(cos, 6).as("cosine"))
+        .orderBy("vec_a", "vec_b")
+    }
+  )
+}

@@ -95,7 +95,7 @@ object Text {
         |  round(CAST(td.cnt AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS tfidf
         |FROM td JOIN df ON td.token = df.token CROSS JOIN n
         |WHERE td.cnt >= 3
-        |ORDER BY doc_id, token""") { (s, dir) =>
+        |ORDER BY td.doc_id, td.token""") { (s, dir) =>
       val td = termDoc(s, dir)
       val df = tokenStream(s, dir)
         .groupBy("token").agg(countDistinct(col("doc_id")).as("df"))

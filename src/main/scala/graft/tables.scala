@@ -16,5 +16,15 @@ object tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by
+      // default; read the raw INT64 nanos and convert to a micros
+      // timestamp (lossless here — the generator emits micro precision;
+      // session TZ is pinned UTC so the NTZ wall-clock is preserved).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
 }
