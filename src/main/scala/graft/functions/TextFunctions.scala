@@ -28,10 +28,12 @@ object TextFunctions {
     * regexp_replace over a character class — one compiled regex per task
     * instead of the reference's per-token Pattern.compile.
     */
-  def scrubPunctuation(text: Column, chars: Seq[Char]): Column = {
-    val cls = chars.distinct.map(c => "\\" + c).mkString("[", "", "]")
-    regexp_replace(text, cls, " ")
-  }
+  def scrubPunctuation(text: Column, chars: Seq[Char]): Column =
+    if (chars.isEmpty) text // "[]" is an invalid (empty) char class
+    else {
+      val cls = chars.distinct.map(c => "\\" + c).mkString("[", "", "]")
+      regexp_replace(text, cls, " ")
+    }
 
   /** Reference numeric-literal filter (InvertedIndexer.java:120-122). */
   def isNumericToken(tok: Column): Column = tok.rlike("^[-+]?[0-9]*$")

@@ -1,0 +1,163 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Unit + property coverage for the text column functions (SURVEY §5.2-3).
+  * Each test evaluates the Column against literal input via a small
+  * DataFrame — the expressions themselves are what's under test.
+  * Property tests sample ScalaCheck generators directly (deterministic
+  * seed) and batch all samples through ONE Spark job per property.
+  */
+class TextFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def evalStr(c: org.apache.spark.sql.Column, input: String): String =
+    Seq(input).toDF("text").select(c.cast("string")).as[String].head()
+
+  private def evalSeq(c: org.apache.spark.sql.Column, input: String): Seq[String] =
+    Seq(input).toDF("text").select(c).as[Seq[String]].head()
+
+  private def evalLong(c: org.apache.spark.sql.Column, input: String): Long =
+    Seq(input).toDF("text").select(c.cast("long")).as[Long].head()
+
+  /** Draw n deterministic samples from a generator. */
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  // --- tokens: StringTokenizer parity (empty tokens dropped) ---
+
+  test("tokens drops empty tokens like StringTokenizer") {
+    assert(evalSeq(TextFunctions.tokens(col("text")), "  a  b\tc \n d  ") ==
+      Seq("a", "b", "c", "d"))
+    assert(evalSeq(TextFunctions.tokens(col("text")), "") == Seq())
+    assert(evalSeq(TextFunctions.tokens(col("text")), "   ") == Seq())
+  }
+
+  test("tokens lowercases") {
+    assert(evalSeq(TextFunctions.tokens(col("text")), "FOO Bar") ==
+      Seq("foo", "bar"))
+  }
+
+  test("tokens property: matches java.util.StringTokenizer on random strings") {
+    val wsStringGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(5)), Gen.oneOf(" ", "\t", "\n", "  ")))
+      .map(_.mkString)
+    val in = samples(wsStringGen, 60)
+    val got = in.toDF("text")
+      .select(TextFunctions.tokens(col("text"))).as[Seq[String]].collect()
+    in.zip(got).foreach { case (s, g) =>
+      val st = new java.util.StringTokenizer(s.toLowerCase)
+      val expected = Iterator.continually(st)
+        .takeWhile(_.hasMoreTokens).map(_.nextToken()).toSeq
+      assert(g == expected, s"input: ${s.replace("\n", "\\n")}")
+    }
+  }
+
+  // --- scrubPunctuation: fused char class ≡ 33 iterated replaces ---
+
+  test("scrubPunctuation equals iterated per-char replaceAll (incl dup ')") {
+    // the reference's 33 patterns, with the duplicated \' (skip/punctuation.txt:24-25)
+    val chars = "`~!@#$%^&*()_+-=[]{}\\|;''\":,./<>?".toSeq
+    val inputs = Seq("it's a test-case!", "a(b)c[d]e{f}", "x\\y|z;w",
+      "no punct here", "~!@#$%^&*()")
+    for (in <- inputs) {
+      val expected = chars.distinct.foldLeft(in.toLowerCase) { (acc, ch) =>
+        acc.replaceAll("\\" + ch, " ")
+      }
+      assert(evalStr(TextFunctions.scrubPunctuation(lower(col("text")), chars), in)
+        == expected, s"input: $in")
+    }
+  }
+
+  // --- numeric token filter ---
+
+  test("isNumericToken matches the reference regex semantics") {
+    val t = Seq(("123", true), ("-42", true), ("+7", true), ("", true),
+      ("a1", false), ("1a", false), ("12.5", false), ("abc", false))
+    for ((tok, want) <- t)
+      assert(evalStr(TextFunctions.isNumericToken(col("text")), tok).toBoolean
+        == want, s"token: $tok")
+  }
+
+  // --- fingerprint: rolling hash, DuckDB string_split parity ---
+
+  private def refFingerprint(s: String): Long =
+    s.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % 1000000007L)
+
+  test("fingerprint equals reference fold (no trailing-empty element)") {
+    for (s <- Seq("", "a", "abc", "hello world", "x" * 100))
+      assert(evalLong(TextFunctions.fingerprint(col("text")), s)
+        == refFingerprint(s), s"input: $s")
+  }
+
+  test("fingerprint property: matches fold for random ascii strings") {
+    val in = samples(Gen.asciiPrintableStr, 60)
+    val got = in.toDF("text")
+      .select(TextFunctions.fingerprint(col("text"))).as[Long].collect()
+    in.zip(got).foreach { case (s, g) =>
+      assert(g == refFingerprint(s), s"input: $s")
+    }
+  }
+
+  // --- shingles / ngrams ---
+
+  test("charShingles: distinct n-grams, short-text guard") {
+    assert(evalSeq(TextFunctions.charShingles(col("text"), 3), "abcd") ==
+      Seq("abc", "bcd"))
+    assert(evalSeq(TextFunctions.charShingles(col("text"), 3), "ab") == Seq())
+    assert(evalSeq(TextFunctions.charShingles(col("text"), 2), "aaa") ==
+      Seq("aa")) // distinct
+    assert(evalSeq(TextFunctions.charShingles(col("text"), 2), "AbC") ==
+      Seq("ab", "bc")) // lowercased
+  }
+
+  test("wordNgrams: ordered, non-distinct, short-text guard") {
+    assert(evalSeq(TextFunctions.wordNgrams(col("text"), 2), "a b c") ==
+      Seq("a b", "b c"))
+    assert(evalSeq(TextFunctions.wordNgrams(col("text"), 3), "a b") == Seq())
+    assert(evalSeq(TextFunctions.wordNgrams(col("text"), 2), "x y x y") ==
+      Seq("x y", "y x", "x y"))
+  }
+
+  // --- token counting ---
+
+  test("tokenCount and bpeTokenCount") {
+    assert(evalLong(TextFunctions.tokenCount(col("text")), "a  b c") == 3L)
+    assert(evalLong(TextFunctions.tokenCount(col("text")), "") == 0L)
+    // "don't stop2" → [don, ', t, stop, 2] per the alpha/digit/other split
+    assert(evalLong(TextFunctions.bpeTokenCount(col("text")), "don't stop2") == 5L)
+  }
+
+  // --- language id ---
+
+  test("langId picks argmax marker language, und when none") {
+    assert(evalStr(TextFunctions.langId(col("text")),
+      "the cat and the dog is in that house") == "en")
+    assert(evalStr(TextFunctions.langId(col("text")),
+      "der hund und die katze ist nicht ein") == "de")
+    assert(evalStr(TextFunctions.langId(col("text")), "zzz qqq") == "und")
+    assert(evalStr(TextFunctions.langId(col("text")), "") == "und")
+  }
+
+  test("langId breaks ties by language code ascending") {
+    // "la" ∈ es and fr marker sets; one hit each → tie → 'es' < 'fr'
+    assert(evalStr(TextFunctions.langId(col("text")), "la") == "es")
+  }
+
+  // --- quality / ratios ---
+
+  test("stopwordRatio and meanTokenLength handle empty docs") {
+    assert(evalStr(TextFunctions.stopwordRatio(col("text"), Seq("the")), "")
+      .toDouble == 0.0)
+    assert(evalStr(TextFunctions.meanTokenLength(col("text")), "").toDouble == 0.0)
+    assert(evalStr(TextFunctions.stopwordRatio(col("text"), Seq("the")),
+      "the cat the dog").toDouble == 0.5)
+    assert(evalStr(TextFunctions.meanTokenLength(col("text")), "ab cdef")
+      .toDouble == 3.0)
+  }
+}
