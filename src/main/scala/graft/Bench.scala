@@ -1,23 +1,48 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Round benchmark: one JSON line with per-query wall seconds.
+  *
+  * Honesty rules: queries run in stable declaration order; results are
+  * fully materialized through the `noop` sink (`count()` lets Catalyst
+  * prune projections, under-measuring string-heavy queries); a warmup
+  * pass reads every table end-to-end first so the first measured query
+  * doesn't absorb JVM/codegen startup (~6s observed otherwise).
+  *
+  * dd02_ngram_jaccard is excluded: it is the documented all-pairs
+  * ORACLE ground truth for dd03's LSH path (Dedup.scala) — quadratic by
+  * design, test-SF only, never a scale path.
+  */
 object Bench {
+  private val exclude = Set("dd02_ngram_jaccard")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    tables.names.foreach(n => materialize(tables.load(spark, sfDir, n)))
+
+    val results = SparkEntry.all.filterNot(q => exclude(q.name)).map { q =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try materialize(q.fn(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+      }
+      q.name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

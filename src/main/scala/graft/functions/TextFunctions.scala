@@ -139,12 +139,19 @@ object TextFunctions {
           i => substring(norm, i, lit(n)))))
   }
 
-  /** Word n-grams over the token list (non-distinct, in order). */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Word n-grams over an ALREADY-MATERIALIZED token array column.
+    * Callers should project `tokens(text)` into a real column first:
+    * referencing the tokenize expression inside the transform lambda
+    * would re-evaluate the whole split/filter per n-gram element
+    * (O(tokens²) per document).
+    */
+  def wordNgramsOf(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
-  }
+
+  /** Word n-grams straight from text — convenience for one-shot use;
+    * prefer projecting `tokens(text)` + `wordNgramsOf` in pipelines. */
+  def wordNgrams(text: Column, n: Int): Column = wordNgramsOf(tokens(text), n)
 }

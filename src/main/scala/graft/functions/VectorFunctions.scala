@@ -40,6 +40,11 @@ object VectorFunctions {
     * hyperplane — the random-hyperplane LSH primitive. Plane component d
     * of plane p is `((1 + (p*31 + d*7) mod 97) - 49)`, a fixed integer
     * pattern both Spark and a SQL oracle can generate.
+    *
+    * This variant derives the plane per row (`sequence`+`transform`) so
+    * it works for any vector length; when the dimension is known, use
+    * the `dim` overload — the plane becomes a constant array literal and
+    * the per-row work drops to one zip_with+fold.
     */
   def hyperplaneBit(v: Column, planeIdx: Int): Column = {
     val prods = zip_with(
@@ -50,8 +55,21 @@ object VectorFunctions {
     when(aggregate(prods, lit(0.0), (acc, p) => acc + p) >= 0, lit(1)).otherwise(lit(0))
   }
 
+  /** Known-dimension fast path: the hyperplane is a constant literal. */
+  def hyperplaneBit(v: Column, planeIdx: Int, dim: Int): Column = {
+    val w = (0 until dim)
+      .map(d => ((1 + (planeIdx * 31 + d * 7) % 97) - 49).toDouble)
+    val prods = zip_with(asDouble(v), typedlit(w), (x, wc) => x * wc)
+    when(aggregate(prods, lit(0.0), (acc, p) => acc + p) >= 0, lit(1)).otherwise(lit(0))
+  }
+
   /** k-bit random-hyperplane signature packed into a BIGINT. */
   def hyperplaneSignature(v: Column, bits: Int): Column =
     (0 until bits).map(p => hyperplaneBit(v, p) * lit(1L << p))
+      .reduce(_ + _)
+
+  /** Known-dimension fast path (constant plane literals). */
+  def hyperplaneSignature(v: Column, bits: Int, dim: Int): Column =
+    (0 until bits).map(p => hyperplaneBit(v, p, dim) * lit(1L << p))
       .reduce(_ + _)
 }

@@ -21,10 +21,14 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     tables.load(s, dir, "documents")
 
-  /** Distinct word 3-gram shingles per doc: (doc_id, shingle). */
+  /** Distinct word 3-gram shingles per doc: (doc_id, shingle). The
+    * token array is projected to a real column first so the n-gram
+    * lambda doesn't re-tokenize per element (see wordNgramsOf). */
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"),
-      explode(array_distinct(wordNgrams(col("text"), 3))).as("shingle"))
+    docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        explode(array_distinct(wordNgramsOf(col("tk"), 3))).as("shingle"))
 
   private val DuckShingles =
     """SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 1),
@@ -33,9 +37,19 @@ object Dedup {
       |        list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
       |      FROM documents)""".stripMargin
 
-  /** MinHash seeds; band b = (mh[2b], mh[2b+1]) → 6 bands × 2 rows. */
+  /** MinHash seeds; band b = (mh[2b], mh[2b+1]) → 6 bands × 2 rows.
+    * Each shingle is md5-hashed ONCE to a 60-bit integer; the 12
+    * signature hashes derive from it by universal hashing
+    * `(a_i * h + b_i) mod P` — 12× fewer digest computations than
+    * hashing `"i|" + shingle` per seed, and integer mins beat 32-char
+    * string mins. Both constants reproduce exactly in DuckDB
+    * (hex-substr cast parity verified: 0x-prefixed CAST == conv(,16,10)).
+    */
   private val NumHashes = 12
   private val BandRows = 2
+  private val P = 1000000007L
+  private def mhA(i: Int): Int = 29 + 37 * i
+  private def mhB(i: Int): Int = 11 + 17 * i
 
   val qs: Seq[Q] = Seq(
 
@@ -90,22 +104,27 @@ object Dedup {
     //     candidates → exact Jaccard verify on candidates only ---
     Q("dd03_minhash_lsh", {
       val mhAggs = (0 until NumHashes)
-        .map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(",\n         |    ")
+        .map(i => s"min((hm * ${mhA(i)} + ${mhB(i)}) % $P) AS mh$i")
+        .mkString(",\n         |    ")
       val bandSelects = (0 until NumHashes / BandRows)
-        .map(b => s"SELECT doc_id, $b AS band, mh${2 * b} || mh${2 * b + 1} AS key FROM sigs")
+        .map(b => s"SELECT doc_id, $b AS band, mh${2 * b} || '|' || mh${2 * b + 1} AS key FROM sigs")
         .mkString("\n         |  UNION ALL ")
       s"""WITH sh AS ($DuckShingles),
+         |hashed AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % $P AS hm
+         |  FROM sh),
          |sigs AS (
          |  SELECT doc_id,
-         |    $mhAggs
-         |  FROM sh GROUP BY doc_id),
+         |    $mhAggs,
+         |    count(*) AS sz
+         |  FROM hashed GROUP BY doc_id),
          |bands AS (
          |  $bandSelects),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
          |inter AS (
          |  SELECT c.doc_a, c.doc_b, count(*) AS inter
          |  FROM cand c
@@ -115,22 +134,26 @@ object Dedup {
          |SELECT doc_a, doc_b,
          |  round(CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
          |FROM inter
-         |JOIN sizes sa ON sa.doc_id = doc_a
-         |JOIN sizes sb ON sb.doc_id = doc_b
+         |JOIN sigs sa ON sa.doc_id = doc_a
+         |JOIN sigs sb ON sb.doc_id = doc_b
          |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.4
          |ORDER BY doc_a, doc_b"""
     }) { (s, dir) =>
       val sh = shingled(s, dir)
-      // Signature: NumHashes independent min-hashes; "hash" = md5 of a
-      // seeded shingle so a SQL oracle reproduces it byte-for-byte (the
-      // scale path would swap in xxhash64 — same plan shape).
-      val mhCols = (0 until NumHashes).map(i =>
-        min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh$i"))
-      val sigs = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+      // One digest per shingle → 60-bit int; 12 universal-hash mins and
+      // the shingle-set size all in ONE aggregation pass (the reference
+      // of this shape would take 2 passes + 12 digests).
+      val hashed = sh.select(col("doc_id"),
+        (conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % P)
+          .as("hm"))
+      val aggCols = (0 until NumHashes).map(i =>
+        min((col("hm") * mhA(i) + mhB(i)) % P).as(s"mh$i")) :+
+        count(lit(1)).as("sz")
+      val sigs = hashed.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
       val bands = sigs.select(col("doc_id"), explode(array(
         (0 until NumHashes / BandRows).map(b => struct(
           lit(b).as("band"),
-          concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("key"))): _*))
+          concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("key"))): _*))
         .as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
       val cand = bands.as("a")
@@ -139,11 +162,11 @@ object Dedup {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val inter = cand
         .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
         .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      val sizes = sigs.select(col("doc_id"), col("sz"))
       val j = col("inter").cast("double") /
         (col("sa.sz") + col("sb.sz") - col("inter")).cast("double")
       inter
@@ -188,7 +211,13 @@ object Dedup {
       val td = docs(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
-      val th = td.select(col("doc_id"), col("cnt"), fingerprint(col("token")).as("h"))
+      // Hash the DISTINCT vocabulary once and broadcast it back: the
+      // per-character rolling-hash fold runs |vocab| times instead of
+      // |doc × token| times (vocabulary ≪ corpus at any scale).
+      val vocabHash = td.select("token").distinct()
+        .withColumn("h", fingerprint(col("token")))
+      val th = td.join(broadcast(vocabHash), Seq("token"))
+        .select(col("doc_id"), col("cnt"), col("h"))
       // 32 weighted-bit votes folded into ONE aggregation: each bit of
       // the signature is sign(sum(cnt * ±1)); the Scala loop unrolls the
       // 32 terms with integer shift amounts, so everything stays in one

@@ -241,7 +241,8 @@ object Text {
         |GROUP BY bigram
         |ORDER BY bigram""") { (s, dir) =>
       docs(s, dir)
-        .select(explode(wordNgrams(col("text"), 2)).as("bigram"))
+        .select(tokens(col("text")).as("tk")) // materialize once per doc
+        .select(explode(wordNgramsOf(col("tk"), 2)).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .orderBy("bigram")
     }
