@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables
+import graft.multimodal.{MediaBlob, Multimodal}
+
+/** Multimodal-column queries over `documents` with the text payload
+  * standing in for media bytes (this container ships no codecs; the
+  * engine-side plumbing is identical for real `binary` media columns).
+  *
+  * Oracle parity note: Spark computes on the binary payload (UTF-8
+  * bytes); DuckDB's md5/substring don't accept BLOB, so the oracle
+  * computes on the VARCHAR — identical bytes, since DuckDB strings are
+  * UTF-8 and the corpus is ASCII (chunk boundaries = byte boundaries).
+  */
+object MultimodalQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    tables.load(s, dir, "documents")
+
+  private val ChunkBytes = 256
+
+  val qs: Seq[Q] = Seq(
+
+    // --- Typed metadata over an opaque payload ---
+    Q("mm01_blob_metadata",
+      s"""SELECT doc_id,
+         |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+         |  md5(text) AS content_md5,
+         |  CAST(ceil(octet_length(CAST(text AS BLOB)) / $ChunkBytes.0) AS BIGINT) AS n_chunks
+         |FROM documents
+         |ORDER BY doc_id""") { (s, dir) =>
+      val blob = Multimodal.blobOf(col("text"))
+      docs(s, dir).select(
+        col("doc_id"),
+        Multimodal.byteLength(blob).as("n_bytes"),
+        Multimodal.contentMd5(blob).as("content_md5"),
+        Multimodal.chunkCount(blob, ChunkBytes).as("n_chunks"))
+        .orderBy("doc_id")
+    },
+
+    // --- Frame sampling: one row per fixed-size chunk, digest each ---
+    Q("mm02_blob_chunks",
+      s"""WITH c AS (
+         |  SELECT doc_id, text,
+         |    unnest(range(0, CAST(ceil(length(text) / $ChunkBytes.0) AS BIGINT))) AS chunk_idx
+         |  FROM documents WHERE length(text) > 0)
+         |SELECT doc_id, chunk_idx,
+         |  md5(substring(text, CAST(chunk_idx * $ChunkBytes + 1 AS INT), $ChunkBytes)) AS chunk_md5
+         |FROM c
+         |ORDER BY doc_id, chunk_idx""") { (s, dir) =>
+      docs(s, dir)
+        .filter(length(col("text")) > 0) // sequence(0,-1) would count down
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L),
+            Multimodal.chunkCount(Multimodal.blobOf(col("text")), ChunkBytes) - 1))
+            .as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          md5(substring(col("text"),
+            (col("chunk_idx") * ChunkBytes + 1).cast("int"), lit(ChunkBytes))
+            .cast("binary")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // --- Decode seam: batched per-partition feature extraction.
+    //     The fake decode has no SQL twin → rows-only driver check;
+    //     determinism + shape are pinned by MultimodalSpec. ---
+    Q.noOracle("mm03_decode_features") { (s, dir) =>
+      import s.implicits._
+      val blobs = docs(s, dir)
+        .select(col("doc_id"), Multimodal.blobOf(col("text")).as("payload"),
+          lit("text/plain").as("mime"))
+        .as[MediaBlob]
+      Multimodal.decodeFeatures(blobs, dim = 8)
+        .toDF()
+        .orderBy("doc_id")
+    }
+  )
+}

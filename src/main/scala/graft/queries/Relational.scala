@@ -414,11 +414,9 @@ object Relational {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY window_start, event_type""") { (s, dir) =>
-      t(s, dir, "events")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
-        .select(col("window.start").as("window_start"), col("event_type"),
-          col("n"), col("total_value"))
+      // Shared transform with the Structured Streaming twin — the same
+      // aggregation runs unbounded with a watermark in EventStreams.
+      graft.streaming.EventStreams.tumblingCounts(t(s, dir, "events"))
         .orderBy("window_start", "event_type")
     },
 

@@ -76,8 +76,12 @@ object Text {
         |WHERE token <> ''
         |GROUP BY token
         |ORDER BY token""") { (s, dir) =>
-      tokenStream(s, dir)
-        .groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+      // termDoc already holds one row per (doc, token): counting rows
+      // per token == countDistinct(doc_id) but the shuffle carries
+      // pre-aggregated (doc, token) pairs, not raw token occurrences,
+      // and needs no distinct-tracking state.
+      termDoc(s, dir)
+        .groupBy("token").agg(count(lit(1)).as("df"))
         .orderBy("token")
     },
 
@@ -97,8 +101,9 @@ object Text {
         |WHERE td.cnt >= 3
         |ORDER BY td.doc_id, td.token""") { (s, dir) =>
       val td = termDoc(s, dir)
-      val df = tokenStream(s, dir)
-        .groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+      // df derived from td (rows per token == distinct docs per token):
+      // one tokenize pass feeds both TF and DF instead of two.
+      val df = td.groupBy("token").agg(count(lit(1)).as("df"))
       val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
       td.join(broadcast(df), "token").crossJoin(broadcast(n))
         .filter(col("cnt") >= 3)
@@ -227,6 +232,70 @@ object Text {
       docs(s, dir)
         .select(col("doc_id"), fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
+    },
+
+    // --- Bounded inverted index: top-3 postings per term via window
+    //     rank BEFORE collect_list — the skew-proof flagship variant
+    //     (no aggregation buffer ever exceeds k entries) ---
+    Q("tx12_inverted_index_topk",
+      """WITH td AS (
+        |  SELECT doc_id, token, count(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+        |        FROM documents)
+        |  WHERE token <> ''
+        |  GROUP BY doc_id, token),
+        |r AS (
+        |  SELECT doc_id, token, cnt,
+        |    row_number() OVER (PARTITION BY token ORDER BY cnt DESC, doc_id) AS rn
+        |  FROM td)
+        |SELECT token,
+        |  string_agg(doc_id || '#' || cnt, ', ' ORDER BY cnt DESC, doc_id) AS postings
+        |FROM r WHERE rn <= 3
+        |GROUP BY token
+        |ORDER BY token""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("token").orderBy(col("cnt").desc, col("doc_id"))
+      termDoc(s, dir)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .groupBy("token")
+        .agg(array_join(
+          transform(
+            sort_array(collect_list(struct(
+              (-col("cnt")).as("neg"), col("doc_id"), col("cnt")))),
+            p => concat(p.getField("doc_id"), lit("#"), p.getField("cnt"))),
+          ", ").as("postings"))
+        .orderBy("token")
+    },
+
+    // --- Same semantics via the typed BoundedTopK Aggregator: the
+    //     aggregation BUFFER (not just the output) is capped at k,
+    //     so one skewed term cannot OOM an executor at 100 TB ---
+    Q("tx13_inverted_index_bounded_agg",
+      """WITH td AS (
+        |  SELECT doc_id, token, count(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+        |        FROM documents)
+        |  WHERE token <> ''
+        |  GROUP BY doc_id, token),
+        |r AS (
+        |  SELECT doc_id, token, cnt,
+        |    row_number() OVER (PARTITION BY token ORDER BY cnt DESC, doc_id) AS rn
+        |  FROM td)
+        |SELECT token,
+        |  string_agg(doc_id || '#' || cnt, ', ' ORDER BY cnt DESC, doc_id) AS postings
+        |FROM r WHERE rn <= 3
+        |GROUP BY token
+        |ORDER BY token""") { (s, dir) =>
+      import graft.operators.{BoundedTopK, Posting}
+      val topk = udaf(new BoundedTopK(3), BoundedTopK.inputEncoder)
+      termDoc(s, dir)
+        .groupBy("token")
+        .agg(topk(col("doc_id"), col("cnt")).as("top")) // one arg per Posting field
+        .select(col("token"), array_join(
+          transform(col("top"),
+            p => concat(p.getField("doc"), lit("#"), p.getField("cnt"))),
+          ", ").as("postings"))
+        .orderBy("token")
     },
 
     // --- Word bigram counts ---
