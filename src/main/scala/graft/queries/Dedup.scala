@@ -139,7 +139,15 @@ object Dedup {
          |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.4
          |ORDER BY doc_a, doc_b"""
     }) { (s, dir) =>
-      val sh = shingled(s, dir)
+      // Spark does NOT dedupe identical sub-plans across self-joins:
+      // without persist, this query scans + re-shingles the corpus SIX
+      // times (bands×2, inter×2, sizes×2 — verified via explain).
+      // Materialize the two reused intermediates instead: `sh` is the
+      // shingle table (corpus-scale, disk-spillable — the standard
+      // materialization step of a near-dup pipeline) and `sigs` is one
+      // short row per document.
+      import org.apache.spark.storage.StorageLevel
+      val sh = shingled(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
       // One digest per shingle → 60-bit int; 12 universal-hash mins and
       // the shingle-set size all in ONE aggregation pass (the reference
       // of this shape would take 2 passes + 12 digests).
@@ -150,6 +158,7 @@ object Dedup {
         min((col("hm") * mhA(i) + mhB(i)) % P).as(s"mh$i")) :+
         count(lit(1)).as("sz")
       val sigs = hashed.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val bands = sigs.select(col("doc_id"), explode(array(
         (0 until NumHashes / BandRows).map(b => struct(
           lit(b).as("band"),
@@ -218,6 +227,7 @@ object Dedup {
         .withColumn("h", fingerprint(col("token")))
       val th = td.join(broadcast(vocabHash), Seq("token"))
         .select(col("doc_id"), col("cnt"), col("h"))
+      import org.apache.spark.storage.StorageLevel
       // 32 weighted-bit votes folded into ONE aggregation: each bit of
       // the signature is sign(sum(cnt * ±1)); the Scala loop unrolls the
       // 32 terms with integer shift amounts, so everything stays in one
@@ -227,7 +237,10 @@ object Dedup {
           (shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1))
         when(vote > 0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _)
+      // persist: the band self-join would otherwise recompute the whole
+      // tokenize→hash→signature chain for each side (one row per doc)
       val sig = th.groupBy("doc_id").agg(simhash.as("simhash"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // Band by byte: hamming <= 3 over 4 bytes pigeonholes at least one
       // byte equal — band equi-join is candidate-complete, never O(n^2).
       val bands = sig.select(col("doc_id"), col("simhash"), explode(array(

@@ -72,6 +72,9 @@ object Similarity {
       // cosine(a, b) per pair. The products sqrt(aa)*sqrt(bb) and
       // dot(a,b) are the same IEEE operations as the one-shot cosine,
       // so results stay bit-identical to the oracle.
+      // NOT persisted: both uses are cheap parquet scans, and the
+      // in-memory columnar cache (de)serializes the float arrays per
+      // access — measured 4× slower than re-scanning.
       val e = emb(s, dir)
         .select(col("vec_id"), col("embedding"),
           l2Norm(col("embedding")).as("nrm"))
@@ -118,11 +121,14 @@ object Similarity {
          |WHERE $cos >= 0.25
          |ORDER BY vec_a, vec_b"""
     }) { (s, dir) =>
+      import org.apache.spark.storage.StorageLevel
       val e = emb(s, dir)
       // dim=64 (FIXTURES.md): constant-literal hyperplanes, one
       // zip_with+fold per bit instead of per-row plane generation.
+      // persist: the band self-join reuses sigs on both sides.
       val sigs = e.select(col("vec_id"),
         hyperplaneSignature(col("embedding"), SigBits, 64).cast("long").as("sig"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val bands = sigs.select(col("vec_id"), explode(array(
         (0 until BandBytes).map(band => struct(
           lit(band).as("band"),
@@ -138,6 +144,8 @@ object Similarity {
       // Verify on candidates only, with per-side precomputed norms and
       // the cosine evaluated once (withColumn) instead of per filter +
       // per projection.
+      // not persisted: same float-array cache tax as sm01 — two scans
+      // of the (small) embeddings table win
       val en = e.select(col("vec_id"), col("embedding"),
         l2Norm(col("embedding")).as("nrm"))
       val n = col("na") * col("nb")

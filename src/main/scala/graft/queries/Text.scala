@@ -100,7 +100,10 @@ object Text {
         |FROM td JOIN df ON td.token = df.token CROSS JOIN n
         |WHERE td.cnt >= 3
         |ORDER BY td.doc_id, td.token""") { (s, dir) =>
+      // persist: td feeds both the TF rows and the DF aggregation —
+      // without it Spark re-tokenizes the corpus for each use.
       val td = termDoc(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // df derived from td (rows per token == distinct docs per token):
       // one tokenize pass feeds both TF and DF instead of two.
       val df = td.groupBy("token").agg(count(lit(1)).as("df"))
