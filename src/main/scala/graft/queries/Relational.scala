@@ -420,6 +420,47 @@ object Relational {
         .orderBy("window_start", "event_type")
     },
 
+    // --- Left outer join: customers keep a row with zero orders ---
+    Q("q24_outer_join",
+      """SELECT c_custkey, c_name,
+        |  CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+        |  round(coalesce(sum(o_totalprice), 0), 2) AS total_spend
+        |FROM customer
+        |LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY c_custkey""") { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum(col("o_totalprice")), lit(0)), 2).as("total_spend"))
+        .orderBy("c_custkey")
+    },
+
+    // --- Pivot: order counts by priority per status (fixed value list
+    //     so the output schema is static, as a scale plan must be) ---
+    Q("q25_pivot",
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
+        |  count(*) FILTER (o_orderpriority = '2-HIGH') AS high,
+        |  count(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium,
+        |  count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS unspecified,
+        |  count(*) FILTER (o_orderpriority = '5-LOW') AS low
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""") { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW"))
+        .count()
+        .toDF("o_orderstatus", "urgent", "high", "medium", "unspecified", "low")
+        // absent combinations pivot to null; the FILTER oracle says 0
+        .select(col("o_orderstatus") +: Seq("urgent", "high", "medium",
+          "unspecified", "low").map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+        .orderBy("o_orderstatus")
+    },
+
     // --- approx_count_distinct: no exact SQL twin → rows-only check;
     //     the exact variant is q13 ---
     Q.noOracle("q23_approx_count_distinct") { (s, dir) =>

@@ -47,6 +47,16 @@ object Similarity {
   private val SigBits = 16
   private val BandBytes = 2 // two 8-bit bands over the 16-bit signature
 
+  /** DuckDB mirror of VectorFunctions.l2DistanceSq. */
+  private def l2SqSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, len($a) + 1), i -> " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), " +
+      s"(acc, x) -> acc + x)"
+
+  private val IvfCells = 8 // fixed coarse centroids (vec_id < 8)
+  private val IvfNProbe = 2 // cells searched per probe
+
   val qs: Seq[Q] = Seq(
 
     // --- Brute-force cosine top-k: the exact baseline ---
@@ -159,6 +169,87 @@ object Similarity {
         .filter(col("cos") >= 0.25)
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
         .orderBy("vec_a", "vec_b")
+    },
+
+    // --- IVF-style ANN: coarse cell assignment (argmin L2 to fixed
+    //     centroids) → probe searches only its nprobe nearest cells.
+    //     The search join is an EQUI-join on cell id, so work scales
+    //     with nprobe/cells of the corpus, not all of it. The fixed
+    //     centroids (vec_id < 8) stand in for a trained quantizer —
+    //     swapping in k-means centroids changes no plan shape. ---
+    Q("sm03_ivf_topk", {
+      val dist = l2SqSql("e.embedding", "c.ce")
+      val pdist = l2SqSql("p.pe", "c.ce")
+      val cos = cosineSql("p.pe", "v.embedding")
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  WHERE vec_id < $IvfCells),
+         |assign AS (
+         |  SELECT vec_id, cid, rn FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |                         ORDER BY $dist, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+         |  WHERE vec_id % 25 = 0),
+         |pcells AS (
+         |  SELECT probe_id, cid FROM (
+         |    SELECT p.probe_id, c.cid,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |                         ORDER BY $pdist, c.cid) AS rn
+         |    FROM probes p CROSS JOIN cent c)
+         |  WHERE rn <= $IvfNProbe),
+         |scored AS (
+         |  SELECT p.probe_id, v.vec_id AS neighbor_id, $cos AS cosine
+         |  FROM probes p
+         |  JOIN pcells pc ON pc.probe_id = p.probe_id
+         |  JOIN assign a ON a.cid = pc.cid
+         |  JOIN embeddings v ON v.vec_id = a.vec_id AND v.vec_id <> p.probe_id)
+         |SELECT probe_id, neighbor_id, CAST(rank AS INT) AS rank,
+         |  round(cosine, 6) AS cosine
+         |FROM (
+         |  SELECT probe_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5
+         |ORDER BY probe_id, rank"""
+    }) { (s, dir) =>
+      val e = emb(s, dir)
+      val cent = e.filter(col("vec_id") < IvfCells)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      // coarse assignment: argmin L2 over the (broadcast) centroids
+      def nearestCells(vecs: DataFrame, idCol: String, vecCol: String,
+                       keep: Int): DataFrame = {
+        val w = Window.partitionBy(idCol)
+          .orderBy(l2DistanceSq(col(vecCol), col("ce")), col("cid"))
+        vecs.crossJoin(broadcast(cent))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= keep)
+          .select(col(idCol), col("cid"))
+      }
+      val assign = nearestCells(
+        e.select(col("vec_id"), col("embedding")), "vec_id", "embedding", 1)
+      val probes = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val pcells = nearestCells(probes.select(col("probe_id"),
+        col("pe").as("embedding")), "probe_id", "embedding", IvfNProbe)
+      val scored = probes
+        .join(pcells, Seq("probe_id"))
+        .join(assign, Seq("cid"))
+        .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          cosine(col("pe"), col("embedding")).as("cosine"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("probe_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("probe_id", "rank")
     }
   )
 }

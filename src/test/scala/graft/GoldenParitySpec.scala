@@ -33,4 +33,29 @@ class GoldenParitySpec extends AnyFunSuite {
       assert(g == w, s"first mismatch at line ${i + 1}:\n  got  $g\n  want $w")
     }
   }
+
+  test("writeIndex single-file sink round-trips the golden output (O4)") {
+    val spark = SparkTestSession.spark
+    val lines = InvertedIndex.buildLegacy(
+      spark,
+      "/root/reference/input",
+      "/root/reference/skip/stop-word-list.txt",
+      "/root/reference/skip/punctuation.txt")
+    val out = java.nio.file.Files.createTempDirectory("golden_sink").toString
+    InvertedIndex.writeIndex(lines, out, singleFile = true)
+    val parts = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-")).sorted
+    assert(parts.length == 1, "singleFile=true must produce one part file")
+    val written = {
+      val src = scala.io.Source.fromFile(parts.head, "UTF-8")
+      try src.getLines().toArray finally src.close()
+    }
+    val want = {
+      val src = scala.io.Source.fromFile(
+        "/root/reference/output/part-r-00000", "UTF-8")
+      try src.getLines().toArray finally src.close()
+    }
+    assert(written.sameElements(want),
+      "written part file must be line-identical to the reference output")
+  }
 }
