@@ -461,6 +461,26 @@ object Relational {
         .orderBy("o_orderstatus")
     },
 
+    // --- Exact interpolated percentiles (type-7 / linear, the
+    //     definition Spark's percentile() and DuckDB's quantile_cont
+    //     share) ---
+    Q("q26_percentile",
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+        |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""") { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("median_price"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90_price"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    },
+
     // --- approx_count_distinct: no exact SQL twin → rows-only check;
     //     the exact variant is q13 ---
     Q.noOracle("q23_approx_count_distinct") { (s, dir) =>

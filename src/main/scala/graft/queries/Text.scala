@@ -301,6 +301,26 @@ object Text {
         .orderBy("token")
     },
 
+    // --- Salted skew-safe aggregation: identical result to tx01, but
+    //     a hot token spreads over 16 reducers in phase 1 before the
+    //     cheap per-token merge in phase 2 — the standard mitigation
+    //     when one key (a stop-word-scale term at 100 TB) would
+    //     otherwise pin a single reducer. Salt is derived from doc_id
+    //     so the plan stays deterministic. ---
+    Q("tx14_salted_token_counts",
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+        |      FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token
+        |ORDER BY token""") { (s, dir) =>
+      tokenStream(s, dir)
+        .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(16)))
+        .groupBy("token", "salt").agg(count(lit(1)).as("c"))
+        .groupBy("token").agg(sum(col("c")).as("n"))
+        .orderBy("token")
+    },
+
     // --- Word bigram counts ---
     Q("tx11_bigrams",
       """WITH t AS (SELECT doc_id,

@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the scale properties the engine
+  * promises (pushdown, pruning, broadcasts, candidate-join shapes,
+  * partial aggregation) asserted against the optimized/physical plans,
+  * so a refactor that silently breaks one fails the suite rather than
+  * the 100×-scale run.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    // formatted mode: plain toString truncates long FileScan lines,
+    // silently hiding PushedFilters entries
+    SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q01/q02: predicates reach the parquet scan (PushedFilters)") {
+    assert(plan("q01_pricing_summary").contains(
+      "LessThanOrEqual(l_shipdate"), "q01 shipdate filter not pushed")
+    val p2 = plan("q02_filter_project")
+    assert(p2.contains("GreaterThan(l_quantity,45.0)"),
+      "q02 quantity filter not pushed")
+    assert(p2.contains("GreaterThanOrEqual(l_shipdate"),
+      "q02 shipdate range not pushed")
+  }
+
+  test("q01: scan is column-pruned (no full-width lineitem read)") {
+    val p = plan("q01_pricing_summary")
+    val schema = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(!schema.contains("l_partkey") && !schema.contains("l_comment"),
+      s"q01 reads columns it doesn't use: $schema")
+  }
+
+  test("q03: all three dimension joins broadcast") {
+    // count detail headers "(n) BroadcastHashJoin" — formatted mode
+    // lists each operator once in the tree and once in the details
+    assert("\\(\\d+\\) BroadcastHashJoin".r
+      .findAllIn(plan("q03_broadcast_join")).size == 3)
+  }
+
+  test("q05/q06: semi and anti joins plan as such") {
+    assert(plan("q05_semi_join").contains("LeftSemi"))
+    assert(plan("q06_anti_join").contains("LeftAnti"))
+  }
+
+  test("banded candidate generation never plans a cartesian product") {
+    for (q <- Seq("dd03_minhash_lsh", "dd04_simhash", "sm02_ann_hyperplane")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian join")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested-loop join — the band join must be an equi-join")
+    }
+  }
+
+  test("tx01/tx05: map-side partial aggregation before the exchange") {
+    for (q <- Seq("tx01_token_counts", "tx05_inverted_index"))
+      assert(plan(q).contains("partial_count"),
+        s"$q lost its map-side combine")
+  }
+
+  test("tx12: window rank bounds rows before the posting aggregation") {
+    val p = plan("tx12_inverted_index_topk")
+    val windowIdx = p.indexOf("RunningWindowFunction") match {
+      case -1 => p.indexOf("Window")
+      case i  => i
+    }
+    val aggIdx = p.indexOf("ObjectHashAggregate") match {
+      case -1 => p.indexOf("SortAggregate")
+      case i  => i
+    }
+    assert(windowIdx >= 0 && aggIdx >= 0 && aggIdx < windowIdx,
+      // plans print top-down: the aggregate consuming the window output
+      // must appear ABOVE (before) the window operator
+      s"tx12 must rank-filter below the aggregation:\n$p")
+  }
+
+  test("sm01: probe side is broadcast (corpus scan stays shuffle-free)") {
+    val p = plan("sm01_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"sm01 probes must broadcast:\n$p")
+  }
+}
