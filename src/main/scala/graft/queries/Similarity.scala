@@ -24,8 +24,12 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    // the vector fold expressions are session temp functions — install
+    // them before any plan using VectorFunctions columns is analyzed
+    graft.expressions.VectorExpressions.ensureRegistered(s)
     tables.load(s, dir, "embeddings")
+  }
 
   /** DuckDB mirror of VectorFunctions.dot: element-wise double product,
     * sequential left fold from 0.0. */

@@ -10,7 +10,11 @@ import graft.functions.VectorFunctions
   * (identical left-to-right accumulation order) and the zero-norm guard.
   */
 class VectorFunctionsSpec extends AnyFunSuite {
-  private lazy val spark = SparkTestSession.spark
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    graft.expressions.VectorExpressions.ensureRegistered(s)
+    s
+  }
   import spark.implicits._
 
   private def evalD(c: org.apache.spark.sql.Column,
