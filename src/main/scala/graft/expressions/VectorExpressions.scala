@@ -91,16 +91,23 @@ case class L2DistanceSquared(left: Expression, right: Expression)
 }
 
 object VectorExpressions {
-  /** Idempotently register the expressions as session temp functions so
-    * column code can reach them via `call_function`. Per-session (not a
-    * SparkSessionExtensions install) because the driver contract hands
-    * us externally-created sessions.
+  /** Idempotently register ALL graft expressions as session temp
+    * functions so column code can reach them via `call_function`.
+    * Per-session (not a SparkSessionExtensions install) because the
+    * driver contract hands us externally-created sessions. The
+    * existence check keeps repeat calls silent (no replace-WARN spam) —
+    * `graft.tables.load` calls this on every table load.
     */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_dot",
-      exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_l2sq",
-      exprs => L2DistanceSquared(exprs(0), exprs(1)), "built-in")
+    val probe = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")
+    if (!reg.functionExists(probe)) {
+      reg.createOrReplaceTempFunction("graft_dot",
+        exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("graft_l2sq",
+        exprs => L2DistanceSquared(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("graft_fingerprint",
+        exprs => RollingFingerprint(exprs(0)), "built-in")
+    }
   }
 }

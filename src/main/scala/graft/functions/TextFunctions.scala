@@ -112,19 +112,16 @@ object TextFunctions {
   /** Polynomial rolling-hash document fingerprint over characters:
     * acc = (acc * 31 + codepoint) mod 1e9+7. Order-sensitive (a rolling
     * hash, not a bag hash) and expressible in ANSI SQL for the oracle.
-    * `split(s, "")` (Java `Pattern.split` limit -1) keeps a TRAILING
-    * empty element that DuckDB's `string_split(s, '')` does not — the
-    * empty-filter keeps both sides byte-identical. Intended for tokens /
-    * shingles; for whole-document identity use `xxhash64`/`sha2`
-    * (dd01 pattern) — a per-character fold over multi-MB docs is the
-    * slow path.
+    * Routes through the codegen'd `graft.expressions.RollingFingerprint`
+    * — a single pass over the decoded string, versus the HOF
+    * `aggregate(transform(split(text, "")))` formulation that allocates
+    * one array element per character (~10× memory amplification on
+    * large docs). Callers reach it through `tables.load`, which
+    * installs the temp function. For pure whole-document identity
+    * prefer `xxhash64`/`sha2` (dd01 pattern) — cheaper still.
     */
   def fingerprint(text: Column): Column =
-    aggregate(
-      transform(filter(split(text, ""), ch => length(ch) > 0),
-        ch => ascii(ch).cast("long")),
-      lit(0L),
-      (acc, x) => (acc * 31 + x) % 1000000007L)
+    call_function("graft_fingerprint", text)
 
   /** Character n-gram shingles of the normalized text (distinct).
     * The dedup building block: MinHash/Jaccard run over these.

@@ -15,7 +15,10 @@ object tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // every query path resolves tables here — install the graft codegen
+    // expressions (dot / l2sq / fingerprint) before plans reference them
+    graft.expressions.VectorExpressions.ensureRegistered(spark)
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by
       // default; read the raw INT64 nanos and convert to a micros
@@ -27,4 +30,5 @@ object tables {
           org.apache.spark.sql.functions.timestamp_micros(
             (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 }

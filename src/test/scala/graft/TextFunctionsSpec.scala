@@ -104,6 +104,24 @@ class TextFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("fingerprint codegen expression matches the HOF formulation") {
+    // the pre-expression formulation fingerprint() replaced — pinned
+    // here so the codegen path can never silently drift from the
+    // declarative oracle semantics
+    val hof = aggregate(
+      transform(filter(split(col("text"), ""), ch => length(ch) > 0),
+        ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31 + x) % 1000000007L)
+    val in = samples(Gen.asciiPrintableStr, 60) ++ Seq("", "a b c", "x" * 500)
+    val rows = in.toDF("text")
+      .select(TextFunctions.fingerprint(col("text")).as("e"), hof.as("h"))
+      .as[(Long, Long)].collect()
+    in.zip(rows).foreach { case (s, (e, h)) =>
+      assert(e == h, s"input: $s")
+    }
+  }
+
   // --- shingles / ngrams ---
 
   test("charShingles: distinct n-grams, short-text guard") {
