@@ -481,6 +481,43 @@ object Relational {
         .orderBy("o_orderstatus")
     },
 
+    // --- Sessionization: gap-based session windows per user via the
+    //     session_window built-in (dynamic-gap merge inside the
+    //     aggregation — one shuffle on user_id, no self-join). The
+    //     oracle expresses the same semantics as a gaps-and-islands
+    //     window chain: Spark merges an event into a session iff its ts
+    //     is STRICTLY inside the previous window end (= prev ts + gap),
+    //     so a gap of exactly 30min starts a new session on both sides.
+    //     The stateful streaming twin (flatMapGroupsWithState) lives in
+    //     graft.streaming.EventStreams. ---
+    Q("q27_sessionize",
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""") { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "session_start")
+    },
+
     // --- approx_count_distinct: no exact SQL twin → rows-only check;
     //     the exact variant is q13 ---
     Q.noOracle("q23_approx_count_distinct") { (s, dir) =>

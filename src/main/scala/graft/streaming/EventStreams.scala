@@ -1,8 +1,21 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StreamingQuery}
+
+/** One input event for the stateful sessionizer. */
+case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+/** Per-user open-session state (epoch millis bounds; O(1) per user —
+  * the state store never holds events, only the running aggregate). */
+case class SessionState(startMs: Long, endMs: Long, n: Long, total: Double)
+
+/** One closed session — same shape as batch q27's output rows. */
+case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                      session_end: java.sql.Timestamp, n_events: Long,
+                      total_value: Double)
 
 /** Structured-Streaming surface over the `events` table — the streaming
   * twin of batch query q22 (Relational.scala). The reference is pure
@@ -35,6 +48,73 @@ object EventStreams {
   def tumblingCountsStreaming(events: DataFrame): DataFrame =
     tumblingCounts(events.withWatermark("ts", "2 hours"))
 
+  /** Stateful sessionization — the streaming twin of batch q27
+    * (`session_window`), built on `flatMapGroupsWithState` because
+    * gap-session semantics need CUSTOM state: a session closes only
+    * when the event-time watermark passes its end + gap, which no
+    * built-in windowed aggregation expresses in append mode with
+    * per-key O(1) state.
+    *
+    * Scale design: state per user is one `SessionState` (4 fields) —
+    * never a buffer of events — so the state store is O(active users),
+    * and `EventTimeTimeout` + watermark guarantee every session
+    * eventually closes and its state is dropped (no unbounded growth).
+    * Matches batch `session_window` semantics: an event extends the
+    * open session iff ts < session_end + gap; a gap of exactly
+    * `gapMinutes` starts a new session.
+    */
+  def sessionizeStateful(events: Dataset[SessionEvent],
+                         gapMinutes: Int = 30,
+                         watermarkDelay: String = "2 hours"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def close(user: Long, s: SessionState): SessionOut =
+      SessionOut(user, new java.sql.Timestamp(s.startMs),
+        new java.sql.Timestamp(s.endMs), s.n,
+        math.rint(s.total * 100) / 100)
+
+    def fold(user: Long, batch: Iterator[SessionEvent],
+             state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        // watermark passed open-session end + gap: close and drop state
+        val out = close(user, state.get)
+        state.remove()
+        Iterator(out)
+      } else {
+        // micro-batch arrival order is arbitrary — order by event time
+        // before folding (batch is one user's slice of one micro-batch)
+        val sorted = batch.toIndexedSeq.sortBy(_.ts.getTime)
+        val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.endMs < gapMs =>
+              cur = Some(SessionState(s.startMs, math.max(s.endMs, t),
+                s.n + 1, s.total + e.value))
+            case Some(s) =>
+              closed += close(user, s)
+              cur = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.endMs + gapMs)
+        }
+        closed.iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fold)
+  }
+
   /** File-source streaming demo: treats `eventsDir` — a DIRECTORY of
     * events parquet files, the realistic arriving-data layout — as a
     * stream (one-shot availableNow trigger), aggregates with watermark,
@@ -52,7 +132,8 @@ object EventStreams {
         "value DOUBLE, props STRING")
     val events = spark.readStream.schema(schema)
       .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // DIV (integer), not `/` (double) — see graft.tables nanos note
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     tumblingCountsStreaming(events)
       .writeStream
       .format("memory")

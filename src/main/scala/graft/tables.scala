@@ -24,11 +24,14 @@ object tables {
       // default; read the raw INT64 nanos and convert to a micros
       // timestamp (lossless here — the generator emits micro precision;
       // session TZ is pinned UTC so the NTZ wall-clock is preserved).
+      // DIV, not `/`: column `/` is DOUBLE division, and epoch nanos
+      // (~1.7e18) exceed a double's 2^53 integer range — the rounding
+      // shifts timestamps by ±1µs (caught by q27's raw-timestamp oracle).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
-            (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+            org.apache.spark.sql.functions.expr("ts DIV 1000")))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 }

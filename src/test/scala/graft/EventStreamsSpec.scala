@@ -79,6 +79,59 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful sessionization closes sessions and matches batch session_window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.SessionEvent
+    // user 1: two sessions (65 min apart); user 2: one session whose
+    // events SPAN micro-batches (state must carry across batches)
+    val batch1 = Seq(
+      SessionEvent(1L, ts("2024-01-01 00:00:00"), 1.0),
+      SessionEvent(1L, ts("2024-01-01 00:10:00"), 2.0),
+      SessionEvent(2L, ts("2024-01-01 00:05:00"), 5.0))
+    val batch2 = Seq(
+      SessionEvent(2L, ts("2024-01-01 00:20:00"), 7.0), // merges across batches
+      SessionEvent(1L, ts("2024-01-01 01:15:00"), 3.0)) // 65min gap → new session
+    val sentinel1 = Seq(SessionEvent(999L, ts("2024-01-01 12:00:00"), 0.0))
+    val sentinel2 = Seq(SessionEvent(999L, ts("2024-01-01 12:01:00"), 0.0))
+
+    val stream = MemoryStream[SessionEvent]
+    val q = EventStreams.sessionizeStateful(stream.toDS())
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      Seq(batch1, batch2, sentinel1, sentinel2).foreach { b =>
+        stream.addData(b); q.processAllAvailable()
+      }
+      // sentinel1 advances the watermark past every real session's
+      // end + gap; sentinel2 triggers the batch where timeouts fire
+      val got = spark.table("sessions_out")
+        .filter(col("user_id") < 999)
+        .orderBy("user_id", "session_start")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)]
+        .collect().toSeq
+
+      // batch twin: the q27 session_window transform on the same rows
+      val expected = (batch1 ++ batch2).toDS().toDF()
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "session_start")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)]
+        .collect().toSeq
+
+      assert(got == expected,
+        s"stateful sessions $got must equal batch session_window $expected")
+      assert(got.map(_._1).count(_ == 1L) == 2, "user 1 has two sessions")
+      assert(got.filter(_._1 == 2L).map(_._4) == Seq(2L),
+        "user 2's cross-batch events merged into one session")
+    } finally q.stop()
+  }
+
   test("file-source streaming demo lands the q22 aggregation") {
     // stage the single events.parquet file into a directory — the
     // file stream source consumes directories of arriving files
