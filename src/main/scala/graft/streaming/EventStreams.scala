@@ -48,6 +48,19 @@ object EventStreams {
   def tumblingCountsStreaming(events: DataFrame): DataFrame =
     tumblingCounts(events.withWatermark("ts", "2 hours"))
 
+  /** Streaming exact dedup — the unbounded twin of batch dd01. Keeps
+    * the FIRST event per `event_id`; `dropDuplicatesWithinWatermark`
+    * bounds the dedup state store by the watermark delay (a plain
+    * streaming `dropDuplicates` would retain every key forever), which
+    * is the only formulation that survives an unbounded 100 TB/day
+    * ingest: state is O(keys per watermark window), not O(all keys).
+    */
+  def dedupStreaming(events: DataFrame,
+                     watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stateful sessionization — the streaming twin of batch q27
     * (`session_window`), built on `flatMapGroupsWithState` because
     * gap-session semantics need CUSTOM state: a session closes only

@@ -132,6 +132,32 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first event per id with watermark-bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = stream.toDF().toDF("event_id", "ts", "value")
+    val q = EventStreams.dedupStreaming(df)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(
+        (1L, ts("2024-01-01 00:00:00"), 1.0),
+        (1L, ts("2024-01-01 00:01:00"), 99.0), // same batch dup → dropped
+        (2L, ts("2024-01-01 00:02:00"), 2.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(
+        (1L, ts("2024-01-01 00:30:00"), 98.0), // cross-batch dup within
+        (3L, ts("2024-01-01 00:31:00"), 3.0))) // watermark → dropped
+      q.processAllAvailable()
+
+      val out = spark.table("dedup_out")
+        .as[(Long, java.sql.Timestamp, Double)].collect().toSeq.sortBy(_._1)
+      assert(out.map(_._1) == Seq(1L, 2L, 3L), s"one row per id, got $out")
+      assert(out.head._3 == 1.0, "kept the FIRST event for id 1")
+    } finally q.stop()
+  }
+
   test("file-source streaming demo lands the q22 aggregation") {
     // stage the single events.parquet file into a directory — the
     // file stream source consumes directories of arriving files
