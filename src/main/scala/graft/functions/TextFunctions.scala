@@ -48,22 +48,34 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
-  /** Fraction of tokens present in `stop` (0.0 for empty docs). */
-  def stopwordRatio(text: Column, stop: Seq[String]): Column = {
-    val toks = tokens(text)
+  /** Fraction of tokens present in `stop` (0.0 for empty docs), over an
+    * already-projected token array. Like `wordNgramsOf`, the `-Of`
+    * variants exist so multi-metric queries tokenize each document ONCE:
+    * project `tokens(text)` into a real column first — `CollapseProject`
+    * won't inline a non-trivial expression referenced multiple times, so
+    * the split runs once per doc instead of once per metric.
+    */
+  def stopwordRatioOf(toks: Column, stop: Seq[String]): Column = {
     val hits = size(filter(toks, t => t.isInCollection(stop)))
     when(size(toks) === 0, lit(0.0))
       .otherwise(hits.cast("double") / size(toks).cast("double"))
   }
 
-  /** Mean token length in characters (0.0 for empty docs). */
-  def meanTokenLength(text: Column): Column = {
-    val toks = tokens(text)
+  /** Fraction of tokens present in `stop` (0.0 for empty docs). */
+  def stopwordRatio(text: Column, stop: Seq[String]): Column =
+    stopwordRatioOf(tokens(text), stop)
+
+  /** Mean token length in characters (0.0 for empty docs), over an
+    * already-projected token array. */
+  def meanTokenLengthOf(toks: Column): Column =
     when(size(toks) === 0, lit(0.0))
       .otherwise(
         aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
           .cast("double") / size(toks).cast("double"))
-  }
+
+  /** Mean token length in characters (0.0 for empty docs). */
+  def meanTokenLength(text: Column): Column =
+    meanTokenLengthOf(tokens(text))
 
   /** Marker-word vocabularies for the n-gram-heuristic language ID.
     * Deliberately tiny and deterministic; real pipelines would swap in a
@@ -75,20 +87,26 @@ object TextFunctions {
     "es" -> Seq("el", "la", "los", "que", "de", "es", "un", "una"),
     "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que"))
 
+  /** Per-language marker-hit count over an already-projected token
+    * array (see `stopwordRatioOf` for why the `-Of` shape matters). */
+  def langScoreOf(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(markers)))
+
   /** Per-language marker-hit count over the token list. */
   def langScore(text: Column, markers: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isInCollection(markers)))
+    langScoreOf(tokens(text), markers)
 
-  /** Heuristic language ID: argmax marker-hit count, ties broken by
-    * language code ascending, "und" when nothing matches. Implemented as
-    * a greatest-of-structs fold so it stays one codegen'd expression.
+  /** Heuristic language ID over an already-projected token array:
+    * argmax marker-hit count, ties broken by language code ascending,
+    * "und" when nothing matches. Implemented as a greatest-of-structs
+    * fold so it stays one codegen'd expression.
     */
-  def langId(text: Column): Column = {
+  def langIdOf(toks: Column): Column = {
     // struct(score DESC, code ASC) — greatest() picks max score and,
     // on ties, the lexicographically LARGEST code; invert the code by
     // comparing on score first via array_max over reversed tie order.
     val scored = LangMarkers.map { case (code, words) =>
-      struct(langScore(text, words).as("s"), lit(code).as("c"))
+      struct(langScoreOf(toks, words).as("s"), lit(code).as("c"))
     }
     // array_min of (negated score, code) = best score, then code asc.
     val best = array_min(array(scored.map(s =>
@@ -96,18 +114,26 @@ object TextFunctions {
     when(best.getField("ns") === 0, lit("und")).otherwise(best.getField("c"))
   }
 
-  /** Composite document quality score in [0,1]; deterministic double
-    * arithmetic (fixed operation order) so a SQL oracle can reproduce it
+  /** Heuristic language ID straight from text — one-shot convenience;
+    * pipelines should project `tokens(text)` and use `langIdOf`. */
+  def langId(text: Column): Column = langIdOf(tokens(text))
+
+  /** Composite document quality score in [0,1] over an
+    * already-projected token array; deterministic double arithmetic
+    * (fixed operation order) so a SQL oracle can reproduce it
     * bit-for-bit before rounding.
     */
-  def qualityScore(text: Column, stop: Seq[String]): Column = {
-    val nTok = tokenCount(text).cast("double")
+  def qualityScoreOf(toks: Column, stop: Seq[String]): Column = {
+    val nTok = size(toks).cast("double")
     val lenScore = least(nTok / lit(100.0), lit(1.0))
-    val stopScore = stopwordRatio(text, stop) // some stopwords = natural text
-    val meanLen = meanTokenLength(text)
-    val lenOk = least(meanLen / lit(8.0), lit(1.0))
+    val stopScore = stopwordRatioOf(toks, stop) // some stopwords = natural text
+    val lenOk = least(meanTokenLengthOf(toks) / lit(8.0), lit(1.0))
     round(lit(0.4) * lenScore + lit(0.3) * stopScore + lit(0.3) * lenOk, 6)
   }
+
+  /** Composite quality score straight from text (see qualityScoreOf). */
+  def qualityScore(text: Column, stop: Seq[String]): Column =
+    qualityScoreOf(tokens(text), stop)
 
   /** Polynomial rolling-hash document fingerprint over characters:
     * acc = (acc * 31 + codepoint) mod 1e9+7. Order-sensitive (a rolling

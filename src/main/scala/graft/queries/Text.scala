@@ -181,8 +181,11 @@ object Text {
          |       ELSE 'fr' END AS lang_pred
          |FROM sc
          |ORDER BY doc_id""") { (s, dir) =>
+      // tokens projected ONCE (CollapseProject keeps multi-referenced
+      // non-trivial projections), then 4 language scores read the array
       docs(s, dir)
-        .select(col("doc_id"), col("lang"), langId(col("text")).as("lang_pred"))
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"), col("lang"), langIdOf(col("tk")).as("lang_pred"))
         .orderBy("doc_id")
     },
 
@@ -201,7 +204,8 @@ object Text {
          |FROM t
          |ORDER BY doc_id""") { (s, dir) =>
       docs(s, dir)
-        .select(col("doc_id"), qualityScore(col("text"), Stop).as("quality"))
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"), qualityScoreOf(col("tk"), Stop).as("quality"))
         .orderBy("doc_id")
     },
 
