@@ -78,6 +78,24 @@ class PlanSpec extends AnyFunSuite {
       s"tx12 must rank-filter below the aggregation:\n$p")
   }
 
+  test("tx12: rank limit is pushed into WindowGroupLimit (pre-sort bound)") {
+    // Spark 4.x rewrites Filter(row_number <= k) over Window into a
+    // WindowGroupLimit that keeps only k rows per key BEFORE the full
+    // window sort — the skew-proof shape tx12 relies on at scale
+    assert(plan("tx12_inverted_index_topk").contains("WindowGroupLimit"),
+      "tx12 lost the window-group-limit pushdown")
+  }
+
+  test("q27: session agg partially aggregates before its one exchange") {
+    val p = plan("q27_sessionize")
+    assert(p.contains("MergingSessions"),
+      "q27 must plan session_window as a MergingSessions aggregation")
+    // exactly two exchanges: one hash for the session agg, one range
+    // for the final orderBy — no extra shuffle creep
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 2,
+      s"q27 shuffle count changed:\n$p")
+  }
+
   test("sm01: probe side is broadcast (corpus scan stays shuffle-free)") {
     val p = plan("sm01_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
