@@ -518,6 +518,54 @@ object Relational {
         .orderBy("user_id", "session_start")
     },
 
+    // --- As-of join: each event picks up the most recent order (by
+    //     date) of the same customer on or before the event. Spark has
+    //     no ASOF join operator; the naive compose (inequality join +
+    //     per-event top-1) explodes to |event × prior orders|. This is
+    //     the scale-correct formulation instead: tag + union both
+    //     sides, ONE shuffle on the key, and a carry-forward
+    //     last(ignoreNulls) window — cost O((events+orders) log) per
+    //     key, no join blowup, skew bounded by rows-per-user. Orders
+    //     are pre-collapsed to one row per (customer, date) with the
+    //     max order id, making same-date ties deterministic on both
+    //     sides (DuckDB's ASOF breaks ties arbitrarily otherwise). ---
+    Q("q28_asof_join",
+      """WITH o AS (
+        |  SELECT o_custkey AS user_id, o_orderdate,
+        |    max(o_orderkey) AS last_orderkey
+        |  FROM orders GROUP BY 1, 2),
+        |e AS (SELECT event_id, user_id, CAST(ts AS DATE) AS edate
+        |      FROM events)
+        |SELECT e.event_id, e.user_id,
+        |  o.o_orderdate AS last_order_date, o.last_orderkey
+        |FROM e ASOF LEFT JOIN o
+        |  ON e.user_id = o.user_id AND e.edate >= o.o_orderdate
+        |ORDER BY event_id""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("user_id"),
+          col("o_orderdate").as("d"))
+        .agg(max(col("o_orderkey")).as("last_orderkey"))
+        .select(col("user_id"), col("d"), lit(0).as("tag"),
+          lit(null).cast("long").as("event_id"), col("last_orderkey"))
+      val e = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"), lit(1).as("tag"),
+          col("event_id"), lit(null).cast("long").as("last_orderkey"))
+      // same-date rows sort orders (tag 0) before events (tag 1), so an
+      // order ON the event's date is visible to it ("on or before")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("d"), col("tag"), col("last_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.unionByName(e)
+        .withColumn("lo", last(col("last_orderkey"), ignoreNulls = true).over(w))
+        .withColumn("ld", last(when(col("tag") === 0, col("d")),
+          ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("event_id"), col("user_id"),
+          col("ld").as("last_order_date"), col("lo").as("last_orderkey"))
+        .orderBy("event_id")
+    },
+
     // --- approx_count_distinct: no exact SQL twin → rows-only check;
     //     the exact variant is q13 ---
     Q.noOracle("q23_approx_count_distinct") { (s, dir) =>
