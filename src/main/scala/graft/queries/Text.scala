@@ -341,6 +341,52 @@ object Text {
         .select(explode(wordNgramsOf(col("tk"), 2)).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .orderBy("bigram")
+    },
+
+    // --- Repetition signals (Gopher-style quality filters): duplicate
+    //     bigram fraction + most-common-token dominance. Two shapes on
+    //     purpose: the bigram metric is a per-row array projection (no
+    //     shuffle at all), the dominance metric is the standard
+    //     explode → two-level agg — both scale-safe. ---
+    Q("tx15_repetition",
+      s"""WITH tk AS (SELECT doc_id, $DuckToks AS toks FROM documents),
+         |bg AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) < 2 THEN 0.0
+         |         ELSE 1.0 - CAST(len(list_distinct(list_transform(
+         |                range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])))
+         |              AS DOUBLE)
+         |            / CAST(len(toks) - 1 AS DOUBLE) END AS dup_bigram_frac
+         |  FROM tk),
+         |tc AS (SELECT doc_id, token, count(*) AS c
+         |       FROM (SELECT doc_id, unnest(toks) AS token FROM tk)
+         |       GROUP BY doc_id, token),
+         |tt AS (SELECT doc_id,
+         |         CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_frac,
+         |         CAST(sum(c) AS BIGINT) AS n_tokens
+         |       FROM tc GROUP BY doc_id)
+         |SELECT bg.doc_id AS doc_id, round(bg.dup_bigram_frac, 6) AS dup_bigram_frac,
+         |  round(coalesce(tt.top_frac, 0.0), 6) AS top_token_frac,
+         |  coalesce(tt.n_tokens, 0) AS n_tokens
+         |FROM bg LEFT JOIN tt ON tt.doc_id = bg.doc_id
+         |ORDER BY doc_id""") { (s, dir) =>
+      val bg = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"),
+          when(size(col("tk")) < 2, lit(0.0))
+            .otherwise(lit(1.0) -
+              size(array_distinct(wordNgramsOf(col("tk"), 2))).cast("double") /
+                (size(col("tk")) - 1).cast("double"))
+            .as("dup_bigram_frac"))
+      val tt = termDoc(s, dir)
+        .groupBy("doc_id")
+        .agg((max(col("cnt")).cast("double") / sum(col("cnt")).cast("double"))
+          .as("top_frac"), sum(col("cnt")).as("n_tokens"))
+      bg.join(tt, Seq("doc_id"), "left")
+        .select(col("doc_id"), round(col("dup_bigram_frac"), 6).as("dup_bigram_frac"),
+          round(coalesce(col("top_frac"), lit(0.0)), 6).as("top_token_frac"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+        .orderBy("doc_id")
     }
   )
 }
