@@ -117,7 +117,14 @@ object Text {
         .orderBy("doc_id", "token")
     },
 
-    // --- The flagship: ranked inverted index over documents ---
+    // --- The flagship: ranked inverted index over documents.
+    //     NOTE: the FULL index is the semantics here, so the per-term
+    //     collect_list is inherently unbounded — a stop-word-scale term
+    //     materializes its whole posting list in one aggregation
+    //     buffer. At 100 TB run tx12 (window rank-before-collect) or
+    //     tx13 (typed bounded Aggregator, O(k) buffer) instead, or
+    //     stop-word-filter first (tx06); this variant exists for full
+    //     reference parity. ---
     Q("tx05_inverted_index",
       """WITH td AS (
         |  SELECT doc_id, token, count(*) AS cnt
