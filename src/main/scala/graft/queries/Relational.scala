@@ -486,15 +486,17 @@ object Relational {
     //     aggregation — one shuffle on user_id, no self-join). The
     //     oracle expresses the same semantics as a gaps-and-islands
     //     window chain: Spark merges an event into a session iff its ts
-    //     is STRICTLY inside the previous window end (= prev ts + gap),
-    //     so a gap of exactly 30min starts a new session on both sides.
+    //     is ON OR BEFORE the previous window end (= prev ts + gap) —
+    //     end-INCLUSIVE, pinned by the gap-edge test in
+    //     EventStreamsSpec — so only a gap STRICTLY greater than 30min
+    //     starts a new session, on both sides.
     //     The stateful streaming twin (flatMapGroupsWithState) lives in
     //     graft.streaming.EventStreams. ---
     Q("q27_sessionize",
       """WITH marked AS (
         |  SELECT user_id, ts, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
         |         THEN 1 ELSE 0 END AS new_sess
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),

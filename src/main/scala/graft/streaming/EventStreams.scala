@@ -72,9 +72,10 @@ object EventStreams {
     * never a buffer of events — so the state store is O(active users),
     * and `EventTimeTimeout` + watermark guarantee every session
     * eventually closes and its state is dropped (no unbounded growth).
-    * Matches batch `session_window` semantics: an event extends the
-    * open session iff ts < session_end + gap; a gap of exactly
-    * `gapMinutes` starts a new session.
+    * Matches batch `session_window` semantics (end-INCLUSIVE, pinned
+    * by the gap-edge spec): an event extends the open session iff
+    * ts <= session_end + gap; only a strictly larger gap starts a new
+    * session.
     */
   def sessionizeStateful(events: Dataset[SessionEvent],
                          gapMinutes: Int = 30,
@@ -103,7 +104,7 @@ object EventStreams {
         sorted.foreach { e =>
           val t = e.ts.getTime
           cur match {
-            case Some(s) if t - s.endMs < gapMs =>
+            case Some(s) if t - s.endMs <= gapMs =>
               cur = Some(SessionState(s.startMs, math.max(s.endMs, t),
                 s.n + 1, s.total + e.value))
             case Some(s) =>
@@ -115,7 +116,9 @@ object EventStreams {
         }
         cur.foreach { s =>
           state.update(s)
-          state.setTimeoutTimestamp(s.endMs + gapMs)
+          // +1: an event AT end+gap still merges (inclusive bound), so
+          // the session may only time out once the watermark is past it
+          state.setTimeoutTimestamp(s.endMs + gapMs + 1)
         }
         closed.iterator
       }

@@ -132,6 +132,45 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session gap semantics: exactly-30min gap merges, 30:01 splits") {
+    // pins Spark's end-INCLUSIVE session_window boundary (an event at
+    // exactly prev + gap merges; the q27 oracle uses `> gap` to split)
+    // for BOTH the batch built-in and the stateful sessionizer
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.SessionEvent
+    val rows = Seq(
+      SessionEvent(7L, ts("2024-01-01 00:00:00"), 1.0),
+      SessionEvent(7L, ts("2024-01-01 00:30:00"), 1.0), // exactly gap → merge
+      SessionEvent(8L, ts("2024-01-01 00:00:00"), 1.0),
+      SessionEvent(8L, ts("2024-01-01 00:30:01"), 1.0)) // past gap → split
+    val batch = rows.toDS().toDF()
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n"))
+      .orderBy("user_id", "n")
+      .as[(Long, Long)].collect().toSeq
+    assert(batch == Seq((7L, 2L), (8L, 1L), (8L, 1L)),
+      s"batch session_window boundary moved: $batch")
+
+    val stream = MemoryStream[SessionEvent]
+    val q = EventStreams.sessionizeStateful(stream.toDS())
+      .writeStream.format("memory").queryName("gap_edge")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows); q.processAllAvailable()
+      stream.addData(Seq(SessionEvent(999L, ts("2024-01-01 12:00:00"), 0.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(SessionEvent(999L, ts("2024-01-01 12:01:00"), 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("gap_edge").filter(col("user_id") < 999)
+        .select(col("user_id"), col("n_events"))
+        .orderBy("user_id", "n_events")
+        .as[(Long, Long)].collect().toSeq
+      assert(got == batch, s"stateful boundary differs from batch: $got")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first event per id with watermark-bounded state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -17,6 +17,19 @@ class VectorFunctionsSpec extends AnyFunSuite {
   }
   import spark.implicits._
 
+  test("graft expressions are callable from plain SQL") {
+    // ensureRegistered installs real FunctionRegistry entries, so the
+    // SQL surface works for spark.sql users, not just Column code
+    val r = spark.sql(
+      """SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       graft_l2sq(array(0.0D, 0.0D), array(3.0D, 4.0D)) AS l2,
+        |       graft_fingerprint('abc') AS fp""".stripMargin)
+      .as[(Double, Double, Long)].head()
+    assert(r._1 == 11.0)
+    assert(r._2 == 25.0)
+    assert(r._3 == ((('a'.toLong * 31 + 'b') % 1000000007L) * 31 + 'c') % 1000000007L)
+  }
+
   private def evalD(c: org.apache.spark.sql.Column,
                     a: Seq[Float], b: Seq[Float]): Double =
     Seq((a, b)).toDF("a", "b").select(c.cast("double")).as[Double].head()
