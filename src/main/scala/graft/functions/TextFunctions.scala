@@ -128,7 +128,11 @@ object TextFunctions {
     val lenScore = least(nTok / lit(100.0), lit(1.0))
     val stopScore = stopwordRatioOf(toks, stop) // some stopwords = natural text
     val lenOk = least(meanTokenLengthOf(toks) / lit(8.0), lit(1.0))
-    round(lit(0.4) * lenScore + lit(0.3) * stopScore + lit(0.3) * lenOk, 6)
+    // duckRound, not round: the composite lands on decimal half
+    // boundaries (seen at sf0.1) where Spark's shortest-repr rounding
+    // and DuckDB's exact-binary rounding disagree
+    ParityFunctions.duckRound(
+      lit(0.4) * lenScore + lit(0.3) * stopScore + lit(0.3) * lenOk, 6)
   }
 
   /** Composite quality score straight from text (see qualityScoreOf). */

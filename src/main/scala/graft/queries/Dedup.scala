@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables
+import graft.functions.ParityFunctions.duckRound
 import graft.functions.TextFunctions._
 
 /** Deduplication operators over `documents` — the north-star pipeline
@@ -96,7 +97,7 @@ object Dedup {
         .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
         .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
         .filter(j >= 0.4)
-        .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
+        .select(col("doc_a"), col("doc_b"), duckRound(j, 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     },
 
@@ -182,7 +183,7 @@ object Dedup {
         .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
         .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
         .filter(j >= 0.4)
-        .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
+        .select(col("doc_a"), col("doc_b"), duckRound(j, 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     },
 

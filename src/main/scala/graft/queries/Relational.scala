@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.tables
+import graft.functions.ParityFunctions.duckRound
 
 /** Relational operator coverage (SURVEY.md §2.2): scans, projection,
   * filters, every join shape, aggregation (hash/partial), rollup/cube/
@@ -42,12 +43,12 @@ object Relational {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          duckRound(sum(col("l_quantity")), 2).as("sum_qty"),
+          duckRound(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          duckRound(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
             .as("sum_disc_price"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          duckRound(avg(col("l_quantity")), 4).as("avg_qty"),
+          duckRound(avg(col("l_extendedprice")), 4).as("avg_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
@@ -88,7 +89,7 @@ object Relational {
           col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 2).as("revenue"))
+          duckRound(sum(col("o_totalprice")), 2).as("revenue"))
         .orderBy("r_name", "n_name")
     },
 
@@ -107,7 +108,7 @@ object Relational {
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_items"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          duckRound(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
             .as("revenue"))
         .orderBy("o_orderpriority")
     },
@@ -171,10 +172,10 @@ object Relational {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       t(s, dir, "orders").select(
         col("o_custkey"), col("o_orderkey"),
-        round(sum(col("o_totalprice"))
+        duckRound(sum(col("o_totalprice"))
           .over(byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
           .as("running_spend"),
-        round(lag(col("o_totalprice"), 1, 0.0).over(byDate), 2).as("prev_price"),
+        duckRound(lag(col("o_totalprice"), 1, 0.0).over(byDate), 2).as("prev_price"),
         rank().over(byPrice).as("price_rank"))
         .orderBy("o_custkey", "o_orderkey")
     },
@@ -197,7 +198,7 @@ object Relational {
         // Spark 4.1's DetectAmbiguousSelfJoin on join children even
         // without a self join; the Column overload resolves cleanly.
         .rollup(col("r_name"), col("n_name"))
-        .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .agg(count(lit(1)).as("n_cust"), duckRound(sum(col("c_acctbal")), 2).as("total_bal"))
         .select(coalesce(col("r_name"), lit("(all)")).as("r_name"),
           coalesce(col("n_name"), lit("(all)")).as("n_name"),
           col("n_cust"), col("total_bal"))
@@ -215,7 +216,7 @@ object Relational {
         |ORDER BY o_orderstatus, o_orderpriority""") { (s, dir) =>
       t(s, dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .agg(count(lit(1)).as("n"), duckRound(sum(col("o_totalprice")), 2).as("total"))
         .select(coalesce(col("o_orderstatus"), lit("(all)")).as("o_orderstatus"),
           coalesce(col("o_orderpriority"), lit("(all)")).as("o_orderpriority"),
           col("n"), col("total"))
@@ -333,7 +334,7 @@ object Relational {
         .groupBy(date_trunc("month", col("o_orderdate")).as("order_month"))
         .agg(min(year(col("o_orderdate"))).cast("long").as("yr"),
           count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 2).as("total"))
+          duckRound(sum(col("o_totalprice")), 2).as("total"))
         .orderBy("order_month")
     },
 
@@ -354,7 +355,7 @@ object Relational {
             .when(col("c_acctbal") < 3000, "low")
             .when(col("c_acctbal") < 7000, "mid")
             .otherwise("high").as("bucket"))
-        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .agg(count(lit(1)).as("n"), duckRound(sum(col("c_acctbal")), 2).as("total_bal"))
         .orderBy("bucket")
     },
 
@@ -399,7 +400,7 @@ object Relational {
         |ORDER BY l_suppkey""") { (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_suppkey")
-        .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 2).as("total_qty"))
+        .agg(count(lit(1)).as("n_items"), duckRound(sum(col("l_quantity")), 2).as("total_qty"))
         .filter(col("n_items") >= 10)
         .orderBy("l_suppkey")
     },
@@ -433,7 +434,7 @@ object Relational {
         .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"), "left")
         .groupBy("c_custkey", "c_name")
         .agg(count(col("o_orderkey")).as("n_orders"),
-          round(coalesce(sum(col("o_totalprice")), lit(0)), 2).as("total_spend"))
+          duckRound(coalesce(sum(col("o_totalprice")), lit(0)), 2).as("total_spend"))
         .orderBy("c_custkey")
     },
 
@@ -475,8 +476,8 @@ object Relational {
       t(s, dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
-          round(expr("percentile(o_totalprice, 0.5)"), 2).as("median_price"),
-          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90_price"),
+          duckRound(expr("percentile(o_totalprice, 0.5)"), 2).as("median_price"),
+          duckRound(expr("percentile(o_totalprice, 0.9)"), 2).as("p90_price"),
           count(lit(1)).as("n"))
         .orderBy("o_orderstatus")
     },
@@ -514,7 +515,7 @@ object Relational {
         .agg(min(col("ts")).as("session_start"),
           max(col("ts")).as("session_end"),
           count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).as("total_value"))
+          duckRound(sum(col("value")), 2).as("total_value"))
         .select(col("user_id"), col("session_start"), col("session_end"),
           col("n_events"), col("total_value"))
         .orderBy("user_id", "session_start")

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.tables
+import graft.functions.ParityFunctions.duckRound
 import graft.functions.VectorFunctions._
 
 /** Similarity search over `embeddings.embedding` (array<float>, dim 64) —
@@ -107,7 +108,7 @@ object Similarity {
       scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)
         .select(col("probe_id"), col("neighbor_id"), col("rank"),
-          round(col("cosine"), 6).as("cosine"))
+          duckRound(col("cosine"), 6).as("cosine"))
         .orderBy("probe_id", "rank")
     },
 
@@ -171,7 +172,7 @@ object Similarity {
         .withColumn("cos", when(n === 0.0, lit(0.0))
           .otherwise(dot(col("va"), col("vb")) / n))
         .filter(col("cos") >= 0.25)
-        .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
+        .select(col("vec_a"), col("vec_b"), duckRound(col("cos"), 6).as("cosine"))
         .orderBy("vec_a", "vec_b")
     },
 
@@ -252,7 +253,7 @@ object Similarity {
       scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("probe_id"), col("neighbor_id"), col("rank"),
-          round(col("cosine"), 6).as("cosine"))
+          duckRound(col("cosine"), 6).as("cosine"))
         .orderBy("probe_id", "rank")
     }
   )

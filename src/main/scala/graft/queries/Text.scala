@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables
+import graft.functions.ParityFunctions.duckRound
 import graft.functions.TextFunctions._
 
 /** Text-pipeline queries over the `documents` table: the reference's
@@ -111,7 +112,7 @@ object Text {
       td.join(broadcast(df), "token").crossJoin(broadcast(n))
         .filter(col("cnt") >= 3)
         .select(col("doc_id"), col("token"),
-          round(col("cnt").cast("double") *
+          duckRound(col("cnt").cast("double") *
             log(col("n_docs").cast("double") / col("df").cast("double")), 6)
             .as("tfidf"))
         .orderBy("doc_id", "token")
@@ -390,8 +391,8 @@ object Text {
         .agg((max(col("cnt")).cast("double") / sum(col("cnt")).cast("double"))
           .as("top_frac"), sum(col("cnt")).as("n_tokens"))
       bg.join(tt, Seq("doc_id"), "left")
-        .select(col("doc_id"), round(col("dup_bigram_frac"), 6).as("dup_bigram_frac"),
-          round(coalesce(col("top_frac"), lit(0.0)), 6).as("top_token_frac"),
+        .select(col("doc_id"), duckRound(col("dup_bigram_frac"), 6).as("dup_bigram_frac"),
+          duckRound(coalesce(col("top_frac"), lit(0.0)), 6).as("top_token_frac"),
           coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
         .orderBy("doc_id")
     }

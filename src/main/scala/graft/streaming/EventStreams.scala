@@ -39,7 +39,9 @@ object EventStreams {
   def tumblingCounts(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.ParityFunctions.duckRound(sum(col("value")), 2)
+          .as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
@@ -86,7 +88,7 @@ object EventStreams {
     def close(user: Long, s: SessionState): SessionOut =
       SessionOut(user, new java.sql.Timestamp(s.startMs),
         new java.sql.Timestamp(s.endMs), s.n,
-        math.rint(s.total * 100) / 100)
+        graft.expressions.DuckRound.scalar(s.total, 2))
 
     def fold(user: Long, batch: Iterator[SessionEvent],
              state: GroupState[SessionState]): Iterator[SessionOut] = {
@@ -142,6 +144,7 @@ object EventStreams {
     // Streaming reads need an explicit schema; events.ts is
     // TIMESTAMP(NANOS) parquet, read as raw INT64 then converted
     // (same lossless path as graft.tables.load).
+    graft.expressions.VectorExpressions.ensureRegistered(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
