@@ -133,6 +133,27 @@ object EventStreams {
         GroupStateTimeout.EventTimeTimeout)(fold)
   }
 
+  /** Stream-stream interval join (attribution shape): each left event
+    * pairs with right events of the same user within `[ts, ts + within]`.
+    * Both sides carry watermarks and the join condition bounds event
+    * time in BOTH directions, so Spark can expire buffered state for
+    * rows older than watermark + interval — without the time bound a
+    * stream-stream join would buffer both streams forever. Works
+    * unchanged on bounded frames (the batch twin in the spec).
+    */
+  def intervalJoinStreaming(left: DataFrame, right: DataFrame,
+                            within: String = "30 minutes",
+                            watermarkDelay: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay).alias("l")
+    val r = right.withWatermark("ts", watermarkDelay).alias("r")
+    l.join(r,
+      expr(s"""l.user_id = r.user_id AND
+              |r.ts >= l.ts AND r.ts <= l.ts + INTERVAL $within""".stripMargin))
+      .select(col("l.user_id").as("user_id"),
+        col("l.ts").as("left_ts"), col("r.ts").as("right_ts"),
+        col("l.value").as("left_value"), col("r.value").as("right_value"))
+  }
+
   /** File-source streaming demo: treats `eventsDir` — a DIRECTORY of
     * events parquet files, the realistic arriving-data layout — as a
     * stream (one-shot availableNow trigger), aggregates with watermark,

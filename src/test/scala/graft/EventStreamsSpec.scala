@@ -197,6 +197,43 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs within the bound and matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1.0),
+      (2L, ts("2024-01-01 00:00:00"), 2.0))
+    val views = Seq(
+      (1L, ts("2024-01-01 00:10:00"), 10.0), // within 30min → pairs
+      (1L, ts("2024-01-01 00:45:00"), 11.0), // past the bound → no pair
+      (3L, ts("2024-01-01 00:05:00"), 12.0)) // other user → no pair
+
+    val ls = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val rs = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = EventStreams.intervalJoinStreaming(
+      ls.toDF().toDF("user_id", "ts", "value"),
+      rs.toDF().toDF("user_id", "ts", "value"))
+      .writeStream.format("memory").queryName("sj_out")
+      .outputMode("append").start()
+    try {
+      ls.addData(clicks); rs.addData(views)
+      q.processAllAvailable()
+      val got = spark.table("sj_out")
+        .orderBy("user_id", "left_ts", "right_ts")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Double, Double)]
+        .collect().toSeq
+      val batch = EventStreams.intervalJoinStreaming(
+        clicks.toDF("user_id", "ts", "value"),
+        views.toDF("user_id", "ts", "value"))
+        .orderBy("user_id", "left_ts", "right_ts")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Double, Double)]
+        .collect().toSeq
+      assert(got == batch, s"stream $got != batch $batch")
+      assert(got.map(t => (t._1, t._5)) == Seq((1L, 10.0)),
+        s"exactly the in-window same-user pair must survive: $got")
+    } finally q.stop()
+  }
+
   test("file-source streaming demo lands the q22 aggregation") {
     // stage the single events.parquet file into a directory — the
     // file stream source consumes directories of arriving files
