@@ -63,10 +63,27 @@ object MultimodalQueries {
         .orderBy("doc_id", "chunk_idx")
     },
 
-    // --- Decode seam: batched per-partition feature extraction.
-    //     The fake decode has no SQL twin → rows-only driver check;
-    //     determinism + shape are pinned by MultimodalSpec. ---
-    Q.noOracle("mm03_decode_features") { (s, dir) =>
+    // --- Decode seam: batched per-partition feature extraction. The
+    //     typed mapPartitions path IS the thing under test; the oracle
+    //     replicates the deterministic stand-in decode (byte-window
+    //     means) in SQL — float32 rounding included via CAST AS FLOAT —
+    //     over the flattened (doc, dim) rows. ---
+    Q("mm03_decode_features", {
+      val from = "(d * n) // 8"
+      val until = "((d + 1) * n) // 8"
+      s"""WITH f AS (
+         |  SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n, text,
+         |    unnest(range(0, 8)) AS d
+         |  FROM documents)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes, CAST(d AS INT) AS d,
+         |  CASE WHEN $until <= $from THEN CAST(0.0 AS DOUBLE)
+         |       ELSE CAST(CAST(
+         |         CAST(list_sum(list_transform(range($from + 1, $until + 1),
+         |             i -> CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT))) AS DOUBLE)
+         |         / ($until - $from) AS FLOAT) AS DOUBLE) END AS feature
+         |FROM f
+         |ORDER BY doc_id, d"""
+    }) { (s, dir) =>
       import s.implicits._
       val blobs = docs(s, dir)
         .select(col("doc_id"), Multimodal.blobOf(col("text")).as("payload"),
@@ -74,7 +91,11 @@ object MultimodalQueries {
         .as[MediaBlob]
       Multimodal.decodeFeatures(blobs, dim = 8)
         .toDF()
-        .orderBy("doc_id")
+        .select(col("doc_id"), col("n_bytes"),
+          posexplode(col("features")).as(Seq("d", "feature")))
+        .select(col("doc_id"), col("n_bytes"), col("d"),
+          col("feature").cast("double").as("feature"))
+        .orderBy("doc_id", "d")
     }
   )
 }
