@@ -569,6 +569,36 @@ object Relational {
         .orderBy("event_id")
     },
 
+    // --- Map functions: build a map column from aggregated entries,
+    //     read it back with element_at/cardinality. Collection order
+    //     doesn't matter (lookups only), so collect_list's
+    //     nondeterminism is safe here. ---
+    Q("q29_map_funcs",
+      """WITH pc AS (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (
+        |  SELECT o_orderstatus,
+        |    map_from_entries(list({'k': o_orderpriority, 'v': cnt})) AS pm
+        |  FROM pc GROUP BY o_orderstatus)
+        |SELECT o_orderstatus,
+        |  CAST(cardinality(pm) AS INT) AS n_priorities,
+        |  coalesce(pm['1-URGENT'][1], 0) AS urgent,
+        |  coalesce(pm['5-LOW'][1], 0) AS low
+        |FROM m ORDER BY o_orderstatus""") { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("o_orderstatus")
+        .agg(map_from_entries(
+          collect_list(struct(col("o_orderpriority"), col("cnt")))).as("pm"))
+        .select(col("o_orderstatus"),
+          size(col("pm")).as("n_priorities"),
+          coalesce(element_at(col("pm"), "1-URGENT"), lit(0L)).as("urgent"),
+          coalesce(element_at(col("pm"), "5-LOW"), lit(0L)).as("low"))
+        .orderBy("o_orderstatus")
+    },
+
     // --- approx_count_distinct: no exact SQL twin → rows-only check;
     //     the exact variant is q13 ---
     Q.noOracle("q23_approx_count_distinct") { (s, dir) =>
