@@ -83,6 +83,31 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(total == nToks)
   }
 
+  test("property: index of disjoint corpora == merged per-term postings") {
+    // SURVEY §5.3: index(A ∪ B) for disjoint doc sets must equal the
+    // per-term merge of index(A) and index(B) under the same ranking —
+    // the invariant that makes incremental/partitioned indexing sound
+    val corpusA = Seq(("a1", "apple banana apple"), ("a2", "banana cherry"))
+    val corpusB = Seq(("b1", "apple date date"), ("b2", "cherry cherry"))
+    def index(rows: Seq[(String, String)]) =
+      InvertedIndex.postingLists(InvertedIndex.termDocCounts(
+        InvertedIndex.tokenize(rows.toDF("doc", "line"), Seq(), minLength = 3)))
+        .select(col("term"),
+          transform(col("postings"),
+            p => concat(p.getField("doc"), lit("#"), p.getField("cnt"))).as("p"))
+        .as[(String, Seq[String])].collect().toMap
+    val union = index(corpusA ++ corpusB)
+    val merged = (index(corpusA).toSeq ++ index(corpusB).toSeq)
+      .groupBy(_._1)
+      .map { case (term, lists) =>
+        // re-rank the concatenated postings: cnt desc, doc asc
+        term -> lists.flatMap(_._2).sortBy { s =>
+          val Array(doc, cnt) = s.split("#"); (-cnt.toLong, doc)
+        }
+      }
+    assert(union == merged)
+  }
+
   test("stop-word anti-join removes exactly the stop terms") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val toks = Seq(("the", "d1"), ("cat", "d1"), ("the", "d2"), ("dog", "d2"))
