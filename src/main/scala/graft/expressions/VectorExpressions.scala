@@ -111,6 +111,9 @@ object VectorExpressions {
       reg.createOrReplaceTempFunction("graft_round",
         exprs => DuckRound(exprs(0),
           exprs(1).eval().asInstanceOf[Int]), "built-in")
+      reg.createOrReplaceTempFunction("graft_hyperplane_sig",
+        exprs => HyperplaneSignature(exprs(0),
+          exprs(1).eval().asInstanceOf[Int]), "built-in")
     }
   }
 }

@@ -62,13 +62,15 @@ object VectorFunctions {
     when(dot(v, typedlit(w)) >= 0, lit(1)).otherwise(lit(0))
   }
 
-  /** k-bit random-hyperplane signature packed into a BIGINT. */
+  /** k-bit random-hyperplane signature packed into a BIGINT — one
+    * codegen'd nested loop (graft.expressions.HyperplaneSignature)
+    * instead of `bits` composed dot-product trees; bit-identical to
+    * the per-bit formulation above and to the SQL oracle. */
   def hyperplaneSignature(v: Column, bits: Int): Column =
-    (0 until bits).map(p => hyperplaneBit(v, p) * lit(1L << p))
-      .reduce(_ + _)
+    call_function("graft_hyperplane_sig", asDouble(v), lit(bits))
 
-  /** Known-dimension fast path (constant plane literals). */
+  /** Kept for source compat: the dimension no longer matters — the
+    * native expression reads the vector's own length. */
   def hyperplaneSignature(v: Column, bits: Int, dim: Int): Column =
-    (0 until bits).map(p => hyperplaneBit(v, p, dim) * lit(1L << p))
-      .reduce(_ + _)
+    hyperplaneSignature(v, bits)
 }

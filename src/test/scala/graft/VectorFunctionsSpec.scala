@@ -17,6 +17,22 @@ class VectorFunctionsSpec extends AnyFunSuite {
   }
   import spark.implicits._
 
+  test("native hyperplane signature equals the composed per-bit formulation") {
+    import org.apache.spark.sql.functions._
+    val composed = (0 until 16).map { p =>
+      val w = (0 until 64).map(d => ((1 + (p * 31 + d * 7) % 97) - 49).toDouble)
+      when(VectorFunctions.dot(col("a"), typedlit(w)) >= 0, lit(1L << p))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val rnd = new scala.util.Random(99)
+    val vecs = Seq.fill(40)(Seq.fill(64)(rnd.nextDouble() * 2 - 1))
+    val rows = vecs.toDF("a")
+      .select(VectorFunctions.hyperplaneSignature(col("a"), 16).as("native"),
+        composed.as("composed"))
+      .as[(Long, Long)].collect()
+    rows.foreach { case (n, c) => assert(n == c) }
+  }
+
   test("graft expressions are callable from plain SQL") {
     // ensureRegistered installs real FunctionRegistry entries, so the
     // SQL surface works for spark.sql users, not just Column code
