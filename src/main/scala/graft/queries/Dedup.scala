@@ -218,17 +218,16 @@ object Dedup {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY doc_a, doc_b"""
     }) { (s, dir) =>
-      val td = docs(s, dir)
+      import org.apache.spark.storage.StorageLevel
+      // Token hash inline per (doc, token) row: fingerprint is a
+      // codegen'd single-pass loop over a short token, so hashing at
+      // the row site beats the old distinct-vocab + broadcast-join
+      // detour (which tokenized the corpus twice — once for the
+      // broadcast build job — and paid a join) at every scale.
+      val th = docs(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
-      // Hash the DISTINCT vocabulary once and broadcast it back: the
-      // per-character rolling-hash fold runs |vocab| times instead of
-      // |doc × token| times (vocabulary ≪ corpus at any scale).
-      val vocabHash = td.select("token").distinct()
-        .withColumn("h", fingerprint(col("token")))
-      val th = td.join(broadcast(vocabHash), Seq("token"))
-        .select(col("doc_id"), col("cnt"), col("h"))
-      import org.apache.spark.storage.StorageLevel
+        .select(col("doc_id"), col("cnt"), fingerprint(col("token")).as("h"))
       // 32 weighted-bit votes folded into ONE aggregation: each bit of
       // the signature is sign(sum(cnt * ±1)); the Scala loop unrolls the
       // 32 terms with integer shift amounts, so everything stays in one
