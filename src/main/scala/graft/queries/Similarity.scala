@@ -25,12 +25,8 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
-  private def emb(s: SparkSession, dir: String): DataFrame = {
-    // the vector fold expressions are session temp functions — install
-    // them before any plan using VectorFunctions columns is analyzed
-    graft.expressions.VectorExpressions.ensureRegistered(s)
-    tables.load(s, dir, "embeddings")
-  }
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    tables.load(s, dir, "embeddings") // registers the graft expressions
 
   /** DuckDB mirror of VectorFunctions.dot: element-wise double product,
     * sequential left fold from 0.0. */

@@ -8,8 +8,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
 /** One input event for the stateful sessionizer. */
 case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
 
-/** Per-user open-session state (epoch millis bounds; O(1) per user —
-  * the state store never holds events, only the running aggregate). */
+/** One open session (epoch millis bounds) — the state store holds a
+  * short list of these per user, never events. */
 case class SessionState(startMs: Long, endMs: Long, n: Long, total: Double)
 
 /** One closed session — same shape as batch q27's output rows. */
@@ -68,16 +68,19 @@ object EventStreams {
     * gap-session semantics need CUSTOM state: a session closes only
     * when the event-time watermark passes its end + gap, which no
     * built-in windowed aggregation expresses in append mode with
-    * per-key O(1) state.
+    * bounded per-key state.
     *
-    * Scale design: state per user is one `SessionState` (4 fields) —
-    * never a buffer of events — so the state store is O(active users),
-    * and `EventTimeTimeout` + watermark guarantee every session
-    * eventually closes and its state is dropped (no unbounded growth).
-    * Matches batch `session_window` semantics (end-INCLUSIVE, pinned
-    * by the gap-edge spec): an event extends the open session iff
-    * ts <= session_end + gap; only a strictly larger gap starts a new
-    * session.
+    * State per user is the list of OPEN sessions (4 fields each) still
+    * inside the watermark horizon — never a buffer of events — so
+    * out-of-order events (allowed up to `watermarkDelay` late) land in,
+    * extend, or BRIDGE the right sessions exactly like batch
+    * `session_window`: an event merges every session within gap of it
+    * (end-inclusive both directions, pinned by the gap-edge spec), and
+    * a bridging event fuses its neighbors into one. A session is
+    * emitted only once the watermark is strictly past its end + gap, so
+    * no later event can still reach it; the list length is bounded by
+    * watermarkDelay / gap + 1, and state drops to nothing when all
+    * sessions close.
     */
   def sessionizeStateful(events: Dataset[SessionEvent],
                          gapMinutes: Int = 30,
@@ -90,40 +93,40 @@ object EventStreams {
         new java.sql.Timestamp(s.endMs), s.n,
         graft.expressions.DuckRound.scalar(s.total, 2))
 
-    def fold(user: Long, batch: Iterator[SessionEvent],
-             state: GroupState[SessionState]): Iterator[SessionOut] = {
-      if (state.hasTimedOut) {
-        // watermark passed open-session end + gap: close and drop state
-        val out = close(user, state.get)
-        state.remove()
-        Iterator(out)
-      } else {
-        // micro-batch arrival order is arbitrary — order by event time
-        // before folding (batch is one user's slice of one micro-batch)
-        val sorted = batch.toIndexedSeq.sortBy(_.ts.getTime)
-        val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-        var cur = state.getOption
-        sorted.foreach { e =>
-          val t = e.ts.getTime
-          cur match {
-            case Some(s) if t - s.endMs <= gapMs =>
-              cur = Some(SessionState(s.startMs, math.max(s.endMs, t),
-                s.n + 1, s.total + e.value))
-            case Some(s) =>
-              closed += close(user, s)
-              cur = Some(SessionState(t, t, 1, e.value))
-            case None =>
-              cur = Some(SessionState(t, t, 1, e.value))
-          }
-        }
-        cur.foreach { s =>
-          state.update(s)
-          // +1: an event AT end+gap still merges (inclusive bound), so
-          // the session may only time out once the watermark is past it
-          state.setTimeoutTimestamp(s.endMs + gapMs + 1)
-        }
-        closed.iterator
+    /** Merge one event into the session list: all sessions within gap
+      * of t (inclusive) fuse with it and each other. */
+    def absorb(sessions: List[SessionState], t: Long, v: Double): List[SessionState] = {
+      val (overlap, rest) = sessions.partition(s =>
+        t >= s.startMs - gapMs && t <= s.endMs + gapMs)
+      val fused = overlap.foldLeft(SessionState(t, t, 1, v)) { (acc, s) =>
+        SessionState(math.min(acc.startMs, s.startMs),
+          math.max(acc.endMs, s.endMs), acc.n + s.n, acc.total + s.total)
       }
+      (fused :: rest).sortBy(_.startMs)
+    }
+
+    /** Emit sessions the watermark has passed; re-arm the timeout for
+      * the earliest still-open session. */
+    def flush(user: Long, sessions: List[SessionState],
+              state: GroupState[List[SessionState]]): Iterator[SessionOut] = {
+      val wm = state.getCurrentWatermarkMs()
+      // strictly past end + gap: an event AT end + gap still merges
+      val (done, open) = sessions.partition(s => s.endMs + gapMs < wm)
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(open)
+        state.setTimeoutTimestamp(open.map(_.endMs).min + gapMs + 1)
+      }
+      done.sortBy(_.startMs).map(close(user, _)).iterator
+    }
+
+    def fold(user: Long, batch: Iterator[SessionEvent],
+             state: GroupState[List[SessionState]]): Iterator[SessionOut] = {
+      val prior = state.getOption.getOrElse(Nil)
+      val merged =
+        if (state.hasTimedOut) prior
+        else batch.foldLeft(prior)((ss, e) => absorb(ss, e.ts.getTime, e.value))
+      flush(user, merged, state)
     }
 
     events

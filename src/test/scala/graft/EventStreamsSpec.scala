@@ -171,6 +171,53 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful sessionization handles out-of-order cross-batch events") {
+    // regression: an event EARLIER than the open session (but inside
+    // the watermark) must extend the session start downward when within
+    // gap, or form its own past session when not — matching batch
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.SessionEvent
+    val batch1 = Seq(
+      SessionEvent(1L, ts("2024-01-01 10:00:00"), 1.0),
+      SessionEvent(2L, ts("2024-01-01 10:00:00"), 1.0),
+      SessionEvent(3L, ts("2024-01-01 10:00:00"), 1.0),
+      SessionEvent(3L, ts("2024-01-01 10:50:00"), 1.0)) // two open sessions
+    val batch2 = Seq(
+      SessionEvent(1L, ts("2024-01-01 09:50:00"), 2.0), // 10min before start → merge
+      SessionEvent(2L, ts("2024-01-01 09:00:00"), 2.0), // 60min before → own session
+      SessionEvent(3L, ts("2024-01-01 10:25:00"), 2.0)) // bridges 10:00 and 10:50
+    val stream = MemoryStream[SessionEvent]
+    val q = EventStreams.sessionizeStateful(stream.toDS())
+      .writeStream.format("memory").queryName("ooo_sessions")
+      .outputMode("append").start()
+    try {
+      Seq(batch1, batch2,
+        Seq(SessionEvent(999L, ts("2024-01-01 22:00:00"), 0.0)),
+        Seq(SessionEvent(999L, ts("2024-01-01 22:01:00"), 0.0))).foreach { b =>
+        stream.addData(b); q.processAllAvailable()
+      }
+      val got = spark.table("ooo_sessions").filter(col("user_id") < 999)
+        .orderBy("user_id", "session_start")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)]
+        .collect().toSeq
+      val expected = (batch1 ++ batch2).toDS().toDF()
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "session_start")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)]
+        .collect().toSeq
+      assert(got == expected, s"stateful $got != batch $expected")
+      assert(got.filter(_._1 == 3L).map(_._4) == Seq(3L),
+        "the bridging event must fuse user 3's two open sessions")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first event per id with watermark-bounded state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -10,11 +10,7 @@ import graft.functions.VectorFunctions
   * (identical left-to-right accumulation order) and the zero-norm guard.
   */
 class VectorFunctionsSpec extends AnyFunSuite {
-  private lazy val spark = {
-    val s = SparkTestSession.spark
-    graft.expressions.VectorExpressions.ensureRegistered(s)
-    s
-  }
+  private lazy val spark = SparkTestSession.spark // registers graft exprs
   import spark.implicits._
 
   test("native hyperplane signature equals the composed per-bit formulation") {
