@@ -351,6 +351,34 @@ object Text {
         .orderBy("bigram")
     },
 
+    // --- Phrase search THROUGH the index: the downstream use the
+    //     reference builds its index for. Candidate docs come from the
+    //     term-posting intersection (every phrase word present), and
+    //     only candidates get the exact adjacency check — at 100 TB
+    //     the contains() scan touches the pruned candidate set, not
+    //     the corpus. ---
+    Q("tx16_phrase_search", {
+      val phrase = "key agg"
+      s"""SELECT doc_id FROM documents
+         |WHERE contains(lower(text), '$phrase')
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val phrase = "key agg"
+      val words = phrase.split(" ").toSeq
+      // one pass over the term-doc index: docs matching ALL words
+      val cand = termDoc(s, dir)
+        .filter(col("token").isin(words: _*))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("token")).as("hits"))
+        .filter(col("hits") === words.size)
+        .select("doc_id")
+      docs(s, dir)
+        .join(cand, Seq("doc_id"), "left_semi")
+        .filter(lower(col("text")).contains(phrase))
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
     // --- Repetition signals (Gopher-style quality filters): duplicate
     //     bigram fraction + most-common-token dominance. Two shapes on
     //     purpose: the bigram metric is a per-row array projection (no
