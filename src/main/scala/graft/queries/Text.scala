@@ -379,6 +379,61 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // --- Ranked retrieval: TF-IDF-scored multi-term search, top 10.
+    //     Only postings of the query terms participate (index prune);
+    //     df/n_docs are corpus aggregates over the pruned term set.
+    //     Deterministic: duckRound'd score + doc_id tiebreak. ---
+    Q("tx17_ranked_search", {
+      // per-term partials summed in FIXED term order on both engines:
+      // each (doc, term) contributes exactly one product, and a plain
+      // sum() would add them in engine-dependent order — double
+      // addition is non-associative, and a last-ULP difference can
+      // flip the 1e-6 rounding boundary (the tx08 failure class)
+      val terms = Seq("table", "window", "stream")
+      val termList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+      val partials = terms.zipWithIndex.map { case (t, i) =>
+        s"sum(CASE WHEN td.token = '$t' THEN CAST(td.cnt AS DOUBLE)\n" +
+          s"         |      * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) END) AS s$i"
+      }.mkString(",\n         |    ")
+      val total = terms.indices.map(i => s"coalesce(s$i, 0.0)").mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+         |  FROM documents),
+         |td AS (SELECT doc_id, token, count(*) AS cnt FROM tok WHERE token <> ''
+         |       GROUP BY doc_id, token),
+         |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM td
+         |       WHERE token IN $termList GROUP BY token),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT td.doc_id,
+         |    $partials
+         |  FROM td JOIN df ON td.token = df.token CROSS JOIN n
+         |  GROUP BY td.doc_id)
+         |SELECT doc_id, round($total, 6) AS score FROM scored
+         |ORDER BY score DESC, doc_id
+         |LIMIT 10""".stripMargin
+    }) { (s, dir) =>
+      val terms = Seq("table", "window", "stream")
+      val td = termDoc(s, dir).filter(col("token").isin(terms: _*))
+      // df over (doc, token) rows == distinct docs per term (see tx03)
+      val df = td.groupBy("token").agg(count(lit(1)).as("df"))
+      val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      val prod = col("cnt").cast("double") *
+        log(col("n_docs").cast("double") / col("df").cast("double"))
+      val partialCols = terms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("token") === t, prod)).as(s"s$i")
+      }
+      val total = terms.indices
+        .map(i => coalesce(col(s"s$i"), lit(0.0)))
+        .reduce(_ + _)
+      td.join(broadcast(df), "token").crossJoin(broadcast(n))
+        .groupBy("doc_id")
+        .agg(partialCols.head, partialCols.tail: _*)
+        .select(col("doc_id"), duckRound(total, 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    },
+
     // --- Repetition signals (Gopher-style quality filters): duplicate
     //     bigram fraction + most-common-token dominance. Two shapes on
     //     purpose: the bigram metric is a per-row array projection (no
