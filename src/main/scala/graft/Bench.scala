@@ -32,7 +32,14 @@ object Bench {
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
-    tables.names.foreach(n => materialize(tables.load(spark, sfDir, n)))
+    // per-table try: one unreadable table must not abort the whole
+    // bench before the JSON line is emitted (its queries fail per-query)
+    tables.names.foreach { n =>
+      try materialize(tables.load(spark, sfDir, n))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $n failed: ${e.getMessage}")
+      }
+    }
 
     val results = SparkEntry.all.filterNot(q => exclude(q.name)).map { q =>
       // drop persisted intermediates from prior queries: measured

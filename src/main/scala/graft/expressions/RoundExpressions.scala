@@ -40,13 +40,8 @@ case class DuckRound(child: Expression, scale: Int)
 
   private val pow10: Double = math.pow(10, scale)
 
-  override def nullSafeEval(input: Any): Any = {
-    val x = input.asInstanceOf[Double] * pow10
-    val a = math.abs(x)
-    val f = math.floor(a)
-    val r = if (a - f >= 0.5) f + 1.0 else f
-    java.lang.Math.copySign(r, x) / pow10
-  }
+  override def nullSafeEval(input: Any): Any =
+    DuckRound.scalar(input.asInstanceOf[Double], scale)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {

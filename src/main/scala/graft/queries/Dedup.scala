@@ -160,18 +160,11 @@ object Dedup {
         count(lit(1)).as("sz")
       val sigs = hashed.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val bands = sigs.select(col("doc_id"), explode(array(
-        (0 until NumHashes / BandRows).map(b => struct(
-          lit(b).as("band"),
-          concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("key"))): _*))
-        .as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+      val cand = graft.operators.Banding.candidatePairs(sigs, "doc_id",
+        (0 until NumHashes / BandRows).map(b =>
+          lit(b) -> concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))))
+        .withColumnRenamed("doc_id_a", "doc_a")
+        .withColumnRenamed("doc_id_b", "doc_b")
       val inter = cand
         .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
         .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
@@ -246,22 +239,17 @@ object Dedup {
         .persist(StorageLevel.MEMORY_AND_DISK)
       // Band by byte: hamming <= 3 over 4 bytes pigeonholes at least one
       // byte equal — band equi-join is candidate-complete, never O(n^2).
-      val bands = sig.select(col("doc_id"), col("simhash"), explode(array(
-        (0 until 4).map(byte => struct(
-          lit(byte).as("byte"),
-          shiftright(col("simhash"), byte * 8).bitwiseAND(lit(255L)).as("key"))): _*))
-        .as("bk"))
-        .select(col("doc_id"), col("simhash"),
-          col("bk.byte").as("byte"), col("bk.key").as("key"))
-      bands.as("a")
-        .join(bands.as("b"),
-          col("a.byte") === col("b.byte") && col("a.key") === col("b.key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 3)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
-            .cast("long").as("hamming"))
-        .distinct()
+      // hamming computed ONCE (withColumn) for both the filter and the
+      // projection, not per operator.
+      graft.operators.Banding.candidatePairs(sig, "doc_id",
+        (0 until 4).map(byte =>
+          lit(byte) -> shiftright(col("simhash"), byte * 8).bitwiseAND(lit(255L))),
+        carry = Seq("simhash"))
+        .withColumn("hamming",
+          bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))).cast("long"))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"),
+          col("hamming"))
         .orderBy("doc_a", "doc_b")
     }
   )

@@ -140,18 +140,11 @@ object Similarity {
       val sigs = e.select(col("vec_id"),
         hyperplaneSignature(col("embedding"), SigBits, 64).cast("long").as("sig"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val bands = sigs.select(col("vec_id"), explode(array(
-        (0 until BandBytes).map(band => struct(
-          lit(band).as("band"),
-          shiftright(col("sig"), band * 8).bitwiseAND(lit(255L)).as("key"))): _*))
-        .as("bk"))
-        .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-        .distinct()
+      val cand = graft.operators.Banding.candidatePairs(sigs, "vec_id",
+        (0 until BandBytes).map(band =>
+          lit(band) -> shiftright(col("sig"), band * 8).bitwiseAND(lit(255L))))
+        .withColumnRenamed("vec_id_a", "vec_a")
+        .withColumnRenamed("vec_id_b", "vec_b")
       // Verify on candidates only, with per-side precomputed norms and
       // the cosine evaluated once (withColumn) instead of per filter +
       // per projection.
@@ -237,13 +230,20 @@ object Similarity {
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
       val pcells = nearestCells(probes.select(col("probe_id"),
         col("pe").as("embedding")), "probe_id", "embedding", IvfNProbe)
-      val scored = probes
+      // norms once per side (sm01 pattern), not 3 folds per pair; the
+      // products are the same IEEE ops as one-shot cosine, so results
+      // stay bit-identical to the oracle
+      val pn = probes.withColumn("pnrm", l2Norm(col("pe")))
+      val nrm = col("pnrm") * col("nrm")
+      val scored = pn
         .join(pcells, Seq("probe_id"))
         .join(assign, Seq("cid"))
-        .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .join(e.select(col("vec_id"), col("embedding"),
+          l2Norm(col("embedding")).as("nrm")), Seq("vec_id"))
         .filter(col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-          cosine(col("pe"), col("embedding")).as("cosine"))
+          when(nrm === 0.0, lit(0.0))
+            .otherwise(dot(col("pe"), col("embedding")) / nrm).as("cosine"))
       val w = Window.partitionBy("probe_id")
         .orderBy(col("cosine").desc, col("neighbor_id"))
       scored.withColumn("rank", row_number().over(w))

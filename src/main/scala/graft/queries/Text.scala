@@ -358,9 +358,17 @@ object Text {
     //     the contains() scan touches the pruned candidate set, not
     //     the corpus. ---
     Q("tx16_phrase_search", {
+      // The oracle encodes the ENGINE's semantics exactly: every phrase
+      // word present as a whole token (the index-prune condition) AND
+      // the raw adjacency. A substring-only oracle would also match
+      // mid-token hits ('donkey agg') the token index can never see.
       val phrase = "key agg"
       s"""SELECT doc_id FROM documents
          |WHERE contains(lower(text), '$phrase')
+         |  AND list_contains(list_filter(string_split_regex(lower(text), '\\s+'),
+         |        t -> t <> ''), 'key')
+         |  AND list_contains(list_filter(string_split_regex(lower(text), '\\s+'),
+         |        t -> t <> ''), 'agg')
          |ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
       val phrase = "key agg"

@@ -36,12 +36,17 @@ object EventStreams {
     * (No ORDER BY here: sorting is illegal on streaming aggregations
     * in append/update modes; q22 adds it batch-side.)
     */
-  def tumblingCounts(events: DataFrame): DataFrame =
+  def tumblingCounts(events: DataFrame): DataFrame = {
+    // duckRound is a session temp function; register here rather than
+    // relying on a prior tables.load — streaming frames never pass
+    // through the table loader
+    graft.expressions.VectorExpressions.ensureRegistered(events.sparkSession)
     events
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         graft.functions.ParityFunctions.duckRound(sum(col("value")), 2)
           .as("total_value"))
+  }
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
@@ -168,7 +173,6 @@ object EventStreams {
     // Streaming reads need an explicit schema; events.ts is
     // TIMESTAMP(NANOS) parquet, read as raw INT64 then converted
     // (same lossless path as graft.tables.load).
-    graft.expressions.VectorExpressions.ensureRegistered(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
