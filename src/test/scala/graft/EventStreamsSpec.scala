@@ -281,6 +281,60 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionization state survives a checkpointed query restart") {
+    // the production property: flatMapGroupsWithState state lives in
+    // the checkpoint, so a stopped query resumes its open sessions —
+    // an out-of-order event arriving AFTER the restart must still
+    // extend the pre-restart session
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sess_restart")
+    val evDir = base.resolve("in"); val outDir = base.resolve("out")
+    val chkDir = base.resolve("chk")
+    java.nio.file.Files.createDirectories(evDir)
+
+    def writeWave(name: String, rows: Seq[graft.streaming.SessionEvent]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("wave")
+      rows.toDS().coalesce(1).write.mode("overwrite").json(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".json"))
+        .findFirst().get()
+      java.nio.file.Files.copy(part, evDir.resolve(name))
+    }
+    def runOnce(): Unit = {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, ts TIMESTAMP, value DOUBLE")
+      val in = spark.readStream.schema(schema).json(evDir.toString)
+        .as[graft.streaming.SessionEvent]
+      val q = EventStreams.sessionizeStateful(in)
+        .writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", chkDir.toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+
+    writeWave("w1.json", Seq(
+      graft.streaming.SessionEvent(1L, ts("2024-01-01 10:00:00"), 1.0),
+      graft.streaming.SessionEvent(1L, ts("2024-01-01 10:10:00"), 1.0)))
+    runOnce() // session [10:00, 10:10] left OPEN in checkpointed state
+    writeWave("w2.json", Seq(
+      graft.streaming.SessionEvent(1L, ts("2024-01-01 09:50:00"), 1.0), // pre-restart merge
+      graft.streaming.SessionEvent(999L, ts("2024-01-01 22:00:00"), 0.0)))
+    runOnce() // restart: restored session absorbs 09:50, watermark closes it
+    writeWave("w3.json", Seq(
+      graft.streaming.SessionEvent(999L, ts("2024-01-01 23:00:00"), 0.0)))
+    runOnce() // extra batch so the timeout fires after the watermark move
+
+    val sessions = spark.read.parquet(outDir.toString)
+      .filter(col("user_id") === 1L)
+      .select(col("session_start").cast("string"),
+        col("session_end").cast("string"), col("n_events"))
+      .as[(String, String, Long)].collect().toSeq
+    assert(sessions == Seq(("2024-01-01 09:50:00", "2024-01-01 10:10:00", 3L)),
+      s"restored state must absorb the out-of-order event: $sessions")
+  }
+
   test("file-source streaming demo lands the q22 aggregation") {
     // stage the single events.parquet file into a directory — the
     // file stream source consumes directories of arriving files
