@@ -41,6 +41,14 @@ class SourceSinkSpec extends AnyFunSuite {
       docs.orderBy("doc_id").collect().toSeq)
   }
 
+  test("orc round-trip preserves rows and types") {
+    val dir = tmp("orc_rt")
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.schema(docs.schema).orc(dir)
+    assert(back.orderBy("doc_id").collect().toSeq ==
+      docs.orderBy("doc_id").collect().toSeq)
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = tmp("part_pq")
     docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
