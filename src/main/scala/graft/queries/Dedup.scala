@@ -68,6 +68,24 @@ object Dedup {
         .orderBy("content_hash")
     },
 
+    // --- The dedup ACTION: emit the surviving corpus (first doc per
+    //     content hash), i.e. what a pipeline writes back out after
+    //     dd01's report. Window rank over the hash = one shuffle, no
+    //     self-join; survivors keep all their columns. ---
+    Q("dd05_keep_first",
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (SELECT CAST(min(doc_id) AS BIGINT)
+        |                 FROM documents GROUP BY md5(text))
+        |ORDER BY doc_id""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+      docs(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    },
+
     // --- n-gram Jaccard near-dup, exact all-pairs (oracle ground truth;
     //     the scale path is dd03's LSH candidates) ---
     Q("dd02_ngram_jaccard",
