@@ -5,7 +5,9 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional trailing names restrict the dump (local iteration);
+    // the driver always calls with exactly (sfDir, outDir)
+    val (Array(sfDir, outDir), only) = args.splitAt(2)
     // default matches the driver's local[32] environment (see brief)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -16,7 +18,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+      .foreach { case (name, fn) =>
       // queries persist reused intermediates (dd03/dd04/sm02); drop them
       // between queries so 53 runs in one session don't accumulate cache
       spark.catalog.clearCache()

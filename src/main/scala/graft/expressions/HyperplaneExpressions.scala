@@ -18,6 +18,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * accumulation is the same sequential left-to-right double fold as
   * `VectorFunctions.dot`, so signatures are bit-identical to the
   * composed formulation and to the SQL oracle.
+  *
+  * NaN caveat: Java's `s >= 0` is false for NaN, while Spark SQL's
+  * `>=` (the old per-bit formulation) and DuckDB both order NaN above
+  * every value — so a vector containing NaN would get a different bit
+  * here than from the SQL oracle. Inputs are assumed NaN-free (the
+  * embeddings fixtures are); callers feeding untrusted vectors should
+  * pre-filter with `exists(v, isnan)`.
   */
 case class HyperplaneSignature(child: Expression, bits: Int)
     extends UnaryExpression {

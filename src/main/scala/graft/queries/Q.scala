@@ -11,6 +11,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * sides, a total-order ORDER BY on both sides, floating aggregates
   * rounded on both sides, integer aggregates CAST to BIGINT on the
   * DuckDB side (DuckDB widens sum(int) to HUGEINT).
+  *
+  * Cache lifecycle contract: some queries persist reused intermediates
+  * (dd03/dd04/dd06/sm02/tx04) and — being lazy DataFrame builders —
+  * cannot unpersist them before the caller materializes the result.
+  * CALLERS OWN THE CACHE LIFECYCLE: run `spark.catalog.clearCache()`
+  * between queries (as Verify/Bench do) or storage accumulates across
+  * invocations.
   */
 final case class Q(
     name: String,

@@ -58,13 +58,145 @@ object Similarity {
   private val IvfCells = 8 // fixed coarse centroids (vec_id < 8)
   private val IvfNProbe = 2 // cells searched per probe
 
+  /** Shuffle-free coarse-quantizer assignment: each vector's `keep`
+    * nearest centroids, computed as a per-row PROJECTION over the
+    * (collected-once, tiny) centroid set — an array of (distSq, cid)
+    * structs sorted by struct order (dist, then cid — the same total
+    * order as `ORDER BY dist, cid`). The previous formulation
+    * (crossJoin(broadcast(cent)) + row_number window partitioned by the
+    * vector id) shuffled |centroids|× the full corpus just to rank a
+    * handful of rows per vector — at 100 TB that exchange dominates;
+    * this one plans zero exchanges (guarded by PlanSpec).
+    */
+  def nearestCells(vecs: DataFrame, idCol: String, vecCol: String,
+                   centroids: Seq[(Long, Seq[Double])], keep: Int,
+                   carry: Seq[String] = Nil): DataFrame = {
+    val cands = array(centroids.map { case (cid, ce) =>
+      struct(l2DistanceSq(col(vecCol), typedlit(ce)).as("d"),
+        lit(cid).as("cid"))
+    }: _*)
+    val out = col(idCol) +: carry.map(col)
+    if (keep == 1)
+      vecs.select(out :+ array_min(cands).getField("cid").as("cid"): _*)
+    else
+      vecs.select(out :+ explode(transform(
+        slice(array_sort(cands), 1, keep), c => c.getField("cid"))).as("cid"): _*)
+  }
+
+  /** Collect a centroid frame `(cid, ce: array<float|double>)` to the
+    * driver for literal embedding in `nearestCells`. Only ever called
+    * on k-row frames (k = IvfCells). */
+  private def collectCentroids(cent: DataFrame): Seq[(Long, Seq[Double])] =
+    cent.select(col("cid").cast("long"),
+        col("ce").cast("array<double>"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+
+  /** IVF search given a (fixed or trained) centroid set: corpus cell
+    * assignment and probe cell selection are shuffle-free projections
+    * (`nearestCells`); the candidate join is an EQUI-join on cell id,
+    * so the verify work scales with nprobe/cells of the corpus. */
+  private def ivfTopK(e: DataFrame, cent: Seq[(Long, Seq[Double])],
+                      nprobe: Int, k: Int): DataFrame = {
+    val assign = nearestCells(
+      e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+      cent, 1)
+    // fixed-size probe set — same boundedness argument as sm01
+    val probes = e.filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val pcells = nearestCells(probes.select(col("probe_id"),
+      col("pe").as("embedding")), "probe_id", "embedding", cent, nprobe)
+    // norms once per side (sm01 pattern), not 3 folds per pair; the
+    // products are the same IEEE ops as one-shot cosine, so results
+    // stay bit-identical to the oracle
+    val pn = probes.withColumn("pnrm", l2Norm(col("pe")))
+    val nrm = col("pnrm") * col("nrm")
+    val scored = pn
+      .join(pcells, Seq("probe_id"))
+      .join(assign, Seq("cid"))
+      .join(e.select(col("vec_id"), col("embedding"),
+        l2Norm(col("embedding")).as("nrm")), Seq("vec_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        when(nrm === 0.0, lit(0.0))
+          .otherwise(dot(col("pe"), col("embedding")) / nrm).as("cosine"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"),
+        duckRound(col("cosine"), 6).as("cosine"))
+      .orderBy("probe_id", "rank")
+  }
+
+  /** One quantized-mean Lloyd iteration over the deterministic training
+    * sample: assign (shuffle-free projection argmin) → per-(cell, dim)
+    * mean. Determinism device: each component is accumulated as
+    * `sum(floor(x · 2^20))` — an INTEGER sum, exact and order-independent
+    * — then divided once; double `sum()` would add in engine-dependent
+    * order (non-associative), so Spark and the DuckDB oracle could
+    * diverge in the last ULP and flip a nearest-centroid tie. The 2^-20
+    * quantization of the means costs nothing at ANN-recall granularity.
+    */
+  private val TrainMod = 4 // deterministic training sample: vec_id % 4 = 0
+  private val LloydIters = 2
+  private val QScale = 1L << 20
+
+  private def lloydStep(e: DataFrame,
+                        cents: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double])] = {
+    val members = nearestCells(
+      e.filter(col("vec_id") % TrainMod === 0)
+        .select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", cents, 1, carry = Seq("embedding"))
+    val comps = members
+      .select(col("cid"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy("cid", "pos")
+      .agg(sum(floor(col("x") * QScale.toDouble)).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("cid"), col("pos"),
+        (col("s").cast("double") / (col("n") * QScale).cast("double"))
+          .as("comp"))
+      .collect()
+    comps.groupBy(_.getLong(0)).toSeq.map { case (cid, rs) =>
+      (cid, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+    }.sortBy(_._1)
+  }
+
+  /** DuckDB mirror of one Lloyd iteration (CTE suffix `i`, reading
+    * `cent${i-1}` and `train`). */
+  private def lloydSql(i: Int): String = {
+    val dist = l2SqSql("t.embedding", "c.ce")
+    s"""a$i AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT t.vec_id, t.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY t.vec_id
+       |                         ORDER BY $dist, c.cid) AS rn
+       |    FROM train t CROSS JOIN cent${i - 1} c)
+       |  WHERE rn = 1),
+       |x$i AS (
+       |  SELECT cid,
+       |    unnest(range(1, len(embedding) + 1)) AS pos,
+       |    unnest(list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * $QScale.0) AS BIGINT))) AS xi
+       |  FROM a$i),
+       |cent$i AS (
+       |  SELECT cid, list(comp ORDER BY pos) AS ce FROM (
+       |    SELECT cid, pos,
+       |      CAST(CAST(sum(xi) AS BIGINT) AS DOUBLE)
+       |        / CAST(count(*) * $QScale AS DOUBLE) AS comp
+       |    FROM x$i GROUP BY cid, pos)
+       |  GROUP BY cid)"""
+  }
+
   val qs: Seq[Q] = Seq(
 
     // --- Brute-force cosine top-k: the exact baseline ---
     Q("sm01_cosine_topk", {
       val cos = cosineSql("p.pe", "c.embedding")
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
-         |           FROM embeddings WHERE vec_id % 25 = 0),
+         |           FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 500),
          |scored AS (
          |  SELECT p.probe_id, c.vec_id AS neighbor_id, $cos AS cosine
          |  FROM p JOIN embeddings c ON c.vec_id <> p.probe_id),
@@ -89,11 +221,15 @@ object Similarity {
       val e = emb(s, dir)
         .select(col("vec_id"), col("embedding"),
           l2Norm(col("embedding")).as("nrm"))
-      val probes = e.filter(col("vec_id") % 25 === 0)
+      // FIXED-SIZE probe set (≤ 20 ids, independent of SF): a plain
+      // `vec_id % 25` probe set grows with the corpus, so the broadcast
+      // and the O(probes × corpus) verify grow quadratically with SF —
+      // the exactness baseline must stay runnable as SF scales.
+      val probes = e.filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
           col("nrm").as("pnrm"))
-      // Probe set is small by construction — broadcast it so the scan of
-      // the (100 TB-scale) corpus is shuffle-free.
+      // Probe set is small AND BOUNDED by construction — broadcast it so
+      // the scan of the (100 TB-scale) corpus is shuffle-free.
       val n = col("pnrm") * col("nrm")
       val scored = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
@@ -165,92 +301,86 @@ object Similarity {
         .orderBy("vec_a", "vec_b")
     },
 
-    // --- IVF-style ANN: coarse cell assignment (argmin L2 to fixed
-    //     centroids) → probe searches only its nprobe nearest cells.
-    //     The search join is an EQUI-join on cell id, so work scales
-    //     with nprobe/cells of the corpus, not all of it. The fixed
-    //     centroids (vec_id < 8) stand in for a trained quantizer —
-    //     swapping in k-means centroids changes no plan shape. ---
-    Q("sm03_ivf_topk", {
-      val dist = l2SqSql("e.embedding", "c.ce")
-      val pdist = l2SqSql("p.pe", "c.ce")
-      val cos = cosineSql("p.pe", "v.embedding")
+    // --- IVF-style ANN: coarse cell assignment (shuffle-free argmin
+    //     projection over the broadcast-as-literals centroids) → probe
+    //     searches only its nprobe nearest cells. The search join is an
+    //     EQUI-join on cell id, so work scales with nprobe/cells of the
+    //     corpus, not all of it. The fixed centroids (vec_id < 8) are
+    //     the deterministic seed set; sm04 is the same search with a
+    //     TRAINED quantizer — identical plan shape. ---
+    Q("sm03_ivf_topk",
       s"""WITH cent AS (
          |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
          |  WHERE vec_id < $IvfCells),
-         |assign AS (
-         |  SELECT vec_id, cid, rn FROM (
-         |    SELECT e.vec_id, c.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |                         ORDER BY $dist, c.cid) AS rn
-         |    FROM embeddings e CROSS JOIN cent c)
-         |  WHERE rn = 1),
-         |probes AS (
-         |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
-         |  WHERE vec_id % 25 = 0),
-         |pcells AS (
-         |  SELECT probe_id, cid FROM (
-         |    SELECT p.probe_id, c.cid,
-         |      row_number() OVER (PARTITION BY p.probe_id
-         |                         ORDER BY $pdist, c.cid) AS rn
-         |    FROM probes p CROSS JOIN cent c)
-         |  WHERE rn <= $IvfNProbe),
-         |scored AS (
-         |  SELECT p.probe_id, v.vec_id AS neighbor_id, $cos AS cosine
-         |  FROM probes p
-         |  JOIN pcells pc ON pc.probe_id = p.probe_id
-         |  JOIN assign a ON a.cid = pc.cid
-         |  JOIN embeddings v ON v.vec_id = a.vec_id AND v.vec_id <> p.probe_id)
-         |SELECT probe_id, neighbor_id, CAST(rank AS INT) AS rank,
-         |  round(cosine, 6) AS cosine
-         |FROM (
-         |  SELECT probe_id, neighbor_id, cosine,
-         |    row_number() OVER (PARTITION BY probe_id
-         |                       ORDER BY cosine DESC, neighbor_id) AS rank
-         |  FROM scored)
-         |WHERE rank <= 5
-         |ORDER BY probe_id, rank"""
-    }) { (s, dir) =>
+         |${ivfSearchSql("cent", 5)}""") { (s, dir) =>
       val e = emb(s, dir)
-      val cent = e.filter(col("vec_id") < IvfCells)
-        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-      // coarse assignment: argmin L2 over the (broadcast) centroids
-      def nearestCells(vecs: DataFrame, idCol: String, vecCol: String,
-                       keep: Int): DataFrame = {
-        val w = Window.partitionBy(idCol)
-          .orderBy(l2DistanceSq(col(vecCol), col("ce")), col("cid"))
-        vecs.crossJoin(broadcast(cent))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= keep)
-          .select(col(idCol), col("cid"))
-      }
-      val assign = nearestCells(
-        e.select(col("vec_id"), col("embedding")), "vec_id", "embedding", 1)
-      val probes = e.filter(col("vec_id") % 25 === 0)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
-      val pcells = nearestCells(probes.select(col("probe_id"),
-        col("pe").as("embedding")), "probe_id", "embedding", IvfNProbe)
-      // norms once per side (sm01 pattern), not 3 folds per pair; the
-      // products are the same IEEE ops as one-shot cosine, so results
-      // stay bit-identical to the oracle
-      val pn = probes.withColumn("pnrm", l2Norm(col("pe")))
-      val nrm = col("pnrm") * col("nrm")
-      val scored = pn
-        .join(pcells, Seq("probe_id"))
-        .join(assign, Seq("cid"))
-        .join(e.select(col("vec_id"), col("embedding"),
-          l2Norm(col("embedding")).as("nrm")), Seq("vec_id"))
-        .filter(col("vec_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-          when(nrm === 0.0, lit(0.0))
-            .otherwise(dot(col("pe"), col("embedding")) / nrm).as("cosine"))
-      val w = Window.partitionBy("probe_id")
-        .orderBy(col("cosine").desc, col("neighbor_id"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("probe_id"), col("neighbor_id"), col("rank"),
-          duckRound(col("cosine"), 6).as("cosine"))
-        .orderBy("probe_id", "rank")
+      // centroid set is k rows — collect once and embed as literals so
+      // the corpus-wide assignment is a shuffle-free projection
+      val cent = collectCentroids(e.filter(col("vec_id") < IvfCells)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+      ivfTopK(e, cent, IvfNProbe, 5)
+    },
+
+    // --- IVF with a TRAINED coarse quantizer: k-means (2 quantized-mean
+    //     Lloyd iterations, fixed seed set + fixed training sample, so
+    //     the DuckDB oracle reproduces cell assignment bit-for-bit).
+    //     Training is a bounded number of DataFrame passes over the
+    //     vec_id % 4 sample; the search is byte-identical in shape to
+    //     sm03 — swapping centroids changes no plan. ---
+    Q("sm04_ivf_trained",
+      s"""WITH cent0 AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  WHERE vec_id < $IvfCells),
+         |train AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % $TrainMod = 0),
+         |${(1 to LloydIters).map(lloydSql).mkString(",\n         |")},
+         |${ivfSearchSql(s"cent$LloydIters", 5)}""") { (s, dir) =>
+      val e = emb(s, dir)
+      val init = collectCentroids(e.filter(col("vec_id") < IvfCells)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+      val trained = (1 to LloydIters).foldLeft(init)((c, _) => lloydStep(e, c))
+      ivfTopK(e, trained, IvfNProbe, 5)
     }
   )
+
+  /** DuckDB mirror of `ivfTopK` reading centroids from CTE `centCte`
+    * (embedded in a WITH chain; Q.apply strips the margins). */
+  private def ivfSearchSql(centCte: String, k: Int): String = {
+    val dist = l2SqSql("e.embedding", "c.ce")
+    val pdist = l2SqSql("p.pe", "c.ce")
+    val cos = cosineSql("p.pe", "v.embedding")
+    s"""assign AS (
+       |  SELECT vec_id, cid, rn FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |                         ORDER BY $dist, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN $centCte c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+       |  WHERE vec_id % 25 = 0 AND vec_id < 500),
+       |pcells AS (
+       |  SELECT probe_id, cid FROM (
+       |    SELECT p.probe_id, c.cid,
+       |      row_number() OVER (PARTITION BY p.probe_id
+       |                         ORDER BY $pdist, c.cid) AS rn
+       |    FROM probes p CROSS JOIN $centCte c)
+       |  WHERE rn <= $IvfNProbe),
+       |scored AS (
+       |  SELECT p.probe_id, v.vec_id AS neighbor_id, $cos AS cosine
+       |  FROM probes p
+       |  JOIN pcells pc ON pc.probe_id = p.probe_id
+       |  JOIN assign a ON a.cid = pc.cid
+       |  JOIN embeddings v ON v.vec_id = a.vec_id AND v.vec_id <> p.probe_id)
+       |SELECT probe_id, neighbor_id, CAST(rank AS INT) AS rank,
+       |  round(cosine, 6) AS cosine
+       |FROM (
+       |  SELECT probe_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY probe_id
+       |                       ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k
+       |ORDER BY probe_id, rank"""
+  }
 }

@@ -24,8 +24,9 @@ object Text {
   private def tokenStream(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), explode(tokens(col("text"))).as("token"))
 
-  /** (doc_id, token, cnt) term frequencies — reference A1/A2. */
-  private def termDoc(s: SparkSession, dir: String): DataFrame =
+  /** (doc_id, token, cnt) term frequencies — reference A1/A2. Also the
+    * schema of the saved index artifact (graft.index.IndexStore). */
+  private[graft] def termDoc(s: SparkSession, dir: String): DataFrame =
     tokenStream(s, dir).groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
 
   private val DuckToks =
@@ -35,6 +36,135 @@ object Text {
     * list targets Shakespeare; the corpus here is synthetic). */
   val Stop: Seq[String] = Seq("the", "a", "and", "of", "to")
   private val StopSqlList = Stop.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Fixed demo search inputs (tx16-tx19). */
+  private val Phrase = "key agg"
+  private val RankTerms = Seq("table", "window", "stream")
+
+  /** Positional `(doc_id, pos, token)` stream — the phrase-search input
+    * and the source of the positional index artifact. */
+  private[graft] def positionalStream(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+
+  /** `(doc_id, token, cnt, positions)` — the POSITIONAL postings the
+    * index artifact stores (graft.index.IndexStore): classic IR layout,
+    * so phrase adjacency resolves from the index alone without ever
+    * touching the corpus text again. */
+  private[graft] def termDocPositional(s: SparkSession, dir: String): DataFrame =
+    positionalStream(s, dir)
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("cnt"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+
+  /** DuckDB mirror of `phraseMatch`: true token-POSITION adjacency —
+    * the phrase matches iff its words appear as consecutive tokens
+    * (occurrence k at pos0 + k), never a raw substring ('donkey agg'
+    * or a mid-token hit cannot match). */
+  private def phraseSql(phrase: String): String = {
+    val words = phrase.split(" ").toSeq
+    val joins = words.zipWithIndex.tail.map { case (wd, k) =>
+      s"JOIN tok w$k ON w$k.doc_id = w0.doc_id AND w$k.pos = w0.pos + $k AND w$k.token = '$wd'"
+    }.mkString("\n       |  ")
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, unnest(tk) AS token,
+       |    unnest(range(1, len(tk) + 1)) AS pos
+       |  FROM tk),
+       |hit AS (
+       |  SELECT DISTINCT w0.doc_id
+       |  FROM tok w0
+       |  $joins
+       |  WHERE w0.token = '${words.head}')
+       |SELECT doc_id FROM hit ORDER BY doc_id""".stripMargin
+  }
+
+  /** Phrase search over a positional `(doc_id, pos, token)` stream —
+    * fresh tokenize (tx16) or exploded index postings (tx18). The
+    * stream is pruned to the phrase words FIRST, then one window pass
+    * per doc checks that occurrence k sits at `pos0 + k`: true
+    * positional adjacency, no corpus-text verify step at all. (An
+    * earlier formulation verified candidates with an n-gram filter
+    * over `tokens(text)`; Catalyst pushed the filter below the
+    * semi-join and inlined the tokenize into the n-gram lambda —
+    * O(tokens²) per document, 14 s at sf0.1 vs <1 s for this plan.) */
+  private def phraseMatch(positional: DataFrame, words: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ts = positional.filter(col("token").isin(words: _*))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val cond = words.zipWithIndex.map { case (word, k) =>
+      if (k == 0) col("token") === word
+      else lead(col("token"), k).over(w) === word &&
+        lead(col("pos"), k).over(w) === col("pos") + k
+    }.reduce(_ && _)
+    ts.withColumn("hit", cond)
+      .filter(col("hit"))
+      .select("doc_id").distinct()
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of `rankedSearch` — per-term partials summed in
+    * FIXED term order on both engines: each (doc, term) contributes
+    * exactly one product, and a plain sum() would add in
+    * engine-dependent order — double addition is non-associative, and a
+    * last-ULP difference can flip the 1e-6 rounding boundary (the tx08
+    * failure class). */
+  private def rankedSql(terms: Seq[String]): String = {
+    val termList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    val partials = terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN td.token = '$t' THEN CAST(td.cnt AS DOUBLE)\n" +
+        s"         |      * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) END) AS s$i"
+    }.mkString(",\n         |    ")
+    val total = terms.indices.map(i => s"coalesce(s$i, 0.0)").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+       |  FROM documents),
+       |td AS (SELECT doc_id, token, count(*) AS cnt FROM tok WHERE token <> ''
+       |       GROUP BY doc_id, token),
+       |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM td
+       |       WHERE token IN $termList GROUP BY token),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT td.doc_id,
+       |    $partials
+       |  FROM td JOIN df ON td.token = df.token CROSS JOIN n
+       |  GROUP BY td.doc_id)
+       |SELECT doc_id, round($total, 6) AS score FROM scored
+       |ORDER BY score DESC, doc_id
+       |LIMIT 10""".stripMargin
+  }
+
+  /** TF-IDF ranked retrieval through a term-doc index: only postings of
+    * the query terms participate (index prune); df is an aggregate over
+    * the pruned term set and `nDocs` is a one-row (n_docs) frame — the
+    * corpus count for tx17, the saved stats artifact for tx19 (so the
+    * served query never touches the raw corpus). Deterministic:
+    * duckRound'd score with per-term FIXED-ORDER partials + doc_id
+    * tiebreak. */
+  private def rankedSearch(index: DataFrame, terms: Seq[String],
+                           nDocs: DataFrame): DataFrame = {
+    val td = index.filter(col("token").isin(terms: _*))
+    // df over (doc, token) rows == distinct docs per term (see tx03)
+    val df = td.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = nDocs
+    val prod = col("cnt").cast("double") *
+      log(col("n_docs").cast("double") / col("df").cast("double"))
+    val partialCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("token") === t, prod)).as(s"s$i")
+    }
+    val total = terms.indices
+      .map(i => coalesce(col(s"s$i"), lit(0.0)))
+      .reduce(_ + _)
+    td.join(broadcast(df), "token").crossJoin(broadcast(n))
+      .groupBy("doc_id")
+      .agg(partialCols.head, partialCols.tail: _*)
+      .select(col("doc_id"), duckRound(total, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
 
   val qs: Seq[Q] = Seq(
 
@@ -355,91 +485,44 @@ object Text {
     //     reference builds its index for. Candidate docs come from the
     //     term-posting intersection (every phrase word present), and
     //     only candidates get the exact adjacency check — at 100 TB
-    //     the contains() scan touches the pruned candidate set, not
-    //     the corpus. ---
-    Q("tx16_phrase_search", {
-      // The oracle encodes the ENGINE's semantics exactly: every phrase
-      // word present as a whole token (the index-prune condition) AND
-      // the raw adjacency. A substring-only oracle would also match
-      // mid-token hits ('donkey agg') the token index can never see.
-      val phrase = "key agg"
-      s"""SELECT doc_id FROM documents
-         |WHERE contains(lower(text), '$phrase')
-         |  AND list_contains(list_filter(string_split_regex(lower(text), '\\s+'),
-         |        t -> t <> ''), 'key')
-         |  AND list_contains(list_filter(string_split_regex(lower(text), '\\s+'),
-         |        t -> t <> ''), 'agg')
-         |ORDER BY doc_id""".stripMargin
-    }) { (s, dir) =>
-      val phrase = "key agg"
-      val words = phrase.split(" ").toSeq
-      // one pass over the term-doc index: docs matching ALL words
-      val cand = termDoc(s, dir)
-        .filter(col("token").isin(words: _*))
-        .groupBy("doc_id")
-        .agg(countDistinct(col("token")).as("hits"))
-        .filter(col("hits") === words.size)
-        .select("doc_id")
-      docs(s, dir)
-        .join(cand, Seq("doc_id"), "left_semi")
-        .filter(lower(col("text")).contains(phrase))
-        .select("doc_id")
-        .orderBy("doc_id")
+    //     the adjacency scan touches the pruned candidate set, not
+    //     the corpus. tx18 is the same search served from the SAVED
+    //     index artifact instead of a fresh tokenize. ---
+    Q("tx16_phrase_search", phraseSql(Phrase)) { (s, dir) =>
+      phraseMatch(positionalStream(s, dir), Phrase.split(" ").toSeq)
     },
 
-    // --- Ranked retrieval: TF-IDF-scored multi-term search, top 10.
-    //     Only postings of the query terms participate (index prune);
-    //     df/n_docs are corpus aggregates over the pruned term set.
-    //     Deterministic: duckRound'd score + doc_id tiebreak. ---
-    Q("tx17_ranked_search", {
-      // per-term partials summed in FIXED term order on both engines:
-      // each (doc, term) contributes exactly one product, and a plain
-      // sum() would add them in engine-dependent order — double
-      // addition is non-associative, and a last-ULP difference can
-      // flip the 1e-6 rounding boundary (the tx08 failure class)
-      val terms = Seq("table", "window", "stream")
-      val termList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
-      val partials = terms.zipWithIndex.map { case (t, i) =>
-        s"sum(CASE WHEN td.token = '$t' THEN CAST(td.cnt AS DOUBLE)\n" +
-          s"         |      * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) END) AS s$i"
-      }.mkString(",\n         |    ")
-      val total = terms.indices.map(i => s"coalesce(s$i, 0.0)").mkString(" + ")
-      s"""WITH tok AS (
-         |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
-         |  FROM documents),
-         |td AS (SELECT doc_id, token, count(*) AS cnt FROM tok WHERE token <> ''
-         |       GROUP BY doc_id, token),
-         |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM td
-         |       WHERE token IN $termList GROUP BY token),
-         |n AS (SELECT count(*) AS n_docs FROM documents),
-         |scored AS (
-         |  SELECT td.doc_id,
-         |    $partials
-         |  FROM td JOIN df ON td.token = df.token CROSS JOIN n
-         |  GROUP BY td.doc_id)
-         |SELECT doc_id, round($total, 6) AS score FROM scored
-         |ORDER BY score DESC, doc_id
-         |LIMIT 10""".stripMargin
-    }) { (s, dir) =>
-      val terms = Seq("table", "window", "stream")
-      val td = termDoc(s, dir).filter(col("token").isin(terms: _*))
-      // df over (doc, token) rows == distinct docs per term (see tx03)
-      val df = td.groupBy("token").agg(count(lit(1)).as("df"))
-      val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
-      val prod = col("cnt").cast("double") *
-        log(col("n_docs").cast("double") / col("df").cast("double"))
-      val partialCols = terms.zipWithIndex.map { case (t, i) =>
-        sum(when(col("token") === t, prod)).as(s"s$i")
-      }
-      val total = terms.indices
-        .map(i => coalesce(col(s"s$i"), lit(0.0)))
-        .reduce(_ + _)
-      td.join(broadcast(df), "token").crossJoin(broadcast(n))
-        .groupBy("doc_id")
-        .agg(partialCols.head, partialCols.tail: _*)
-        .select(col("doc_id"), duckRound(total, 6).as("score"))
-        .orderBy(col("score").desc, col("doc_id"))
-        .limit(10)
+    // --- Ranked retrieval: TF-IDF-scored multi-term search, top 10,
+    //     through a fresh tokenize. tx19 is the same search served from
+    //     the SAVED index artifact. ---
+    Q("tx17_ranked_search", rankedSql(RankTerms)) { (s, dir) =>
+      rankedSearch(termDoc(s, dir), RankTerms,
+        docs(s, dir).agg(count(lit(1)).as("n_docs")))
+    },
+
+    // --- The reference's build-once/query-many contract: tx18/tx19 are
+    //     tx16/tx17 SERVED ENTIRELY FROM THE MATERIALIZED INDEX (a
+    //     saved positional-postings table bucketed+sorted by token plus
+    //     a corpus-stats side table, graft.index.IndexStore) — the
+    //     served plans never scan the raw corpus at all
+    //     (PlanSpec-guarded): phrase adjacency resolves from stored
+    //     positions, n_docs from the stats artifact. Same oracles as
+    //     tx16/tx17: serving from the artifact must be
+    //     result-identical to recomputing. ---
+    Q("tx18_phrase_from_index", phraseSql(Phrase)) { (s, dir) =>
+      val words = Phrase.split(" ").toSeq
+      // prune to the phrase words on the bucketed scan, THEN explode
+      // the stored positions back into the positional stream
+      val positional = graft.index.IndexStore.termDoc(s, dir)
+        .filter(col("token").isin(words: _*))
+        .select(col("doc_id"), col("token"),
+          explode(col("positions")).as("pos"))
+      phraseMatch(positional, words)
+    },
+
+    Q("tx19_ranked_from_index", rankedSql(RankTerms)) { (s, dir) =>
+      rankedSearch(graft.index.IndexStore.termDoc(s, dir), RankTerms,
+        graft.index.IndexStore.docStats(s, dir))
     },
 
     // --- Repetition signals (Gopher-style quality filters): duplicate

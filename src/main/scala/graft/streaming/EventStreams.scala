@@ -46,9 +46,9 @@ object EventStreams {
       .agg(count(lit(1)).as("n"),
         graft.functions.ParityFunctions.duckRound(sum(col("value")), 2)
           .as("total_value"))
-  }
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
+  }
 
   /** Streaming variant: 2-hour watermark tolerates late events while
     * keeping state bounded. */

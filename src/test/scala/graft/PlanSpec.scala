@@ -96,6 +96,37 @@ class PlanSpec extends AnyFunSuite {
       s"q27 shuffle count changed:\n$p")
   }
 
+  test("tx18/tx19: served entirely from the index artifact (no corpus scan)") {
+    for (q <- Seq("tx18_phrase_from_index", "tx19_ranked_from_index")) {
+      val p = plan(q)
+      assert(p.contains("Bucketed: true"),
+        s"$q must read the bucketed index table:\n$p")
+      // build-once/serve-many: the served plan must not touch the raw
+      // corpus at all — phrase positions and n_docs both come from the
+      // saved artifacts
+      assert(!p.contains("documents"), s"$q scans the raw corpus:\n$p")
+    }
+  }
+
+  test("sm03/sm04: coarse-quantizer assignment is a shuffle-free projection") {
+    import org.apache.spark.sql.functions._
+    val e = tables.load(spark, dir, "embeddings")
+    val cents = (0L until 8L).map(c =>
+      (c, Seq.tabulate(64)(d => (c * 64 + d) * 0.001)))
+    // both the corpus assignment (keep=1, array_min) and the probe cell
+    // selection (keep=2, sorted slice + explode) must plan as pure
+    // projections — the round-2 crossJoin+row_number formulation
+    // shuffled 8× the corpus for this argmin (VERDICT r2 finding #1)
+    for (keep <- Seq(1, 2)) {
+      val p = graft.queries.Similarity.nearestCells(
+        e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+        cents, keep).queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"assignment (keep=$keep) shuffles:\n$p")
+      assert(!p.contains("Window"), s"assignment (keep=$keep) windows:\n$p")
+      assert(!p.contains("Join"), s"assignment (keep=$keep) joins:\n$p")
+    }
+  }
+
   test("sm01: probe side is broadcast (corpus scan stays shuffle-free)") {
     val p = plan("sm01_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
