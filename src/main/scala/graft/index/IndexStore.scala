@@ -32,8 +32,12 @@ object IndexStore {
   // (Verify runs tx18 then tx19) reuse the artifact
   private val built = scala.collection.concurrent.TrieMap.empty[String, Unit]
 
+  /** Collision-resistant per-corpus table tag: a 32-bit `hashCode`
+    * would let two distinct corpus dirs silently share one table. */
   private def tag(dir: String): String =
-    math.abs(dir.hashCode).toHexString
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
 
   /** Replace table `name` with `df`. Each JVM gets a fresh derby
     * metastore but SHARES the warehouse dir: a previous run may have

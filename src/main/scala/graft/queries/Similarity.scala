@@ -138,6 +138,14 @@ object Similarity {
     * order (non-associative), so Spark and the DuckDB oracle could
     * diverge in the last ULP and flip a nearest-centroid tie. The 2^-20
     * quantization of the means costs nothing at ANN-recall granularity.
+    *
+    * Overflow safety: the per-term magnitude is ≤ max|x|·2^20, so a
+    * 64-bit accumulator would wrap (silently, on Spark) once
+    * |members|·max|x| exceeds 2^43 — reachable for a hot cell at the
+    * 100 TB design point. Both engines therefore accumulate WIDE:
+    * Spark sums `decimal(38,0)` (exact to 10^38), DuckDB sums BIGINT
+    * natively as HUGEINT (exact to 2^127); each converts the exact
+    * integer to double once, at the end, giving identical means.
     */
   private val TrainMod = 4 // deterministic training sample: vec_id % 4 = 0
   private val LloydIters = 2
@@ -153,7 +161,7 @@ object Similarity {
       .select(col("cid"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
       .groupBy("cid", "pos")
-      .agg(sum(floor(col("x") * QScale.toDouble)).as("s"),
+      .agg(sum(floor(col("x") * QScale.toDouble).cast("decimal(38,0)")).as("s"),
         count(lit(1)).as("n"))
       .select(col("cid"), col("pos"),
         (col("s").cast("double") / (col("n") * QScale).cast("double"))
@@ -184,7 +192,7 @@ object Similarity {
        |cent$i AS (
        |  SELECT cid, list(comp ORDER BY pos) AS ce FROM (
        |    SELECT cid, pos,
-       |      CAST(CAST(sum(xi) AS BIGINT) AS DOUBLE)
+       |      CAST(sum(xi) AS DOUBLE)
        |        / CAST(count(*) * $QScale AS DOUBLE) AS comp
        |    FROM x$i GROUP BY cid, pos)
        |  GROUP BY cid)"""

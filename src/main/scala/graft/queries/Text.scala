@@ -61,10 +61,15 @@ object Text {
     * the phrase matches iff its words appear as consecutive tokens
     * (occurrence k at pos0 + k), never a raw substring ('donkey agg'
     * or a mid-token hit cannot match). */
+  /** SQL string literal with quotes escaped — the phrase/term constants
+    * are token-shaped today, but a future term containing `'` must break
+    * loudly in the query, not silently corrupt the generated oracle. */
+  private def sqlLit(t: String): String = "'" + t.replace("'", "''") + "'"
+
   private def phraseSql(phrase: String): String = {
     val words = phrase.split(" ").toSeq
     val joins = words.zipWithIndex.tail.map { case (wd, k) =>
-      s"JOIN tok w$k ON w$k.doc_id = w0.doc_id AND w$k.pos = w0.pos + $k AND w$k.token = '$wd'"
+      s"JOIN tok w$k ON w$k.doc_id = w0.doc_id AND w$k.pos = w0.pos + $k AND w$k.token = ${sqlLit(wd)}"
     }.mkString("\n       |  ")
     s"""WITH tk AS (
        |  SELECT doc_id,
@@ -78,7 +83,7 @@ object Text {
        |  SELECT DISTINCT w0.doc_id
        |  FROM tok w0
        |  $joins
-       |  WHERE w0.token = '${words.head}')
+       |  WHERE w0.token = ${sqlLit(words.head)})
        |SELECT doc_id FROM hit ORDER BY doc_id""".stripMargin
   }
 
@@ -113,9 +118,9 @@ object Text {
     * last-ULP difference can flip the 1e-6 rounding boundary (the tx08
     * failure class). */
   private def rankedSql(terms: Seq[String]): String = {
-    val termList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    val termList = terms.map(sqlLit).mkString("(", ", ", ")")
     val partials = terms.zipWithIndex.map { case (t, i) =>
-      s"sum(CASE WHEN td.token = '$t' THEN CAST(td.cnt AS DOUBLE)\n" +
+      s"sum(CASE WHEN td.token = ${sqlLit(t)} THEN CAST(td.cnt AS DOUBLE)\n" +
         s"         |      * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) END) AS s$i"
     }.mkString(",\n         |    ")
     val total = terms.indices.map(i => s"coalesce(s$i, 0.0)").mkString(" + ")

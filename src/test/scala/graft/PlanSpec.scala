@@ -103,8 +103,13 @@ class PlanSpec extends AnyFunSuite {
         s"$q must read the bucketed index table:\n$p")
       // build-once/serve-many: the served plan must not touch the raw
       // corpus at all — phrase positions and n_docs both come from the
-      // saved artifacts
-      assert(!p.contains("documents"), s"$q scans the raw corpus:\n$p")
+      // saved artifacts. Anchor the check to scan-node Location lines
+      // (a raw substring over the whole plan would trip on any
+      // warehouse/temp path that merely contains "documents").
+      val scanLocs = "Location:[^\\n]*".r.findAllIn(p).toSeq
+      assert(scanLocs.nonEmpty, s"$q plan has no scan Location lines:\n$p")
+      assert(!scanLocs.exists(_.contains("documents")),
+        s"$q scans the raw corpus: ${scanLocs.mkString("; ")}")
     }
   }
 
