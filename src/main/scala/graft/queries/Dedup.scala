@@ -52,6 +52,101 @@ object Dedup {
   private def mhA(i: Int): Int = 29 + 37 * i
   private def mhB(i: Int): Int = 11 + 17 * i
 
+  /** Shared DuckDB CTE chain ending in `scored(doc_a, doc_b, j)` — the
+    * MinHash-banded candidate pairs with exact (unrounded) Jaccard.
+    * dd03 selects the report off it; dd06 feeds it into the
+    * connected-components oracle. */
+  private def minhashScoredCtes: String = {
+    val mhAggs = (0 until NumHashes)
+      .map(i => s"min((hm * ${mhA(i)} + ${mhB(i)}) % $P) AS mh$i")
+      .mkString(",\n         |    ")
+    val bandSelects = (0 until NumHashes / BandRows)
+      .map(b => s"SELECT doc_id, $b AS band, mh${2 * b} || '|' || mh${2 * b + 1} AS key FROM sigs")
+      .mkString("\n         |  UNION ALL ")
+    s"""sh AS ($DuckShingles),
+       |hashed AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % $P AS hm
+       |  FROM sh),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $mhAggs,
+       |    count(*) AS sz
+       |  FROM hashed GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+       |  FROM cand c
+       |  JOIN sh x ON x.doc_id = c.doc_a
+       |  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+       |  GROUP BY c.doc_a, c.doc_b),
+       |scored AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS j
+       |  FROM inter
+       |  JOIN sigs sa ON sa.doc_id = doc_a
+       |  JOIN sigs sb ON sb.doc_id = doc_b)"""
+  }
+
+  /** Verified MinHash near-dup pairs `(doc_a, doc_b, jaccard)` — dd03's
+    * full chain: one digest per shingle, 12 universal-hash mins + set
+    * size in ONE aggregation pass, banded equi-join candidates, exact
+    * Jaccard verify on candidates only. `jaccard` is the raw double
+    * (dd03 rounds for its report; dd06 only consumes the pair).
+    *
+    * Spark does NOT dedupe identical sub-plans across self-joins:
+    * without persist, this chain scans + re-shingles the corpus SIX
+    * times (bands×2, inter×2, sizes×2 — verified via explain).
+    * Materialize the two reused intermediates instead: `sh` is the
+    * shingle table (corpus-scale, disk-spillable — the standard
+    * materialization step of a near-dup pipeline) and `sigs` is one
+    * short row per document.
+    */
+  private def minhashVerified(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sh = shingled(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val hashed = sh.select(col("doc_id"),
+      (conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % P)
+        .as("hm"))
+    val aggCols = (0 until NumHashes).map(i =>
+      min((col("hm") * mhA(i) + mhB(i)) % P).as(s"mh$i")) :+
+      count(lit(1)).as("sz")
+    val sigs = hashed.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = graft.operators.Banding.candidatePairs(sigs, "doc_id",
+      (0 until NumHashes / BandRows).map(b =>
+        lit(b) -> concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))))
+      .withColumnRenamed("doc_id_a", "doc_a")
+      .withColumnRenamed("doc_id_b", "doc_b")
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val sizes = sigs.select(col("doc_id"), col("sz"))
+    val j = col("inter").cast("double") /
+      (col("sa.sz") + col("sb.sz") - col("inter")).cast("double")
+    inter
+      .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
+      .withColumn("jaccard", j)
+      .filter(col("jaccard") >= 0.4)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Convergence cap for dd06's min-id propagation: rounds needed =
+    * max component DIAMETER, and near-dup clusters are shallow (dense
+    * clumps around a shared template, not long chains). A graph that
+    * hasn't converged by here is a modeling surprise — fail loudly
+    * rather than emit a silently-wrong surviving corpus. (For
+    * adversarial long-chain graphs the O(log n) alternative is
+    * star-contraction — same join/agg primitives, more bookkeeping.) */
+  private val MaxCcRounds = 20
+
   val qs: Seq[Q] = Seq(
 
     // --- Exact dedup: content hash → keep lowest doc_id per group ---
@@ -121,81 +216,55 @@ object Dedup {
 
     // --- MinHash + LSH banding: signature → band keys → equi-join
     //     candidates → exact Jaccard verify on candidates only ---
-    Q("dd03_minhash_lsh", {
-      val mhAggs = (0 until NumHashes)
-        .map(i => s"min((hm * ${mhA(i)} + ${mhB(i)}) % $P) AS mh$i")
-        .mkString(",\n         |    ")
-      val bandSelects = (0 until NumHashes / BandRows)
-        .map(b => s"SELECT doc_id, $b AS band, mh${2 * b} || '|' || mh${2 * b + 1} AS key FROM sigs")
-        .mkString("\n         |  UNION ALL ")
-      s"""WITH sh AS ($DuckShingles),
-         |hashed AS (
-         |  SELECT doc_id,
-         |    CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % $P AS hm
-         |  FROM sh),
-         |sigs AS (
-         |  SELECT doc_id,
-         |    $mhAggs,
-         |    count(*) AS sz
-         |  FROM hashed GROUP BY doc_id),
-         |bands AS (
-         |  $bandSelects),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-         |inter AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
-         |  FROM cand c
-         |  JOIN sh x ON x.doc_id = c.doc_a
-         |  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
-         |  GROUP BY c.doc_a, c.doc_b)
-         |SELECT doc_a, doc_b,
-         |  round(CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
-         |FROM inter
-         |JOIN sigs sa ON sa.doc_id = doc_a
-         |JOIN sigs sb ON sb.doc_id = doc_b
-         |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.4
-         |ORDER BY doc_a, doc_b"""
-    }) { (s, dir) =>
-      // Spark does NOT dedupe identical sub-plans across self-joins:
-      // without persist, this query scans + re-shingles the corpus SIX
-      // times (bands×2, inter×2, sizes×2 — verified via explain).
-      // Materialize the two reused intermediates instead: `sh` is the
-      // shingle table (corpus-scale, disk-spillable — the standard
-      // materialization step of a near-dup pipeline) and `sigs` is one
-      // short row per document.
-      import org.apache.spark.storage.StorageLevel
-      val sh = shingled(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
-      // One digest per shingle → 60-bit int; 12 universal-hash mins and
-      // the shingle-set size all in ONE aggregation pass (the reference
-      // of this shape would take 2 passes + 12 digests).
-      val hashed = sh.select(col("doc_id"),
-        (conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % P)
-          .as("hm"))
-      val aggCols = (0 until NumHashes).map(i =>
-        min((col("hm") * mhA(i) + mhB(i)) % P).as(s"mh$i")) :+
-        count(lit(1)).as("sz")
-      val sigs = hashed.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val cand = graft.operators.Banding.candidatePairs(sigs, "doc_id",
-        (0 until NumHashes / BandRows).map(b =>
-          lit(b) -> concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))))
-        .withColumnRenamed("doc_id_a", "doc_a")
-        .withColumnRenamed("doc_id_b", "doc_b")
-      val inter = cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      val sizes = sigs.select(col("doc_id"), col("sz"))
-      val j = col("inter").cast("double") /
-        (col("sa.sz") + col("sb.sz") - col("inter")).cast("double")
-      inter
-        .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
-        .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
-        .filter(j >= 0.4)
-        .select(col("doc_a"), col("doc_b"), duckRound(j, 6).as("jaccard"))
+    Q("dd03_minhash_lsh",
+      s"""WITH $minhashScoredCtes
+         |SELECT doc_a, doc_b, round(j, 6) AS jaccard
+         |FROM scored WHERE j >= 0.4
+         |ORDER BY doc_a, doc_b""") { (s, dir) =>
+      minhashVerified(s, dir)
+        .select(col("doc_a"), col("doc_b"),
+          duckRound(col("jaccard"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")
+    },
+
+    // --- The near-dup dedup ACTION: connected components over the
+    //     MinHash near-dup pairs (a ~ b ~ c must collapse to ONE
+    //     survivor even when (a, c) never met in a band), then keep the
+    //     min doc_id per component — what a real pipeline runs after
+    //     dd03's report. Min-id label propagation: each round is one
+    //     shuffle join + partial-agg min; rounds = max component
+    //     diameter (shallow for near-dup clumps), every round fully
+    //     distributed — no driver-side graph. ---
+    Q("dd06_near_dup_components",
+      s"""WITH RECURSIVE $minhashScoredCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM scored WHERE j >= 0.4),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT DISTINCT src AS node, src AS r FROM edges
+         |  UNION
+         |  SELECT e.dst AS node, r.r FROM reach r JOIN edges e ON e.src = r.node),
+         |comp AS (SELECT node, CAST(min(r) AS BIGINT) AS root
+         |         FROM reach GROUP BY node)
+         |SELECT d.doc_id, d.lang, d.n_chars
+         |FROM documents d
+         |LEFT JOIN comp c ON c.node = d.doc_id
+         |WHERE c.root IS NULL OR c.root = d.doc_id
+         |ORDER BY d.doc_id""") { (s, dir) =>
+      import org.apache.spark.storage.StorageLevel
+      val pairs = minhashVerified(s, dir).select("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val labels =
+        graft.operators.ConnectedComponents.minLabel(pairs, MaxCcRounds)
+      // survivors: every doc outside the near-dup graph, plus the min
+      // doc_id of each component
+      docs(s, dir)
+        .join(labels, col("doc_id") === col("node"), "left")
+        .filter(col("root").isNull || col("root") === col("doc_id"))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
     },
 
     // --- SimHash near-dup: 32-bit signature, banded candidates

@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.ConnectedComponents
+
+/** The dedup-collapse operator behind dd06: min-id label propagation
+  * must find TRUE components (transitive closure), not just the pairs
+  * that happened to share an LSH band.
+  */
+class ConnectedComponentsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def labelsOf(pairs: Seq[(Long, Long)],
+                       maxRounds: Int = 20): Map[Long, Long] =
+    ConnectedComponents
+      .minLabel(pairs.toDF("a", "b"), maxRounds)
+      .as[(Long, Long)].collect().toMap
+
+  test("chain collapses transitively to the min id") {
+    // 5 ~ 4 ~ 3 ~ 2 ~ 1 but no direct (5, 1) edge — diameter 4
+    val m = labelsOf(Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)))
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("disjoint components keep distinct roots; cycles terminate") {
+    val m = labelsOf(Seq(
+      (7L, 9L), (9L, 8L), (8L, 7L), // a cycle
+      (20L, 30L)))                  // a separate component
+    assert(m == Map(7L -> 7L, 8L -> 7L, 9L -> 7L, 20L -> 20L, 30L -> 20L))
+  }
+
+  test("edge orientation does not matter") {
+    val m = labelsOf(Seq((1L, 10L), (11L, 10L))) // min id on the 'a' side once
+    assert(m == Map(1L -> 1L, 10L -> 1L, 11L -> 1L))
+  }
+
+  test("non-convergence fails loudly instead of mislabeling") {
+    // diameter 3 cannot converge in 1 round
+    val e = intercept[IllegalArgumentException] {
+      labelsOf(Seq((4L, 3L), (3L, 2L), (2L, 1L)), maxRounds = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+}
