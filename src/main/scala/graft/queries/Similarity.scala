@@ -47,6 +47,68 @@ object Similarity {
 
   private val SigBits = 16
   private val BandBytes = 2 // two 8-bit bands over the 16-bit signature
+  private val NearDupCos = 0.4 // dd07 near-dup threshold (corpus-calibrated)
+
+  /** Shared DuckDB CTE chain ending in `scored(vec_a, vec_b, c)` — the
+    * hyperplane-LSH banded candidate pairs with exact (unrounded)
+    * cosine. sm02 selects its report off it; dd07 feeds it into the
+    * connected-components dedup oracle. */
+  private def hyperplaneScoredCtes: String = {
+    val sigTerms = (0 until SigBits)
+      .map(p => s"(CASE WHEN ${planeDotSql("embedding", p)} >= 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString("\n         |      + ")
+    val cos = cosineSql("ea.embedding", "eb.embedding")
+    s"""sigs AS (
+       |  SELECT vec_id, CAST(
+       |        $sigTerms AS BIGINT) AS sig
+       |  FROM embeddings),
+       |bands AS (
+       |  SELECT vec_id, sig, band, (sig >> (band * 8)) & 255 AS key
+       |  FROM sigs CROSS JOIN (SELECT unnest([0, 1]) AS band)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT c.vec_a, c.vec_b, $cos AS c
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.vec_a
+       |  JOIN embeddings eb ON eb.vec_id = c.vec_b)"""
+  }
+
+  /** Hyperplane-LSH candidate pairs with raw cosine `(vec_a, vec_b,
+    * cos)` — sm02's chain: codegen'd fused signature, band equi-join
+    * candidates (never all-pairs), cosine verified on candidates only
+    * with per-side precomputed norms and the cosine evaluated once
+    * (withColumn) instead of per filter + per projection.
+    */
+  private def hyperplaneScored(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val e = emb(s, dir)
+    // dim=64 (FIXTURES.md): constant-literal hyperplanes, one
+    // zip_with+fold per bit instead of per-row plane generation.
+    // persist: the band self-join reuses sigs on both sides.
+    val sigs = e.select(col("vec_id"),
+      hyperplaneSignature(col("embedding"), SigBits, 64).cast("long").as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = graft.operators.Banding.candidatePairs(sigs, "vec_id",
+      (0 until BandBytes).map(band =>
+        lit(band) -> shiftright(col("sig"), band * 8).bitwiseAND(lit(255L))))
+      .withColumnRenamed("vec_id_a", "vec_a")
+      .withColumnRenamed("vec_id_b", "vec_b")
+    // not persisted: same float-array cache tax as sm01 — two scans
+    // of the (small) embeddings table win
+    val en = e.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
+    val n = col("na") * col("nb")
+    cand
+      .join(en.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
+        col("nrm").as("na")), Seq("vec_a"))
+      .join(en.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
+        col("nrm").as("nb")), Seq("vec_b"))
+      .withColumn("cos", when(n === 0.0, lit(0.0))
+        .otherwise(dot(col("va"), col("vb")) / n))
+  }
 
   /** DuckDB mirror of VectorFunctions.l2DistanceSq. */
   private def l2SqSql(a: String, b: String): String =
@@ -253,60 +315,53 @@ object Similarity {
     },
 
     // --- Hyperplane-LSH ANN: banded candidates → cosine verify ---
-    Q("sm02_ann_hyperplane", {
-      val sigTerms = (0 until SigBits)
-        .map(p => s"(CASE WHEN ${planeDotSql("embedding", p)} >= 0 THEN ${1L << p} ELSE 0 END)")
-        .mkString("\n         |      + ")
-      val cos = cosineSql("ea.embedding", "eb.embedding")
-      s"""WITH sigs AS (
-         |  SELECT vec_id, CAST(
-         |        $sigTerms AS BIGINT) AS sig
-         |  FROM embeddings),
-         |bands AS (
-         |  SELECT vec_id, sig, band, (sig >> (band * 8)) & 255 AS key
-         |  FROM sigs CROSS JOIN (SELECT unnest([0, 1]) AS band)),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
-         |SELECT c.vec_a, c.vec_b, round($cos, 6) AS cosine
-         |FROM cand c
-         |JOIN embeddings ea ON ea.vec_id = c.vec_a
-         |JOIN embeddings eb ON eb.vec_id = c.vec_b
-         |WHERE $cos >= 0.25
-         |ORDER BY vec_a, vec_b"""
-    }) { (s, dir) =>
-      import org.apache.spark.storage.StorageLevel
-      val e = emb(s, dir)
-      // dim=64 (FIXTURES.md): constant-literal hyperplanes, one
-      // zip_with+fold per bit instead of per-row plane generation.
-      // persist: the band self-join reuses sigs on both sides.
-      val sigs = e.select(col("vec_id"),
-        hyperplaneSignature(col("embedding"), SigBits, 64).cast("long").as("sig"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val cand = graft.operators.Banding.candidatePairs(sigs, "vec_id",
-        (0 until BandBytes).map(band =>
-          lit(band) -> shiftright(col("sig"), band * 8).bitwiseAND(lit(255L))))
-        .withColumnRenamed("vec_id_a", "vec_a")
-        .withColumnRenamed("vec_id_b", "vec_b")
-      // Verify on candidates only, with per-side precomputed norms and
-      // the cosine evaluated once (withColumn) instead of per filter +
-      // per projection.
-      // not persisted: same float-array cache tax as sm01 — two scans
-      // of the (small) embeddings table win
-      val en = e.select(col("vec_id"), col("embedding"),
-        l2Norm(col("embedding")).as("nrm"))
-      val n = col("na") * col("nb")
-      cand
-        .join(en.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
-          col("nrm").as("na")), Seq("vec_a"))
-        .join(en.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
-          col("nrm").as("nb")), Seq("vec_b"))
-        .withColumn("cos", when(n === 0.0, lit(0.0))
-          .otherwise(dot(col("va"), col("vb")) / n))
+    Q("sm02_ann_hyperplane",
+      s"""WITH $hyperplaneScoredCtes
+         |SELECT vec_a, vec_b, round(c, 6) AS cosine
+         |FROM scored WHERE c >= 0.25
+         |ORDER BY vec_a, vec_b""") { (s, dir) =>
+      hyperplaneScored(s, dir)
         .filter(col("cos") >= 0.25)
         .select(col("vec_a"), col("vec_b"), duckRound(col("cos"), 6).as("cosine"))
         .orderBy("vec_a", "vec_b")
+    },
+
+    // --- Embedding-cosine near-dup dedup ACTION: the same LSH-banded
+    //     candidate pairs, thresholded as "near-duplicate", collapsed
+    //     with connected components (a ~ b ~ c keeps exactly one
+    //     vector), emitting the surviving embedding set. The 0.4
+    //     threshold is calibrated to this corpus (max candidate cosine
+    //     0.47 — the synthetic vectors have no true clones); the
+    //     operator shape is threshold-independent. ---
+    Q("dd07_embedding_neardup",
+      s"""WITH RECURSIVE $hyperplaneScoredCtes,
+         |pairs AS (SELECT vec_a, vec_b FROM scored WHERE c >= $NearDupCos),
+         |edges AS (
+         |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT vec_b, vec_a FROM pairs),
+         |reach AS (
+         |  SELECT DISTINCT src AS node, src AS r FROM edges
+         |  UNION
+         |  SELECT e.dst AS node, r.r FROM reach r JOIN edges e ON e.src = r.node),
+         |comp AS (SELECT node, CAST(min(r) AS BIGINT) AS root
+         |         FROM reach GROUP BY node)
+         |SELECT e.vec_id, e.label
+         |FROM embeddings e
+         |LEFT JOIN comp c ON c.node = e.vec_id
+         |WHERE c.root IS NULL OR c.root = e.vec_id
+         |ORDER BY vec_id""") { (s, dir) =>
+      import org.apache.spark.storage.StorageLevel
+      val pairs = hyperplaneScored(s, dir)
+        .filter(col("cos") >= NearDupCos)
+        .select("vec_a", "vec_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val labels = graft.operators.ConnectedComponents.minLabel(pairs)
+      emb(s, dir)
+        .join(labels, col("vec_id") === col("node"), "left")
+        .filter(col("root").isNull || col("root") === col("vec_id"))
+        .select("vec_id", "label")
+        .orderBy("vec_id")
     },
 
     // --- IVF-style ANN: coarse cell assignment (shuffle-free argmin
