@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.operators.Banding
+
+/** Pins the pigeonhole/banding guarantees the LSH scale story rests on
+  * (VERDICT r2 #7): `candidatePairs` must emit EXACTLY the pairs that
+  * share a band, and byte-banding a 32-bit SimHash must therefore catch
+  * EVERY pair within hamming distance 3 — the completeness dd04's
+  * "never O(n²)" claim depends on.
+  */
+class BandingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def gen[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  test("simhash byte bands: complete for hamming <= 3, sound for band-sharing") {
+    // 40 random 32-bit signatures + a <=3-bit-flipped twin of each:
+    // guaranteed hamming<=3 pairs plus whatever collides by chance
+    val bases = gen(Gen.listOfN(40, Gen.chooseNum(0L, (1L << 32) - 1)), 11L)
+    val twins = bases.zipWithIndex.map { case (s, i) =>
+      val flips = gen(Gen.listOfN(i % 4, Gen.chooseNum(0, 31)), 1000L + i)
+      flips.foldLeft(s)((acc, b) => acc ^ (1L << b))
+    }
+    val sigs = (bases ++ twins).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val out = Banding.candidatePairs(
+      sigs.toDF("id", "sig"), "id",
+      (0 until 4).map(byte =>
+        lit(byte) -> shiftright(col("sig"), byte * 8).bitwiseAND(lit(255L))))
+      .as[(Long, Long)].collect().toSet
+
+    val byId = sigs.toMap
+    def sharesByte(a: Long, b: Long): Boolean =
+      (0 until 4).exists(k => ((a >> (k * 8)) & 255) == ((b >> (k * 8)) & 255))
+    val expected = (for {
+      i <- sigs.map(_._1); j <- sigs.map(_._1) if i < j
+      if sharesByte(byId(i), byId(j))
+    } yield (i, j)).toSet
+    assert(out == expected, "banding join must emit exactly the band-sharing pairs")
+
+    val close = (for {
+      i <- sigs.map(_._1); j <- sigs.map(_._1) if i < j
+      if java.lang.Long.bitCount(byId(i) ^ byId(j)) <= 3
+    } yield (i, j)).toSet
+    assert(close.nonEmpty, "generator must produce hamming<=3 pairs")
+    assert(close.subsetOf(out),
+      s"pigeonhole violated: missing ${close.diff(out)}")
+  }
+
+  test("minhash row bands: candidates are exactly the pairs sharing a band") {
+    // 12-value signatures over a small alphabet to force band collisions
+    val sigs = gen(
+      Gen.listOfN(50, Gen.listOfN(12, Gen.chooseNum(0, 9))), 7L)
+      .zipWithIndex.map { case (mh, i) => (i.toLong, mh) }
+    val out = Banding.candidatePairs(
+      sigs.toDF("id", "mh"), "id",
+      (0 until 6).map(b =>
+        lit(b) -> concat_ws("|", col("mh")(2 * b), col("mh")(2 * b + 1))))
+      .as[(Long, Long)].collect().toSet
+
+    val byId = sigs.toMap
+    def sharesBand(a: Seq[Int], b: Seq[Int]): Boolean =
+      (0 until 6).exists(k => a(2 * k) == b(2 * k) && a(2 * k + 1) == b(2 * k + 1))
+    val expected = (for {
+      i <- sigs.map(_._1); j <- sigs.map(_._1) if i < j
+      if sharesBand(byId(i), byId(j))
+    } yield (i, j)).toSet
+    assert(expected.nonEmpty, "generator must produce band-sharing pairs")
+    assert(out == expected)
+  }
+}
