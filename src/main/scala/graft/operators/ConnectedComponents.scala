@@ -26,6 +26,30 @@ object ConnectedComponents {
     * (two columns: endpoint a, endpoint b; one row per edge, either
     * orientation) with the min node id of its component.
     *
+    * Each round does (1) a neighbor-min step and (2) a POINTER-JUMP
+    * (`root ← root(root)`) so long chains converge in O(log diameter)
+    * rounds, not O(diameter) — the one-hop-only formulation paid a
+    * full round of job latency per hop and dominated dd06/dd07 bench
+    * time. Correctness rests on the neighbor-min fixpoint alone (at a
+    * fixpoint both endpoints of every edge carry equal labels, so each
+    * component is uniformly labeled by its min id); the jump only
+    * accelerates, since any label it installs is still a node id of
+    * the same component.
+    *
+    * Convergence probe: labels are monotone non-increasing, so the
+    * label SUM is stable iff the round was a no-op — one cheap
+    * aggregation per round, instead of a diff join.
+    *
+    * Lineage: each round EAGERLY `localCheckpoint`s its result. A
+    * persist alone leaves every prior round nested inside the logical
+    * plan, so analysis/codegen cost grows per round and the plan tree
+    * eventually OOMs the driver just STRINGIFYING it (observed at
+    * round ~10 of the one-hop formulation). Checkpointing resets the
+    * plan to a constant-size `LogicalRDD` per round. (A cluster
+    * deployment wanting executor-failure tolerance for long runs
+    * would swap in reliable `checkpoint` against the checkpoint dir —
+    * same truncation, durable blocks.)
+    *
     * Returns `(node, root)` — one row per distinct endpoint. Nodes
     * outside `pairs` are absent (singleton components are the caller's
     * left-join default). Caller owns the cache lifecycle of the result
@@ -38,24 +62,28 @@ object ConnectedComponents {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("root", col("node"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // Propagate the min label one hop per round until a fixpoint. The
-    // convergence probe piggybacks on the round's materialization
-    // (isEmpty = LIMIT 1 scan of the joined diff).
+      .localCheckpoint(true)
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("root"), lit(0L))).head.getLong(0)
+    var prevSum = labelSum(labels)
     var round = 0
-    var converged = false
+    var converged = labels.isEmpty // no edges → nothing to propagate
     while (!converged && round < maxRounds) {
       val msgs = edges.join(labels, edges("src") === labels("node"))
         .select(col("dst").as("node"), col("root"))
-      val next = labels.select("node", "root").union(msgs)
+      val m1 = labels.select("node", "root").union(msgs)
         .groupBy("node").agg(min("root").as("root"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.root") =!= col("o.root"))
-        .isEmpty
-      labels.unpersist()
+      val next = m1.as("x")
+        .join(m1.as("y"), col("x.root") === col("y.node"), "left")
+        .select(col("x.node").as("node"),
+          coalesce(col("y.root"), col("x.root")).as("root"))
+        .localCheckpoint(true) // materializes the round, truncates lineage
+      m1.unpersist()
+      val newSum = labelSum(next)
       labels = next
+      converged = newSum == prevSum
+      prevSum = newSum
       round += 1
     }
     edges.unpersist()
