@@ -44,7 +44,10 @@ object Text {
   /** Positional `(doc_id, pos, token)` stream — the phrase-search input
     * and the source of the positional index artifact. */
   private[graft] def positionalStream(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"),
+    positionalStreamOf(docs(s, dir))
+
+  private[graft] def positionalStreamOf(docsDf: DataFrame): DataFrame =
+    docsDf.select(col("doc_id"),
       posexplode(tokens(col("text"))).as(Seq("pos", "token")))
 
   /** `(doc_id, token, cnt, positions)` — the POSITIONAL postings the
@@ -52,7 +55,13 @@ object Text {
     * so phrase adjacency resolves from the index alone without ever
     * touching the corpus text again. */
   private[graft] def termDocPositional(s: SparkSession, dir: String): DataFrame =
-    positionalStream(s, dir)
+    termDocPositionalOf(docs(s, dir))
+
+  /** Same postings computed over an arbitrary `(doc_id, text, ...)`
+    * frame — the per-micro-batch path of streaming index maintenance
+    * (graft.streaming.IndexMaintenance). */
+  private[graft] def termDocPositionalOf(docsDf: DataFrame): DataFrame =
+    positionalStreamOf(docsDf)
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("cnt"),
         sort_array(collect_list(col("pos"))).as("positions"))

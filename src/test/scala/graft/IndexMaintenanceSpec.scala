@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.IndexMaintenance
+
+/** Build-once/serve-many plus REFRESH: streaming document batches
+  * appended into the saved bucketed postings table must (1) become
+  * servable — a phrase only present in a streamed doc is found via the
+  * index alone, (2) keep the table bucketed (the zero-exchange serving
+  * property), and (3) advance the stats ledger.
+  */
+class IndexMaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("streamed docs are appended to the index and become servable") {
+    import spark.implicits._
+    val td = "idx_maint_termdoc"
+    val st = "idx_maint_stats"
+    spark.sql(s"DROP TABLE IF EXISTS $td")
+    spark.sql(s"DROP TABLE IF EXISTS $st")
+
+    // initial artifact: two docs, bucketed like IndexStore's layout
+    val base = Seq((1L, "alpha beta gamma"), (2L, "beta delta"))
+      .toDF("doc_id", "text")
+    graft.queries.Text.termDocPositionalOf(base)
+      .write.bucketBy(8, "token").sortBy("token").saveAsTable(td)
+    base.groupBy().agg(count(lit(1)).as("n_docs"))
+      .withColumn("batch_id", lit(-1L)).select("batch_id", "n_docs")
+      .write.saveAsTable(st)
+
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = IndexMaintenance.maintain(
+      stream.toDF().toDF("doc_id", "text"), td, st)
+    try {
+      stream.addData((3L, "gamma epsilon zeta"), (4L, "epsilon zeta eta"))
+      q.processAllAvailable()
+      stream.addData((5L, "zeta eta theta"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // (3) ledger: 2 initial + 3 streamed
+    assert(IndexMaintenance.docCount(spark, st) == 5L)
+
+    // (1) served from the index alone: "epsilon zeta" only exists in
+    // streamed docs; adjacency from stored positions
+    val postings = spark.table(td)
+    val hits = postings.filter(col("token").isin("epsilon", "zeta"))
+      .select(col("doc_id"), col("token"), explode(col("positions")).as("pos"))
+    val e = hits.filter(col("token") === "epsilon")
+      .select(col("doc_id"), col("pos").as("p0"))
+    val z = hits.filter(col("token") === "zeta")
+      .select(col("doc_id"), col("pos").as("p1"))
+    val phraseDocs = e.join(z, Seq("doc_id"))
+      .filter(col("p1") === col("p0") + 1)
+      .select("doc_id").distinct().as[Long].collect().sorted
+    assert(phraseDocs.toSeq == Seq(3L, 4L))
+
+    // (2) appends kept the bucket layout: a by-token aggregation reads
+    // the table bucketed (no exchange below the aggregate)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = spark.table(td).groupBy("token")
+        .agg(sum("cnt").as("df"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("Bucketed: true"), s"scan not bucketed:\n$p")
+      assert(!p.contains("Exchange"), s"by-token agg re-shuffles:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+    spark.sql(s"DROP TABLE IF EXISTS $td")
+    spark.sql(s"DROP TABLE IF EXISTS $st")
+  }
+}
