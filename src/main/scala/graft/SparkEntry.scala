@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{Relational, Text, Dedup, Similarity, MultimodalQueries, Q}
+import graft.queries.{Relational, Text, Dedup, Similarity, MultimodalQueries, Pipeline, Q}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,7 @@ object SparkEntry {
   /** All registered queries, in stable declaration order. */
   val all: Seq[Q] =
     Relational.qs ++ Text.qs ++ Dedup.qs ++ Similarity.qs ++
-      MultimodalQueries.qs
+      MultimodalQueries.qs ++ Pipeline.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * tx05 = the ranked inverted index, the reference's entire capability
