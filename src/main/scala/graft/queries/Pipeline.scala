@@ -87,6 +87,52 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // --- Per-source quota capping: keep the K best documents (by
+    //     quality score) from each source — how a pipeline stops one
+    //     domain from dominating the mix. Ranks on the ROUNDED score
+    //     (both engines round identically via DuckRound semantics;
+    //     ranking raw doubles would let a last-ULP difference flip a
+    //     rank-K boundary) with doc_id tiebreak. Spark 4.1 plans the
+    //     rank filter as WindowGroupLimit: per-group top-K is bounded
+    //     BEFORE the full sort, so a giant source can't OOM a window
+    //     buffer. ---
+    Q("pl04_source_quota", {
+      val stopList = graft.queries.Text.Stop.map(sqlLit).mkString("(", ", ", ")")
+      s"""WITH t AS (SELECT doc_id, source, $DuckToks AS tk FROM documents),
+         |q AS (
+         |  SELECT doc_id, source,
+         |    round(0.4 * least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0)
+         |        + 0.3 * (CASE WHEN len(tk) = 0 THEN 0.0
+         |                 ELSE CAST(len(list_filter(tk, x -> x IN $stopList)) AS DOUBLE)
+         |                      / CAST(len(tk) AS DOUBLE) END)
+         |        + 0.3 * least((CASE WHEN len(tk) = 0 THEN 0.0
+         |                 ELSE CAST(list_sum(list_transform(tk, x -> length(x)))
+         |                           AS DOUBLE) / CAST(len(tk) AS DOUBLE) END) / 8.0, 1.0),
+         |      6) AS quality
+         |  FROM t),
+         |r AS (
+         |  SELECT doc_id, source, quality,
+         |    row_number() OVER (PARTITION BY source
+         |                       ORDER BY quality DESC, doc_id) AS rank
+         |  FROM q)
+         |SELECT doc_id, source, quality, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 10
+         |ORDER BY doc_id"""
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val q = graft.functions.ParityFunctions.duckRound(
+        qualityScoreOf(tokens(col("text")), graft.queries.Text.Stop), 6)
+      val w = Window.partitionBy("source")
+        .orderBy(col("quality").desc, col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"), col("source"), q.as("quality"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("doc_id"), col("source"), col("quality"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("doc_id")
+    },
+
     // --- Deterministic hash split + sampling: md5-bucket each doc id
     //     into train/val and flag a 10% sample — reproducible across
     //     engines AND runs (never `rand()` in a pipeline: re-runs must

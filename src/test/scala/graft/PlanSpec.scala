@@ -84,6 +84,10 @@ class PlanSpec extends AnyFunSuite {
     // window sort — the skew-proof shape tx12 relies on at scale
     assert(plan("tx12_inverted_index_topk").contains("WindowGroupLimit"),
       "tx12 lost the window-group-limit pushdown")
+    // same guarantee for the per-source quota cap: a giant source must
+    // be bounded to K rows before the window sort
+    assert(plan("pl04_source_quota").contains("WindowGroupLimit"),
+      "pl04 lost the window-group-limit pushdown")
   }
 
   test("q27: session agg partially aggregates before its one exchange") {
