@@ -569,6 +569,45 @@ object Relational {
         .orderBy("event_id")
     },
 
+    // --- Interval (range) self-join via time BINNING. Spark has no
+    //     range-join optimization: the naive `b.ts BETWEEN a.ts AND
+    //     a.ts + W` predicate plans a nested-loop join — O(n²) per
+    //     user at scale. The composed scale path: bucket time into
+    //     W-sized bins, probe side emits (bin, bin+1), equi-join on
+    //     (user_id, bin), then the exact interval filter runs on the
+    //     in-bin candidates only. Each qualifying pair matches exactly
+    //     once (the build row has ONE bin; the probe's two keys are
+    //     distinct), so no dedup shuffle. The oracle runs the naive
+    //     range join — same semantics, test-SF-only plan. ---
+    Q("q30_interval_join",
+      """SELECT a.event_id AS a_event_id, b.event_id AS b_event_id,
+        |  a.user_id,
+        |  epoch_us(b.ts) - epoch_us(a.ts) AS delta_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 10 MINUTE
+        | AND (b.ts > a.ts OR b.event_id > a.event_id)
+        |ORDER BY a_event_id, b_event_id""") { (s, dir) =>
+      val winUs = 600L * 1000000L // 10 minutes in microseconds
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("bin", expr(s"us DIV $winUs"))
+      val probe = e.select(col("event_id").as("a_event_id"),
+          col("user_id"), col("us").as("a_us"),
+          explode(array(col("bin"), col("bin") + 1)).as("bin"))
+      val build = e.select(col("event_id").as("b_event_id"),
+        col("user_id"), col("us").as("b_us"), col("bin"))
+      probe.join(build, Seq("user_id", "bin"))
+        .filter(col("b_us") >= col("a_us") &&
+          col("b_us") < col("a_us") + winUs &&
+          (col("b_us") > col("a_us") ||
+            col("b_event_id") > col("a_event_id")))
+        .select(col("a_event_id"), col("b_event_id"), col("user_id"),
+          (col("b_us") - col("a_us")).as("delta_us"))
+        .orderBy("a_event_id", "b_event_id")
+    },
+
     // --- Map functions: build a map column from aggregated entries,
     //     read it back with element_at/cardinality. Collection order
     //     doesn't matter (lookups only), so collect_list's
