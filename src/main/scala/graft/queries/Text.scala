@@ -583,6 +583,22 @@ object Text {
           duckRound(coalesce(col("top_frac"), lit(0.0)), 6).as("top_token_frac"),
           coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
         .orderBy("doc_id")
+    },
+
+    // --- Heavy hitters via a Misra–Gries typed Aggregator: an O(k)
+    //     MERGEABLE sketch per partition, merged in O(k) — frequent
+    //     tokens over 100 TB without shuffling the (token, count)
+    //     stream. Sketch contents are encounter-order-dependent, so no
+    //     cross-engine oracle (rows-only check, like q23's HLL); the
+    //     n/(k+1) error bounds are pinned by HeavyHittersSpec. ---
+    Q.noOracle("tx20_heavy_hitters") { (s, dir) =>
+      import s.implicits._
+      val sketch = tokenStream(s, dir)
+        .select(col("token").as[String])
+        .select(new graft.operators.HeavyHitters(20).toColumn.name("sketch"))
+      sketch.select(explode(col("sketch")).as("e"))
+        .select(col("e.item").as("token"), col("e.est").as("est_count"))
+        .orderBy(col("est_count").desc, col("token"))
     }
   )
 }
