@@ -63,6 +63,15 @@ class PlanSpec extends AnyFunSuite {
     for (q <- Seq("tx01_token_counts", "tx05_inverted_index"))
       assert(plan(q).contains("partial_count"),
         s"$q lost its map-side combine")
+    // pl01: the benchmark IN-filter must run map-side (before the hit
+    // aggregation's exchange) — only hit rows may shuffle
+    val p1 = plan("pl01_contamination")
+    assert(p1.contains("partial_count"), "pl01 lost its map-side combine")
+    val filterIdx = p1.indexOf("Filter")
+    val exchangeIdx = p1.indexOf("Exchange")
+    assert(filterIdx >= 0 && exchangeIdx >= 0 && filterIdx > exchangeIdx,
+      // top-down print: the Exchange appears above the Filter feeding it
+      s"pl01's n-gram filter is not below the exchange:\n$p1")
   }
 
   test("tx12: window rank bounds rows before the posting aggregation") {
