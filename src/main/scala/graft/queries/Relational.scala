@@ -569,6 +569,30 @@ object Relational {
         .orderBy("event_id")
     },
 
+    // --- Time-RANGE window frame: 30-day trailing spend per customer.
+    //     Distinct from q08's ROWS frame — the frame is defined by
+    //     VALUE distance (dates), so sparse/bursty order histories
+    //     aggregate correctly. Spark's rangeBetween needs a numeric
+    //     sort key: days-since-epoch via datediff mirrors DuckDB's
+    //     INTERVAL 29 DAY PRECEDING exactly (both inclusive, both
+    //     include same-date peers). ---
+    Q("q31_range_frame",
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 29 DAY PRECEDING AND CURRENT ROW), 2)
+        |    AS trailing_30d_spend
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""") { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(datediff(col("o_orderdate"), lit("1970-01-01")))
+        .rangeBetween(-29, 0)
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        duckRound(sum(col("o_totalprice")).over(w), 2)
+          .as("trailing_30d_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // --- Interval (range) self-join via time BINNING. Spark has no
     //     range-join optimization: the naive `b.ts BETWEEN a.ts AND
     //     a.ts + W` predicate plans a nested-loop join — O(n²) per
