@@ -19,39 +19,52 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * one-row delta is cheaper and safer than overwriting a shared
   * one-row table from inside a micro-batch.
   *
-  * Delivery caveat (documented, inherent to foreachBatch over plain
-  * parquet tables): a batch retried after a partial write could
-  * append twice. The `batch_id` column in the stats ledger makes
-  * replays detectable; a production deployment puts a transactional
-  * table format or a MERGE-capable sink under the same foreachBatch
-  * seam. Per-file compaction of the many small bucket appends is the
-  * standard operational counterpart (rewrite N appended file sets
-  * into one, same bucket spec).
+  * Delivery: the stats-ledger row doubles as the batch's COMMIT
+  * MARKER, written after the postings — `appendBatch` skips any batch
+  * whose marker already exists, so a replayed micro-batch (restart
+  * after the marker landed) is a no-op. The remaining window — crash
+  * AFTER a partial postings append but BEFORE the marker — duplicates
+  * postings on replay; closing it needs a transactional table format
+  * under the same seam (this is exactly the boundary such formats
+  * exist for). Per-file compaction of the many small bucket appends
+  * is the standard operational counterpart (rewrite N appended file
+  * sets into one, same bucket spec).
   */
 object IndexMaintenance {
 
   /** Starts the maintenance query: each micro-batch of `newDocs`
-    * (`doc_id`, `text`) is tokenized into positional postings and
-    * appended to `termDocTable` (existing bucketed-by-`token` table);
-    * a (batch_id, n_docs) row is appended to `statsTable`.
+    * (`doc_id`, `text`) is handed to `appendBatch`.
     */
   def maintain(newDocs: DataFrame, termDocTable: String,
                statsTable: String): StreamingQuery =
     newDocs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.queries.Text.termDocPositionalOf(batch)
-          .write.mode("append")
-          .bucketBy(8, "token").sortBy("token")
-          .saveAsTable(termDocTable)
-        batch.groupBy()
-          .agg(count(lit(1)).as("n_docs"))
-          .withColumn("batch_id", lit(batchId))
-          .select("batch_id", "n_docs")
-          .write.mode("append").saveAsTable(statsTable)
-        ()
+        appendBatch(batch, batchId, termDocTable, statsTable)
       }
       .start()
+
+  /** One micro-batch: tokenize into positional postings, append to
+    * the bucketed table, then write the (batch_id, n_docs) commit
+    * marker. Replay-safe: a batch whose marker exists is skipped.
+    */
+  def appendBatch(batch: DataFrame, batchId: Long,
+                  termDocTable: String, statsTable: String): Unit = {
+    val spark = batch.sparkSession
+    val committed = spark.catalog.tableExists(statsTable) &&
+      !spark.table(statsTable).filter(col("batch_id") === batchId).isEmpty
+    if (!committed) {
+      graft.queries.Text.termDocPositionalOf(batch)
+        .write.mode("append")
+        .bucketBy(8, "token").sortBy("token")
+        .saveAsTable(termDocTable)
+      batch.groupBy()
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("batch_id", lit(batchId))
+        .select("batch_id", "n_docs")
+        .write.mode("append").saveAsTable(statsTable)
+    }
+  }
 
   /** Total corpus size from the stats ledger. */
   def docCount(spark: org.apache.spark.sql.SparkSession,

@@ -69,6 +69,15 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       assert(!p.contains("Exchange"), s"by-token agg re-shuffles:\n$p")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
 
+    // replay safety: re-delivering an already-committed batch id must
+    // be a no-op (the stats marker is the commit record)
+    import spark.implicits._
+    val replay = Seq((99L, "replayed doc zeta")).toDF("doc_id", "text")
+    IndexMaintenance.appendBatch(replay, 1L, td, st) // batch 1 committed above
+    assert(IndexMaintenance.docCount(spark, st) == 5L, "replay double-counted")
+    assert(spark.table(td).filter(col("doc_id") === 99L).isEmpty,
+      "replayed batch appended postings")
+
     spark.sql(s"DROP TABLE IF EXISTS $td")
     spark.sql(s"DROP TABLE IF EXISTS $st")
   }
