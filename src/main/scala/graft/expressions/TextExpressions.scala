@@ -68,3 +68,82 @@ case class RollingFingerprint(child: Expression)
   override protected def withNewChildInternal(
       newChild: Expression): RollingFingerprint = copy(child = newChild)
 }
+
+/** Word n-grams over a token array as ONE codegen'd pass — the
+  * shingling primitive under dd02/dd03 (3-shingles), tx11/tx15
+  * (bigrams) and pl01 (benchmark 5-grams).
+  *
+  * Replaces `transform(sequence(...), i -> concat_ws(" ",
+  * element_at(toks, i), ...))`: higher-order functions evaluate their
+  * lambda interpreted per output element, paying n `element_at` walks
+  * plus boxing per n-gram. This loop reads the array once and emits
+  * each gram with a single `concatWs`.
+  *
+  * Semantics identical to the composed form (pinned by
+  * `TextFunctionsSpec`): m = size - n + 1 grams for m > 0, empty array
+  * otherwise, null in → null out.
+  */
+case class WordNgrams(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "n must be positive")
+
+  import org.apache.spark.sql.types.ArrayType
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got ${other.simpleString}")
+    }
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements() - n + 1
+    if (m <= 0) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](m)
+      var i = 0
+      while (i < m) {
+        val parts = new Array[UTF8String](n)
+        var k = 0
+        while (k < n) { parts(k) = arr.getUTF8String(i + k); k += 1 }
+        out(i) = UTF8String.concatWs(space, parts: _*)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val utf8 = "org.apache.spark.unsafe.types.UTF8String"
+      val spaceRef = ctx.addReferenceObj("ngramSpace", space, utf8)
+      val m = ctx.freshName("m")
+      val grams = ctx.freshName("grams")
+      val parts = ctx.freshName("parts")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      s"""
+         |int $m = $x.numElements() - ${n - 1};
+         |if ($m < 0) $m = 0;
+         |$utf8[] $grams = new $utf8[$m];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  $utf8[] $parts = new $utf8[$n];
+         |  for (int $k = 0; $k < $n; $k++) {
+         |    $parts[$k] = $x.getUTF8String($i + $k);
+         |  }
+         |  $grams[$i] = $utf8.concatWs($spaceRef, $parts);
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($grams);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WordNgrams = copy(child = newChild)
+}

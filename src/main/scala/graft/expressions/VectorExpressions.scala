@@ -114,6 +114,9 @@ object VectorExpressions {
       reg.createOrReplaceTempFunction("graft_hyperplane_sig",
         exprs => HyperplaneSignature(exprs(0),
           exprs(1).eval().asInstanceOf[Int]), "built-in")
+      reg.createOrReplaceTempFunction("graft_word_ngrams",
+        exprs => WordNgrams(exprs(0),
+          exprs(1).eval().asInstanceOf[Int]), "built-in")
     }
   }
 }

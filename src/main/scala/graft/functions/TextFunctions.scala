@@ -173,10 +173,10 @@ object TextFunctions {
     * (O(tokens²) per document).
     */
   def wordNgramsOf(toks: Column, n: Int): Column =
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+    // native codegen'd one-pass expression; the composed HOF form
+    // (`transform(sequence...)` + n element_at walks per gram) is its
+    // interpreted reference, pinned equal in TextFunctionsSpec
+    call_function("graft_word_ngrams", toks, lit(n))
 
   /** Word n-grams straight from text — convenience for one-shot use;
     * prefer projecting `tokens(text)` + `wordNgramsOf` in pipelines. */

@@ -142,6 +142,32 @@ class TextFunctionsSpec extends AnyFunSuite {
       Seq("x y", "y x", "x y"))
   }
 
+  test("wordNgrams codegen expression matches the composed HOF formulation") {
+    // the interpreted reference the native WordNgrams pass replaced
+    def composed(toks: org.apache.spark.sql.Column, n: Int) =
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+    val word = Gen.stringOfN(3, Gen.alphaLowerChar)
+    val texts = Gen.listOfN(120,
+      Gen.chooseNum(0, 9).flatMap(len => Gen.listOfN(len, word).map(_.mkString(" "))))
+      .pureApply(Gen.Parameters.default, Seed(21L))
+    for (n <- Seq(2, 3, 5)) {
+      val rows = texts.toDF("text")
+        .select(TextFunctions.tokens(col("text")).as("tk"))
+        .select(TextFunctions.wordNgramsOf(col("tk"), n).as("native"),
+          composed(col("tk"), n).as("ref"))
+        .as[(Seq[String], Seq[String])].collect()
+      rows.foreach { case (nat, ref) => assert(nat == ref, s"n=$n") }
+    }
+    // null input → null out on both forms
+    val nulls = Seq[Option[String]](None).toDF("text")
+      .select(TextFunctions.wordNgramsOf(split(col("text"), " "), 2).as("n"))
+      .collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   // --- token counting ---
 
   test("tokenCount and bpeTokenCount") {
