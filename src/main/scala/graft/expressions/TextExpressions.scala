@@ -69,6 +69,89 @@ case class RollingFingerprint(child: Expression)
       newChild: Expression): RollingFingerprint = copy(child = newChild)
 }
 
+/** Lowercase + whitespace-tokenize in ONE codegen'd pass — the
+  * primitive under EVERY text query (`TextFunctions.tokens`).
+  *
+  * Replaces `filter(split(lower(text), "\\s+"), t -> length(t) > 0)`:
+  * the regex engine walks the string once, `split` materializes the
+  * (possibly empty-token-bearing) array, and the HOF filter then
+  * dispatches an interpreted lambda per token. This pass lowercases
+  * once and scans for runs of non-whitespace — no regex, no filter
+  * pass, no empty intermediates.
+  *
+  * Parity: Java's `\s` (no UNICODE_CHARACTER_CLASS) is exactly
+  * {space, \t, \n, \u000B, \f, \r}; lowercasing first matches the
+  * composed form's `split(lower(text))` order (case mapping never
+  * produces whitespace). Pinned equal to the composed form AND to
+  * `java.util.StringTokenizer` (the reference's tokenizer) by
+  * `TextFunctionsSpec`.
+  */
+case class Tokenize(child: Expression)
+    extends UnaryExpression {
+
+  import org.apache.spark.sql.types.ArrayType
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toLowerCase.toString
+    val out = new java.util.ArrayList[Object]()
+    val len = s.length
+    var i = 0
+    while (i < len) {
+      while (i < len && Tokenize.isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !Tokenize.isWs(s.charAt(i))) i += 1
+      if (i > start) out.add(UTF8String.fromString(s.substring(start, i)))
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val s = ctx.freshName("s")
+      val out = ctx.freshName("out")
+      val len = ctx.freshName("len")
+      val i = ctx.freshName("i")
+      val start = ctx.freshName("start")
+      val tk = "graft.expressions.Tokenize"
+      s"""
+         |java.lang.String $s = $x.toLowerCase().toString();
+         |java.util.ArrayList<Object> $out = new java.util.ArrayList<Object>();
+         |int $len = $s.length();
+         |int $i = 0;
+         |while ($i < $len) {
+         |  while ($i < $len && $tk.isWs($s.charAt($i))) $i++;
+         |  int $start = $i;
+         |  while ($i < $len && !$tk.isWs($s.charAt($i))) $i++;
+         |  if ($i > $start) {
+         |    $out.add(org.apache.spark.unsafe.types.UTF8String.fromString(
+         |      $s.substring($start, $i)));
+         |  }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out.toArray());
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Tokenize = copy(child = newChild)
+}
+
+object Tokenize {
+  /** Java regex `\s` membership (ASCII class — no Unicode flag). */
+  def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+}
+
 /** Word n-grams over a token array as ONE codegen'd pass — the
   * shingling primitive under dd02/dd03 (3-shingles), tx11/tx15
   * (bigrams) and pl01 (benchmark 5-grams).

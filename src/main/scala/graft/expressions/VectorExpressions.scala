@@ -117,6 +117,8 @@ object VectorExpressions {
       reg.createOrReplaceTempFunction("graft_word_ngrams",
         exprs => WordNgrams(exprs(0),
           exprs(1).eval().asInstanceOf[Int]), "built-in")
+      reg.createOrReplaceTempFunction("graft_tokenize",
+        exprs => Tokenize(exprs(0)), "built-in")
     }
   }
 }

@@ -16,12 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokenizer with empty-token suppression.
-    * `split` keeps empty leading tokens where Java's StringTokenizer
-    * (reference :111-113) drops them — the filter restores parity.
+  /** Whitespace tokenizer with empty-token suppression — a native
+    * one-pass codegen'd expression (graft.expressions.Tokenize).
+    * Replaces `filter(split(lower(text), "\\s+"), t -> length(t) > 0)`
+    * — `split` keeps empty leading tokens where Java's StringTokenizer
+    * (reference :111-113) drops them, and the HOF filter that restored
+    * parity dispatched an interpreted lambda per token. Equality with
+    * the composed form and StringTokenizer is spec-pinned.
     */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => length(t) > lit(0))
+    call_function("graft_tokenize", text)
 
   /** Reference punctuation scrub (InvertedIndexer.java:108-110): each
     * single-char pattern replaced by a space. Fused into ONE

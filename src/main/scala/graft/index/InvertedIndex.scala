@@ -35,9 +35,14 @@ object InvertedIndex {
   /** S1+S2: read every line of every file under `dir`, tagging each row
     * with the source document's basename (InvertedIndexer.java:104-105).
     */
-  def scanTextDir(spark: SparkSession, dir: String): DataFrame =
+  def scanTextDir(spark: SparkSession, dir: String): DataFrame = {
+    // text-corpus entry point (doesn't pass through tables.load, which
+    // registers for the parquet paths): the tokenize stage downstream
+    // resolves graft_tokenize from the session registry
+    graft.expressions.VectorExpressions.ensureRegistered(spark)
     spark.read.textFile(dir).toDF("line")
       .withColumn("doc", regexp_extract(input_file_name(), "[^/]+$", 0))
+  }
 
   /** P1-P3 + F1/F2: lowercase, scrub punctuation chars to spaces,
     * explode whitespace tokens, drop short + numeric tokens.

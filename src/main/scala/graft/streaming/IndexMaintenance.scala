@@ -51,6 +51,9 @@ object IndexMaintenance {
   def appendBatch(batch: DataFrame, batchId: Long,
                   termDocTable: String, statsTable: String): Unit = {
     val spark = batch.sparkSession
+    // the batch may be the session's first graft work (no tables.load
+    // ran): the tokenizer below resolves from the session registry
+    graft.expressions.VectorExpressions.ensureRegistered(spark)
     val committed = spark.catalog.tableExists(statsTable) &&
       !spark.table(statsTable).filter(col("batch_id") === batchId).isEmpty
     if (!committed) {

@@ -142,6 +142,26 @@ class TextFunctionsSpec extends AnyFunSuite {
       Seq("x y", "y x", "x y"))
   }
 
+  test("tokens codegen expression matches the composed split+filter formulation") {
+    def composed(text: org.apache.spark.sql.Column) =
+      filter(split(lower(text), "\\s+"), t => length(t) > lit(0))
+    val wsChar = Gen.oneOf(' ', ' ', ' ', '\t', '\n', '\u000B', '\f', '\r')
+    val chunk = Gen.oneOf(
+      Gen.stringOfN(4, Gen.alphaNumChar),
+      Gen.stringOfN(2, Gen.oneOf('A', 'z', '\'', '#', 'é', 'Ü')),
+      wsChar.map(_.toString))
+    val texts = Gen.listOfN(150,
+      Gen.chooseNum(0, 12).flatMap(k => Gen.listOfN(k, chunk).map(_.mkString)))
+      .pureApply(Gen.Parameters.default, Seed(33L))
+    val rows = texts.toDF("text")
+      .select(TextFunctions.tokens(col("text")).as("native"),
+        composed(col("text")).as("ref"))
+      .as[(Seq[String], Seq[String])].collect()
+    rows.zip(texts).foreach { case ((nat, ref), t) =>
+      assert(nat == ref, s"input: ${t.map(_.toInt)}")
+    }
+  }
+
   test("wordNgrams codegen expression matches the composed HOF formulation") {
     // the interpreted reference the native WordNgrams pass replaced
     def composed(toks: org.apache.spark.sql.Column, n: Int) =
