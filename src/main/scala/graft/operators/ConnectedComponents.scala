@@ -56,6 +56,8 @@ object ConnectedComponents {
     * (it is returned persisted; `spark.catalog.clearCache()` releases).
     */
   def minLabel(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    require(pairs.columns.length == 2,
+      s"pairs must have exactly two endpoint columns, got ${pairs.columns.mkString(", ")}")
     val Seq(a, b) = pairs.columns.toSeq.map(col)
     val edges = pairs.select(a.as("src"), b.as("dst"))
       .union(pairs.select(b, a))
@@ -63,8 +65,12 @@ object ConnectedComponents {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("root", col("node"))
       .localCheckpoint(true)
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("root"), lit(0L))).head.getLong(0)
+    // decimal(38,0) accumulation: a Long sum of ~1e10 node ids can wrap,
+    // and a wrapped sum could spuriously equal the previous round's
+    // (same overflow class as the Lloyd-step oracle fix)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("root").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
     var prevSum = labelSum(labels)
     var round = 0
     var converged = labels.isEmpty // no edges → nothing to propagate
@@ -82,7 +88,7 @@ object ConnectedComponents {
       m1.unpersist()
       val newSum = labelSum(next)
       labels = next
-      converged = newSum == prevSum
+      converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum
       round += 1
     }

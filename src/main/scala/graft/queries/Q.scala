@@ -13,8 +13,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * DuckDB side (DuckDB widens sum(int) to HUGEINT).
   *
   * Cache lifecycle contract: some queries persist reused intermediates
-  * (dd03/dd04/dd06/sm02/tx04) and — being lazy DataFrame builders —
-  * cannot unpersist them before the caller materializes the result.
+  * (dd03/dd04/dd06/dd07/sm02/tx04 and the CC labels under dd06/dd07)
+  * and — being lazy DataFrame builders — cannot unpersist them before
+  * the caller materializes the result.
   * CALLERS OWN THE CACHE LIFECYCLE: run `spark.catalog.clearCache()`
   * between queries (as Verify/Bench do) or storage accumulates across
   * invocations.
