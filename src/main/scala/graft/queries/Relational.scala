@@ -287,6 +287,27 @@ object Relational {
         .orderBy("op")
     },
 
+    // --- Bag-semantics set ops: EXCEPT ALL / INTERSECT ALL respect
+    //     multiplicity (q14's distinct variants collapse it) ---
+    Q("q32_set_ops_all",
+      """WITH r AS (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
+        |     f AS (SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F')
+        |SELECT 'except_all' AS op, count(*) AS n
+        |FROM (SELECT * FROM r EXCEPT ALL SELECT * FROM f)
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, count(*) AS n
+        |FROM (SELECT * FROM r INTERSECT ALL SELECT * FROM f)
+        |ORDER BY op""") { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+      val r = l.filter(col("l_returnflag") === "R").select("l_orderkey")
+      val f = l.filter(col("l_linestatus") === "F").select("l_orderkey")
+      def one(op: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+      one("except_all", r.exceptAll(f))
+        .unionAll(one("intersect_all", r.intersectAll(f)))
+        .orderBy("op")
+    },
+
     // --- Global sort + limit (top-N) ---
     Q("q15_sort_limit",
       """SELECT l_orderkey, l_linenumber, l_extendedprice
