@@ -16,6 +16,13 @@ import graft.functions.TextFunctions._
   * sort-merge join — never a cross join — at 100 TB. The quadratic
   * verify step only ever runs on banded candidates. dd02 keeps a
   * full-pairs variant as the oracle-checkable ground truth at test SF.
+  *
+  * Ordering caveat (measured on a 10× corpus with exact-copy clusters):
+  * near-dup PAIR output is inherently quadratic in duplicate-cluster
+  * size — a cluster of k identical docs emits C(k,2) pairs no matter
+  * how good the banding is. A production pipeline therefore runs exact
+  * dedup (dd01/dd05, linear) FIRST and near-dup detection on the
+  * surviving uniques; the operators here compose in that order.
   */
 object Dedup {
 
