@@ -151,6 +151,82 @@ object Text {
        |LIMIT 10""".stripMargin
   }
 
+  /** DuckDB mirror of `bm25Search` — same fixed-term-order partial
+    * trick as rankedSql, and the BM25 arithmetic written with the SAME
+    * expression tree (literal constants, division order) so both
+    * engines produce bit-identical doubles before rounding. */
+  private def bm25Sql(terms: Seq[String]): String = {
+    val termList = terms.map(sqlLit).mkString("(", ", ", ")")
+    def w(t: String): String =
+      s"ln(1.0 + (CAST(n.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))\n" +
+        s"         |      * (CAST(td.cnt AS DOUBLE) * 2.2)\n" +
+        s"         |      / (CAST(td.cnt AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)\n" +
+        s"         |         / (CAST(n.sum_dl AS DOUBLE) / CAST(n.n_docs AS DOUBLE))))"
+    val partials = terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN td.token = ${sqlLit(t)} THEN ${w(t)} END) AS s$i"
+    }.mkString(",\n         |    ")
+    val total = terms.indices.map(i => s"coalesce(s$i, 0.0)").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+       |  FROM documents),
+       |td AS (SELECT doc_id, token, count(*) AS cnt FROM tok WHERE token <> ''
+       |       GROUP BY doc_id, token),
+       |dl AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS dl FROM td GROUP BY doc_id),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |             CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+       |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM td
+       |       WHERE token IN $termList GROUP BY token),
+       |scored AS (
+       |  SELECT td.doc_id,
+       |    $partials
+       |  FROM td
+       |  JOIN df ON td.token = df.token
+       |  JOIN dl ON dl.doc_id = td.doc_id
+       |  CROSS JOIN n
+       |  GROUP BY td.doc_id)
+       |SELECT doc_id, round($total, 6) AS score FROM scored
+       |ORDER BY score DESC, doc_id
+       |LIMIT 10""".stripMargin
+  }
+
+  /** BM25 ranked retrieval (k1 = 1.2, b = 0.75, Lucene-form idf) —
+    * the standard search-engine ranking over the same index shapes as
+    * tx17. Per-doc length and the corpus (n_docs, Σdl) stats come from
+    * integer aggregates (exact, order-free); only the final per-term
+    * weights are floating point, summed in fixed term order. Doc
+    * lengths are a corpus-wide (doc_id, dl) aggregate — same cost
+    * class as tx03's df table — joined to the PRUNED posting set, so
+    * the quadratic part of scoring still only touches query-term
+    * postings.
+    */
+  private def bm25Search(index: DataFrame, terms: Seq[String]): DataFrame = {
+    val dl = index.groupBy("doc_id").agg(sum("cnt").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val td = index.filter(col("token").isin(terms: _*))
+    val dft = td.groupBy("token").agg(count(lit(1)).as("df"))
+    val nd = col("n_docs").cast("double")
+    val dfd = col("df").cast("double")
+    val cntd = col("cnt").cast("double")
+    val avgdl = col("sum_dl").cast("double") / nd
+    val weight = log(lit(1.0) + (nd - dfd + 0.5) / (dfd + 0.5)) *
+      (cntd * 2.2) /
+      (cntd + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))
+    val partialCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("token") === t, weight)).as(s"s$i")
+    }
+    val total = terms.indices
+      .map(i => coalesce(col(s"s$i"), lit(0.0)))
+      .reduce(_ + _)
+    td.join(broadcast(dft), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(partialCols.head, partialCols.tail: _*)
+      .select(col("doc_id"), duckRound(total, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
   /** TF-IDF ranked retrieval through a term-doc index: only postings of
     * the query terms participate (index prune); df is an aggregate over
     * the pruned term set and `nDocs` is a one-row (n_docs) frame — the
@@ -539,6 +615,14 @@ object Text {
         graft.index.IndexStore.docStats(s, dir))
     },
 
+    // --- BM25 served from the saved artifact (same oracle as tx21:
+    //     the index is a materialization, never a semantics change) ---
+    Q("tx22_bm25_from_index", bm25Sql(RankTerms)) { (s, dir) =>
+      bm25Search(
+        graft.index.IndexStore.termDoc(s, dir).select("doc_id", "token", "cnt"),
+        RankTerms)
+    },
+
     // --- Repetition signals (Gopher-style quality filters): duplicate
     //     bigram fraction + most-common-token dominance. Two shapes on
     //     purpose: the bigram metric is a per-row array projection (no
@@ -583,6 +667,12 @@ object Text {
           duckRound(coalesce(col("top_frac"), lit(0.0)), 6).as("top_token_frac"),
           coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
         .orderBy("doc_id")
+    },
+
+    // --- BM25 ranked retrieval (k1=1.2, b=0.75): the standard search
+    //     ranking over the tx17 index shapes ---
+    Q("tx21_bm25", bm25Sql(RankTerms)) { (s, dir) =>
+      bm25Search(termDoc(s, dir), RankTerms)
     },
 
     // --- Heavy hitters via a Misra–Gries typed Aggregator: an O(k)
