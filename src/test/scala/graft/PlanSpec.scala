@@ -113,7 +113,8 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("tx18/tx19: served entirely from the index artifact (no corpus scan)") {
-    for (q <- Seq("tx18_phrase_from_index", "tx19_ranked_from_index")) {
+    for (q <- Seq("tx18_phrase_from_index", "tx19_ranked_from_index",
+        "tx22_bm25_from_index")) {
       val p = plan(q)
       assert(p.contains("Bucketed: true"),
         s"$q must read the bucketed index table:\n$p")
