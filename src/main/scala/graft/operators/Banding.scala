@@ -4,12 +4,20 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The LSH banding candidate-join shared by MinHash (dd03), SimHash
-  * (dd04) and hyperplane ANN (sm02): explode each row's band keys,
-  * self-join on the (band, key) EQUI-key with an id-ordering predicate,
-  * and return distinct unordered candidate pairs. One implementation
-  * keeps the scale guarantee in one place — the join is always a
-  * shuffle equi-join, never a cartesian product (guarded by PlanSpec
-  * for all three call sites).
+  * (dd04), hyperplane ANN (sm02) and embedding near-dup (dd07):
+  * explode each row's band keys, self-join on the (band, key) EQUI-key
+  * with an id-ordering predicate, and return distinct unordered
+  * candidate pairs. One implementation keeps the scale guarantee in
+  * one place — the join is always a shuffle equi-join, never a
+  * cartesian product (guarded by PlanSpec for the call sites).
+  *
+  * Skew note: clustered data makes some band buckets hot (a popular
+  * signature byte collects a large bucket, and the self-join on it is
+  * quadratic in bucket size). That is the standard AQE skew-join case —
+  * the runtime splits the hot partition (mechanism pinned by
+  * SkewJoinSpec); the algorithmic fix when one bucket is pathological
+  * is more bands × narrower keys, which trades candidate recall work
+  * for smaller buckets.
   */
 object Banding {
 

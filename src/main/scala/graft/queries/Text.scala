@@ -675,6 +675,54 @@ object Text {
       bm25Search(termDoc(s, dir), RankTerms)
     },
 
+    // --- PMI collocations: pointwise mutual information over corpus
+    //     bigrams, min support 5. Counts are integer-exact; the one
+    //     floating expression is written with the same tree on both
+    //     engines, and ranking is on the ROUNDED score (the pl04
+    //     lesson: never rank on raw doubles across engines). ---
+    Q("tx23_collocations",
+      s"""WITH tk AS (SELECT doc_id, $DuckToks AS tk FROM documents),
+         |bg AS (
+         |  SELECT unnest(list_transform(range(1, len(tk)),
+         |    i -> tk[i] || ' ' || tk[i+1])) AS bigram
+         |  FROM tk),
+         |bc AS (SELECT bigram, count(*) AS cab FROM bg GROUP BY bigram),
+         |uni AS (SELECT unnest(tk) AS token FROM tk),
+         |uc AS (SELECT token, count(*) AS c FROM uni GROUP BY token),
+         |tot AS (SELECT CAST(sum(cab) AS BIGINT) AS bt FROM bc),
+         |utot AS (SELECT CAST(sum(c) AS BIGINT) AS ut FROM uc)
+         |SELECT bigram,
+         |  CAST(cab AS BIGINT) AS support,
+         |  round(ln((CAST(cab AS DOUBLE) / CAST(bt AS DOUBLE))
+         |      / ((CAST(ca.c AS DOUBLE) / CAST(ut AS DOUBLE))
+         |         * (CAST(cb.c AS DOUBLE) / CAST(ut AS DOUBLE)))), 6) AS pmi
+         |FROM bc
+         |JOIN uc ca ON ca.token = string_split(bigram, ' ')[1]
+         |JOIN uc cb ON cb.token = string_split(bigram, ' ')[2]
+         |CROSS JOIN tot CROSS JOIN utot
+         |WHERE cab >= 5
+         |ORDER BY pmi DESC, bigram""") { (s, dir) =>
+      val toks = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("tk"))
+      val bc = toks
+        .select(explode(wordNgramsOf(col("tk"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cab"))
+      val uc = toks
+        .select(explode(col("tk")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("c"))
+      val tot = bc.agg(sum("cab").as("bt"))
+      val utot = uc.agg(sum("c").as("ut"))
+      val pmi = log((col("cab").cast("double") / col("bt").cast("double")) /
+        ((col("ca.c").cast("double") / col("ut").cast("double")) *
+          (col("cb.c").cast("double") / col("ut").cast("double"))))
+      bc.filter(col("cab") >= 5)
+        .join(uc.as("ca"), col("ca.token") === split(col("bigram"), " ")(0))
+        .join(uc.as("cb"), col("cb.token") === split(col("bigram"), " ")(1))
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(utot))
+        .select(col("bigram"), col("cab").as("support"),
+          duckRound(pmi, 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("bigram"))
+    },
+
     // --- Heavy hitters via a Misra–Gries typed Aggregator: an O(k)
     //     MERGEABLE sketch per partition, merged in O(k) — frequent
     //     tokens over 100 TB without shuffling the (token, count)
