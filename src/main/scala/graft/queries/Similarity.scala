@@ -404,6 +404,104 @@ object Similarity {
         .select(col("vec_id").as("cid"), col("embedding").as("ce")))
       val trained = (1 to LloydIters).foldLeft(init)((c, _) => lloydStep(e, c))
       ivfTopK(e, trained, IvfNProbe, 5)
+    },
+
+    // --- Product quantization (PQ) ANN: 8 subspaces × 8 sub-centroids
+    //     (the sm03 seed-cell convention per subspace). Each vector is
+    //     ENCODED as 8 one-byte codes — 32× compression of the 64-dim
+    //     float vector, which is the operator's 100 TB point: the ADC
+    //     scan touches the code table, never the raw embeddings.
+    //     Encoding is a shuffle-free per-row argmin projection per
+    //     subspace; probe→(subspace, code) distance LUTs are computed
+    //     once on the tiny probe/centroid sets with the same
+    //     left-to-right fold as the SQL oracle, so scores are
+    //     bit-identical; ranks are taken on the ROUNDED distance. ---
+    Q("sm05_pq_topk", {
+      val codeDist = l2SqSql("list_slice(e.embedding, s.m*8 + 1, s.m*8 + 8)", "s.cs")
+      val lutDist = l2SqSql("list_slice(p.pe, s.m*8 + 1, s.m*8 + 8)", "s.cs")
+      val total = (0 until 8)
+        .map(m => s"coalesce(sum(CASE WHEN m = $m THEN d END), 0.0)")
+        .mkString("\n         |      + ")
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+         |  FROM embeddings WHERE vec_id < 8),
+         |sub AS (
+         |  SELECT cid, m, list_slice(ce, m*8 + 1, m*8 + 8) AS cs
+         |  FROM cent CROSS JOIN (SELECT unnest(range(0, 8)) AS m)),
+         |codes AS (
+         |  SELECT vec_id, m, cid AS code FROM (
+         |    SELECT e.vec_id, s.m, s.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id, s.m
+         |                         ORDER BY $codeDist, s.cid) AS rn
+         |    FROM embeddings e CROSS JOIN sub s)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+         |  WHERE vec_id % 25 = 0 AND vec_id < 500),
+         |lut AS (
+         |  SELECT p.probe_id, s.m, s.cid, $lutDist AS d
+         |  FROM probes p CROSS JOIN sub s),
+         |joined AS (
+         |  SELECT l.probe_id, c.vec_id, c.m, l.d
+         |  FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.code),
+         |scored AS (
+         |  SELECT probe_id, vec_id,
+         |    round($total, 6) AS adist
+         |  FROM joined GROUP BY probe_id, vec_id)
+         |SELECT probe_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank, adist
+         |FROM (
+         |  SELECT probe_id, vec_id, adist,
+         |    row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY adist, vec_id) AS rank
+         |  FROM scored WHERE vec_id <> probe_id)
+         |WHERE rank <= 10
+         |ORDER BY probe_id, rank"""
+    }) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val M = 8; val Sub = 8
+      val e = emb(s, dir)
+      val cents = collectCentroids(e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+      def centSlice(ce: Seq[Double], m: Int): Seq[Double] =
+        ce.slice(m * Sub, (m + 1) * Sub)
+      // per-subspace shuffle-free argmin (the nearestCells pattern)
+      val codeCols = (0 until M).map { m =>
+        val cands = array(cents.map { case (cid, ce) =>
+          struct(
+            l2DistanceSq(slice(col("embedding"), m * Sub + 1, Sub),
+              typedlit(centSlice(ce, m))).as("d"),
+            lit(cid).as("cid"))
+        }: _*)
+        array_min(cands).getField("cid").as(s"code$m")
+      }
+      val coded = e.select(col("vec_id") +: codeCols: _*)
+      // probe LUTs: same fold (0-seeded, left-to-right) as l2SqSql
+      def l2sqRef(a: Seq[Double], b: Seq[Double]): Double =
+        a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+      val probeRows = e.filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
+        .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+      val lut = probeRows.map { case (pid, pv) =>
+        (pid, (0 until M).map(m =>
+          cents.map { case (_, ce) =>
+            l2sqRef(pv.slice(m * Sub, (m + 1) * Sub), centSlice(ce, m))
+          }))
+      }.toDF("probe_id", "lut")
+      val score = (0 until M)
+        .map(m => element_at(element_at(col("lut"), m + 1),
+          (col(s"code$m") + 1).cast("int")))
+        .reduce(_ + _)
+      val w = Window.partitionBy("probe_id").orderBy(col("adist"), col("vec_id"))
+      coded.crossJoin(broadcast(lut))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("adist", duckRound(score, 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          col("rank").cast("long").as("rank"), col("adist"))
+        .orderBy("probe_id", "rank")
     }
   )
 
