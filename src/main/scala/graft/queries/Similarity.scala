@@ -415,7 +415,13 @@ object Similarity {
     //     subspace; probe→(subspace, code) distance LUTs are computed
     //     once on the tiny probe/centroid sets with the same
     //     left-to-right fold as the SQL oracle, so scores are
-    //     bit-identical; ranks are taken on the ROUNDED distance. ---
+    //     bit-identical; ranks are taken on the ROUNDED distance.
+    //     Cost note (dd04 class): the encoding projection embeds 64
+    //     sub-centroid literals (8 subspaces × 8 candidates), so
+    //     planning + codegen cost a few constant seconds regardless of
+    //     data size — measured 7s cold / ~2s warm while the per-row
+    //     work is 8 table lookups; it amortizes at scale exactly
+    //     because it does NOT grow with the corpus. ---
     Q("sm05_pq_topk", {
       val codeDist = l2SqSql("list_slice(e.embedding, s.m*8 + 1, s.m*8 + 8)", "s.cs")
       val lutDist = l2SqSql("list_slice(p.pe, s.m*8 + 1, s.m*8 + 8)", "s.cs")
