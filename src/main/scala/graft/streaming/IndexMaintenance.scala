@@ -74,4 +74,24 @@ object IndexMaintenance {
                statsTable: String): Long =
     spark.table(statsTable)
       .agg(coalesce(sum("n_docs"), lit(0L))).head.getLong(0)
+
+  /** Compaction — the operational counterpart of append-only
+    * maintenance: every micro-batch adds one file set per bucket, and
+    * a thousand appends mean a thousand small files per bucket scan.
+    * Rewrites the table as ONE file set with the SAME bucket spec
+    * (serving plans keep their zero-exchange property). The table
+    * contents pass through an eager localCheckpoint so the rewrite
+    * never reads the files it is replacing. (A transactional table
+    * format would swap manifests instead; same seam.)
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+              termDocTable: String): Unit = {
+    val snapshot = spark.table(termDocTable)
+      .repartition(col("token"))
+      .localCheckpoint(true) // materialize BEFORE dropping the source
+    spark.sql(s"DROP TABLE IF EXISTS $termDocTable")
+    snapshot.write
+      .bucketBy(8, "token").sortBy("token")
+      .saveAsTable(termDocTable)
+  }
 }

@@ -69,6 +69,32 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       assert(!p.contains("Exchange"), s"by-token agg re-shuffles:\n$p")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
 
+    // compaction: appends left one file set per batch; compact must
+    // shrink the file count while preserving rows and the bucket layout
+    def tableFiles(): Int = {
+      val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $td")
+        .filter(col("col_name") === "Location")
+        .select("data_type").head().getString(0)
+      new java.io.File(new java.net.URI(loc)).listFiles()
+        .count(_.getName.startsWith("part-"))
+    }
+    val rowsBefore = spark.table(td).orderBy("doc_id", "token")
+      .collect().toSeq
+    val filesBefore = tableFiles()
+    IndexMaintenance.compact(spark, td)
+    assert(tableFiles() < filesBefore,
+      s"compaction did not shrink files ($filesBefore -> ${tableFiles()})")
+    assert(spark.table(td).orderBy("doc_id", "token").collect().toSeq
+      == rowsBefore, "compaction changed the table contents")
+    val aqe2 = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p2 = spark.table(td).groupBy("token").agg(sum("cnt"))
+        .queryExecution.executedPlan.toString
+      assert(p2.contains("Bucketed: true") && !p2.contains("Exchange"),
+        s"compacted table lost its bucket layout:\n$p2")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe2)
+
     // replay safety: re-delivering an already-committed batch id must
     // be a no-op (the stats marker is the commit record)
     import spark.implicits._
