@@ -7,11 +7,13 @@ import graft.functions.TextFunctions._
 
 /** Corpus-curation operators a training-data pipeline runs between
   * dedup and training: benchmark-contamination detection and removal,
-  * and deterministic hash-based splitting/sampling. All three are
-  * shuffle-light by construction — contamination generates candidate
-  * rows map-side and only hits reach the aggregation; decontamination
-  * and splitting are pure projections (their only exchange is the
-  * report's final sort).
+  * deterministic hash-based splitting/sampling, and per-source quota
+  * capping. All shuffle-light by construction — contamination
+  * generates candidate rows map-side and only hits reach the
+  * aggregation; decontamination and splitting are pure projections
+  * (single sort exchange, plan-pinned); the quota cap bounds each
+  * source to K rows before its window sort (`WindowGroupLimit`,
+  * plan-pinned).
   */
 object Pipeline {
 
