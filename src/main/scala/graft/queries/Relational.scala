@@ -442,6 +442,29 @@ object Relational {
         .orderBy("window_start", "event_type")
     },
 
+    // --- Sliding event-time window (1h window, 30min slide): each
+    //     event contributes to exactly TWO windows — q22's tumbling
+    //     case is the slide == width degenerate. The oracle mirrors
+    //     Spark's window() by fanning each event out to its two
+    //     containing window starts. ---
+    Q("q33_sliding_window",
+      """SELECT ws AS window_start, event_type, count(*) AS n,
+        |  round(sum(value), 2) AS total_value
+        |FROM (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts)
+        |           - k * INTERVAL '30 minutes' AS ws,
+        |         event_type, value
+        |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k))
+        |GROUP BY ws, event_type
+        |ORDER BY window_start, event_type""") { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), duckRound(sum("value"), 2).as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy("window_start", "event_type")
+    },
+
     // --- Left outer join: customers keep a row with zero orders ---
     Q("q24_outer_join",
       """SELECT c_custkey, c_name,
