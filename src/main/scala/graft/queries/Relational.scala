@@ -457,11 +457,9 @@ object Relational {
         |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k))
         |GROUP BY ws, event_type
         |ORDER BY window_start, event_type""") { (s, dir) =>
-      t(s, dir, "events")
-        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
-        .agg(count(lit(1)).as("n"), duckRound(sum("value"), 2).as("total_value"))
-        .select(col("window.start").as("window_start"), col("event_type"),
-          col("n"), col("total_value"))
+      // shared transform with the Structured Streaming twin (same
+      // duality as q22/tumblingCounts)
+      graft.streaming.EventStreams.slidingCounts(t(s, dir, "events"))
         .orderBy("window_start", "event_type")
     },
 

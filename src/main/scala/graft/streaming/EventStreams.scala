@@ -36,13 +36,22 @@ object EventStreams {
     * (No ORDER BY here: sorting is illegal on streaming aggregations
     * in append/update modes; q22 adds it batch-side.)
     */
-  def tumblingCounts(events: DataFrame): DataFrame = {
+  def tumblingCounts(events: DataFrame): DataFrame =
+    windowedCounts(events, "1 hour")
+
+  /** Sliding 1-hour/30-minute counts — each event contributes to two
+    * windows; same batch/streaming duality as tumblingCounts (q33's
+    * oracle checks the batch path). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    windowedCounts(events, "30 minutes")
+
+  private def windowedCounts(events: DataFrame, slide: String): DataFrame = {
     // duckRound is a session temp function; register here rather than
     // relying on a prior tables.load — streaming frames never pass
     // through the table loader
     graft.expressions.VectorExpressions.ensureRegistered(events.sparkSession)
     events
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .groupBy(window(col("ts"), "1 hour", slide), col("event_type"))
       .agg(count(lit(1)).as("n"),
         graft.functions.ParityFunctions.duckRound(sum(col("value")), 2)
           .as("total_value"))

@@ -16,6 +16,37 @@ class EventStreamsSpec extends AnyFunSuite {
   private def ts(s: String): java.sql.Timestamp =
     java.sql.Timestamp.valueOf(s)
 
+  test("streaming sliding counts equal the batch transform (complete mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (ts("2024-01-01 00:10:00"), "click", 1.0),
+      (ts("2024-01-01 00:40:00"), "click", 2.0), // second slide of hour 0
+      (ts("2024-01-01 01:05:00"), "view", 3.0),
+      (ts("2024-01-01 01:29:59"), "click", 4.0)) // slide boundary edge
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = stream.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.slidingCounts(df)
+      .writeStream.format("memory").queryName("sliding_complete")
+      .outputMode("complete").start()
+    try {
+      stream.addData(rows.take(2))
+      q.processAllAvailable()
+      stream.addData(rows.drop(2))
+      q.processAllAvailable()
+      val streaming = spark.table("sliding_complete")
+        .orderBy("window_start", "event_type")
+        .as[(java.sql.Timestamp, String, Long, Double)].collect().toSeq
+      val batch = EventStreams.slidingCounts(
+        rows.toDF("ts", "event_type", "value"))
+        .orderBy("window_start", "event_type")
+        .as[(java.sql.Timestamp, String, Long, Double)].collect().toSeq
+      assert(streaming == batch)
+      // sliding 1h/30min: every event lands in exactly two windows
+      assert(batch.map(_._3).sum == rows.size * 2)
+    } finally q.stop()
+  }
+
   test("streaming tumbling counts equal the batch transform (complete mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
