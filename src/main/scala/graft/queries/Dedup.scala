@@ -100,11 +100,13 @@ object Dedup {
        |  JOIN sigs sb ON sb.doc_id = doc_b)"""
   }
 
-  /** Verified MinHash near-dup pairs `(doc_a, doc_b, jaccard)` — dd03's
-    * full chain: one digest per shingle, 12 universal-hash mins + set
-    * size in ONE aggregation pass, banded equi-join candidates, exact
-    * Jaccard verify on candidates only. `jaccard` is the raw double
-    * (dd03 rounds for its report; dd06 only consumes the pair).
+  /** MinHash-banded candidate pairs with exact intersection and both
+    * shingle-set sizes `(doc_a, doc_b, inter, sza, szb)` — the shared
+    * base of every verify: one digest per shingle, 12 universal-hash
+    * mins + set size in ONE aggregation pass, banded equi-join
+    * candidates, exact intersection on candidates only. dd03/dd06
+    * read it through the symmetric-Jaccard view (`minhashVerified`);
+    * dd08 scores both asymmetric containment directions off it.
     *
     * Spark does NOT dedupe identical sub-plans across self-joins:
     * without persist, this chain scans + re-shingles the corpus SIX
@@ -114,7 +116,7 @@ object Dedup {
     * materialization step of a near-dup pipeline) and `sigs` is one
     * short row per document.
     */
-  private def minhashVerified(s: SparkSession, dir: String): DataFrame = {
+  private def minhashVerifiedRaw(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val sh = shingled(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
     val hashed = sh.select(col("doc_id"),
@@ -135,15 +137,20 @@ object Dedup {
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     val sizes = sigs.select(col("doc_id"), col("sz"))
-    val j = col("inter").cast("double") /
-      (col("sa.sz") + col("sb.sz") - col("inter")).cast("double")
     inter
       .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
       .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
-      .withColumn("jaccard", j)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("sa.sz").as("sza"), col("sb.sz").as("szb"))
+  }
+
+  /** dd03/dd06's symmetric-Jaccard view of the raw candidate stage. */
+  private def minhashVerified(s: SparkSession, dir: String): DataFrame =
+    minhashVerifiedRaw(s, dir)
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sza") + col("szb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= 0.4)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-  }
 
   /** Convergence cap for dd06's min-id propagation: rounds needed =
     * max component DIAMETER, and near-dup clusters are shallow (dense
@@ -272,6 +279,43 @@ object Dedup {
         .filter(col("root").isNull || col("root") === col("doc_id"))
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
+    },
+
+    // --- Containment (asymmetric Jaccard |A∩B| / |A|): catches a doc
+    //     EMBEDDED in a larger one, which symmetric Jaccard misses
+    //     (a quote inside a long doc scores low on union but high on
+    //     containment). Same banded candidates as dd03 — MinHash bands
+    //     still fire when the smaller side is mostly shared — then the
+    //     asymmetric verify on candidates only. Both directions are
+    //     emitted per pair (contained side first). ---
+    Q("dd08_containment",
+      s"""WITH $minhashScoredCtes,
+         |inter2 AS (
+         |  SELECT i.doc_a, i.doc_b, i.inter, sa.sz AS sza, sb.sz AS szb
+         |  FROM inter i
+         |  JOIN sigs sa ON sa.doc_id = i.doc_a
+         |  JOIN sigs sb ON sb.doc_id = i.doc_b),
+         |dirs AS (
+         |  SELECT doc_a AS contained, doc_b AS container,
+         |    CAST(inter AS DOUBLE) / CAST(sza AS DOUBLE) AS c
+         |  FROM inter2
+         |  UNION ALL
+         |  SELECT doc_b, doc_a,
+         |    CAST(inter AS DOUBLE) / CAST(szb AS DOUBLE) AS c
+         |  FROM inter2)
+         |SELECT contained, container, round(c, 6) AS containment
+         |FROM dirs WHERE c >= 0.8
+         |ORDER BY contained, container""") { (s, dir) =>
+      val scored = minhashVerifiedRaw(s, dir)
+      val dirs = scored.select(col("doc_a").as("contained"),
+          col("doc_b").as("container"),
+          (col("inter").cast("double") / col("sza").cast("double")).as("c"))
+        .union(scored.select(col("doc_b"), col("doc_a"),
+          col("inter").cast("double") / col("szb").cast("double")))
+      dirs.filter(col("c") >= 0.8)
+        .select(col("contained"), col("container"),
+          duckRound(col("c"), 6).as("containment"))
+        .orderBy("contained", "container")
     },
 
     // --- SimHash near-dup: 32-bit signature, banded candidates
