@@ -338,6 +338,51 @@ object Text {
         .orderBy("doc_id", "token")
     },
 
+    // --- Per-document keyword extraction: top-3 TF-IDF terms per doc
+    //     (the tagging op a pipeline runs corpus-wide). Ranks on the
+    //     ROUNDED score with token tiebreak; the rank filter plans as
+    //     WindowGroupLimit, so a long document is bounded to k terms
+    //     before the window sort. ---
+    Q("tx24_keywords",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |td AS (SELECT doc_id, token, count(*) AS cnt FROM tok WHERE token <> ''
+        |       GROUP BY doc_id, token),
+        |df AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok
+        |       WHERE token <> '' GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT td.doc_id, td.token,
+        |    round(CAST(td.cnt AS DOUBLE)
+        |      * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS tfidf
+        |  FROM td JOIN df ON td.token = df.token CROSS JOIN n)
+        |SELECT doc_id, token, tfidf, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT doc_id, token, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY tfidf DESC, token) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3
+        |ORDER BY doc_id, rank""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val td = termDoc(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val df = td.groupBy("token").agg(count(lit(1)).as("df"))
+      val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("token"))
+      td.join(broadcast(df), "token").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("token"),
+          duckRound(col("cnt").cast("double") *
+            log(col("n_docs").cast("double") / col("df").cast("double")), 6)
+            .as("tfidf"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("token"), col("tfidf"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("doc_id", "rank")
+    },
+
     // --- The flagship: ranked inverted index over documents.
     //     NOTE: the FULL index is the semantics here, so the per-term
     //     collect_list is inherently unbounded — a stop-word-scale term
