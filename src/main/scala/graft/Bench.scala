@@ -66,14 +66,33 @@ object Bench {
       }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver keeps only the LAST 2000 chars of stdout and parses the
+    // final JSON line out of that tail; sbt appends its own ~90-char
+    // "[success]" trailer after us. A full-name, full-precision queries
+    // map is ~2.4 KB and can never fit — every prior round's
+    // BENCH_r{N}.json came back "parsed": null because of exactly this.
+    // So stdout gets ONE compact line: keys are the unique id prefixes
+    // ("q16", "tx05", ...; falling back to the full name on a collision)
+    // and values are rounded to 10 ms — ~1.1 KB, with headroom for the
+    // query count to keep growing. Full names + nanosecond precision go
+    // to stderr for humans reading the raw log.
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val prefixes = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }
+    val collided = prefixes.groupBy(_._2).collect { case (p, g) if g.size > 1 => p }.toSet
+    val qs = results.map { case (full, v) =>
+      val pre = full.takeWhile(_ != '_')
+      val key = if (collided(pre)) full else pre
+      "\"" + key + "\":" + fmt(v)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val buildErr = indexBuildError
       .map(m => ",\"index_build_error\":\"" +
         m.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
       .getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$buildErr}""")
+    val detail = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    System.err.println(s"""[bench-detail] {"queries":$detail}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$buildErr}""")
     spark.stop()
   }
 }
