@@ -154,6 +154,123 @@ object Pipeline {
           when(h % 100 < 90, lit("train")).otherwise(lit("val")).as("split"),
           (h % 10 === 0).as("in_10pct_sample"))
         .orderBy("doc_id")
+    },
+
+    // --- Domain-mixture sampling: each source gets a target sampling
+    //     rate and docs are kept by deterministic md5 bucket (pl03's
+    //     device) — how a pipeline reweights domains (downsample web
+    //     crawl, keep all code/books) without rand() so re-runs assign
+    //     identically. Rates here derive from the source id so the
+    //     whole thing stays one codegen'd map-side filter; at real
+    //     scale the rates come from a broadcast-joined weights table —
+    //     plan shape is unchanged (filter stays before any shuffle). ---
+    Q("pl05_source_mixture",
+      """SELECT doc_id, source,
+        |  CAST((CAST(substr(source, 4) AS INT) % 4 + 1) * 25 AS INT) AS rate_pct
+        |FROM documents
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 1000
+        |      < (CAST(substr(source, 4) AS INT) % 4 + 1) * 250
+        |ORDER BY doc_id""") { (s, dir) =>
+      val srcNum = substring(col("source"), 4, 10).cast("int")
+      val rate = srcNum % 4 + 1 // quarters: 25/50/75/100 %
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+      docs(s, dir)
+        .filter(h % 1000 < rate.cast("long") * 250)
+        .select(col("doc_id"), col("source"), (rate * 25).as("rate_pct"))
+        .orderBy("doc_id")
+    },
+
+    // --- Multi-rule quality gate (Gopher-style): each rule is its own
+    //     boolean column so a pipeline can report WHY a doc was
+    //     dropped, not just that it was. One tokens() projection feeds
+    //     every rule; thresholds compare exact int/int divisions so the
+    //     keep/drop decision cannot flip between engines; only the
+    //     display columns are rounded. Pure projection — no shuffle
+    //     before the final sort. ---
+    Q("pl06_quality_rules", {
+      val stopList = graft.queries.Text.Stop.map(sqlLit).mkString("(", ", ", ")")
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(tk) AS INT) AS n_tokens,
+         |    CAST(coalesce(list_sum(list_transform(tk, x -> length(x))), 0) AS DOUBLE)
+         |      / CAST(greatest(len(tk), 1) AS DOUBLE) AS mean_len,
+         |    CAST(len(list_filter(tk, x -> x IN $stopList)) AS INT) AS stop_hits,
+         |    CAST(len(list_distinct(tk)) AS DOUBLE)
+         |      / CAST(greatest(len(tk), 1) AS DOUBLE) AS distinct_ratio
+         |  FROM t)
+         |SELECT doc_id, n_tokens,
+         |  round(mean_len, 4) AS mean_len,
+         |  stop_hits,
+         |  round(distinct_ratio, 6) AS distinct_ratio,
+         |  n_tokens BETWEEN 20 AND 1000 AS r_len,
+         |  mean_len >= 2.0 AND mean_len <= 12.0 AS r_mean,
+         |  stop_hits >= 1 AS r_stop,
+         |  distinct_ratio >= 0.2 AS r_distinct,
+         |  (n_tokens BETWEEN 20 AND 1000) AND (mean_len >= 2.0 AND mean_len <= 12.0)
+         |    AND stop_hits >= 1 AND distinct_ratio >= 0.2 AS keep
+         |FROM m ORDER BY doc_id"""
+    }) { (s, dir) =>
+      val stop = graft.queries.Text.Stop
+      val meanLen =
+        aggregate(col("tk"), lit(0L), (acc, x) => acc + length(x).cast("long"))
+          .cast("double") / greatest(size(col("tk")), lit(1)).cast("double")
+      val distinctRatio = size(array_distinct(col("tk"))).cast("double") /
+        greatest(size(col("tk")), lit(1)).cast("double")
+      val rLen = col("n_tokens").between(20, 1000)
+      val rMean = col("mean_len_raw") >= 2.0 && col("mean_len_raw") <= 12.0
+      val rStop = col("stop_hits") >= 1
+      val rDistinct = col("distinct_ratio_raw") >= 0.2
+      docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"),
+          size(col("tk")).as("n_tokens"),
+          meanLen.as("mean_len_raw"),
+          size(filter(col("tk"), t => t.isInCollection(stop))).as("stop_hits"),
+          distinctRatio.as("distinct_ratio_raw"))
+        .select(col("doc_id"), col("n_tokens"),
+          graft.functions.ParityFunctions.duckRound(col("mean_len_raw"), 4)
+            .as("mean_len"),
+          col("stop_hits"),
+          graft.functions.ParityFunctions.duckRound(col("distinct_ratio_raw"), 6)
+            .as("distinct_ratio"),
+          rLen.as("r_len"), rMean.as("r_mean"), rStop.as("r_stop"),
+          rDistinct.as("r_distinct"),
+          (rLen && rMean && rStop && rDistinct).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // --- Dataset card: the per-(lang, source) corpus summary a
+    //     pipeline publishes with a training set. Group-by is one
+    //     partial+final agg; the corpus-share window runs over the
+    //     POST-aggregation rows (|langs|×|sources| — tiny at any SF),
+    //     so the unpartitioned window is not a scale hazard. ---
+    Q("pl07_dataset_card",
+      s"""WITH t AS (SELECT lang, source, len($DuckToks) AS n_tok FROM documents)
+         |SELECT lang, source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         |  round(CAST(sum(n_tok) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS mean_tokens,
+         |  round(CAST(count(*) AS DOUBLE)
+         |        / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS doc_share
+         |FROM t GROUP BY lang, source
+         |ORDER BY lang, source""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      docs(s, dir)
+        .select(col("lang"), col("source"), tokenCount(col("text")).as("n_tok"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok").cast("long")).as("total_tokens"))
+        .select(col("lang"), col("source"), col("n_docs"), col("total_tokens"),
+          graft.functions.ParityFunctions.duckRound(
+            col("total_tokens").cast("double") / col("n_docs").cast("double"), 4)
+            .as("mean_tokens"),
+          graft.functions.ParityFunctions.duckRound(
+            col("n_docs").cast("double") /
+              sum(col("n_docs")).over(Window.partitionBy()).cast("double"), 6)
+            .as("doc_share"))
+        .orderBy("lang", "source")
     }
   )
 }

@@ -704,6 +704,113 @@ object Relational {
         .orderBy("o_orderstatus")
     },
 
+    // --- Statistical aggregates: corr / covar / stddev / variance.
+    //     These plan as CentralMomentAgg partials (one co-moment struct
+    //     per partition, O(1) merge) — the same partial+final shape as
+    //     sum/avg, so they scale identically. Partition merge order is
+    //     nondeterministic, so results wobble in the last ULPs run to
+    //     run; rounding granularity per column is chosen ≫ that noise
+    //     (sd of ~1e4-magnitude prices keeps only 2 decimals). ---
+    Q("q34_stat_aggs",
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc,
+        |  round(stddev_samp(l_extendedprice), 2) AS sd_price,
+        |  round(var_pop(l_discount), 8) AS var_disc,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          duckRound(corr(col("l_quantity"), col("l_extendedprice")), 6)
+            .as("corr_qty_price"),
+          duckRound(covar_samp(col("l_quantity"), col("l_discount")), 6)
+            .as("covar_qty_disc"),
+          duckRound(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+          duckRound(var_pop(col("l_discount")), 8).as("var_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // --- Higher-order array functions (transform/filter/aggregate/
+    //     array_sort/slice) over the per-doc token array. Pure
+    //     projection — zero shuffles before the final sort; the token
+    //     array is projected ONCE (CollapseProject won't inline the
+    //     non-trivial tokenize into each consumer). Empty-array edges
+    //     coalesced on both sides: DuckDB's list_sum/list_max return
+    //     NULL on [] where Spark's aggregate seed gives 0. ---
+    Q("q35_array_hof",
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(tk) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(tk)) AS INT) AS n_distinct,
+        |  CAST(coalesce(list_max(list_transform(tk, x -> length(x))), 0) AS INT) AS max_len,
+        |  CAST(coalesce(list_sum(list_transform(tk, x -> length(x))), 0) AS BIGINT) AS total_chars,
+        |  array_to_string(list_sort(list_distinct(tk))[1:3], ' ') AS first3
+        |FROM tk ORDER BY doc_id""") { (s, dir) =>
+      import graft.functions.TextFunctions.tokens
+      t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"),
+          size(col("tk")).as("n_tokens"),
+          size(array_distinct(col("tk"))).as("n_distinct"),
+          coalesce(array_max(transform(col("tk"), x => length(x))), lit(0))
+            .as("max_len"),
+          aggregate(col("tk"), lit(0L), (acc, x) => acc + length(x).cast("long"))
+            .as("total_chars"),
+          array_join(slice(array_sort(array_distinct(col("tk"))), 1, 3), " ")
+            .as("first3"))
+        .orderBy("doc_id")
+    },
+
+    // --- Distribution window functions: ntile / percent_rank /
+    //     cume_dist. Partitioned by status so each group sorts
+    //     independently (a global ntile would need a single range
+    //     partition); ranks are exact rationals of two ints — identical
+    //     IEEE doubles on both engines — rounded only for stable repr. ---
+    Q("q36_window_dist",
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""") { (s, dir) =>
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          ntile(4).over(w).as("quartile"),
+          duckRound(percent_rank().over(w), 6).as("pr"),
+          duckRound(cume_dist().over(w), 6).as("cd"))
+        .orderBy("o_orderkey")
+    },
+
+    // --- Scalar subquery (SQL surface): the subquery aggregates to one
+    //     row via partial+final max (its own tiny job), then the outer
+    //     scan filters against the resulting literal — no join blowup.
+    //     max is exact (no float accumulation), so the 0.9*max threshold
+    //     is the identical IEEE double on both engines. ---
+    Q("q37_scalar_subquery",
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  (SELECT max(o_totalprice) FROM orders) AS corpus_max
+        |FROM orders
+        |WHERE o_totalprice >= 0.9 * (SELECT max(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""") { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("ssq_orders")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice,
+          |  (SELECT max(o_totalprice) FROM ssq_orders) AS corpus_max
+          |FROM ssq_orders
+          |WHERE o_totalprice >= 0.9 * (SELECT max(o_totalprice) FROM ssq_orders)
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
     // --- approx_count_distinct: no exact SQL twin → rows-only check;
     //     the exact variant is q13 ---
     Q.noOracle("q23_approx_count_distinct") { (s, dir) =>
