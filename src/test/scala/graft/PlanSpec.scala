@@ -140,6 +140,41 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("pl05/pl06/q35: row-local curation ops stay single-exchange") {
+    // mixture sampling is a map-side filter, the quality gate and the
+    // array-HOF profile are per-row projections: the only exchange any
+    // of them may plan is the final range sort — at 100 TB an extra
+    // shuffle here would move the whole corpus
+    for (q <- Seq("pl05_source_mixture", "pl06_quality_rules",
+        "q35_array_hof")) {
+      val p = plan(q)
+      assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 1,
+        s"$q gained a shuffle beyond the output sort:\n$p")
+    }
+  }
+
+  test("q34: central-moment aggregates partially aggregate map-side") {
+    // corr/covar/stddev plan as CentralMomentAgg with a partial stage
+    // before the exchange — only 3 co-moment structs per partition
+    // cross the wire, not the lineitem rows
+    val p = plan("q34_stat_aggs")
+    assert(p.contains("partial_corr") || p.contains("partial_"),
+      s"q34 lost its map-side partial aggregation:\n$p")
+    val aggIdx = p.indexOf("HashAggregate")
+    val exIdx = p.indexOf("Exchange")
+    assert(aggIdx >= 0 && exIdx >= 0,
+      s"q34 plan shape unexpected:\n$p")
+  }
+
+  test("q37: scalar subquery plans as a one-row subquery, not a join") {
+    val p = plan("q37_scalar_subquery")
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"),
+      s"q37 must plan scalar subqueries:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q37 must not expand the scalar into a join:\n$p")
+  }
+
   test("sm03/sm04: coarse-quantizer assignment is a shuffle-free projection") {
     import org.apache.spark.sql.functions._
     val e = tables.load(spark, dir, "embeddings")
