@@ -811,6 +811,29 @@ object Relational {
           |ORDER BY o_orderkey""".stripMargin)
     },
 
+    // --- Generator / table-valued function: posexplode flattens the
+    //     token array WITH its ordinal — the lateral-view surface. The
+    //     generator runs inside the projection (one pass, no shuffle
+    //     before the output sort); ordinals are emitted 1-based to
+    //     match SQL ordinality convention. ---
+    Q("q38_generators",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents WHERE doc_id < 10)
+        |SELECT doc_id, CAST(u.pos AS INT) AS pos, u.token
+        |FROM (SELECT doc_id,
+        |        unnest(list_transform(tk, (x, i) -> {'pos': i, 'token': x})) AS u
+        |      FROM t)
+        |ORDER BY doc_id, pos""") { (s, dir) =>
+      import graft.functions.TextFunctions.tokens
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 10)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos0", "token")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("token"))
+        .orderBy("doc_id", "pos")
+    },
+
     // --- approx_count_distinct: no exact SQL twin → rows-only check;
     //     the exact variant is q13 ---
     Q.noOracle("q23_approx_count_distinct") { (s, dir) =>

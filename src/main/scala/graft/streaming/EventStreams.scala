@@ -171,6 +171,29 @@ object EventStreams {
         col("l.value").as("left_value"), col("r.value").as("right_value"))
   }
 
+  /** LEFT OUTER stream-stream interval join: like
+    * `intervalJoinStreaming`, plus every unmatched left event is
+    * emitted with NULL right columns — but only once the watermark has
+    * passed its join window, because until then a matching right row
+    * could still arrive. That watermark-gated NULL emission is the
+    * semantic difference from a batch left join (which can decide
+    * "unmatched" by looking at the whole bounded input); state stays
+    * bounded exactly as in the inner variant.
+    */
+  def intervalJoinStreamingOuter(left: DataFrame, right: DataFrame,
+                                 within: String = "30 minutes",
+                                 watermarkDelay: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay).alias("l")
+    val r = right.withWatermark("ts", watermarkDelay).alias("r")
+    l.join(r,
+      expr(s"""l.user_id = r.user_id AND
+              |r.ts >= l.ts AND r.ts <= l.ts + INTERVAL $within""".stripMargin),
+      "leftOuter")
+      .select(col("l.user_id").as("user_id"),
+        col("l.ts").as("left_ts"), col("r.ts").as("right_ts"),
+        col("l.value").as("left_value"), col("r.value").as("right_value"))
+  }
+
   /** File-source streaming demo: treats `eventsDir` — a DIRECTORY of
     * events parquet files, the realistic arriving-data layout — as a
     * stream (one-shot availableNow trigger), aggregates with watermark,

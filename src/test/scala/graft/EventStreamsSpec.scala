@@ -312,6 +312,51 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits NULL rows only after the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ls = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val rs = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = EventStreams.intervalJoinStreamingOuter(
+      ls.toDF().toDF("user_id", "ts", "value"),
+      rs.toDF().toDF("user_id", "ts", "value"))
+      .writeStream.format("memory").queryName("soj_out")
+      .outputMode("append").start()
+    try {
+      // user 1 matches; user 2 has no right row — its NULL emission
+      // must wait for the watermark, not the end of the batch
+      ls.addData(Seq(
+        (1L, ts("2024-01-01 00:00:00"), 1.0),
+        (2L, ts("2024-01-01 00:00:00"), 2.0)))
+      rs.addData(Seq((1L, ts("2024-01-01 00:10:00"), 10.0)))
+      q.processAllAvailable()
+      val early = spark.table("soj_out")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Double, Option[Double])]
+        .collect().toSeq
+      assert(!early.exists(_._1 == 2L),
+        s"user 2 must NOT emit before the watermark closes its window: $early")
+
+      // advance BOTH watermarks (global watermark = min of the two)
+      // far past user 2's [00:00, 00:30] window, then run the extra
+      // micro-batches that evict expired left state
+      ls.addData(Seq((9L, ts("2024-01-01 06:00:00"), 9.0)))
+      rs.addData(Seq((9L, ts("2024-01-01 06:00:00"), 90.0)))
+      q.processAllAvailable()
+      ls.addData(Seq((10L, ts("2024-01-01 07:00:00"), 0.0)))
+      rs.addData(Seq((10L, ts("2024-01-01 07:00:00"), 0.0)))
+      q.processAllAvailable()
+
+      val got = spark.table("soj_out")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Double, Option[Double])]
+        .collect().toSeq.sortBy(t => (t._1, Option(t._3).map(_.getTime)))
+      assert(got.exists(t => t._1 == 1L && t._5.contains(10.0)),
+        s"user 1's in-window pair missing: $got")
+      val u2 = got.filter(_._1 == 2L)
+      assert(u2.size == 1 && u2.head._3 == null && u2.head._5.isEmpty,
+        s"user 2 must emit exactly one NULL-right row after eviction: $got")
+    } finally q.stop()
+  }
+
   test("sessionization state survives a checkpointed query restart") {
     // the production property: flatMapGroupsWithState state lives in
     // the checkpoint, so a stopped query resumes its open sessions —
