@@ -389,6 +389,65 @@ object Dedup {
         .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"),
           col("hamming"))
         .orderBy("doc_a", "doc_b")
+    },
+
+    // --- Chunk-level (sub-document) dedup: docs are cut into
+    //     consecutive non-overlapping 10-token chunks and a chunk is
+    //     "shared" when it occurs in ≥2 distinct documents — the
+    //     boilerplate/template detector pipelines run BELOW document
+    //     granularity (whole-doc dedup never sees a copied paragraph
+    //     inside an otherwise-unique page). Chunking is map-side; the
+    //     shuffle key is the chunk's md5 (fixed 32 chars crossing the
+    //     wire, not the chunk text, and digest-keyed grouping has no
+    //     collation edge cases); chunk cardinality is high and uniform
+    //     so the groupBy needs no salting. The chunk set is persisted
+    //     once for its two consumers (frequency agg + join back). ---
+    Q("dd09_chunk_dedup",
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |cc AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, len(tk) // 10),
+        |      i -> md5(array_to_string(tk[i * 10 + 1 : (i + 1) * 10], ' ')))) AS ch
+        |  FROM tk),
+        |d AS (SELECT ch, count(DISTINCT doc_id) AS nd FROM cc GROUP BY ch),
+        |agg AS (
+        |  SELECT cc.doc_id,
+        |    CAST(sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS INT) AS n_shared
+        |  FROM cc JOIN d USING (ch) GROUP BY cc.doc_id)
+        |SELECT t.doc_id,
+        |  CAST(len(t.tk) // 10 AS INT) AS n_chunks,
+        |  coalesce(a.n_shared, 0) AS n_shared,
+        |  round(CAST(coalesce(a.n_shared, 0) AS DOUBLE)
+        |        / CAST(greatest(len(t.tk) // 10, 1) AS DOUBLE), 6) AS shared_frac
+        |FROM tk t LEFT JOIN agg a ON t.doc_id = a.doc_id
+        |ORDER BY t.doc_id""") { (s, dir) =>
+      import org.apache.spark.storage.StorageLevel
+      val tk = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+      val nChunks = (size(col("tk")) / lit(10)).cast("int")
+      // sequence(0, n-1) must never see n = 0: Spark infers a NEGATIVE
+      // step for sequence(0, -1), so short docs are filtered out here
+      // and rejoined with zero counts at the end
+      val cc = tk.filter(size(col("tk")) >= 10)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), nChunks - 1),
+            i => md5(array_join(slice(col("tk"), i * 10 + 1, lit(10)), " ")
+              .cast("binary")))).as("ch"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val d = cc.groupBy("ch").agg(countDistinct(col("doc_id")).as("nd"))
+      val perDoc = cc.join(d, "ch")
+        .groupBy("doc_id")
+        .agg(sum(when(col("nd") >= 2, 1).otherwise(0)).cast("int").as("n_shared"))
+      tk.select(col("doc_id"), nChunks.as("n_chunks"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_shared"), lit(0)).as("n_shared"),
+          duckRound(coalesce(col("n_shared"), lit(0)).cast("double") /
+            greatest(col("n_chunks"), lit(1)).cast("double"), 6).as("shared_frac"))
+        .orderBy("doc_id")
     }
   )
 }
