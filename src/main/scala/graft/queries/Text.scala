@@ -782,6 +782,65 @@ object Text {
       sketch.select(explode(col("sketch")).as("e"))
         .select(col("e.item").as("token"), col("e.est").as("est_count"))
         .orderBy(col("est_count").desc, col("token"))
+    },
+
+    // --- Bigram language-model fluency score: train MLE bigram
+    //     probabilities P(w2|w1) = c(w1 w2)/c(w1) on the corpus, score
+    //     each doc by its mean bigram log-probability — the
+    //     perplexity-proxy quality signal pipelines use to rank text
+    //     naturalness (a KenLM stand-in with the same dataflow). No
+    //     smoothing needed: every doc bigram is in the corpus counts by
+    //     construction, so probabilities are never zero. Per-doc
+    //     (doc, bigram) occurrence counts aggregate BEFORE the model
+    //     joins, so join input is bounded by per-doc vocabulary, not
+    //     token count. Rounded to 4 decimals: the per-doc sum of logs
+    //     accumulates partial-merge-order noise ~1e-13, far below the
+    //     rounding granularity. ---
+    Q("tx25_lm_score",
+      s"""WITH tk AS (SELECT doc_id, $DuckToks AS tk FROM documents),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |    i -> tk[i] || ' ' || tk[i+1])) AS bigram
+         |  FROM tk),
+         |db AS (SELECT doc_id, bigram, count(*) AS k FROM bg GROUP BY doc_id, bigram),
+         |bc AS (SELECT bigram, count(*) AS cab FROM bg GROUP BY bigram),
+         |uc AS (SELECT token, count(*) AS c
+         |       FROM (SELECT unnest(tk) AS token FROM tk) GROUP BY token),
+         |sc AS (
+         |  SELECT db.doc_id,
+         |    CAST(sum(db.k) AS BIGINT) AS n_bigrams,
+         |    sum(CAST(db.k AS DOUBLE)
+         |        * ln(CAST(bc.cab AS DOUBLE) / CAST(uc.c AS DOUBLE))) AS lp
+         |  FROM db JOIN bc USING (bigram)
+         |  JOIN uc ON uc.token = string_split(db.bigram, ' ')[1]
+         |  GROUP BY db.doc_id)
+         |SELECT t.doc_id,
+         |  coalesce(s.n_bigrams, 0) AS n_bigrams,
+         |  round(s.lp / CAST(s.n_bigrams AS DOUBLE), 4) AS mean_logprob
+         |FROM tk t LEFT JOIN sc s ON t.doc_id = s.doc_id
+         |ORDER BY t.doc_id""") { (s, dir) =>
+      import org.apache.spark.storage.StorageLevel
+      val toks = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("tk"))
+      val bg = toks
+        .select(col("doc_id"), explode(wordNgramsOf(col("tk"), 2)).as("bigram"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // two consumers: db + bc
+      val db = bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("k"))
+      val bc = bg.groupBy("bigram").agg(count(lit(1)).as("cab"))
+      val uc = toks.select(explode(col("tk")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("c"))
+      val sc = db.join(bc, "bigram")
+        .join(uc, col("token") === split(col("bigram"), " ")(0))
+        .groupBy("doc_id")
+        .agg(sum("k").as("n_bigrams"),
+          sum(col("k").cast("double") *
+            log(col("cab").cast("double") / col("c").cast("double"))).as("lp"))
+      toks.select(col("doc_id"))
+        .join(sc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          duckRound(col("lp") / col("n_bigrams").cast("double"), 4)
+            .as("mean_logprob"))
+        .orderBy("doc_id")
     }
   )
 }
