@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.tables
@@ -209,6 +209,88 @@ object Similarity {
     * natively as HUGEINT (exact to 2^127); each converts the exact
     * integer to double once, at the end, giving identical means.
     */
+  // --- PQ machinery shared by sm05 (full ADC scan) and sm06 (IVF-PQ):
+  //     8 subspaces × 8 sub-centroids (the sm03 seed-cell convention
+  //     per subspace); codes are one byte per subspace ---
+  private val PqM = 8   // subspaces
+  private val PqSub = 8 // dims per subspace
+
+  private def pqCentSlice(ce: Seq[Double], m: Int): Seq[Double] =
+    ce.slice(m * PqSub, (m + 1) * PqSub)
+
+  /** Same fold (0-seeded, left-to-right) as `l2SqSql`, for driver-side
+    * LUT construction — keeps LUT distances bit-identical to the SQL
+    * oracle's. */
+  private def l2sqRef(a: Seq[Double], b: Seq[Double]): Double =
+    a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+
+  /** Per-subspace shuffle-free argmin encoding (the nearestCells
+    * pattern): one `code$m` column per subspace. */
+  private def pqCodeCols(cents: Seq[(Long, Seq[Double])]): Seq[Column] =
+    (0 until PqM).map { m =>
+      val cands = array(cents.map { case (cid, ce) =>
+        struct(
+          l2DistanceSq(slice(col("embedding"), m * PqSub + 1, PqSub),
+            typedlit(pqCentSlice(ce, m))).as("d"),
+          lit(cid).as("cid"))
+      }: _*)
+      array_min(cands).getField("cid").as(s"code$m")
+    }
+
+  /** Probe → (subspace → sub-centroid distance) lookup tables, built
+    * driver-side on the tiny probe × centroid sets and broadcast. */
+  private def pqLutDF(s: SparkSession, e: DataFrame,
+                      cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    import s.implicits._
+    val probeRows = e.filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    probeRows.map { case (pid, pv) =>
+      (pid, (0 until PqM).map(m =>
+        cents.map { case (_, ce) =>
+          l2sqRef(pv.slice(m * PqSub, (m + 1) * PqSub), pqCentSlice(ce, m))
+        }))
+    }.toDF("probe_id", "lut")
+  }
+
+  /** ADC score: 8 LUT lookups summed left-to-right (fixed order). */
+  private def pqScore: Column = (0 until PqM)
+    .map(m => element_at(element_at(col("lut"), m + 1),
+      (col(s"code$m") + 1).cast("int")))
+    .reduce(_ + _)
+
+  /** DuckDB CTEs shared by the PQ oracles: centroids, per-subspace
+    * slices, corpus codes, probes, probe LUTs. */
+  private def pqCodeCtes: String = {
+    val codeDist = l2SqSql("list_slice(e.embedding, s.m*8 + 1, s.m*8 + 8)", "s.cs")
+    val lutDist = l2SqSql("list_slice(p.pe, s.m*8 + 1, s.m*8 + 8)", "s.cs")
+    s"""cent AS (
+       |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+       |  FROM embeddings WHERE vec_id < 8),
+       |sub AS (
+       |  SELECT cid, m, list_slice(ce, m*8 + 1, m*8 + 8) AS cs
+       |  FROM cent CROSS JOIN (SELECT unnest(range(0, 8)) AS m)),
+       |codes AS (
+       |  SELECT vec_id, m, cid AS code FROM (
+       |    SELECT e.vec_id, s.m, s.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id, s.m
+       |                         ORDER BY $codeDist, s.cid) AS rn
+       |    FROM embeddings e CROSS JOIN sub s)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+       |  WHERE vec_id % 25 = 0 AND vec_id < 500),
+       |lut AS (
+       |  SELECT p.probe_id, s.m, s.cid, $lutDist AS d
+       |  FROM probes p CROSS JOIN sub s)"""
+  }
+
+  /** ADC total over the 8 per-subspace partial distances. */
+  private val pqTotalSql: String = (0 until 8)
+    .map(m => s"coalesce(sum(CASE WHEN m = $m THEN d END), 0.0)")
+    .mkString(" + ")
+
   private val TrainMod = 4 // deterministic training sample: vec_id % 4 = 0
   private val LloydIters = 2
   private val QScale = 1L << 20
@@ -423,36 +505,13 @@ object Similarity {
     //     work is 8 table lookups; it amortizes at scale exactly
     //     because it does NOT grow with the corpus. ---
     Q("sm05_pq_topk", {
-      val codeDist = l2SqSql("list_slice(e.embedding, s.m*8 + 1, s.m*8 + 8)", "s.cs")
-      val lutDist = l2SqSql("list_slice(p.pe, s.m*8 + 1, s.m*8 + 8)", "s.cs")
-      val total = (0 until 8)
-        .map(m => s"coalesce(sum(CASE WHEN m = $m THEN d END), 0.0)")
-        .mkString("\n         |      + ")
-      s"""WITH cent AS (
-         |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-         |  FROM embeddings WHERE vec_id < 8),
-         |sub AS (
-         |  SELECT cid, m, list_slice(ce, m*8 + 1, m*8 + 8) AS cs
-         |  FROM cent CROSS JOIN (SELECT unnest(range(0, 8)) AS m)),
-         |codes AS (
-         |  SELECT vec_id, m, cid AS code FROM (
-         |    SELECT e.vec_id, s.m, s.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id, s.m
-         |                         ORDER BY $codeDist, s.cid) AS rn
-         |    FROM embeddings e CROSS JOIN sub s)
-         |  WHERE rn = 1),
-         |probes AS (
-         |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
-         |  WHERE vec_id % 25 = 0 AND vec_id < 500),
-         |lut AS (
-         |  SELECT p.probe_id, s.m, s.cid, $lutDist AS d
-         |  FROM probes p CROSS JOIN sub s),
+      s"""WITH ${pqCodeCtes},
          |joined AS (
          |  SELECT l.probe_id, c.vec_id, c.m, l.d
          |  FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.code),
          |scored AS (
          |  SELECT probe_id, vec_id,
-         |    round($total, 6) AS adist
+         |    round($pqTotalSql, 6) AS adist
          |  FROM joined GROUP BY probe_id, vec_id)
          |SELECT probe_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank, adist
          |FROM (
@@ -463,46 +522,93 @@ object Similarity {
          |WHERE rank <= 10
          |ORDER BY probe_id, rank"""
     }) { (s, dir) =>
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val M = 8; val Sub = 8
       val e = emb(s, dir)
       val cents = collectCentroids(e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("ce")))
-      def centSlice(ce: Seq[Double], m: Int): Seq[Double] =
-        ce.slice(m * Sub, (m + 1) * Sub)
-      // per-subspace shuffle-free argmin (the nearestCells pattern)
-      val codeCols = (0 until M).map { m =>
-        val cands = array(cents.map { case (cid, ce) =>
-          struct(
-            l2DistanceSq(slice(col("embedding"), m * Sub + 1, Sub),
-              typedlit(centSlice(ce, m))).as("d"),
-            lit(cid).as("cid"))
-        }: _*)
-        array_min(cands).getField("cid").as(s"code$m")
-      }
-      val coded = e.select(col("vec_id") +: codeCols: _*)
-      // probe LUTs: same fold (0-seeded, left-to-right) as l2SqSql
-      def l2sqRef(a: Seq[Double], b: Seq[Double]): Double =
-        a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
-      val probeRows = e.filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
-        .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
-        .collect().toSeq
-        .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
-      val lut = probeRows.map { case (pid, pv) =>
-        (pid, (0 until M).map(m =>
-          cents.map { case (_, ce) =>
-            l2sqRef(pv.slice(m * Sub, (m + 1) * Sub), centSlice(ce, m))
-          }))
-      }.toDF("probe_id", "lut")
-      val score = (0 until M)
-        .map(m => element_at(element_at(col("lut"), m + 1),
-          (col(s"code$m") + 1).cast("int")))
-        .reduce(_ + _)
+      val coded = e.select(col("vec_id") +: pqCodeCols(cents): _*)
+      val lut = pqLutDF(s, e, cents)
       val w = Window.partitionBy("probe_id").orderBy(col("adist"), col("vec_id"))
       coded.crossJoin(broadcast(lut))
         .filter(col("vec_id") =!= col("probe_id"))
-        .withColumn("adist", duckRound(score, 6))
+        .withColumn("adist", duckRound(pqScore, 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          col("rank").cast("long").as("rank"), col("adist"))
+        .orderBy("probe_id", "rank")
+    },
+
+    // --- IVF-PQ (ADC over candidate cells): the production composition
+    //     of sm03's coarse pruning and sm05's compressed scoring. The
+    //     corpus is assigned to coarse cells (shuffle-free projection
+    //     argmin) and PQ-encoded once; each probe searches only its
+    //     nprobe cells, scoring CODES against its LUT — so per-probe
+    //     work scales with nprobe/cells of the corpus AND never touches
+    //     raw embeddings at query time. Codes quantize the raw vectors
+    //     (IVF-Flat-PQ), not residuals: classic IVFADC subtracts the
+    //     cell centroid first, which improves recall but changes no
+    //     plan shape — the raw-vector variant keeps the oracle an
+    //     exact replica. Candidate generation and LUT lookup are all
+    //     EQUI-joins (cell id / vec_id / probe_id) — no cross join
+    //     anywhere (plan-guarded). ---
+    Q("sm06_ivfpq_topk", {
+      val dist = l2SqSql("e.embedding", "c.ce")
+      val pdist = l2SqSql("p.pe", "c.ce")
+      s"""WITH ${pqCodeCtes},
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |                         ORDER BY $dist, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |pcells AS (
+         |  SELECT probe_id, cid FROM (
+         |    SELECT p.probe_id, c.cid,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |                         ORDER BY $pdist, c.cid) AS rn
+         |    FROM probes p CROSS JOIN cent c)
+         |  WHERE rn <= $IvfNProbe),
+         |cand AS (
+         |  SELECT pc.probe_id, a.vec_id
+         |  FROM pcells pc JOIN assign a ON a.cid = pc.cid
+         |  WHERE a.vec_id <> pc.probe_id),
+         |joined AS (
+         |  SELECT cd.probe_id, c.vec_id, c.m, l.d
+         |  FROM cand cd
+         |  JOIN codes c ON c.vec_id = cd.vec_id
+         |  JOIN lut l ON l.probe_id = cd.probe_id AND l.m = c.m AND l.cid = c.code),
+         |scored AS (
+         |  SELECT probe_id, vec_id,
+         |    round($pqTotalSql, 6) AS adist
+         |  FROM joined GROUP BY probe_id, vec_id)
+         |SELECT probe_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank, adist
+         |FROM (
+         |  SELECT probe_id, vec_id, adist,
+         |    row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY adist, vec_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10
+         |ORDER BY probe_id, rank"""
+    }) { (s, dir) =>
+      val e = emb(s, dir)
+      val cents = collectCentroids(e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+      val assign = nearestCells(
+        e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+        cents, 1)
+      val coded = e.select(col("vec_id") +: pqCodeCols(cents): _*)
+      val probes = e.filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val pcells = nearestCells(probes.select(col("probe_id"),
+        col("pe").as("embedding")), "probe_id", "embedding", cents, IvfNProbe)
+      val lut = pqLutDF(s, e, cents)
+      val w = Window.partitionBy("probe_id").orderBy(col("adist"), col("vec_id"))
+      pcells.join(assign, Seq("cid"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .join(coded, Seq("vec_id"))
+        .join(broadcast(lut), Seq("probe_id"))
+        .withColumn("adist", duckRound(pqScore, 6))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),

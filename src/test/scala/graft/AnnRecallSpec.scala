@@ -66,5 +66,15 @@ class AnnRecallSpec extends AnyFunSuite {
       "probe_id", "neighbor_id"), exact)
     // deterministic value today: 0.120; random@10 of 499 ≈ 0.02
     assert(pq >= 0.10, s"sm05 recall regressed: $pq")
+
+    // IVF-PQ searches nprobe/cells of the corpus with the same codes,
+    // so its recall is bounded by sm05's full ADC scan; it must still
+    // clear random by a wide margin, and never beat its own ceiling
+    val ivfpq = recall(topSets(
+      SparkEntry.queries("sm06_ivfpq_topk")(spark, dir),
+      "probe_id", "neighbor_id"), exact)
+    assert(ivfpq >= 0.05, s"sm06 recall collapsed: $ivfpq")
+    assert(ivfpq <= pq + 1e-9,
+      s"sm06 ($ivfpq) cannot out-recall the full ADC scan ($pq)")
   }
 }

@@ -51,7 +51,7 @@ class PlanSpec extends AnyFunSuite {
     // q30's binned interval join carries the same guarantee: the range
     // predicate must ride an equi-join on (user_id, bin), never a BNLJ
     for (q <- Seq("dd03_minhash_lsh", "dd04_simhash", "sm02_ann_hyperplane",
-        "q30_interval_join")) {
+        "q30_interval_join", "sm06_ivfpq_topk")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian join")
       assert(!p.contains("BroadcastNestedLoopJoin"),
