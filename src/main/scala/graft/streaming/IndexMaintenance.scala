@@ -75,6 +75,51 @@ object IndexMaintenance {
     spark.table(statsTable)
       .agg(coalesce(sum("n_docs"), lit(0L))).head.getLong(0)
 
+  /** Document DELETION — the other half of maintenance. A delete never
+    * rewrites the bucketed postings (that would be an O(index) job for
+    * an O(1) request): the ids are appended to a tombstone side table
+    * and serving plans subtract them via `withoutDeleted`. The stats
+    * ledger gets a negative increment so `docCount` (BM25's N) tracks
+    * the LIVE corpus. Idempotent: ids already tombstoned are ignored,
+    * so a replayed delete neither double-appends nor double-decrements.
+    * Caller contract: ids should belong to the indexed corpus (the
+    * ledger trusts them; tombstoning a never-indexed id would skew N).
+    */
+  def deleteDocs(spark: org.apache.spark.sql.SparkSession,
+                 docIds: Seq[Long], tombstoneTable: String,
+                 statsTable: String): Unit = {
+    import spark.implicits._
+    if (docIds.nonEmpty) {
+      val requested = docIds.distinct.toDF("doc_id")
+      val fresh =
+        if (spark.catalog.tableExists(tombstoneTable))
+          requested.join(spark.table(tombstoneTable), Seq("doc_id"), "left_anti")
+        else requested
+      val n = fresh.count()
+      if (n > 0) {
+        fresh.write.mode("append").saveAsTable(tombstoneTable)
+        Seq((TombstoneBatchId, -n)).toDF("batch_id", "n_docs")
+          .write.mode("append").saveAsTable(statsTable)
+      }
+    }
+  }
+
+  /** Ledger batch id for delete decrements — streaming batch ids are
+    * ≥ 0, so the commit-marker check never collides with these rows. */
+  private val TombstoneBatchId = -2L
+
+  /** Serve-time tombstone application: a BROADCAST anti-join (the
+    * tombstone set is small by construction — it is cleared at every
+    * compaction), so serving plans keep their zero-exchange bucketed
+    * scan and pay one map-side hash probe. Pass-through when no
+    * tombstone table exists. */
+  def withoutDeleted(postings: DataFrame, tombstoneTable: String): DataFrame = {
+    val spark = postings.sparkSession
+    if (!spark.catalog.tableExists(tombstoneTable)) postings
+    else postings.join(broadcast(spark.table(tombstoneTable).select("doc_id")),
+      Seq("doc_id"), "left_anti")
+  }
+
   /** Compaction — the operational counterpart of append-only
     * maintenance: every micro-batch adds one file set per bucket, and
     * a thousand appends mean a thousand small files per bucket scan.
@@ -85,13 +130,27 @@ object IndexMaintenance {
     * format would swap manifests instead; same seam.)
     */
   def compact(spark: org.apache.spark.sql.SparkSession,
-              termDocTable: String): Unit = {
-    val snapshot = spark.table(termDocTable)
+              termDocTable: String): Unit =
+    compact(spark, termDocTable, tombstoneTable = None)
+
+  /** Compaction that also PURGES tombstoned documents: the rewrite
+    * anti-joins the tombstones (physically dropping their postings)
+    * and then clears the tombstone table, returning `withoutDeleted`
+    * to a pass-through. The ledger is untouched — it was already
+    * decremented at delete time, and purging changes only where the
+    * deletion is represented, not the live count. */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+              termDocTable: String, tombstoneTable: Option[String]): Unit = {
+    val live = tombstoneTable
+      .map(t => withoutDeleted(spark.table(termDocTable), t))
+      .getOrElse(spark.table(termDocTable))
+    val snapshot = live
       .repartition(col("token"))
       .localCheckpoint(true) // materialize BEFORE dropping the source
     spark.sql(s"DROP TABLE IF EXISTS $termDocTable")
     snapshot.write
       .bucketBy(8, "token").sortBy("token")
       .saveAsTable(termDocTable)
+    tombstoneTable.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 }

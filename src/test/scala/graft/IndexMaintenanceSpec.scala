@@ -107,4 +107,63 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $td")
     spark.sql(s"DROP TABLE IF EXISTS $st")
   }
+
+  test("tombstone deletes hide docs at serve time and purge at compaction") {
+    import spark.implicits._
+    val td = "idx_del_termdoc"
+    val st = "idx_del_stats"
+    val tb = "idx_del_tombstones"
+    for (t <- Seq(td, st, tb)) spark.sql(s"DROP TABLE IF EXISTS $t")
+
+    val base = Seq((1L, "alpha beta gamma"), (2L, "beta delta"),
+      (3L, "gamma delta epsilon")).toDF("doc_id", "text")
+    graft.queries.Text.termDocPositionalOf(base)
+      .write.bucketBy(8, "token").sortBy("token").saveAsTable(td)
+    base.groupBy().agg(count(lit(1)).as("n_docs"))
+      .withColumn("batch_id", lit(-1L)).select("batch_id", "n_docs")
+      .write.saveAsTable(st)
+
+    // no tombstone table yet → pass-through, doc 2 visible
+    def servedDocs(): Seq[Long] =
+      IndexMaintenance.withoutDeleted(spark.table(td), tb)
+        .filter(col("token") === "beta")
+        .select("doc_id").distinct().as[Long].collect().sorted.toSeq
+    assert(servedDocs() == Seq(1L, 2L))
+
+    // delete doc 2: hidden from serving, ledger decremented, and the
+    // anti-join must be BROADCAST (serve plans keep their scan shape)
+    IndexMaintenance.deleteDocs(spark, Seq(2L), tb, st)
+    assert(servedDocs() == Seq(1L))
+    assert(IndexMaintenance.docCount(spark, st) == 2L)
+    val p = IndexMaintenance.withoutDeleted(spark.table(td), tb)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti") && p.contains("Broadcast"),
+      s"tombstones must apply as a broadcast anti-join:\n$p")
+
+    // replayed delete: no double-append, no double-decrement
+    IndexMaintenance.deleteDocs(spark, Seq(2L), tb, st)
+    assert(IndexMaintenance.docCount(spark, st) == 2L,
+      "replayed delete double-decremented the ledger")
+    assert(spark.table(tb).count() == 1L,
+      "replayed delete double-appended the tombstone")
+
+    // purge: postings physically dropped, tombstones cleared, layout
+    // bucketed, serving unchanged (now via pass-through)
+    IndexMaintenance.compact(spark, td, Some(tb))
+    assert(spark.table(td).filter(col("doc_id") === 2L).isEmpty,
+      "purge left deleted postings behind")
+    assert(!spark.catalog.tableExists(tb), "purge must clear tombstones")
+    assert(servedDocs() == Seq(1L))
+    assert(IndexMaintenance.docCount(spark, st) == 2L)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p2 = spark.table(td).groupBy("token").agg(sum("cnt"))
+        .queryExecution.executedPlan.toString
+      assert(p2.contains("Bucketed: true") && !p2.contains("Exchange"),
+        s"purged table lost its bucket layout:\n$p2")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+    for (t <- Seq(td, st)) spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }
