@@ -230,3 +230,41 @@ case class WordNgrams(child: Expression, n: Int)
   override protected def withNewChildInternal(
       newChild: Expression): WordNgrams = copy(child = newChild)
 }
+
+/** Unicode NFC normalization (canonical composition) — the
+  * normalization pass a pipeline runs BEFORE hashing/dedup so that
+  * `e + COMBINING ACUTE` and the precomposed `é` hash identically.
+  * Spark has no built-in for it; this wraps `java.text.Normalizer`
+  * (the JDK's conformant Unicode implementation) as a codegen'd
+  * expression, matching DuckDB's utf8proc-based `nfc_normalize` —
+  * both implement the same Unicode canonical-composition algorithm,
+  * which is what makes the op oracle-checkable.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString,
+      java.text.Normalizer.Form.NFC))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"""
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  java.text.Normalizer.normalize($x.toString(),
+         |    java.text.Normalizer.Form.NFC));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NfcNormalize = copy(child = newChild)
+}

@@ -119,6 +119,8 @@ object VectorExpressions {
           exprs(1).eval().asInstanceOf[Int]), "built-in")
       reg.createOrReplaceTempFunction("graft_tokenize",
         exprs => Tokenize(exprs(0)), "built-in")
+      reg.createOrReplaceTempFunction("graft_nfc",
+        exprs => NfcNormalize(exprs(0)), "built-in")
     }
   }
 }

@@ -27,6 +27,12 @@ object TextFunctions {
   def tokens(text: Column): Column =
     call_function("graft_tokenize", text)
 
+  /** Unicode NFC normalization (graft.expressions.NfcNormalize) —
+    * canonical composition so decomposed and precomposed forms hash
+    * identically; mirror of DuckDB's `nfc_normalize`. */
+  def nfcNormalize(text: Column): Column =
+    call_function("graft_nfc", text)
+
   /** Reference punctuation scrub (InvertedIndexer.java:108-110): each
     * single-char pattern replaced by a space. Fused into ONE
     * regexp_replace over a character class — one compiled regex per task

@@ -834,6 +834,31 @@ object Relational {
         .orderBy("doc_id", "pos")
     },
 
+    // --- Union by NAME with missing-column fill: the schema-evolution
+    //     union (two sources with reordered columns, one lacking a
+    //     column entirely → NULL-filled) — `unionByName(
+    //     allowMissingColumns = true)` vs DuckDB's UNION ALL BY NAME.
+    //     Pure map-side concatenation: no shuffle before the sort. ---
+    Q("q39_union_by_name",
+      """SELECT id, amount, kind, priority FROM (
+        |  SELECT o_orderkey AS id, o_totalprice AS amount, 'order' AS kind,
+        |         o_orderpriority AS priority
+        |  FROM orders
+        |  UNION ALL BY NAME
+        |  SELECT 'lineitem' AS kind, l_extendedprice AS amount, l_orderkey AS id
+        |  FROM lineitem WHERE l_quantity > 49)
+        |ORDER BY kind, id, amount""") { (s, dir) =>
+      val a = t(s, dir, "orders")
+        .select(col("o_orderkey").as("id"), col("o_totalprice").as("amount"),
+          lit("order").as("kind"), col("o_orderpriority").as("priority"))
+      val b = t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 49)
+        .select(lit("lineitem").as("kind"), col("l_extendedprice").as("amount"),
+          col("l_orderkey").as("id")) // no priority column
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy("kind", "id", "amount")
+    },
+
     // --- approx_count_distinct: no exact SQL twin → rows-only check;
     //     the exact variant is q13 ---
     Q.noOracle("q23_approx_count_distinct") { (s, dir) =>

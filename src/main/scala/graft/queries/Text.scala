@@ -841,6 +841,34 @@ object Text {
           duckRound(col("lp") / col("n_bigrams").cast("double"), 4)
             .as("mean_logprob"))
         .orderBy("doc_id")
+    },
+
+    // --- Unicode NFC normalization: canonical composition before
+    //     hashing, so `e + COMBINING ACUTE` and precomposed `é` dedup
+    //     identically — a normalization pass every multilingual
+    //     pipeline runs before exact/near dedup. The corpus is ASCII,
+    //     so a decomposed suffix (e+́, a+̊) is appended to make the op
+    //     observable: NFC composes it, shortening the string by the
+    //     two combining marks. Spark side is the codegen'd
+    //     `graft.expressions.NfcNormalize` (JDK Normalizer); oracle is
+    //     DuckDB's utf8proc `nfc_normalize` — both implement the same
+    //     Unicode algorithm. Lengths compare safely: all chars are
+    //     BMP, where Spark's UTF-16 units == DuckDB's code points. ---
+    Q("tx26_unicode_nfc",
+      """SELECT doc_id,
+        |  length(text || chr(101) || chr(769) || chr(97) || chr(778)) AS len_raw,
+        |  length(nfc_normalize(text || chr(101) || chr(769) || chr(97) || chr(778))) AS len_nfc,
+        |  md5(nfc_normalize(text || chr(101) || chr(769) || chr(97) || chr(778))) AS nfc_md5
+        |FROM documents
+        |ORDER BY doc_id""") { (s, dir) =>
+      val sfx = "e\u0301a\u030A" // DECOMPOSED é and å (4 code points)
+      val raw = concat(col("text"), lit(sfx))
+      docs(s, dir)
+        .select(col("doc_id"),
+          length(raw).as("len_raw"),
+          length(nfcNormalize(raw)).as("len_nfc"),
+          md5(nfcNormalize(raw).cast("binary")).as("nfc_md5"))
+        .orderBy("doc_id")
     }
   )
 }

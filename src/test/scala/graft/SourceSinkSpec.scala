@@ -60,4 +60,36 @@ class SourceSinkSpec extends AnyFunSuite {
       s"lang filter did not reach partition pruning:\n$plan")
     assert(q.count() == 2)
   }
+
+  test("binaryFile source reads raw payloads with metadata") {
+    // the multimodal ingestion path: image/audio files land as FILES,
+    // and `binaryFile` turns a directory of them into (path, length,
+    // content) rows — the input seam for mm01-mm03's binary columns.
+    // pathGlobFilter prunes non-matching files at listing time (never
+    // reads their bytes).
+    val dir = tmp("binfiles")
+    val payloads = Map(
+      "a.img" -> Array[Byte](0x1, 0x2, 0x3, 0x7F, -0x80),
+      "b.img" -> Array[Byte](0xA, 0xB),
+      "skip.txt" -> Array[Byte](0x0))
+    payloads.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name), bytes)
+    }
+    val bf = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.img").load(dir)
+    assert(bf.schema.fieldNames.toSet ==
+      Set("path", "modificationTime", "length", "content"))
+    val got = bf.select(
+        element_at(split(col("path"), "/"), -1).as("name"),
+        col("length"), md5(col("content")).as("digest"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    def ref(name: String) = {
+      val b = payloads(name)
+      val d = java.security.MessageDigest.getInstance("MD5").digest(b)
+      (name, b.length.toLong, d.map("%02x".format(_)).mkString)
+    }
+    assert(got == Seq(ref("a.img"), ref("b.img")),
+      s"binaryFile read mismatch: $got")
+  }
 }
