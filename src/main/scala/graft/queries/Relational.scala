@@ -859,6 +859,34 @@ object Relational {
         .orderBy("kind", "id", "amount")
     },
 
+    // --- Navigation window functions: first_value over the RUNNING
+    //     frame, last_value / nth_value over the FULL-partition frame
+    //     (the default running frame makes last_value ≡ current row —
+    //     the classic frame pitfall, made explicit here on both
+    //     engines). Values pass through unrounded: no arithmetic, so
+    //     both engines emit the identical stored doubles. ---
+    Q("q40_nav_windows",
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER wf AS last_price,
+        |  nth_value(o_totalprice, 2) OVER wf AS second_price
+        |FROM orders
+        |WINDOW
+        |  w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""") { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          last(col("o_totalprice")).over(wf).as("last_price"),
+          nth_value(col("o_totalprice"), 2).over(wf).as("second_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // --- approx_count_distinct: no exact SQL twin → rows-only check;
     //     the exact variant is q13 ---
     Q.noOracle("q23_approx_count_distinct") { (s, dir) =>
