@@ -425,18 +425,24 @@ object Dedup {
         |FROM tk t LEFT JOIN agg a ON t.doc_id = a.doc_id
         |ORDER BY t.doc_id""") { (s, dir) =>
       import org.apache.spark.storage.StorageLevel
+      // persisted: tk feeds BOTH the chunk stream and the final per-doc
+      // report — without it the corpus is scanned and tokenized twice
+      // (one row per doc, spillable — the dd03 persist rationale)
       val tk = docs(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val nChunks = (size(col("tk")) / lit(10)).cast("int")
       // sequence(0, n-1) must never see n = 0: Spark infers a NEGATIVE
       // step for sequence(0, -1), so short docs are filtered out here
       // and rejoined with zero counts at the end
+      // cc (one row per chunk) also has two consumers — frequency agg
+      // and the join back — but recomputes cheaply from the cached tk
+      // (a projection), so only tk holds storage
       val cc = tk.filter(size(col("tk")) >= 10)
         .select(col("doc_id"),
           explode(transform(sequence(lit(0), nChunks - 1),
             i => md5(array_join(slice(col("tk"), i * 10 + 1, lit(10)), " ")
               .cast("binary")))).as("ch"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
       val d = cc.groupBy("ch").agg(countDistinct(col("doc_id")).as("nd"))
       val perDoc = cc.join(d, "ch")
         .groupBy("doc_id")

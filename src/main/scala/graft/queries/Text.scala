@@ -820,10 +820,14 @@ object Text {
          |FROM tk t LEFT JOIN sc s ON t.doc_id = s.doc_id
          |ORDER BY t.doc_id""") { (s, dir) =>
       import org.apache.spark.storage.StorageLevel
+      // persisted: toks has THREE consumers (bigrams, unigrams, final
+      // doc ids) — uncached, each would re-scan and re-tokenize the
+      // corpus. bg's two consumers recompute from the cached arrays
+      // (an explode — cheap), so only toks holds storage.
       val toks = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("tk"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val bg = toks
         .select(col("doc_id"), explode(wordNgramsOf(col("tk"), 2)).as("bigram"))
-        .persist(StorageLevel.MEMORY_AND_DISK) // two consumers: db + bc
       val db = bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("k"))
       val bc = bg.groupBy("bigram").agg(count(lit(1)).as("cab"))
       val uc = toks.select(explode(col("tk")).as("token"))
