@@ -887,6 +887,30 @@ object Relational {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // --- LATERAL correlated derived table (SQL surface): per-customer
+    //     top-2 orders via a correlated ORDER BY/LIMIT subquery.
+    //     Catalyst decorrelates it into a ranked join (no per-row
+    //     re-execution — the naive interpretation would re-run the
+    //     subquery |customer| times); semantically the lateral twin of
+    //     q07's window top-k. ---
+    Q("q41_lateral_topn",
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c.c_custkey, o.o_orderkey""") { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("lt_orders")
+      t(s, dir, "customer").createOrReplaceTempView("lt_customer")
+      s.sql(
+        """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+          |FROM lt_customer c,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM lt_orders
+          |         WHERE o_custkey = c.c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+          |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin)
+    },
+
     // --- approx_count_distinct: no exact SQL twin → rows-only check;
     //     the exact variant is q13 ---
     Q.noOracle("q23_approx_count_distinct") { (s, dir) =>
