@@ -271,6 +271,179 @@ object Pipeline {
               sum(col("n_docs")).over(Window.partitionBy()).cast("double"), 6)
             .as("doc_share"))
         .orderBy("lang", "source")
+    },
+
+    // --- PII redaction: regex-scrub emails/phones, report per-doc hit
+    //     counts and a digest of the redacted text. The corpus is
+    //     synthetic word soup, so observable PII is INJECTED
+    //     deterministically first (tx26's decomposed-suffix trick) and
+    //     the scrub is verified against the injection schedule. Pure
+    //     projection — regexp_count/replace are per-row, no shuffle
+    //     before the output sort; at 100 TB this is the map-only pass
+    //     it must be. ---
+    Q("pl08_pii_redaction",
+      """WITH injected AS (
+        |  SELECT doc_id,
+        |    text
+        |      || CASE WHEN doc_id % 7 = 0
+        |              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |              ELSE '' END
+        |      || CASE WHEN doc_id % 11 = 0
+        |              THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |              ELSE '' END AS text
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+        |    len(regexp_extract_all(text, '555-[0-9]{4}')) AS n_phones,
+        |    regexp_replace(regexp_replace(text,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |  FROM injected)
+        |SELECT doc_id, CAST(n_emails AS INT) AS n_emails,
+        |  CAST(n_phones AS INT) AS n_phones,
+        |  length(redacted) AS n_chars_redacted,
+        |  md5(redacted) AS redacted_md5
+        |FROM red
+        |WHERE n_emails > 0 OR n_phones > 0
+        |ORDER BY doc_id""") { (s, dir) =>
+      val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val PhoneRe = "555-[0-9]{4}"
+      val injected = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(""),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" call 555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise("")).as("text"))
+      val red = injected.select(col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).cast("int").as("n_emails"),
+        regexp_count(col("text"), lit(PhoneRe)).cast("int").as("n_phones"),
+        regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>").as("redacted"))
+      red.filter(col("n_emails") > 0 || col("n_phones") > 0)
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          length(col("redacted")).as("n_chars_redacted"),
+          md5(col("redacted").cast("binary")).as("redacted_md5"))
+        .orderBy("doc_id")
+    },
+
+    // --- Per-domain corpus stats: synthesize a deterministic URL per
+    //     doc (the corpus carries no provenance URL), extract the
+    //     domain with the same regex on both engines, and aggregate
+    //     docs/chars/mean-tokens per domain — the source-profiling
+    //     report a crawl-curation pipeline starts from. Extraction is a
+    //     projection; one O(domains) aggregation. ---
+    Q("pl09_domain_stats",
+      """WITH u AS (
+        |  SELECT doc_id, n_chars, text,
+        |    'https://' || source || '.example-' || lang || '.com/doc/'
+        |      || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents)
+        |SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS domain,
+        |  count(*) AS n_docs,
+        |  sum(n_chars) AS total_chars,
+        |  round(avg(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |                            x -> x <> ''))), 4) AS mean_tokens
+        |FROM u
+        |GROUP BY 1
+        |ORDER BY domain""") { (s, dir) =>
+      docs(s, dir)
+        .select(
+          concat(lit("https://"), col("source"), lit(".example-"), col("lang"),
+            lit(".com/doc/"), col("doc_id").cast("string")).as("url"),
+          col("n_chars"), tokenCount(col("text")).as("n_tok"))
+        .select(regexp_extract(col("url"), "^https://([^/]+)/", 1).as("domain"),
+          col("n_chars"), col("n_tok"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          graft.functions.ParityFunctions.duckRound(
+            avg(col("n_tok").cast("double")), 4).as("mean_tokens"))
+        .orderBy("domain")
+    },
+
+    // --- Filter funnel: docs surviving each successive quality rule,
+    //     as one report row per stage. ONE corpus scan computes all the
+    //     cumulative stage flags as columns; the conditional sums
+    //     reduce to a single row map-side (partial aggregation), and
+    //     stack() reshapes that row — at 100 TB the whole funnel is
+    //     still exactly one pass over the data. ---
+    Q("pl10_filter_funnel",
+      """WITH f AS (
+        |  SELECT n_chars >= 60 AS c1,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |        x -> x <> '')) >= 12 AS c2,
+        |    CAST(len(list_distinct(list_filter(
+        |          string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS DOUBLE)
+        |      / len(list_filter(string_split_regex(lower(text), '\s+'),
+        |            x -> x <> '')) >= 0.3 AS c3,
+        |    lang IN ('en', 'es', 'de') AS c4
+        |  FROM documents),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS s0,
+        |    CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(sum(CASE WHEN c1 AND c2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+        |    CAST(sum(CASE WHEN c1 AND c2 AND c3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+        |    CAST(sum(CASE WHEN c1 AND c2 AND c3 AND c4 THEN 1 ELSE 0 END) AS BIGINT) AS s4
+        |  FROM f)
+        |SELECT CASE nm WHEN 's0' THEN '0_total' WHEN 's1' THEN '1_min_chars'
+        |         WHEN 's2' THEN '2_min_tokens' WHEN 's3' THEN '3_distinct_ratio'
+        |         ELSE '4_lang_allowlist' END AS stage,
+        |  n_docs
+        |FROM (UNPIVOT agg ON s0, s1, s2, s3, s4 INTO NAME nm VALUE n_docs)
+        |ORDER BY stage""") { (s, dir) =>
+      val tk = tokens(col("text"))
+      val flags = docs(s, dir).select(
+        (col("n_chars") >= 60).as("c1"),
+        (size(tk) >= 12).as("c2"),
+        (size(array_distinct(tk)).cast("double") / size(tk) >= 0.3).as("c3"),
+        col("lang").isin("en", "es", "de").as("c4"))
+      flags.agg(
+          count(lit(1)).as("s0"),
+          sum(when(col("c1"), 1L).otherwise(0L)).as("s1"),
+          sum(when(col("c1") && col("c2"), 1L).otherwise(0L)).as("s2"),
+          sum(when(col("c1") && col("c2") && col("c3"), 1L).otherwise(0L))
+            .as("s3"),
+          sum(when(col("c1") && col("c2") && col("c3") && col("c4"), 1L)
+            .otherwise(0L)).as("s4"))
+        .select(expr(
+          """stack(5,
+            |  '0_total', s0, '1_min_chars', s1, '2_min_tokens', s2,
+            |  '3_distinct_ratio', s3, '4_lang_allowlist', s4)
+            |  AS (stage, n_docs)""".stripMargin))
+        .orderBy("stage")
+    },
+
+    // --- CDC latest-wins snapshot: collapse a changelog to one row per
+    //     key via max_by over a (ts, id) tie-broken ordering struct —
+    //     ONE shuffle with map-side partials and O(1) state per key,
+    //     where the window-rank formulation would sort every partition.
+    //     The oracle uses the window form: same semantics, independent
+    //     plan. ---
+    Q("pl11_latest_snapshot",
+      """SELECT user_id, event_type AS last_type, value AS last_value,
+        |  last_ts, n_events
+        |FROM (
+        |  SELECT user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn,
+        |    max(ts) OVER (PARTITION BY user_id) AS last_ts,
+        |    count(*) OVER (PARTITION BY user_id) AS n_events
+        |  FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id""") { (s, dir) =>
+      val ord = struct(col("ts"), col("event_id"))
+      tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          max_by(col("event_type"), ord).as("last_type"),
+          max_by(col("value"), ord).as("last_value"),
+          max(col("ts")).as("last_ts"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
     }
   )
 }

@@ -911,6 +911,175 @@ object Relational {
           |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin)
     },
 
+    // --- UNPIVOT (wide → long reshape): melt the per-row measure
+    //     columns into (metric, val) pairs. Pure per-row generation in
+    //     the projection — no shuffle before the output sort, row count
+    //     is a fixed ×3 fan-out of the (filtered, pushed-down) scan. ---
+    Q("q42_unpivot",
+      """SELECT l_orderkey, l_linenumber, metric, val FROM (
+        |  UNPIVOT (SELECT l_orderkey, l_linenumber,
+        |             l_quantity AS qty, l_discount AS disc, l_tax AS tax
+        |           FROM lineitem WHERE l_orderkey < 50)
+        |  ON qty, disc, tax INTO NAME metric VALUE val)
+        |ORDER BY l_orderkey, l_linenumber, metric""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 50)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("qty"), col("l_discount").as("disc"),
+          col("l_tax").as("tax"))
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("qty"), col("disc"), col("tax")),
+          variableColumnName = "metric", valueColumnName = "val")
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    },
+
+    // --- LISTAGG / string_agg (ordered string aggregation): DISTINCT
+    //     bounds the per-group buffer by the value domain (|statuses|),
+    //     NOT the group size — the listagg shape that stays O(domain)
+    //     at 100 TB where an unbounded concat would OOM. WITHIN GROUP
+    //     ordering makes the concatenation deterministic. ---
+    Q("q43_listagg",
+      """SELECT o_orderpriority,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""") { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("la_orders")
+      s.sql(
+        """SELECT o_orderpriority,
+          |  listagg(DISTINCT o_orderstatus, ',')
+          |    WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+          |  count(*) AS n
+          |FROM la_orders
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
+    },
+
+    // --- Linear-regression aggregates (regr_slope/intercept/r2/count):
+    //     single-pass central-moment partials — partial+final like any
+    //     sum, so one shuffle of O(groups) however large the fact side.
+    //     Rounded via duckRound (SURVEY §5.4) above merge-order ULP
+    //     noise. ---
+    Q("q44_regression",
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 8) AS r2,
+        |  regr_count(l_extendedprice, l_quantity) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          duckRound(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("slope"),
+          duckRound(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("intercept"),
+          duckRound(regr_r2(col("l_extendedprice"), col("l_quantity")), 8)
+            .as("r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // --- Bitwise + boolean aggregates: bit_and/or/xor over the key
+    //     domain, bool_and/bool_or as grouped predicates. All are
+    //     O(1)-state commutative aggregates — map-side partials, one
+    //     shuffle of O(groups). ---
+    Q("q45_bit_bool_aggs",
+      """SELECT l_linestatus,
+        |  bit_and(l_partkey) AS all_bits,
+        |  bit_or(l_partkey) AS any_bits,
+        |  bit_xor(l_partkey) AS parity_bits,
+        |  bool_and(l_quantity > 0) AS all_positive,
+        |  bool_or(l_discount > 0.09) AS any_deep_discount
+        |FROM lineitem
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+          bit_and(col("l_partkey")).as("all_bits"),
+          bit_or(col("l_partkey")).as("any_bits"),
+          bit_xor(col("l_partkey")).as("parity_bits"),
+          bool_and(col("l_quantity") > 0).as("all_positive"),
+          bool_or(col("l_discount") > 0.09).as("any_deep_discount"))
+        .orderBy("l_linestatus")
+    },
+
+    // --- Time-series gap fill: per-user hourly activity, missing hours
+    //     materialized from a sequence() spine and forward-filled with
+    //     last(... ignoreNulls) over the running frame. The spine is
+    //     bounded by wall-clock span (hours), not event count, so the
+    //     fan-out stays fixed as the fact side grows; one shuffle for
+    //     the (user, hour) agg, the fill is a window on the same user
+    //     partitioning. ---
+    Q("q46_gap_fill",
+      """WITH hourly AS (
+        |  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS hour,
+        |         count(*) AS n, sum(value) AS sum_value
+        |  FROM events WHERE user_id < 8 GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(min(hour), max(hour), INTERVAL 1 HOUR)) AS hour
+        |  FROM hourly GROUP BY user_id)
+        |SELECT s.user_id, s.hour,
+        |  coalesce(h.n, 0) AS n,
+        |  round(last_value(h.sum_value IGNORE NULLS) OVER (
+        |    PARTITION BY s.user_id ORDER BY s.hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS carried_sum
+        |FROM spine s LEFT JOIN hourly h
+        |  ON s.user_id = h.user_id AND s.hour = h.hour
+        |ORDER BY s.user_id, s.hour""") { (s, dir) =>
+      val hourly = t(s, dir, "events")
+        .filter(col("user_id") < 8)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      val spine = hourly
+        .groupBy("user_id")
+        .agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"),
+            expr("INTERVAL 1 HOUR"))).as("hour"))
+      spine.join(hourly, Seq("user_id", "hour"), "left")
+        .select(col("user_id"), col("hour"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          duckRound(last(col("sum_value"), ignoreNulls = true).over(
+            Window.partitionBy(col("user_id")).orderBy(col("hour"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .as("carried_sum"))
+        .orderBy("user_id", "hour")
+    },
+
+    // --- Equi-width histogram via width_bucket: bucket assignment is a
+    //     pure projection (codegen'd arithmetic), then one O(buckets)
+    //     aggregation — the profile query a curation pipeline runs
+    //     before choosing filter thresholds. DuckDB lacks width_bucket,
+    //     so the oracle spells out the same (x-lo)/step floor with the
+    //     same under/overflow buckets 0 and n+1. ---
+    Q("q47_histogram",
+      """SELECT bucket, count(*) AS n,
+        |  round(min(l_extendedprice), 2) AS lo,
+        |  round(max(l_extendedprice), 2) AS hi
+        |FROM (SELECT CASE WHEN l_extendedprice < 0 THEN 0
+        |                  WHEN l_extendedprice >= 60000 THEN 13
+        |                  ELSE 1 + CAST(floor(l_extendedprice / 5000.0) AS BIGINT)
+        |             END AS bucket, l_extendedprice
+        |      FROM lineitem)
+        |GROUP BY bucket
+        |ORDER BY bucket""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(expr("width_bucket(l_extendedprice, 0, 60000, 12)").as("bucket"),
+          col("l_extendedprice"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          duckRound(min(col("l_extendedprice")), 2).as("lo"),
+          duckRound(max(col("l_extendedprice")), 2).as("hi"))
+        .orderBy("bucket")
+    },
+
     // --- approx_count_distinct: no exact SQL twin → rows-only check;
     //     the exact variant is q13 ---
     Q.noOracle("q23_approx_count_distinct") { (s, dir) =>

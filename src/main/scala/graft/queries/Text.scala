@@ -873,6 +873,41 @@ object Text {
           length(nfcNormalize(raw)).as("len_nfc"),
           md5(nfcNormalize(raw).cast("binary")).as("nfc_md5"))
         .orderBy("doc_id")
+    },
+
+    // --- Zipf fit: regress log(freq) on log(rank) over the top-K
+    //     vocabulary — the corpus-health scalar (natural text ≈ −1
+    //     slope). The top-K cut is orderBy+limit (TakeOrdered: per-
+    //     partition heaps, no global sort of the vocabulary), so the
+    //     only single-partition step — the rank window — sees exactly K
+    //     rows regardless of corpus size; the regression itself is an
+    //     O(1)-state aggregate. ---
+    Q("tx27_zipf_fit",
+      s"""WITH tc AS (
+         |  SELECT token, count(*) AS n
+         |  FROM (SELECT unnest($DuckToks) AS token FROM documents)
+         |  GROUP BY token),
+         |top AS (SELECT token, n FROM tc ORDER BY n DESC, token LIMIT 1000),
+         |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank
+         |      FROM top)
+         |SELECT round(regr_slope(ln(n), ln(rank)), 6) AS zipf_slope,
+         |  round(regr_intercept(ln(n), ln(rank)), 6) AS zipf_intercept,
+         |  round(regr_r2(ln(n), ln(rank)), 6) AS fit_r2,
+         |  count(*) AS n_ranks
+         |FROM r""") { (s, dir) =>
+      val top = tokenStream(s, dir)
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(1000)
+      val ranked = top.select(col("n"),
+        row_number().over(
+          Window.orderBy(col("n").desc, col("token"))).as("rank"))
+      ranked.agg(
+        duckRound(regr_slope(log(col("n")), log(col("rank"))), 6)
+          .as("zipf_slope"),
+        duckRound(regr_intercept(log(col("n")), log(col("rank"))), 6)
+          .as("zipf_intercept"),
+        duckRound(regr_r2(log(col("n")), log(col("rank"))), 6).as("fit_r2"),
+        count(lit(1)).as("n_ranks"))
     }
   )
 }
