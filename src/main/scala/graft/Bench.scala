@@ -92,7 +92,20 @@ object Bench {
     val detail = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     System.err.println(s"""[bench-detail] {"queries":$detail}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$buildErr}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$buildErr}"""
+    // Durability: the driver's log-tail capture has truncated the stdout
+    // line in past rounds (BENCH_r04 lost 17 of 77 queries), so the
+    // full-name full-precision record also lands on disk where the next
+    // round can diff against it.
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir"$buildErr}"""
+    try {
+      val out = java.nio.file.Paths.get("target", "bench_last.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, fullLine.getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_last.json write failed: ${e.getMessage}")
+    }
+    println(line)
     spark.stop()
   }
 }

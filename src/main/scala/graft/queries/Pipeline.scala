@@ -171,7 +171,9 @@ object Pipeline {
         |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 1000
         |      < (CAST(substr(source, 4) AS INT) % 4 + 1) * 250
         |ORDER BY doc_id""") { (s, dir) =>
-      val srcNum = substring(col("source"), 4, 10).cast("int")
+      // Unbounded tail slice to mirror DuckDB's substr(source, 4) —
+      // a length cap would diverge if a source id suffix grows >10 chars.
+      val srcNum = expr("substring(source, 4)").cast("int")
       val rate = srcNum % 4 + 1 // quarters: 25/50/75/100 %
       val h = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
         .cast("long")

@@ -921,7 +921,11 @@ object Relational {
         |             l_quantity AS qty, l_discount AS disc, l_tax AS tax
         |           FROM lineitem WHERE l_orderkey < 50)
         |  ON qty, disc, tax INTO NAME metric VALUE val)
-        |ORDER BY l_orderkey, l_linenumber, metric""") { (s, dir) =>
+        |ORDER BY l_orderkey, l_linenumber, metric, val""") { (s, dir) =>
+      // NOTE: this testdata's lineitem has duplicate (l_orderkey,
+      // l_linenumber) pairs, so `val` must join the sort to make it a
+      // total order (SURVEY §7 sharp-edge 5) — Spark and DuckDB
+      // tie-break differently otherwise.
       t(s, dir, "lineitem")
         .filter(col("l_orderkey") < 50)
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -931,7 +935,7 @@ object Relational {
           ids = Array(col("l_orderkey"), col("l_linenumber")),
           values = Array(col("qty"), col("disc"), col("tax")),
           variableColumnName = "metric", valueColumnName = "val")
-        .orderBy("l_orderkey", "l_linenumber", "metric")
+        .orderBy("l_orderkey", "l_linenumber", "metric", "val")
     },
 
     // --- LISTAGG / string_agg (ordered string aggregation): DISTINCT
