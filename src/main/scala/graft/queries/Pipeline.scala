@@ -347,8 +347,9 @@ object Pipeline {
         |SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS domain,
         |  count(*) AS n_docs,
         |  sum(n_chars) AS total_chars,
-        |  round(avg(len(list_filter(string_split_regex(lower(text), '\s+'),
-        |                            x -> x <> ''))), 4) AS mean_tokens
+        |  round(CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |                                 x -> x <> ''))) AS DOUBLE)
+        |        / count(*), 4) AS mean_tokens
         |FROM u
         |GROUP BY 1
         |ORDER BY domain""") { (s, dir) =>
@@ -360,10 +361,16 @@ object Pipeline {
         .select(regexp_extract(col("url"), "^https://([^/]+)/", 1).as("domain"),
           col("n_chars"), col("n_tok"))
         .groupBy("domain")
+        // mean via exact BIGINT sum + ONE final double division: a
+        // float avg() sums in partition order, and a 4-decimal rounding
+        // boundary tie then hash-diverges from DuckDB (seen r6). The
+        // integer sum is order-independent, so the division input is
+        // bit-identical on both engines.
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"),
           graft.functions.ParityFunctions.duckRound(
-            avg(col("n_tok").cast("double")), 4).as("mean_tokens"))
+            sum(col("n_tok")).cast("double") / count(lit(1)), 4)
+            .as("mean_tokens"))
         .orderBy("domain")
     },
 
