@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -9,18 +9,43 @@ import org.apache.spark.storage.StorageLevel
   * (a ~ b ~ c must yield one survivor even when (a, c) never met in an
   * LSH band).
   *
-  * Each round is one shuffle join (neighbor labels) plus one
-  * partial-aggregated min per node; rounds needed = max component
-  * DIAMETER. Near-dup components are shallow clumps around a shared
-  * template, so a small cap converges in practice; a graph that does
-  * not converge fails LOUDLY rather than emitting silently-wrong
-  * labels. (For adversarial long-chain graphs the O(log n) upgrade is
-  * star-contraction — same join/agg primitives, more bookkeeping.)
+  * Two interchangeable algorithms, both fully distributed (no
+  * driver-side graph, state is a DataFrame partitioned by node):
   *
-  * No driver-side graph is ever built: state per round is the
-  * `(node, root)` label table, partitioned by node.
+  *  - [[minLabel]]: neighbor-min propagation + pointer jumping.
+  *    O(log diameter) rounds; the default for near-dup graphs, whose
+  *    components are shallow clumps around a shared template.
+  *  - [[starContract]]: alternating large-star / small-star edge
+  *    contraction (Kiveris et al., "Connected Components in MapReduce
+  *    and Beyond", SoCC'14). O(log n) rounds INDEPENDENT of diameter
+  *    — the documented upgrade when adversarial long-chain graphs
+  *    appear (e.g. containment chains across document revisions).
+  *
+  * Both converge-or-fail-LOUDLY rather than emitting silently-wrong
+  * labels, and both return the same `(node, root)` contract.
   */
 object ConnectedComponents {
+
+  /** Decimal(38,0) sum of `root` observed DURING the eager
+    * localCheckpoint job, so the convergence probe costs ZERO extra
+    * Spark jobs (the previous formulation ran a separate aggregation
+    * action per round — one full job of pure latency each).
+    * Decimal, not Long: a Long sum of ~1e10 node ids can wrap, and a
+    * wrapped sum could spuriously equal the previous round's (same
+    * overflow class as the Lloyd-step oracle fix).
+    *
+    * Caller must guarantee `df` is non-empty: the observation resolves
+    * when a job covering the CollectMetrics node completes, and a
+    * zero-task job would leave `get` blocked forever.
+    */
+  private def checkpointObservingSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+    val obs = Observation()
+    val ck = df.observe(obs,
+        coalesce(sum(col("root").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("s"))
+      .localCheckpoint(true) // materializes the round, truncates lineage
+    (ck, obs.get("s").asInstanceOf[java.math.BigDecimal])
+  }
 
   /** Labels every node of the UNDIRECTED graph given by `pairs`
     * (two columns: endpoint a, endpoint b; one row per edge, either
@@ -37,8 +62,8 @@ object ConnectedComponents {
     * the same component.
     *
     * Convergence probe: labels are monotone non-increasing, so the
-    * label SUM is stable iff the round was a no-op — one cheap
-    * aggregation per round, instead of a diff join.
+    * label SUM is stable iff the round was a no-op — observed inside
+    * the checkpoint job (see [[checkpointObservingSum]]).
     *
     * Lineage: each round EAGERLY `localCheckpoint`s its result. A
     * persist alone leaves every prior round nested inside the logical
@@ -62,31 +87,28 @@ object ConnectedComponents {
     val edges = pairs.select(a.as("src"), b.as("dst"))
       .union(pairs.select(b, a))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("root", col("node"))
-      .localCheckpoint(true)
-    // decimal(38,0) accumulation: a Long sum of ~1e10 node ids can wrap,
-    // and a wrapped sum could spuriously equal the previous round's
-    // (same overflow class as the Lloyd-step oracle fix)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(col("root").cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
-    var prevSum = labelSum(labels)
+    if (edges.isEmpty) { // no edges → nothing to propagate
+      edges.unpersist()
+      return pairs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("node"), lit(0L).as("root")).limit(0)
+    }
+    var (labels, prevSum) = checkpointObservingSum(
+      edges.select(col("src").as("node")).distinct()
+        .withColumn("root", col("node")))
     var round = 0
-    var converged = labels.isEmpty // no edges → nothing to propagate
+    var converged = false
     while (!converged && round < maxRounds) {
       val msgs = edges.join(labels, edges("src") === labels("node"))
         .select(col("dst").as("node"), col("root"))
       val m1 = labels.select("node", "root").union(msgs)
         .groupBy("node").agg(min("root").as("root"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val next = m1.as("x")
-        .join(m1.as("y"), col("x.root") === col("y.node"), "left")
-        .select(col("x.node").as("node"),
-          coalesce(col("y.root"), col("x.root")).as("root"))
-        .localCheckpoint(true) // materializes the round, truncates lineage
+      val (next, newSum) = checkpointObservingSum(
+        m1.as("x")
+          .join(m1.as("y"), col("x.root") === col("y.node"), "left")
+          .select(col("x.node").as("node"),
+            coalesce(col("y.root"), col("x.root")).as("root")))
       m1.unpersist()
-      val newSum = labelSum(next)
       labels = next
       converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum
@@ -96,5 +118,101 @@ object ConnectedComponents {
     require(converged,
       s"connected components did not converge in $maxRounds rounds")
     labels
+  }
+
+  /** Star-contraction alternative: alternating LARGE-STAR / SMALL-STAR
+    * operations over the EDGE set until it stabilizes as a forest of
+    * stars, each rooted at its component's min id. Public algorithm —
+    * Kiveris et al., "Connected Components in MapReduce and Beyond"
+    * (SoCC'14); O(log n) rounds regardless of graph diameter, where
+    * [[minLabel]] needs O(log diameter).
+    *
+    * Per round, with Γ(u) the current neighborhood of u and
+    * m(u) = min(Γ(u) ∪ {u}):
+    *  - large-star: for every neighbor v ∈ Γ(u) with v > u, replace
+    *    (u, v) by (v, m(u)) — strictly-larger neighbors re-hang on the
+    *    local min.
+    *  - small-star: canonicalize edges as (hi, lo); for every
+    *    lo-neighbor v of u, emit (v, m(u)) plus (u, m(u)) — the
+    *    smaller neighbors and u itself all attach to the local min.
+    * Both are one groupBy-min plus one equi-join — the same shuffle
+    * primitives as minLabel, just keyed on edges instead of labels.
+    *
+    * State per round is the canonical edge set, eagerly
+    * localCheckpoint'ed (same lineage-truncation argument as
+    * minLabel). Convergence probe: the canonical edge set only loses
+    * total weight (every rewrite points an endpoint at a smaller id),
+    * so `(count, sum(src), sum(dst))` observed during the checkpoint
+    * is stable iff the round changed nothing.
+    *
+    * Returns `(node, root)` persisted, same contract as [[minLabel]].
+    */
+  def starContract(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    require(pairs.columns.length == 2,
+      s"pairs must have exactly two endpoint columns, got ${pairs.columns.mkString(", ")}")
+    val Seq(a, b) = pairs.columns.toSeq.map(col)
+
+    // canonical (hi → lo) edge set, self-loops dropped, deduped
+    def canon(e: DataFrame): DataFrame = e
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+    def checkpointObservingEdges(df: DataFrame)
+        : (DataFrame, (Long, java.math.BigDecimal, java.math.BigDecimal)) = {
+      val obs = Observation()
+      val ck = df.observe(obs,
+          count(lit(1)).as("n"),
+          coalesce(sum(col("src").cast("decimal(38,0)")),
+            lit(0).cast("decimal(38,0)")).as("ss"),
+          coalesce(sum(col("dst").cast("decimal(38,0)")),
+            lit(0).cast("decimal(38,0)")).as("sd"))
+        .localCheckpoint(true)
+      val m = obs.get
+      (ck, (m("n").asInstanceOf[Long],
+        m("ss").asInstanceOf[java.math.BigDecimal],
+        m("sd").asInstanceOf[java.math.BigDecimal]))
+    }
+
+    val init = canon(pairs.select(a.as("src"), b.as("dst")))
+    if (init.isEmpty) {
+      return pairs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("node"), lit(0L).as("root")).limit(0)
+    }
+    var (edges, prevSig) = checkpointObservingEdges(init)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // ---- large-star: m(u) over the FULL neighborhood (both
+      //      orientations), larger neighbors re-hang on m(u) ----
+      val nbrs = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = nbrs.groupBy("src")
+        .agg(least(min(col("dst")), first(col("src"))).as("m"))
+      val large = canon(
+        nbrs.filter(col("dst") > col("src"))
+          .join(mins, "src")
+          .select(col("dst").as("src"), col("m").as("dst")))
+      // ---- small-star on the large-star output: edges are (hi, lo),
+      //      so m(u) = min over lo-neighbors; everyone attaches to it ----
+      val mins2 = large.groupBy("src").agg(min(col("dst")).as("m"))
+      val small = canon(
+        large.join(mins2, "src")
+          .select(col("dst").as("src"), col("m").as("dst"))
+          .union(mins2.select(col("src"), col("m").as("dst"))))
+      val (next, sig) = checkpointObservingEdges(small)
+      edges = next
+      converged = sig == prevSig
+      prevSig = sig
+      round += 1
+    }
+    require(converged,
+      s"star contraction did not converge in $maxRounds rounds")
+    // fixpoint edge set is (child → component-min root) stars; add the
+    // roots' self-labels to match minLabel's one-row-per-node contract
+    edges.select(col("src").as("node"), col("dst").as("root"))
+      .union(edges.select(col("dst"), col("dst")).distinct())
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
   }
 }

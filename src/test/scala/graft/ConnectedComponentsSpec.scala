@@ -42,4 +42,56 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("did not converge"))
   }
+
+  test("adversarial 1k-node path graph converges within the round cap") {
+    // worst case for label propagation: one component of diameter 999.
+    // Pointer jumping must close it in O(log n) rounds, well under 20.
+    import org.apache.spark.sql.functions.col
+    val edges = spark.range(1, 1000).toDF("a").withColumn("b", col("a") + 1)
+    val m = ConnectedComponents.minLabel(edges, 20)
+      .as[(Long, Long)].collect().toMap
+    assert(m.size == 1000 && m.values.forall(_ == 1L))
+  }
+
+  // ---- starContract: same contract, diameter-independent rounds ----
+
+  private def starLabelsOf(pairs: Seq[(Long, Long)],
+                           maxRounds: Int = 25): Map[Long, Long] =
+    ConnectedComponents
+      .starContract(pairs.toDF("a", "b"), maxRounds)
+      .as[(Long, Long)].collect().toMap
+
+  test("starContract matches minLabel on chains, cycles, orientation") {
+    val cases = Seq(
+      Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)),
+      Seq((7L, 9L), (9L, 8L), (8L, 7L), (20L, 30L)),
+      Seq((1L, 10L), (11L, 10L)))
+    cases.foreach { edges =>
+      assert(starLabelsOf(edges) == labelsOf(edges), s"edges=$edges")
+    }
+  }
+
+  test("starContract agrees with minLabel on a random graph") {
+    // deterministic seed: the spec must not flake
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(300)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (x, y) => x != y }
+    assert(starLabelsOf(edges) == labelsOf(edges))
+  }
+
+  test("starContract closes a 1k-node path in O(log n) rounds") {
+    import org.apache.spark.sql.functions.col
+    val edges = spark.range(1, 1000).toDF("a").withColumn("b", col("a") + 1)
+    val m = ConnectedComponents.starContract(edges, 25)
+      .as[(Long, Long)].collect().toMap
+    assert(m.size == 1000 && m.values.forall(_ == 1L))
+  }
+
+  test("starContract fails loudly when capped below convergence") {
+    val e = intercept[IllegalArgumentException] {
+      starLabelsOf(Seq((4L, 3L), (3L, 2L), (2L, 1L), (5L, 4L), (6L, 5L),
+        (7L, 6L), (8L, 7L)), maxRounds = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
 }
