@@ -424,36 +424,58 @@ object Dedup {
         |        / CAST(greatest(len(t.tk) // 10, 1) AS DOUBLE), 6) AS shared_frac
         |FROM tk t LEFT JOIN agg a ON t.doc_id = a.doc_id
         |ORDER BY t.doc_id""") { (s, dir) =>
-      import org.apache.spark.storage.StorageLevel
-      // persisted: tk feeds BOTH the chunk stream and the final per-doc
-      // report — without it the corpus is scanned and tokenized twice
-      // (one row per doc, spillable — the dd03 persist rationale)
-      val tk = docs(s, dir)
-        .select(col("doc_id"), tokens(col("text")).as("tk"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val nChunks = (size(col("tk")) / lit(10)).cast("int")
-      // sequence(0, n-1) must never see n = 0: Spark infers a NEGATIVE
-      // step for sequence(0, -1), so short docs are filtered out here
-      // and rejoined with zero counts at the end
-      // cc (one row per chunk) also has two consumers — frequency agg
-      // and the join back — but recomputes cheaply from the cached tk
-      // (a projection), so only tk holds storage
-      val cc = tk.filter(size(col("tk")) >= 10)
-        .select(col("doc_id"),
-          explode(transform(sequence(lit(0), nChunks - 1),
-            i => md5(array_join(slice(col("tk"), i * 10 + 1, lit(10)), " ")
-              .cast("binary")))).as("ch"))
-      val d = cc.groupBy("ch").agg(countDistinct(col("doc_id")).as("nd"))
-      val perDoc = cc.join(d, "ch")
-        .groupBy("doc_id")
-        .agg(sum(when(col("nd") >= 2, 1).otherwise(0)).cast("int").as("n_shared"))
-      tk.select(col("doc_id"), nChunks.as("n_chunks"))
-        .join(perDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_chunks"),
-          coalesce(col("n_shared"), lit(0)).as("n_shared"),
-          duckRound(coalesce(col("n_shared"), lit(0)).cast("double") /
-            greatest(col("n_chunks"), lit(1)).cast("double"), 6).as("shared_frac"))
-        .orderBy("doc_id")
+      chunkReportOf(docs(s, dir))
     }
   )
+
+  /** Chunk width shared by the batch report and the streaming ledger
+    * (`graft.streaming.ChunkDedup`) — the two must chunk identically
+    * or the batch-equality contract breaks. */
+  val ChunkTokens = 10
+
+  /** One row per (doc_id, chunk md5) from a `(doc_id, tk)` frame:
+    * consecutive non-overlapping [[ChunkTokens]]-token chunks, keyed
+    * by digest so grouping ships 32 fixed chars, not chunk text.
+    * sequence(0, n-1) must never see n = 0: Spark infers a NEGATIVE
+    * step for sequence(0, -1), so short docs are filtered out here —
+    * callers rejoin them with zero counts. */
+  def chunkDigestsOf(tk: DataFrame): DataFrame = {
+    val nChunks = (size(col("tk")) / lit(ChunkTokens)).cast("int")
+    tk.filter(size(col("tk")) >= ChunkTokens)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), nChunks - 1),
+          i => md5(array_join(
+            slice(col("tk"), i * ChunkTokens + 1, lit(ChunkTokens)), " ")
+            .cast("binary")))).as("ch"))
+  }
+
+  /** The dd09 report as a reusable operator over any `(doc_id, text)`
+    * frame — also the batch twin the streaming ledger is spec-checked
+    * against. */
+  def chunkReportOf(documents: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    graft.expressions.VectorExpressions.ensureRegistered(documents.sparkSession)
+    // persisted: tk feeds BOTH the chunk stream and the final per-doc
+    // report — without it the corpus is scanned and tokenized twice
+    // (one row per doc, spillable — the dd03 persist rationale)
+    val tk = documents
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // cc (one row per chunk) also has two consumers — frequency agg
+    // and the join back — but recomputes cheaply from the cached tk
+    // (a projection), so only tk holds storage
+    val cc = chunkDigestsOf(tk)
+    val d = cc.groupBy("ch").agg(countDistinct(col("doc_id")).as("nd"))
+    val perDoc = cc.join(d, "ch")
+      .groupBy("doc_id")
+      .agg(sum(when(col("nd") >= 2, 1).otherwise(0)).cast("int").as("n_shared"))
+    tk.select(col("doc_id"),
+        (size(col("tk")) / lit(ChunkTokens)).cast("int").as("n_chunks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_shared"), lit(0)).as("n_shared"),
+        duckRound(coalesce(col("n_shared"), lit(0)).cast("double") /
+          greatest(col("n_chunks"), lit(1)).cast("double"), 6).as("shared_frac"))
+      .orderBy("doc_id")
+  }
 }
