@@ -121,6 +121,8 @@ object VectorExpressions {
         exprs => Tokenize(exprs(0)), "built-in")
       reg.createOrReplaceTempFunction("graft_nfc",
         exprs => NfcNormalize(exprs(0)), "built-in")
+      reg.createOrReplaceTempFunction("graft_char_entropy",
+        exprs => CharEntropy(exprs(0)), "built-in")
     }
   }
 }

@@ -23,6 +23,13 @@ object Pipeline {
   private val DuckToks =
     """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
 
+  /** pl12 bin budget (tokens per packed training sequence). MUST be
+    * declared before `qs`: the oracle SQL interpolates it at object
+    * init, and a later declaration would interpolate 0 (observed —
+    * the Spark lambda reads the initialized value at run time, so
+    * only the oracle silently broke). */
+  private val PackBudget = 512L
+
   /** The "benchmark" phrase set — stand-in for an eval-set n-gram
     * fingerprint list (at real scale: a broadcast table of millions of
     * n-gram hashes; here literal IN-list constants keep the filter
@@ -453,6 +460,48 @@ object Pipeline {
           max(col("ts")).as("last_ts"),
           count(lit(1)).as("n_events"))
         .orderBy("user_id")
+    },
+
+    // --- Sequence packing: assign docs to fixed token-budget training
+    //     bins, streaming greedily in (source, doc_id) order — the step
+    //     that turns a curated corpus into context-window-sized
+    //     sequences. Bin id derives from the PREFIX token sum (bin =
+    //     floor((cumsum − n_tok) / B)): a doc opens a new bin exactly
+    //     when the previous docs filled one, and an oversized doc
+    //     overflows its bin rather than being split (documented
+    //     semantics; a splitter would live downstream). One window
+    //     partitioned by source over a unique (doc_id) order — total
+    //     order, so both engines agree row-for-row; at 100 TB each
+    //     shard's prefix sum is one partition-local sort, no global
+    //     shuffle beyond the source partitioning. ---
+    Q("pl12_sequence_packing",
+      s"""SELECT source, doc_id, n_tok, bin,
+         |  CAST(cum - n_tok - bin * $PackBudget AS BIGINT) AS bin_offset
+         |FROM (
+         |  SELECT source, doc_id, n_tok,
+         |    CAST(floor(CAST(cum - n_tok AS DOUBLE) / $PackBudget) AS BIGINT) AS bin,
+         |    cum
+         |  FROM (
+         |    SELECT source, doc_id,
+         |      CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+         |               x -> x <> '')) AS BIGINT) AS n_tok,
+         |      sum(CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+         |              x -> x <> '')) AS BIGINT))
+         |        OVER (PARTITION BY source ORDER BY doc_id) AS cum
+         |    FROM documents))
+         |ORDER BY source, doc_id""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      docs(s, dir)
+        .select(col("source"), col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("bin",
+          floor((col("cum") - col("n_tok")).cast("double") / PackBudget))
+        .select(col("source"), col("doc_id"), col("n_tok"), col("bin"),
+          (col("cum") - col("n_tok") - col("bin") * PackBudget)
+            .cast("long").as("bin_offset"))
+        .orderBy("source", "doc_id")
     }
   )
 }

@@ -119,6 +119,10 @@ object Similarity {
 
   private val IvfCells = 8 // fixed coarse centroids (vec_id < 8)
   private val IvfNProbe = 2 // cells searched per probe
+  /** sm07 radius. Declared BEFORE `qs` like every interpolated
+    * constant: the oracle SQL captures it at object init (a later
+    * declaration interpolates 0 — observed with pl12's budget). */
+  private val RangeCos = 0.3
 
   /** Shuffle-free coarse-quantizer assignment: each vector's `keep`
     * nearest centroids, computed as a per-row PROJECTION over the
@@ -614,8 +618,91 @@ object Similarity {
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
           col("rank").cast("long").as("rank"), col("adist"))
         .orderBy("probe_id", "rank")
+    },
+
+    // --- Radius (range) search: ALL neighbors with cosine ≥ τ, not
+    //     top-k — the retrieval mode decontamination runs ("find EVERY
+    //     training doc near this benchmark item" has no k). Same IVF
+    //     machinery as sm03 — shuffle-free cell assignment, cell
+    //     equi-join — so candidate work still scales with nprobe/cells
+    //     of the corpus; the threshold replaces the per-probe ranking
+    //     window, so at 100 TB this is one equi-join plus a map-side
+    //     filter with NO ranking shuffle at all. Both engines filter
+    //     the UNROUNDED cosine (bit-identical folds, see file header),
+    //     so the τ boundary cannot flip between them. ---
+    Q("sm07_range_search",
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  WHERE vec_id < $IvfCells),
+         |${ivfRangeSql("cent", RangeCos)}""") { (s, dir) =>
+      val e = emb(s, dir)
+      val cent = collectCentroids(e.filter(col("vec_id") < IvfCells)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+      ivfRange(e, cent, IvfNProbe, RangeCos)
     }
   )
+
+  /** IVF range search: ivfTopK minus the ranking window — candidates
+    * from the same shuffle-free cell assignment + equi-join, then a
+    * pure filter on the exact cosine. */
+  private def ivfRange(e: DataFrame, cent: Seq[(Long, Seq[Double])],
+                       nprobe: Int, tau: Double): DataFrame = {
+    val assign = nearestCells(
+      e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+      cent, 1)
+    val probes = e.filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val pcells = nearestCells(probes.select(col("probe_id"),
+      col("pe").as("embedding")), "probe_id", "embedding", cent, nprobe)
+    val pn = probes.withColumn("pnrm", l2Norm(col("pe")))
+    val nrm = col("pnrm") * col("nrm")
+    pn.join(pcells, Seq("probe_id"))
+      .join(assign, Seq("cid"))
+      .join(e.select(col("vec_id"), col("embedding"),
+        l2Norm(col("embedding")).as("nrm")), Seq("vec_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        when(nrm === 0.0, lit(0.0))
+          .otherwise(dot(col("pe"), col("embedding")) / nrm).as("cosine"))
+      .filter(col("cosine") >= tau)
+      .select(col("probe_id"), col("neighbor_id"),
+        duckRound(col("cosine"), 6).as("cosine"))
+      .orderBy("probe_id", "neighbor_id")
+  }
+
+  /** DuckDB mirror of `ivfRange` (ivfSearchSql minus the window). */
+  private def ivfRangeSql(centCte: String, tau: Double): String = {
+    val dist = l2SqSql("e.embedding", "c.ce")
+    val pdist = l2SqSql("p.pe", "c.ce")
+    val cos = cosineSql("p.pe", "v.embedding")
+    s"""assign AS (
+       |  SELECT vec_id, cid, rn FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |                         ORDER BY $dist, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN $centCte c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+       |  WHERE vec_id % 25 = 0 AND vec_id < 500),
+       |pcells AS (
+       |  SELECT probe_id, cid FROM (
+       |    SELECT p.probe_id, c.cid,
+       |      row_number() OVER (PARTITION BY p.probe_id
+       |                         ORDER BY $pdist, c.cid) AS rn
+       |    FROM probes p CROSS JOIN $centCte c)
+       |  WHERE rn <= $IvfNProbe),
+       |scored AS (
+       |  SELECT p.probe_id, v.vec_id AS neighbor_id, $cos AS cosine
+       |  FROM probes p
+       |  JOIN pcells pc ON pc.probe_id = p.probe_id
+       |  JOIN assign a ON a.cid = pc.cid
+       |  JOIN embeddings v ON v.vec_id = a.vec_id AND v.vec_id <> p.probe_id)
+       |SELECT probe_id, neighbor_id, round(cosine, 6) AS cosine
+       |FROM scored
+       |WHERE cosine >= $tau
+       |ORDER BY probe_id, neighbor_id"""
+  }
 
   /** DuckDB mirror of `ivfTopK` reading centroids from CTE `centCte`
     * (embedded in a WITH chain; Q.apply strips the margins). */

@@ -909,6 +909,51 @@ object Text {
           .as("zipf_intercept"),
         duckRound(regr_r2(log(col("n")), log(col("rank"))), 6).as("fit_r2"),
         count(lit(1)).as("n_ranks"))
+    },
+
+    // --- Character-entropy quality score: Shannon entropy over the
+    //     per-doc character distribution — low entropy flags repeated-
+    //     character gibberish and template spam that token-level rules
+    //     (tx08) miss. ENTIRELY map-side: the char list, distinct set,
+    //     counts, and entropy fold are per-row higher-order functions,
+    //     so at 100 TB this is a single scan with zero shuffles before
+    //     the final sort. Determinism: the fold runs over the SORTED
+    //     distinct char set on both engines (same order, same IEEE op
+    //     sequence), counts are exact ints, and log2 is spelled
+    //     ln(x)/ln(2) on both sides (DuckDB's log2() builtin may differ
+    //     from the quotient in the last ULP). ---
+    Q("tx28_char_entropy",
+      """WITH c AS (SELECT doc_id, lower(text) AS t FROM documents
+        |           WHERE len(text) > 0),
+        |e AS (
+        |  SELECT doc_id, CAST(len(t) AS DOUBLE) AS n,
+        |    list_transform(range(1, len(t) + 1), i -> t[i:i]) AS cs
+        |  FROM c),
+        |f AS (
+        |  SELECT doc_id, n,
+        |    list_transform(list_sort(list_distinct(cs)),
+        |      ch -> CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE)) AS cnts
+        |  FROM e)
+        |SELECT doc_id, CAST(n AS INT) AS n_chars_lc,
+        |  CAST(len(cnts) AS INT) AS n_distinct_chars,
+        |  round(-list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(cnts, k -> (k / n) * ln(k / n) / ln(2))),
+        |    (acc, x) -> acc + x), 6) AS entropy
+        |FROM f
+        |ORDER BY doc_id""") { (s, dir) =>
+      // one codegen'd pass per doc (graft.expressions.CharEntropy):
+      // the HOF formulation (char array → distinct → a filter().size
+      // scan per distinct char → fold) was O(distinct × length)
+      // interpreted work, measured 15 s at sf0.1 vs ~1 s for this
+      docs(s, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          call_function("graft_char_entropy", lower(col("text"))).as("ce"))
+        .select(col("doc_id"),
+          col("ce.n_chars").as("n_chars_lc"),
+          col("ce.n_distinct").as("n_distinct_chars"),
+          duckRound(col("ce.entropy"), 6).as("entropy"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -13,6 +13,21 @@ import graft.streaming.ChunkDedup
 class ChunkDedupSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
+  /** DROP TABLE plus physical warehouse-dir removal: the catalog is
+    * per-JVM but the warehouse dir persists across test runs, and an
+    * append-mode CREATE refuses a leftover location. */
+  private def reset(tables: String*): Unit = tables.foreach { t =>
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+    val dir = new java.io.File(
+      if (wh.getScheme == null) wh.toString else wh.getPath, t)
+    if (dir.exists()) rm(dir)
+  }
+
   // 10-token chunks: docs built from 10-word sentences so sharing is
   // controlled exactly. S1 is the boilerplate chunk.
   private val s1 = "the quick brown fox jumps over the lazy dog today"
@@ -29,8 +44,7 @@ class ChunkDedupSpec extends AnyFunSuite {
     import spark.implicits._
     val ct = "chunk_ledger"
     val mt = "chunk_marker"
-    spark.sql(s"DROP TABLE IF EXISTS $ct")
-    spark.sql(s"DROP TABLE IF EXISTS $mt")
+    reset(ct, mt)
 
     val stream = MemoryStream[(Long, String)](spark)
     val q = ChunkDedup.maintain(stream.toDF().toDF("doc_id", "text"), ct, mt)
@@ -56,8 +70,7 @@ class ChunkDedupSpec extends AnyFunSuite {
     import spark.implicits._
     val ct = "chunk_ledger_replay"
     val mt = "chunk_marker_replay"
-    spark.sql(s"DROP TABLE IF EXISTS $ct")
-    spark.sql(s"DROP TABLE IF EXISTS $mt")
+    reset(ct, mt)
 
     val batch = corpus.take(2).toDF("doc_id", "text")
     ChunkDedup.appendBatch(batch, 0L, ct, mt)

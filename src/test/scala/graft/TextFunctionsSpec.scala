@@ -224,4 +224,41 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(evalStr(TextFunctions.meanTokenLength(col("text")), "ab cdef")
       .toDouble == 3.0)
   }
+
+  // --- char entropy (tx28 hot path) ---
+
+  test("charEntropy expression matches the HOF formulation bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // known values, mixed case/unicode, and randoms; the HOF twin is
+    // the ORIGINAL tx28 formulation the oracle was validated against
+    val rnd = new scala.util.Random(7)
+    val strs = Seq("aaaa", "abab", "abcd", "Mixed CASE text!",
+      "naïve café ñ", "日本語 text mixed", "a") ++
+      Seq.fill(30)(rnd.alphanumeric.take(1 + rnd.nextInt(60)).mkString)
+    val df = strs.toDF("text")
+    val t = lower(col("text"))
+    val cs = transform(sequence(lit(1), length(t)), i => t.substr(i, lit(1)))
+    val hof = df.select(
+      (-aggregate(
+        transform(array_sort(array_distinct(cs)),
+          ch => size(filter(cs, x => x === ch)).cast("double")),
+        lit(0.0),
+        (acc, k) => acc + (k / length(t).cast("double")) *
+          log(k / length(t).cast("double")) / log(lit(2.0))))
+        .as("e")).as[Double].collect()
+    graft.expressions.VectorExpressions.ensureRegistered(spark)
+    val fast = df.select(
+        call_function("graft_char_entropy", t).getField("entropy").as("e"))
+      .as[Double].collect()
+    hof.zip(fast).zip(strs).foreach { case ((h, f), s) =>
+      assert(java.lang.Double.doubleToRawLongBits(h) ==
+        java.lang.Double.doubleToRawLongBits(f), s"mismatch on '$s': $h vs $f")
+    }
+    // struct counts: code points, not UTF-16 units
+    val row = df.filter(col("text") === "日本語 text mixed")
+      .select(call_function("graft_char_entropy", t)).head.getStruct(0)
+    assert(row.getInt(0) == "日本語 text mixed".length)
+    assert(row.getInt(1) == "日本語 text mixed".toLowerCase.distinct.length)
+  }
 }
