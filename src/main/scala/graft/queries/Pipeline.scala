@@ -502,6 +502,71 @@ object Pipeline {
           (col("cum") - col("n_tok") - col("bin") * PackBudget)
             .cast("long").as("bin_offset"))
         .orderBy("source", "doc_id")
+    },
+
+    // --- End-to-end shard preparation: the COMPOSITION a training run
+    //     actually executes — quality gate (pl06/pl10 rules) AND
+    //     benchmark-decontamination drop (pl01's phrase set), then
+    //     exact dedup keep-first (dd05), then token-budget packing
+    //     (pl12) over the survivors — emitted as the final shard
+    //     manifest. Each stage is the already-verified operator; the
+    //     value here is the plan that composes them: one corpus scan
+    //     feeds the gate (all flags map-side), dedup is one
+    //     hash-shuffle on md5(text), packing one window per shard —
+    //     three shuffles total at 100 TB, none avoidable in the
+    //     semantics. ---
+    Q("pl13_shard_prep", {
+      val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+      val contaminated = Benchmark5Grams
+        .map(p => s"contains(text, ${sqlLit(p)})").mkString("(", " OR ", ")")
+      s"""WITH g AS (
+         |  SELECT doc_id, source, text,
+         |    CAST(len($toks) AS BIGINT) AS n_tok
+         |  FROM documents
+         |  WHERE n_chars >= 60
+         |    AND len($toks) >= 12
+         |    AND CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks) >= 0.3
+         |    AND lang IN ('en', 'es', 'de')
+         |    AND NOT $contaminated),
+         |d AS (
+         |  SELECT doc_id, source, n_tok FROM g
+         |  WHERE doc_id IN (SELECT CAST(min(doc_id) AS BIGINT)
+         |                   FROM g GROUP BY md5(text))),
+         |p AS (
+         |  SELECT source, doc_id, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+         |  FROM d)
+         |SELECT source, doc_id, n_tok,
+         |  CAST(floor(CAST(cum - n_tok AS DOUBLE) / $PackBudget) AS BIGINT) AS bin
+         |FROM p
+         |ORDER BY source, doc_id"""
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val contaminated = Benchmark5Grams
+        .map(p => col("text").contains(p)).reduce(_ || _)
+      // token array projected ONCE (the Dedup device) — three flag
+      // expressions read it
+      val g = docs(s, dir)
+        .select(col("doc_id"), col("source"), col("text"), col("n_chars"),
+          col("lang"), tokens(col("text")).as("tk"))
+        .filter(col("n_chars") >= 60 &&
+          size(col("tk")) >= 12 &&
+          size(array_distinct(col("tk"))).cast("double") / size(col("tk")) >= 0.3 &&
+          col("lang").isin("en", "es", "de") &&
+          !contaminated)
+        .select(col("doc_id"), col("source"), col("text"),
+          size(col("tk")).cast("long").as("n_tok"))
+      val keepFirst = Window.partitionBy(md5(col("text").cast("binary")))
+        .orderBy("doc_id")
+      val d = g.withColumn("rn", row_number().over(keepFirst))
+        .filter(col("rn") === 1)
+        .select("source", "doc_id", "n_tok")
+      val shard = Window.partitionBy("source").orderBy("doc_id")
+      d.withColumn("cum", sum(col("n_tok")).over(shard))
+        .select(col("source"), col("doc_id"), col("n_tok"),
+          floor((col("cum") - col("n_tok")).cast("double") / PackBudget)
+            .as("bin"))
+        .orderBy("source", "doc_id")
     }
   )
 }
