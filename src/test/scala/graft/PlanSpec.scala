@@ -199,4 +199,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"sm01 probes must broadcast:\n$p")
   }
+
+  test("sm07: range search joins on cell id, no ranking window") {
+    val p = plan("sm07_range_search")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"sm07 candidate join must be an equi-join:\n$p")
+    // the whole point vs sm03: τ-filtering replaces per-probe ranking,
+    // so no window operator may appear anywhere in the plan
+    assert(!p.contains("Window"), s"sm07 must not plan a window:\n$p")
+  }
+
+  test("tx28: char entropy is a pure projection (one sort exchange)") {
+    // the pl02/pl03 guarantee: per-doc scoring must never shuffle the
+    // corpus; the single exchange is the final range sort
+    val p = plan("tx28_char_entropy")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 1,
+      s"tx28 gained a shuffle beyond the output sort:\n$p")
+  }
+
+  test("pl12/pl13: one corpus scan each, no scan duplication") {
+    // both compose windows over the same corpus projection; a refactor
+    // that re-reads documents per stage would double 100 TB of IO
+    for (q <- Seq("pl12_sequence_packing", "pl13_shard_prep")) {
+      val p = plan(q)
+      val scans = "Location:[^\\n]*documents".r.findAllIn(p).size
+      assert(scans == 1, s"$q scans the corpus $scans times:\n$p")
+    }
+  }
 }
