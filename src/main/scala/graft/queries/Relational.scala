@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.tables
-import graft.functions.ParityFunctions.duckRound
+import graft.functions.ParityFunctions.{duckRound, moneySum, moneyAvg, moneyDiscSum, moneySumSql, moneyAvgSql, moneyDiscSumSql}
 
 /** Relational operator coverage (SURVEY.md §2.2): scans, projection,
   * filters, every join shape, aggregation (hash/partial), rollup/cube/
@@ -28,12 +28,12 @@ object Relational {
 
     // --- Aggregation: partial+final sum/avg/count (TPC-H Q1 shape) ---
     Q("q01_pricing_summary",
-      """SELECT l_returnflag, l_linestatus,
+      s"""SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(${moneySumSql("l_extendedprice")}, 2) AS sum_base_price,
+        |  round(${moneyDiscSumSql("l_extendedprice", "l_discount")}, 2) AS sum_disc_price,
         |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(${moneyAvgSql("l_extendedprice")}, 4) AS avg_price,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -44,11 +44,14 @@ object Relational {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           duckRound(sum(col("l_quantity")), 2).as("sum_qty"),
-          duckRound(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          duckRound(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          // money aggregates sum EXACT integer cents (order-independent;
+          // a double sum's partial-merge order varies run-to-run and can
+          // flip the rounding boundary vs the oracle — the pl09 class)
+          duckRound(moneySum(col("l_extendedprice")), 2).as("sum_base_price"),
+          duckRound(moneyDiscSum(col("l_extendedprice"), col("l_discount")), 2)
             .as("sum_disc_price"),
           duckRound(avg(col("l_quantity")), 4).as("avg_qty"),
-          duckRound(avg(col("l_extendedprice")), 4).as("avg_price"),
+          duckRound(moneyAvg(col("l_extendedprice")), 4).as("avg_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
@@ -71,9 +74,9 @@ object Relational {
 
     // --- Broadcast-hash dimension join chain ---
     Q("q03_broadcast_join",
-      """SELECT r_name, n_name,
+      s"""SELECT r_name, n_name,
         |  count(*) AS n_orders,
-        |  round(sum(o_totalprice), 2) AS revenue
+        |  round(${moneySumSql("o_totalprice")}, 2) AS revenue
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -89,15 +92,15 @@ object Relational {
           col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(count(lit(1)).as("n_orders"),
-          duckRound(sum(col("o_totalprice")), 2).as("revenue"))
+          duckRound(moneySum(col("o_totalprice")), 2).as("revenue"))
         .orderBy("r_name", "n_name")
     },
 
     // --- Large-large (shuffle) join: lineitem ⋈ orders ---
     Q("q04_fact_join",
-      """SELECT o_orderpriority,
+      s"""SELECT o_orderpriority,
         |  count(*) AS n_items,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |  round(${moneyDiscSumSql("l_extendedprice", "l_discount")}, 2) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderstatus = 'F'
@@ -108,7 +111,7 @@ object Relational {
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_items"),
-          duckRound(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          duckRound(moneyDiscSum(col("l_extendedprice"), col("l_discount")), 2)
             .as("revenue"))
         .orderBy("o_orderpriority")
     },
@@ -182,10 +185,10 @@ object Relational {
 
     // --- Rollup ---
     Q("q09_rollup",
-      """SELECT coalesce(r_name, '(all)') AS r_name,
+      s"""SELECT coalesce(r_name, '(all)') AS r_name,
         |  coalesce(n_name, '(all)') AS n_name,
         |  count(*) AS n_cust,
-        |  round(sum(c_acctbal), 2) AS total_bal
+        |  round(${moneySumSql("c_acctbal")}, 2) AS total_bal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -198,7 +201,7 @@ object Relational {
         // Spark 4.1's DetectAmbiguousSelfJoin on join children even
         // without a self join; the Column overload resolves cleanly.
         .rollup(col("r_name"), col("n_name"))
-        .agg(count(lit(1)).as("n_cust"), duckRound(sum(col("c_acctbal")), 2).as("total_bal"))
+        .agg(count(lit(1)).as("n_cust"), duckRound(moneySum(col("c_acctbal")), 2).as("total_bal"))
         .select(coalesce(col("r_name"), lit("(all)")).as("r_name"),
           coalesce(col("n_name"), lit("(all)")).as("n_name"),
           col("n_cust"), col("total_bal"))
@@ -207,16 +210,16 @@ object Relational {
 
     // --- Cube ---
     Q("q10_cube",
-      """SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus,
+      s"""SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus,
         |  coalesce(o_orderpriority, '(all)') AS o_orderpriority,
         |  count(*) AS n,
-        |  round(sum(o_totalprice), 2) AS total
+        |  round(${moneySumSql("o_totalprice")}, 2) AS total
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus, o_orderpriority""") { (s, dir) =>
       t(s, dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(count(lit(1)).as("n"), duckRound(sum(col("o_totalprice")), 2).as("total"))
+        .agg(count(lit(1)).as("n"), duckRound(moneySum(col("o_totalprice")), 2).as("total"))
         .select(coalesce(col("o_orderstatus"), lit("(all)")).as("o_orderstatus"),
           coalesce(col("o_orderpriority"), lit("(all)")).as("o_orderpriority"),
           col("n"), col("total"))
@@ -225,7 +228,7 @@ object Relational {
 
     // --- Grouping sets (SQL entry point: spark.sql over parquet path) ---
     Q("q11_grouping_sets",
-      """SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+      s"""SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
         |  coalesce(l_linestatus, '(all)') AS l_linestatus,
         |  count(*) AS n
         |FROM lineitem
@@ -344,10 +347,10 @@ object Relational {
 
     // --- Date/time functions ---
     Q("q17_date_funcs",
-      """SELECT date_trunc('month', o_orderdate) AS order_month,
+      s"""SELECT date_trunc('month', o_orderdate) AS order_month,
         |  CAST(min(year(o_orderdate)) AS BIGINT) AS yr,
         |  count(*) AS n_orders,
-        |  round(sum(o_totalprice), 2) AS total
+        |  round(${moneySumSql("o_totalprice")}, 2) AS total
         |FROM orders
         |GROUP BY date_trunc('month', o_orderdate)
         |ORDER BY order_month""") { (s, dir) =>
@@ -355,18 +358,18 @@ object Relational {
         .groupBy(date_trunc("month", col("o_orderdate")).as("order_month"))
         .agg(min(year(col("o_orderdate"))).cast("long").as("yr"),
           count(lit(1)).as("n_orders"),
-          duckRound(sum(col("o_totalprice")), 2).as("total"))
+          duckRound(moneySum(col("o_totalprice")), 2).as("total"))
         .orderBy("order_month")
     },
 
     // --- CASE WHEN bucketing ---
     Q("q18_case_when",
-      """SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+      s"""SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
         |            WHEN c_acctbal < 3000 THEN 'low'
         |            WHEN c_acctbal < 7000 THEN 'mid'
         |            ELSE 'high' END AS bucket,
         |  count(*) AS n,
-        |  round(sum(c_acctbal), 2) AS total_bal
+        |  round(${moneySumSql("c_acctbal")}, 2) AS total_bal
         |FROM customer
         |GROUP BY 1
         |ORDER BY bucket""") { (s, dir) =>
@@ -376,7 +379,7 @@ object Relational {
             .when(col("c_acctbal") < 3000, "low")
             .when(col("c_acctbal") < 7000, "mid")
             .otherwise("high").as("bucket"))
-        .agg(count(lit(1)).as("n"), duckRound(sum(col("c_acctbal")), 2).as("total_bal"))
+        .agg(count(lit(1)).as("n"), duckRound(moneySum(col("c_acctbal")), 2).as("total_bal"))
         .orderBy("bucket")
     },
 
@@ -429,10 +432,10 @@ object Relational {
     // --- Tumbling event-time window (batch; streaming twin in
     //     graft.streaming.EventStreams) ---
     Q("q22_tumbling_window",
-      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+      s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
         |  event_type,
         |  count(*) AS n,
-        |  round(sum(value), 2) AS total_value
+        |  round(${moneySumSql("value")}, 2) AS total_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY window_start, event_type""") { (s, dir) =>
@@ -448,8 +451,8 @@ object Relational {
     //     Spark's window() by fanning each event out to its two
     //     containing window starts. ---
     Q("q33_sliding_window",
-      """SELECT ws AS window_start, event_type, count(*) AS n,
-        |  round(sum(value), 2) AS total_value
+      s"""SELECT ws AS window_start, event_type, count(*) AS n,
+        |  round(${moneySumSql("value")}, 2) AS total_value
         |FROM (
         |  SELECT time_bucket(INTERVAL '30 minutes', ts)
         |           - k * INTERVAL '30 minutes' AS ws,
@@ -465,9 +468,9 @@ object Relational {
 
     // --- Left outer join: customers keep a row with zero orders ---
     Q("q24_outer_join",
-      """SELECT c_custkey, c_name,
+      s"""SELECT c_custkey, c_name,
         |  CAST(count(o_orderkey) AS BIGINT) AS n_orders,
-        |  round(coalesce(sum(o_totalprice), 0), 2) AS total_spend
+        |  round(coalesce(${moneySumSql("o_totalprice")}, 0), 2) AS total_spend
         |FROM customer
         |LEFT JOIN orders ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_name
@@ -476,7 +479,7 @@ object Relational {
         .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"), "left")
         .groupBy("c_custkey", "c_name")
         .agg(count(col("o_orderkey")).as("n_orders"),
-          duckRound(coalesce(sum(col("o_totalprice")), lit(0)), 2).as("total_spend"))
+          duckRound(coalesce(moneySum(col("o_totalprice")), lit(0)), 2).as("total_spend"))
         .orderBy("c_custkey")
     },
 
@@ -536,7 +539,7 @@ object Relational {
     //     The stateful streaming twin (flatMapGroupsWithState) lives in
     //     graft.streaming.EventStreams. ---
     Q("q27_sessionize",
-      """WITH marked AS (
+      s"""WITH marked AS (
         |  SELECT user_id, ts, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
@@ -549,7 +552,7 @@ object Relational {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM marked)
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
-        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |  count(*) AS n_events, round(${moneySumSql("value")}, 2) AS total_value
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""") { (s, dir) =>
       t(s, dir, "events")
@@ -557,7 +560,7 @@ object Relational {
         .agg(min(col("ts")).as("session_start"),
           max(col("ts")).as("session_end"),
           count(lit(1)).as("n_events"),
-          duckRound(sum(col("value")), 2).as("total_value"))
+          duckRound(moneySum(col("value")), 2).as("total_value"))
         .select(col("user_id"), col("session_start"), col("session_end"),
           col("n_events"), col("total_value"))
         .orderBy("user_id", "session_start")
@@ -1021,9 +1024,9 @@ object Relational {
     //     the (user, hour) agg, the fill is a window on the same user
     //     partitioning. ---
     Q("q46_gap_fill",
-      """WITH hourly AS (
+      s"""WITH hourly AS (
         |  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS hour,
-        |         count(*) AS n, sum(value) AS sum_value
+        |         count(*) AS n, ${moneySumSql("value")} AS sum_value
         |  FROM events WHERE user_id < 8 GROUP BY 1, 2),
         |spine AS (
         |  SELECT user_id,
@@ -1040,7 +1043,7 @@ object Relational {
       val hourly = t(s, dir, "events")
         .filter(col("user_id") < 8)
         .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
-        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
       val spine = hourly
         .groupBy("user_id")
         .agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))

@@ -52,8 +52,11 @@ object EventStreams {
     graft.expressions.VectorExpressions.ensureRegistered(events.sparkSession)
     events
       .groupBy(window(col("ts"), "1 hour", slide), col("event_type"))
+      // exact-cents sum: order-independent under partial-agg merge AND
+      // streaming incremental state updates (ParityFunctions.moneySum)
       .agg(count(lit(1)).as("n"),
-        graft.functions.ParityFunctions.duckRound(sum(col("value")), 2)
+        graft.functions.ParityFunctions.duckRound(
+          graft.functions.ParityFunctions.moneySum(col("value")), 2)
           .as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
