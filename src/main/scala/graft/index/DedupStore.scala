@@ -1,0 +1,111 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.queries.Dedup
+
+/** Build-once/serve-many artifact for NEAR-DUP detection — the dedup
+  * analog of `IndexStore`: a crawl ingests batches continuously, and
+  * re-shingling 100 TB of already-ingested corpus to near-dup-check
+  * each new batch is exactly what this artifact avoids. Three saved
+  * tables per store:
+  *
+  *   - `<name>_shingles` (doc_id, shingle): the exact-verify side.
+  *   - `<name>_sigs`     (doc_id, sz): shingle-set sizes for Jaccard.
+  *   - `<name>_bands`    (doc_id, band, key): the LSH candidate join
+  *     key space, bucketed by `key` so the incremental candidate join
+  *     probes, not scans.
+  *
+  * All three derive from the SAME shingling/signature code dd03 runs
+  * (`Dedup.shingleSetOf`/`signaturesOf`/`bandKeysOf`), so incremental
+  * results are spec-equal to running the batch operator on the union
+  * corpus — the same batch-vs-incremental contract as the index
+  * maintenance and chunk-ledger twins.
+  *
+  * Scale shape of [[incrementalPairs]]: the new batch is shingled and
+  * signed once (it is small); candidates come from ONE equi-join of
+  * the batch's band keys against the stored band table plus the
+  * batch-internal banding; the exact-Jaccard verify joins shingles
+  * only for candidate docs. Nothing ever re-reads the stored corpus'
+  * raw text. Caller contract: doc ids are unique across the store and
+  * every appended batch (the IndexMaintenance contract).
+  */
+object DedupStore {
+
+  /** Build the artifact from a `(doc_id, text)` corpus frame. */
+  def build(documents: DataFrame, name: String): Unit = {
+    val spark = documents.sparkSession
+    val sh = Dedup.shingleSetOf(documents).persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = Dedup.signaturesOf(sh).persist(StorageLevel.MEMORY_AND_DISK)
+    sh.write.mode("overwrite")
+      .bucketBy(8, "doc_id").saveAsTable(s"${name}_shingles")
+    sigs.select(col("doc_id"), col("sz")).write.mode("overwrite")
+      .bucketBy(8, "doc_id").saveAsTable(s"${name}_sigs")
+    Dedup.bandKeysOf(sigs).write.mode("overwrite")
+      .bucketBy(8, "key").saveAsTable(s"${name}_bands")
+    sh.unpersist(); sigs.unpersist()
+    spark.catalog.refreshTable(s"${name}_bands")
+  }
+
+  /** Near-dup pairs between `newDocs` and the stored corpus PLUS pairs
+    * within `newDocs`, with exact Jaccard ≥ `tau` — what the batch
+    * operator (dd03) would report for pairs touching the new docs if
+    * run over the union corpus, without re-shingling the store.
+    * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard
+    * UNROUNDED (callers round for display/oracles). */
+  def incrementalPairs(newDocs: DataFrame, name: String,
+                       tau: Double = 0.4): DataFrame = {
+    val spark = newDocs.sparkSession
+    val shNew = Dedup.shingleSetOf(newDocs).persist(StorageLevel.MEMORY_AND_DISK)
+    val sigsNew = Dedup.signaturesOf(shNew).persist(StorageLevel.MEMORY_AND_DISK)
+    val bandsNew = Dedup.bandKeysOf(sigsNew)
+    // new-vs-store: equi-join on (band, key); the new side is the
+    // small probe, the stored side the bucketed build
+    val candOld = bandsNew.as("n")
+      .join(spark.table(s"${name}_bands").as("o"),
+        col("n.band") === col("o.band") && col("n.key") === col("o.key"))
+      .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
+        greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    // new-vs-new: the batch-internal banding (dd03's own device)
+    val candNew = graft.operators.Banding.candidatePairs(sigsNew, "doc_id",
+      (0 until 6).map(b =>
+        lit(b) -> concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))))
+      .withColumnRenamed("doc_id_a", "doc_a")
+      .withColumnRenamed("doc_id_b", "doc_b")
+    val cand = candOld.union(candNew).distinct()
+    // exact verify over shingles of CANDIDATE docs only
+    val shAll = shNew.unionByName(spark.table(s"${name}_shingles"))
+    val inter = cand
+      .join(shAll.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(shAll.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val szAll = sigsNew.select(col("doc_id"), col("sz"))
+      .unionByName(spark.table(s"${name}_sigs"))
+    inter
+      .join(szAll.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(szAll.as("sb"), col("sb.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("sa.sz") + col("sb.sz") - col("inter")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
+  /** Ingest `newDocs` into the artifact (after [[incrementalPairs]]
+    * reviewed them): appends to all three tables with the same
+    * bucketing. Idempotence is the caller's via unique doc ids. */
+  def append(newDocs: DataFrame, name: String): Unit = {
+    val sh = Dedup.shingleSetOf(newDocs).persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = Dedup.signaturesOf(sh).persist(StorageLevel.MEMORY_AND_DISK)
+    sh.write.mode("append")
+      .bucketBy(8, "doc_id").saveAsTable(s"${name}_shingles")
+    sigs.select(col("doc_id"), col("sz")).write.mode("append")
+      .bucketBy(8, "doc_id").saveAsTable(s"${name}_sigs")
+    Dedup.bandKeysOf(sigs).write.mode("append")
+      .bucketBy(8, "key").saveAsTable(s"${name}_bands")
+    sh.unpersist(); sigs.unpersist()
+  }
+}

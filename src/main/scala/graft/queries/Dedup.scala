@@ -29,14 +29,21 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     tables.load(s, dir, "documents")
 
-  /** Distinct word 3-gram shingles per doc: (doc_id, shingle). The
-    * token array is projected to a real column first so the n-gram
-    * lambda doesn't re-tokenize per element (see wordNgramsOf). */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+  /** Distinct word 3-gram shingles of any `(doc_id, text)` frame:
+    * (doc_id, shingle). The token array is projected to a real column
+    * first so the n-gram lambda doesn't re-tokenize per element (see
+    * wordNgramsOf). Public: `index.DedupStore` builds its artifact
+    * from the SAME shingling so incremental results match dd03. */
+  def shingleSetOf(documents: DataFrame): DataFrame = {
+    graft.expressions.VectorExpressions.ensureRegistered(documents.sparkSession)
+    documents
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"),
         explode(array_distinct(wordNgramsOf(col("tk"), 3))).as("shingle"))
+  }
+
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    shingleSetOf(docs(s, dir))
 
   private val DuckShingles =
     """SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 1),
@@ -116,16 +123,35 @@ object Dedup {
     * materialization step of a near-dup pipeline) and `sigs` is one
     * short row per document.
     */
-  private def minhashVerifiedRaw(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val sh = shingled(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+  /** MinHash signatures + shingle-set size of a shingle table:
+    * (doc_id, mh0..mh11, sz) — one digest per shingle, 12
+    * universal-hash mins in ONE aggregation pass. Public for
+    * `index.DedupStore`. */
+  def signaturesOf(sh: DataFrame): DataFrame = {
     val hashed = sh.select(col("doc_id"),
       (conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % P)
         .as("hm"))
     val aggCols = (0 until NumHashes).map(i =>
       min((col("hm") * mhA(i) + mhB(i)) % P).as(s"mh$i")) :+
       count(lit(1)).as("sz")
-    val sigs = hashed.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
+    hashed.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** The LSH band keys of a signature frame, exploded to one row per
+    * (doc_id, band, key) — the join key space of candidate generation
+    * (and the storage layout of `DedupStore`'s band table). */
+  def bandKeysOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), explode(array(
+      (0 until NumHashes / BandRows).map(b => struct(
+        lit(b).as("band"),
+        concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("key")
+      )): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+  private def minhashVerifiedRaw(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sh = shingled(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = signaturesOf(sh)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = graft.operators.Banding.candidatePairs(sigs, "doc_id",
       (0 until NumHashes / BandRows).map(b =>
