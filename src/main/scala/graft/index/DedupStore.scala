@@ -68,10 +68,10 @@ object DedupStore {
       .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
         greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
       .filter(col("doc_a") =!= col("doc_b"))
-    // new-vs-new: the batch-internal banding (dd03's own device)
+    // new-vs-new: the batch-internal banding — same Dedup.bandDefs
+    // layout as the stored band table, by construction
     val candNew = graft.operators.Banding.candidatePairs(sigsNew, "doc_id",
-      (0 until 6).map(b =>
-        lit(b) -> concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))))
+        Dedup.bandDefs)
       .withColumnRenamed("doc_id_a", "doc_a")
       .withColumnRenamed("doc_id_b", "doc_b")
     val cand = candOld.union(candNew).distinct()
@@ -84,7 +84,7 @@ object DedupStore {
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     val szAll = sigsNew.select(col("doc_id"), col("sz"))
       .unionByName(spark.table(s"${name}_sigs"))
-    inter
+    val out = inter
       .join(szAll.as("sa"), col("sa.doc_id") === col("doc_a"))
       .join(szAll.as("sb"), col("sb.doc_id") === col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
@@ -92,6 +92,17 @@ object DedupStore {
           (col("sa.sz") + col("sb.sz") - col("inter")).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= tau)
+      // materialize BEFORE unpersisting the batch-scale caches: in the
+      // intended serve-many loop (one call per ingested crawl batch)
+      // leaving shNew/sigsNew cached would accumulate blocks across
+      // calls unboundedly. localCheckpoint truncates the lineage, so
+      // the result (pair-scale, small) survives the unpersist and its
+      // blocks are released by the ContextCleaner when the frame is
+      // dropped.
+      .localCheckpoint(true)
+    shNew.unpersist()
+    sigsNew.unpersist()
+    out
   }
 
   /** Ingest `newDocs` into the artifact (after [[incrementalPairs]]

@@ -175,10 +175,16 @@ object ConnectedComponents {
         m("sd").asInstanceOf[java.math.BigDecimal]))
     }
 
+    // node universe BEFORE canon: canon drops self-loops, so a node
+    // appearing only as (a, a) would otherwise vanish from the output
+    // while minLabel labels it with itself — the two must agree.
+    val nodes = pairs.select(a.as("node")).union(pairs.select(b.as("node")))
+      .distinct()
     val init = canon(pairs.select(a.as("src"), b.as("dst")))
     if (init.isEmpty) {
-      return pairs.sparkSession.emptyDataFrame
-        .select(lit(0L).as("node"), lit(0L).as("root")).limit(0)
+      // only self-loops (or nothing): every node is its own root
+      return nodes.select(col("node"), col("node").as("root"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     }
     var (edges, prevSig) = checkpointObservingEdges(init)
     var round = 0
@@ -209,10 +215,15 @@ object ConnectedComponents {
     require(converged,
       s"star contraction did not converge in $maxRounds rounds")
     // fixpoint edge set is (child → component-min root) stars; add the
-    // roots' self-labels to match minLabel's one-row-per-node contract
-    edges.select(col("src").as("node"), col("dst").as("root"))
+    // roots' self-labels to match minLabel's one-row-per-node contract,
+    // plus self-labels for nodes canon() dropped (self-loop-only nodes)
+    // — the anti-join probe side is node-scale, not edge-scale
+    val stars = edges.select(col("src").as("node"), col("dst").as("root"))
       .union(edges.select(col("dst"), col("dst")).distinct())
       .distinct()
+    val isolated = nodes.join(stars.select("node"), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("root"))
+    stars.union(isolated)
       .persist(StorageLevel.MEMORY_AND_DISK)
   }
 }

@@ -137,15 +137,27 @@ object Dedup {
     hashed.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
   }
 
+  /** The (band literal, key column) pairs defining the LSH band
+    * layout — the SINGLE source of truth for the signature scheme.
+    * Every candidate path (dd03's internal banding, [[bandKeysOf]] /
+    * `DedupStore`'s stored band table, and `DedupStore
+    * .incrementalPairs`' batch-internal banding) derives from this
+    * one Seq, so a change to NumHashes/BandRows can never desync
+    * batch candidates from a previously built band table's layout
+    * silently — they all move together (stored artifacts must be
+    * rebuilt, which the DedupStore scaladoc states). */
+  def bandDefs: Seq[(org.apache.spark.sql.Column, org.apache.spark.sql.Column)] =
+    (0 until NumHashes / BandRows).map(b =>
+      lit(b) -> concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
+
   /** The LSH band keys of a signature frame, exploded to one row per
     * (doc_id, band, key) — the join key space of candidate generation
     * (and the storage layout of `DedupStore`'s band table). */
   def bandKeysOf(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"), explode(array(
-      (0 until NumHashes / BandRows).map(b => struct(
-        lit(b).as("band"),
-        concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("key")
-      )): _*)).as("bk"))
+      bandDefs.map { case (b, k) =>
+        struct(b.as("band"), k.as("key"))
+      }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
 
   private def minhashVerifiedRaw(s: SparkSession, dir: String): DataFrame = {
@@ -153,9 +165,7 @@ object Dedup {
     val sh = shingled(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
     val sigs = signaturesOf(sh)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val cand = graft.operators.Banding.candidatePairs(sigs, "doc_id",
-      (0 until NumHashes / BandRows).map(b =>
-        lit(b) -> concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))))
+    val cand = graft.operators.Banding.candidatePairs(sigs, "doc_id", bandDefs)
       .withColumnRenamed("doc_id_a", "doc_a")
       .withColumnRenamed("doc_id_b", "doc_b")
     val inter = cand

@@ -353,7 +353,7 @@ object Pipeline {
         |  FROM documents)
         |SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS domain,
         |  count(*) AS n_docs,
-        |  sum(n_chars) AS total_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  round(CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'),
         |                                 x -> x <> ''))) AS DOUBLE)
         |        / count(*), 4) AS mean_tokens
@@ -368,11 +368,13 @@ object Pipeline {
         .select(regexp_extract(col("url"), "^https://([^/]+)/", 1).as("domain"),
           col("n_chars"), col("n_tok"))
         .groupBy("domain")
-        // mean via exact BIGINT sum + ONE final double division: a
-        // float avg() sums in partition order, and a 4-decimal rounding
-        // boundary tie then hash-diverges from DuckDB (seen r6). The
-        // integer sum is order-independent, so the division input is
-        // bit-identical on both engines.
+        // mean via BIGINT sum + one final double division, so the
+        // division input doesn't depend on partition merge order.
+        // The r6/r7 red row was NOT this: DuckDB's sum(BIGINT) yields
+        // HUGEINT (this was the only oracle emitting one), which the
+        // driver's pandas bridge renders as float — "1234.0" vs
+        // Spark's int64 "1234" hash-diverges with identical values.
+        // The oracle therefore CASTs total_chars back to BIGINT.
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"),
           graft.functions.ParityFunctions.duckRound(

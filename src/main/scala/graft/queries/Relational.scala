@@ -974,7 +974,7 @@ object Relational {
         |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
         |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
         |  round(regr_r2(l_extendedprice, l_quantity), 8) AS r2,
-        |  regr_count(l_extendedprice, l_quantity) AS n
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""") { (s, dir) =>

@@ -33,11 +33,19 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object ChunkDedup {
 
   /** Starts the ledger-maintenance query: each micro-batch of
-    * `newDocs` (`doc_id`, `text`) is handed to [[appendBatch]]. */
+    * `newDocs` (`doc_id`, `text`) is handed to [[appendBatch]].
+    *
+    * `checkpointDir` is REQUIRED and must be durable: the commit-marker
+    * replay-skip keys on `batchId`, and batch ids are only stable
+    * across restarts when the query resumes from the same checkpoint.
+    * With a temp checkpoint a restarted query re-counts from 0 and
+    * appendBatch would silently SKIP new data whose id collides with
+    * an old marker. */
   def maintain(newDocs: DataFrame, chunkTable: String,
-               markerTable: String): StreamingQuery =
+               markerTable: String, checkpointDir: String): StreamingQuery =
     newDocs.writeStream
       .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         appendBatch(batch, batchId, chunkTable, markerTable)
       }

@@ -34,11 +34,17 @@ object IndexMaintenance {
 
   /** Starts the maintenance query: each micro-batch of `newDocs`
     * (`doc_id`, `text`) is handed to `appendBatch`.
-    */
+    *
+    * `checkpointDir` is REQUIRED and must be durable: the commit-marker
+    * replay-skip keys on `batchId`, and batch ids are only stable
+    * across restarts when the query resumes from the same checkpoint —
+    * a temp checkpoint restarts ids at 0 and old markers would silently
+    * swallow new batches. */
   def maintain(newDocs: DataFrame, termDocTable: String,
-               statsTable: String): StreamingQuery =
+               statsTable: String, checkpointDir: String): StreamingQuery =
     newDocs.writeStream
       .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         appendBatch(batch, batchId, termDocTable, statsTable)
       }

@@ -47,7 +47,10 @@ class ChunkDedupSpec extends AnyFunSuite {
     reset(ct, mt)
 
     val stream = MemoryStream[(Long, String)](spark)
-    val q = ChunkDedup.maintain(stream.toDF().toDF("doc_id", "text"), ct, mt)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-cd-ckpt").toString
+    val q = ChunkDedup.maintain(stream.toDF().toDF("doc_id", "text"),
+      ct, mt, ckpt)
     try {
       stream.addData(corpus(0), corpus(1))
       q.processAllAvailable()

@@ -71,6 +71,17 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("starContract labels self-loop-only nodes like minLabel") {
+    // node 42 appears ONLY as the self-loop (42, 42): canon() drops the
+    // edge, but the (node, root) contract still owes it a self-label
+    val edges = Seq((1L, 2L), (42L, 42L))
+    assert(starLabelsOf(edges) == labelsOf(edges))
+    assert(starLabelsOf(edges)(42L) == 42L)
+    // degenerate corpus: nothing but self-loops
+    assert(starLabelsOf(Seq((7L, 7L), (9L, 9L))) ==
+      Map(7L -> 7L, 9L -> 9L))
+  }
+
   test("starContract agrees with minLabel on a random graph") {
     // deterministic seed: the spec must not flake
     val rnd = new scala.util.Random(42)

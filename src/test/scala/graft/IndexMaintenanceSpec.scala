@@ -31,8 +31,10 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       .write.saveAsTable(st)
 
     val stream = MemoryStream[(Long, String)](spark)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-im-ckpt").toString
     val q = IndexMaintenance.maintain(
-      stream.toDF().toDF("doc_id", "text"), td, st)
+      stream.toDF().toDF("doc_id", "text"), td, st, ckpt)
     try {
       stream.addData((3L, "gamma epsilon zeta"), (4L, "epsilon zeta eta"))
       q.processAllAvailable()
