@@ -188,6 +188,91 @@ object Dedup {
       .filter(col("jaccard") >= 0.4)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
+  /** BIPARTITE near-dup pairs: `corpus` docs vs `probe` docs (both
+    * `(doc_id, text)` frames), exact Jaccard ≥ `tau`, via the SAME
+    * shingling/signature/band scheme as dd03 (`bandDefs` is the one
+    * source of truth). The scale shape is the decontamination one:
+    * the probe side (an eval benchmark — thousands of docs against a
+    * 100 TB corpus) is shingled, signed and BROADCAST as a band
+    * table, so candidate generation is a map-side broadcast join
+    * against the corpus bands — the corpus is never self-joined and
+    * never shuffled on anything but its candidate subset. The exact
+    * verify joins shingles only for candidate (corpus, probe) pairs.
+    * Output: (doc_id, probe_doc_id, jaccard), jaccard UNROUNDED. */
+  def bipartitePairs(corpus: DataFrame, probe: DataFrame,
+                     tau: Double): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val shC = shingleSetOf(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    val sigsC = signaturesOf(shC).persist(StorageLevel.MEMORY_AND_DISK)
+    val shP = shingleSetOf(probe).persist(StorageLevel.MEMORY_AND_DISK)
+    val sigsP = signaturesOf(shP).persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = bandKeysOf(sigsC)
+      .join(broadcast(bandKeysOf(sigsP))
+          .withColumnRenamed("doc_id", "probe_doc_id"),
+        Seq("band", "key"))
+      .select(col("doc_id"), col("probe_doc_id"))
+      .distinct()
+    val inter = cand
+      .join(shC, Seq("doc_id"))
+      .join(shP.select(col("doc_id").as("probe_doc_id"), col("shingle")),
+        Seq("probe_doc_id", "shingle"))
+      .groupBy("doc_id", "probe_doc_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sigsC.select(col("doc_id"), col("sz").as("sza")), Seq("doc_id"))
+      .join(sigsP.select(col("doc_id").as("probe_doc_id"),
+        col("sz").as("szb")), Seq("probe_doc_id"))
+      .select(col("doc_id"), col("probe_doc_id"),
+        (col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
+  /** DuckDB twin of [[bipartitePairs]] over the `documents` table:
+    * CTE chain ending in `xscored(doc_id, probe_doc_id, j)` where the
+    * corpus/probe sides are doc_id predicates (rendered via the
+    * passed templates, e.g. `id => s"$id % 5 <> 0"`). Shares the
+    * constants with `minhashScoredCtes` so both oracles track the one
+    * signature scheme. */
+  def bipartiteScoredCtes(corpusPred: String => String,
+                          probePred: String => String): String = {
+    val mhAggs = (0 until NumHashes)
+      .map(i => s"min((hm * ${mhA(i)} + ${mhB(i)}) % $P) AS mh$i")
+      .mkString(",\n         |    ")
+    val bandSelects = (0 until NumHashes / BandRows)
+      .map(b => s"SELECT doc_id, $b AS band, mh${2 * b} || '|' || mh${2 * b + 1} AS key FROM sigs")
+      .mkString("\n         |  UNION ALL ")
+    s"""sh AS ($DuckShingles),
+       |hashed AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % $P AS hm
+       |  FROM sh),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $mhAggs,
+       |    count(*) AS sz
+       |  FROM hashed GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |xcand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS probe_doc_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key
+       |  WHERE ${corpusPred("a.doc_id")} AND ${probePred("b.doc_id")}),
+       |xinter AS (
+       |  SELECT c.doc_id, c.probe_doc_id, count(*) AS inter
+       |  FROM xcand c
+       |  JOIN sh x ON x.doc_id = c.doc_id
+       |  JOIN sh y ON y.doc_id = c.probe_doc_id AND y.shingle = x.shingle
+       |  GROUP BY c.doc_id, c.probe_doc_id),
+       |xscored AS (
+       |  SELECT xinter.doc_id, probe_doc_id,
+       |    CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS j
+       |  FROM xinter
+       |  JOIN sigs sa ON sa.doc_id = xinter.doc_id
+       |  JOIN sigs sb ON sb.doc_id = probe_doc_id)"""
+  }
+
   /** Convergence cap for dd06's min-id propagation: rounds needed =
     * max component DIAMETER, and near-dup clusters are shallow (dense
     * clumps around a shared template, not long chains). A graph that
@@ -461,6 +546,66 @@ object Dedup {
         |FROM tk t LEFT JOIN agg a ON t.doc_id = a.doc_id
         |ORDER BY t.doc_id""") { (s, dir) =>
       chunkReportOf(docs(s, dir))
+    },
+
+    // --- URL-canonicalization dedup: the FIRST dedup stage of a web
+    //     crawl pipeline, upstream of any content hashing — the same
+    //     page fetched as `HTTP://Host/path/?utm_...#frag` and
+    //     `http://host/path` must collapse before its bytes are ever
+    //     compared. The corpus carries no provenance URL, so one is
+    //     synthesized deterministically per doc (mixed-case host,
+    //     tracking query, fragment, trailing slash — keyed off doc_id
+    //     so both engines build the identical mess); paths collide via
+    //     `doc_id % 211` so canonicalization has real work to do.
+    //     Canonicalize = strip fragment → strip query → lowercase the
+    //     scheme+host → strip trailing slash (pure per-row projection,
+    //     no shuffle); dedup = ONE hash aggregation on the canonical
+    //     string (high-cardinality uniform key — no salting) keeping
+    //     the min doc_id. At 100 TB this is a map-side projection plus
+    //     a single shuffle of (url, id) pairs — never the page bodies.
+    Q("dd10_url_dedup",
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' || CASE WHEN doc_id % 3 = 0 THEN 'CRAWL.Example.COM' ELSE 'crawl.example.com' END
+        |      || '/doc/' || CAST(doc_id % 211 AS VARCHAR)
+        |      || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+        |      || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=rss&utm_medium=feed' ELSE '' END
+        |      || CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END AS url
+        |  FROM documents),
+        |canon AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      concat(lower(regexp_extract(u2, '^https?://[^/?#]+')),
+        |             regexp_replace(u2, '^https?://[^/?#]+', '')),
+        |      '/$', '') AS canonical_url
+        |  FROM (SELECT doc_id,
+        |          regexp_replace(regexp_replace(url, '#.*', ''), '\?.*', '') AS u2
+        |        FROM u))
+        |SELECT canonical_url,
+        |  count(*) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+        |FROM canon
+        |GROUP BY canonical_url
+        |ORDER BY canonical_url""") { (s, dir) =>
+      val url = concat(lit("https://"),
+        when(col("doc_id") % 3 === 0, lit("CRAWL.Example.COM"))
+          .otherwise(lit("crawl.example.com")),
+        lit("/doc/"), (col("doc_id") % 211).cast("string"),
+        when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0, lit("?utm_source=rss&utm_medium=feed"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("#section-2")).otherwise(lit("")))
+      val stripped = regexp_replace(
+        regexp_replace(url, "#.*", ""), "\\?.*", "")
+      val canonical = regexp_replace(
+        concat(lower(regexp_extract(stripped, "^https?://[^/?#]+", 0)),
+          regexp_replace(stripped, "^https?://[^/?#]+", "")),
+        "/$", "")
+      docs(s, dir)
+        .select(col("doc_id"), canonical.as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
+        .orderBy("canonical_url")
     }
   )
 

@@ -569,6 +569,75 @@ object Pipeline {
           floor((col("cum") - col("n_tok")).cast("double") / PackBudget)
             .as("bin"))
         .orderBy("source", "doc_id")
+    },
+
+    // --- FUZZY decontamination: near-duplicate overlap between the
+    //     training corpus and a held-out eval set — the contamination
+    //     pl01/pl02 can't see (a paraphrased or lightly-edited eval doc
+    //     shares no exact 5-gram but ~everything at the shingle level).
+    //     Here the "eval set" is the doc_id % 5 == 0 slice standing in
+    //     for a benchmark corpus. Scale shape (Dedup.bipartitePairs):
+    //     the eval side is tiny vs a 100 TB corpus, so its band table
+    //     is BROADCAST and candidate generation is a map-side join
+    //     against corpus bands — the corpus is never self-joined; the
+    //     exact-Jaccard verify touches only candidate pairs. ---
+    Q("pl14_fuzzy_decontaminate", {
+      val ctes = graft.queries.Dedup.bipartiteScoredCtes(
+        id => s"$id % 5 <> 0", id => s"$id % 5 = 0")
+      s"""WITH $ctes
+         |SELECT doc_id, probe_doc_id AS eval_doc_id,
+         |  round(j, 6) AS jaccard
+         |FROM xscored WHERE j >= 0.4
+         |ORDER BY doc_id, eval_doc_id"""
+    }) { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      graft.queries.Dedup.bipartitePairs(
+          d.filter(col("doc_id") % 5 =!= 0),
+          d.filter(col("doc_id") % 5 === 0), 0.4)
+        .select(col("doc_id"), col("probe_doc_id").as("eval_doc_id"),
+          graft.functions.ParityFunctions.duckRound(col("jaccard"), 6)
+            .as("jaccard"))
+        .orderBy("doc_id", "eval_doc_id")
+    },
+
+    // --- Temperature (T=2) language rebalancing: downsample each
+    //     language to keep_prob = sqrt(n_min / n_lang) — the standard
+    //     sqrt-flattening of a skewed language mix before training.
+    //     Inclusion is a DETERMINISTIC per-doc coin: the first 8 md5
+    //     hex chars of the doc_id as a uniform u32 vs keep_prob·2^32
+    //     (reproducible across runs/engines; no RNG). Two passes, no
+    //     corpus shuffle: pass 1 aggregates per-language counts (one
+    //     tiny frame), pass 2 broadcast-joins the rates and filters
+    //     map-side. Only sqrt/division/multiply touch the threshold —
+    //     all exact-rounded IEEE ops, so both engines compare the
+    //     SAME double (no rounding-boundary flake class). ---
+    Q("pl15_temperature_sample",
+      """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+        |r AS (SELECT lang,
+        |        sqrt(CAST((SELECT min(n_lang) FROM c) AS DOUBLE)
+        |             / CAST(n_lang AS DOUBLE)) AS keep_prob
+        |      FROM c),
+        |h AS (SELECT doc_id, lang,
+        |        CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) AS u
+        |      FROM documents)
+        |SELECT h.doc_id, h.lang
+        |FROM h JOIN r ON h.lang = r.lang
+        |WHERE h.u < r.keep_prob * 4294967296.0
+        |ORDER BY h.doc_id""") { (s, dir) =>
+      val d = docs(s, dir)
+      val counts = d.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      val rates = counts
+        .crossJoin(broadcast(counts.agg(min(col("n_lang")).as("n_min"))))
+        .select(col("lang"),
+          sqrt(col("n_min").cast("double") / col("n_lang").cast("double"))
+            .as("keep_prob"))
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long").cast("double")
+      d.select(col("doc_id"), col("lang"), u.as("u"))
+        .join(broadcast(rates), "lang")
+        .filter(col("u") < col("keep_prob") * 4294967296.0)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
     }
   )
 }
