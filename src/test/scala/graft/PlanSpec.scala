@@ -227,4 +227,39 @@ class PlanSpec extends AnyFunSuite {
       assert(scans == 1, s"$q scans the corpus $scans times:\n$p")
     }
   }
+
+  test("pl14: eval band table broadcast; no cartesian anywhere") {
+    // the decontamination scale contract: candidates come from a
+    // broadcast (eval-side) band join — the 100 TB corpus must never
+    // be on the build side or in a nested-loop join
+    val p = plan("pl14_fuzzy_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "pl14 lost the broadcast band join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "pl14 plans a non-equi candidate join")
+  }
+
+  test("pl15: rate join broadcast; corpus filter is map-side") {
+    // the sampling filter must ride a broadcast join of the tiny
+    // per-language rate table — shuffling the corpus to sample it
+    // would defeat the zero-corpus-shuffle design
+    val p = plan("pl15_temperature_sample")
+    assert(p.contains("BroadcastHashJoin"),
+      "pl15 lost the broadcast rate join")
+    // corpus side: scan → filter/join → sort for output; the ONLY
+    // exchanges allowed are the tiny aggregations' and the final sort's
+    assert(!"Exchange hashpartitioning\\(doc_id".r.findFirstIn(p).isDefined,
+      "pl15 shuffles the corpus by doc_id")
+  }
+
+  test("dd10: exactly one exchange pair (canonical-url aggregation)") {
+    // canonicalization is a projection; dedup is ONE hash aggregation
+    // with a map-side partial — at 100 TB only (url, id) pairs shuffle
+    val p = plan("dd10_url_dedup")
+    assert(p.contains("partial_count"), "dd10 lost its map-side combine")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, // agg shuffle + output sort
+      s"dd10 plans $exchanges exchanges:\n$p")
+  }
 }
