@@ -21,6 +21,11 @@ object MultimodalQueries {
 
   private val ChunkBytes = 256
 
+  /** mm04 candidate cap: chunks in more payloads than this are
+    * boilerplate (pair fan-out C(k,2) in one digest bucket) and are
+    * excluded from near-dup candidate generation. */
+  private val MaxChunkDf = 50
+
   val qs: Seq[Q] = Seq(
 
     // --- Typed metadata over an opaque payload ---
@@ -96,6 +101,74 @@ object MultimodalQueries {
         .select(col("doc_id"), col("n_bytes"), col("d"),
           col("feature").cast("double").as("feature"))
         .orderBy("doc_id", "d")
+    },
+
+    // --- Blob near-dup: pairs of payloads sharing fixed-offset chunk
+    //     digests — dedup that works on OPAQUE media bytes (the same
+    //     shape perceptual-hash image dedup takes: digest chunks, join
+    //     on digest, score overlap). Candidates come from an EQUI-JOIN
+    //     on the 32-char chunk md5, never a byte comparison between
+    //     blobs; chunks occurring in > $MaxChunkDf payloads are
+    //     excluded from candidate generation (a ubiquitous chunk is
+    //     boilerplate — dd09's territory — and would fan out C(k,2)
+    //     pairs in one join bucket), so per-bucket work is bounded.
+    //     Chunk SETS (distinct digests) make the overlap insensitive
+    //     to within-blob repetition. ---
+    Q("mm04_blob_neardup", {
+      s"""WITH c AS (
+         |  SELECT doc_id, text,
+         |    unnest(range(0, CAST(ceil(length(text) / $ChunkBytes.0) AS BIGINT))) AS i
+         |  FROM documents WHERE length(text) > 0),
+         |h AS (
+         |  SELECT DISTINCT doc_id,
+         |    md5(substring(text, CAST(i * $ChunkBytes + 1 AS INT), $ChunkBytes)) AS ch
+         |  FROM c),
+         |n AS (SELECT doc_id, count(*) AS n_chunks FROM h GROUP BY doc_id),
+         |rare AS (SELECT ch FROM h GROUP BY ch HAVING count(*) <= $MaxChunkDf),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |  FROM h a JOIN rare r ON a.ch = r.ch
+         |  JOIN h b ON b.ch = a.ch AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+         |  round(CAST(n_shared AS DOUBLE)
+         |        / CAST(least(na.n_chunks, nb.n_chunks) AS DOUBLE), 6) AS overlap
+         |FROM p
+         |JOIN n na ON na.doc_id = doc_a
+         |JOIN n nb ON nb.doc_id = doc_b
+         |ORDER BY doc_a, doc_b"""
+    }) { (s, dir) =>
+      import org.apache.spark.storage.StorageLevel
+      val ch = docs(s, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L),
+            Multimodal.chunkCount(Multimodal.blobOf(col("text")), ChunkBytes) - 1))
+            .as("i"))
+        .select(col("doc_id"),
+          md5(substring(col("text"),
+            (col("i") * ChunkBytes + 1).cast("int"), lit(ChunkBytes))
+            .cast("binary")).as("ch"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK) // 3 consumers: sizes, df, pair join
+      val nChunks = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      val rare = ch.groupBy("ch").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxChunkDf).select("ch")
+      val rareChunks = ch.join(rare, "ch")
+      val pairs = rareChunks.select(col("doc_id").as("doc_a"), col("ch"))
+        .join(rareChunks.select(col("doc_id").as("doc_b"), col("ch")), "ch")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      pairs
+        .join(nChunks.select(col("doc_id").as("doc_a"),
+          col("n_chunks").as("na")), "doc_a")
+        .join(nChunks.select(col("doc_id").as("doc_b"),
+          col("n_chunks").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          graft.functions.ParityFunctions.duckRound(
+            col("n_shared").cast("double") /
+              least(col("na"), col("nb")).cast("double"), 6).as("overlap"))
+        .orderBy("doc_a", "doc_b")
     }
   )
 }
