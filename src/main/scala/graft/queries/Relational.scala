@@ -1087,6 +1087,36 @@ object Relational {
         .orderBy("bucket")
     },
 
+    // --- Exact quartiles (percentile_cont / quantile_cont): ordered-set
+    //     aggregate over exact integer cents. Percentage points are
+    //     restricted to {.25, .5, .75} ON PURPOSE: p·(n−1) and the
+    //     interpolation products f·(b−a) are then EXACT doubles (2^-2
+    //     fractions × integer cents), so the two engines' interpolation
+    //     formulas — whatever their algebraic shape — produce the same
+    //     bits. Arbitrary p (e.g. 0.9) makes f inexact and exposes
+    //     lower+(hi−lo)·f vs (1−f)·lo+f·hi ULP divergence. ---
+    Q("q48_quartiles",
+      """SELECT l_returnflag,
+        |  count(*) AS n,
+        |  round(CAST(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.25) AS DOUBLE) / 100.0, 4) AS p25_price,
+        |  round(CAST(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.50) AS DOUBLE) / 100.0, 4) AS p50_price,
+        |  round(CAST(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.75) AS DOUBLE) / 100.0, 4) AS p75_price,
+        |  round(CAST(quantile_cont(CAST(round(l_quantity) AS BIGINT), 0.50) AS DOUBLE), 4) AS p50_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""") { (s, dir) =>
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      val qty = round(col("l_quantity")).cast("long")
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          duckRound(percentile(cents, lit(0.25)) / 100.0, 4).as("p25_price"),
+          duckRound(percentile(cents, lit(0.50)) / 100.0, 4).as("p50_price"),
+          duckRound(percentile(cents, lit(0.75)) / 100.0, 4).as("p75_price"),
+          duckRound(percentile(qty, lit(0.50)), 4).as("p50_qty"))
+        .orderBy("l_returnflag")
+    },
+
     // --- approx_count_distinct: no exact SQL twin → rows-only check;
     //     the exact variant is q13 ---
     Q.noOracle("q23_approx_count_distinct") { (s, dir) =>

@@ -639,6 +639,93 @@ object Similarity {
       val cent = collectCentroids(e.filter(col("vec_id") < IvfCells)
         .select(col("vec_id").as("cid"), col("embedding").as("ce")))
       ivfRange(e, cent, IvfNProbe, RangeCos)
+    },
+
+    // --- Scalar (int8) quantization ANN: per-dimension min/max over
+    //     the corpus → each float becomes one byte (4× memory cut, the
+    //     production default BEFORE reaching for PQ's 32×), scan scores
+    //     probes against DEQUANTIZED codes (asymmetric: the probe stays
+    //     full-precision). Two passes, both shuffle-light: pass 1 is a
+    //     64-row min/max aggregation broadcast back; pass 2 is a
+    //     shuffle-free projection (quantize→dequantize) + the same
+    //     broadcast-probe scan as sm01. Quantization rounding uses
+    //     floor(x·255 + 0.5), never round(): floor and the +0.5 add are
+    //     exact-rounded IEEE on both engines, while round() hits the
+    //     shortest-decimal-repr divergence DuckRound exists for. ---
+    Q("sm08_sq_topk", {
+      val cos = cosineSql("p.pe", "d.deq")
+      s"""WITH x AS (
+         |  SELECT vec_id, unnest(embedding) AS xi,
+         |    unnest(range(1, len(embedding) + 1)) AS pos
+         |  FROM embeddings),
+         |st AS (
+         |  SELECT pos, min(CAST(xi AS DOUBLE)) AS mn, max(CAST(xi AS DOUBLE)) AS mx
+         |  FROM x GROUP BY pos),
+         |sta AS (SELECT list(mn ORDER BY pos) AS mns,
+         |               list(mx ORDER BY pos) AS mxs FROM st),
+         |dq AS (
+         |  SELECT vec_id,
+         |    list_transform(range(1, len(embedding) + 1), d ->
+         |      CASE WHEN sta.mxs[d] = sta.mns[d] THEN sta.mns[d]
+         |           ELSE sta.mns[d]
+         |             + (CAST(CAST(floor((CAST(embedding[d] AS DOUBLE) - sta.mns[d])
+         |                 / (sta.mxs[d] - sta.mns[d]) * 255.0 + 0.5) AS BIGINT) AS DOUBLE)
+         |                / 255.0) * (sta.mxs[d] - sta.mns[d])
+         |      END) AS deq
+         |  FROM embeddings, sta),
+         |p AS (SELECT vec_id AS probe_id, embedding AS pe
+         |      FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 500),
+         |scored AS (
+         |  SELECT p.probe_id, d.vec_id AS neighbor_id, $cos AS cosine
+         |  FROM p JOIN dq d ON d.vec_id <> p.probe_id),
+         |ranked AS (
+         |  SELECT probe_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT probe_id, neighbor_id, CAST(rank AS INT) AS rank,
+         |  round(cosine, 6) AS cosine
+         |FROM ranked WHERE rank <= 10
+         |ORDER BY probe_id, rank"""
+    }) { (s, dir) =>
+      val e = emb(s, dir)
+      val st = e
+        .select(posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("pos", "xi")))
+        .groupBy("pos").agg(min(col("xi")).as("mn"), max(col("xi")).as("mx"))
+      // 64 rows → two ordered arrays in ONE row (struct sort keys on
+      // pos first), broadcast to every quantizing task
+      val stRow = st.agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+          t => t.getField("mn")).as("mns"),
+        transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+          t => t.getField("mx")).as("mxs"))
+      // quantize (the stored byte codes) then dequantize for scoring —
+      // composed here because Verify re-derives artifacts per query;
+      // a serving deployment persists `code` and runs only the second
+      // transform per scan
+      val deq = e.crossJoin(broadcast(stRow))
+        .select(col("vec_id"),
+          transform(col("embedding").cast("array<double>"), (x, d) => {
+            val mn = element_at(col("mns"), d + 1)
+            val mx = element_at(col("mxs"), d + 1)
+            val code = when(mx === mn, lit(0L))
+              .otherwise(floor((x - mn) / (mx - mn) * 255.0 + 0.5))
+            when(mx === mn, mn)
+              .otherwise(mn + (code.cast("double") / 255.0) * (mx - mn))
+          }).as("deq"))
+      val probes = e.filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val scored = deq.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          cosine(col("pe"), col("deq")).as("cosine"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("probe_id"), col("neighbor_id"), col("rank"),
+          duckRound(col("cosine"), 6).as("cosine"))
+        .orderBy("probe_id", "rank")
     }
   )
 

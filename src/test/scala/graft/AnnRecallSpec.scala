@@ -77,4 +77,18 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(ivfpq <= pq + 1e-9,
       s"sm06 ($ivfpq) cannot out-recall the full ADC scan ($pq)")
   }
+
+  test("SQ (int8) recall@10 is near-exact — far above every PQ variant") {
+    // 8-bit per-dimension quantization loses ~1/255 of each dim's
+    // range: cosine ranks should barely move. This pins the quality
+    // ladder the memory/recall tradeoff promises: SQ (4× compression,
+    // near-exact) >> PQ (32×, coarse).
+    val exact = topSets(
+      SparkEntry.queries("sm01_cosine_topk")(spark, dir),
+      "probe_id", "neighbor_id")
+    val sq = recall(topSets(
+      SparkEntry.queries("sm08_sq_topk")(spark, dir),
+      "probe_id", "neighbor_id"), exact)
+    assert(sq >= 0.90, s"sm08 int8 quantization should be near-exact: $sq")
+  }
 }
