@@ -954,6 +954,65 @@ object Text {
           col("ce.n_distinct").as("n_distinct_chars"),
           duckRound(col("ce.entropy"), 6).as("entropy"))
         .orderBy("doc_id")
+    },
+
+    // --- Proximity search (NEAR/5): docs where the two query terms
+    //     occur within 5 token positions — the IR operator between
+    //     tx16's exact-adjacency phrase and tx17's bag-of-words
+    //     ranking. Classic postings intersection: the positional
+    //     stream is pruned to the TWO query tokens first (at serve
+    //     time this is two index lookups, tx18's path), grouped to one
+    //     positions-array row per (doc, term), equi-joined on doc_id,
+    //     and the pairwise |pa−pb| check runs as an array HOF inside
+    //     the row — per-doc work is |positions_a|·|positions_b|,
+    //     bounded by doc length, never a corpus-scale blowup. Position
+    //     BASE differs across engines (0- vs 1-based); only distances
+    //     are compared, so the base cancels. ---
+    Q("tx29_proximity_search", {
+      val (ta, tb) = (sqlLit("join"), sqlLit("filter"))
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id, unnest(tk) AS token,
+         |    unnest(range(1, len(tk) + 1)) AS pos
+         |  FROM tk),
+         |a AS (SELECT doc_id, list(pos ORDER BY pos) AS ps FROM tok
+         |      WHERE token = $ta GROUP BY doc_id),
+         |b AS (SELECT doc_id, list(pos ORDER BY pos) AS ps FROM tok
+         |      WHERE token = $tb GROUP BY doc_id),
+         |p AS (
+         |  SELECT a.doc_id,
+         |    list_filter(flatten(list_transform(a.ps,
+         |      x -> list_transform(b.ps, y -> abs(x - y)))), d -> d <= 5) AS ds
+         |  FROM a JOIN b ON a.doc_id = b.doc_id)
+         |SELECT doc_id, CAST(len(ds) AS BIGINT) AS n_pairs,
+         |  CAST(list_min(ds) AS BIGINT) AS min_dist
+         |FROM p WHERE len(ds) > 0
+         |ORDER BY doc_id"""
+    }) { (s, dir) =>
+      import org.apache.spark.storage.StorageLevel
+      val pruned = positionalStream(s, dir)
+        .filter(col("token").isin("join", "filter"))
+        .groupBy("doc_id", "token")
+        .agg(sort_array(collect_list(col("pos"))).as("ps"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // both term branches read it
+      val a = pruned.filter(col("token") === "join")
+        .select(col("doc_id"), col("ps").as("pa"))
+      val b = pruned.filter(col("token") === "filter")
+        .select(col("doc_id"), col("ps").as("pb"))
+      val ds = filter(
+        flatten(transform(col("pa"),
+          x => transform(col("pb"), y => abs(x - y)))),
+        d => d <= 5)
+      a.join(b, "doc_id")
+        .select(col("doc_id"), ds.as("ds"))
+        .filter(size(col("ds")) > 0)
+        .select(col("doc_id"),
+          size(col("ds")).cast("long").as("n_pairs"),
+          array_min(col("ds")).cast("long").as("min_dist"))
+        .orderBy("doc_id")
     }
   )
 }
