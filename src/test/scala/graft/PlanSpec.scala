@@ -253,6 +253,26 @@ class PlanSpec extends AnyFunSuite {
       "pl15 shuffles the corpus by doc_id")
   }
 
+  test("sm08: stats and probes broadcast — corpus scan stays shuffle-free") {
+    // both small sides (the 64-dim min/max row and the bounded probe
+    // set) must broadcast onto the quantized corpus scan; the corpus
+    // itself shuffles only for the final rank window
+    val p = plan("sm08_sq_topk")
+    assert("\\(\\d+\\) BroadcastExchange".r.findAllIn(p).size >= 2,
+      "sm08 lost a broadcast (stats row or probe set)")
+    assert(!p.contains("CartesianProduct"),
+      "sm08 planned a cartesian corpus join")
+  }
+
+  test("tx29/mm04: candidate generation is equi-join only") {
+    for (q <- Seq("tx29_proximity_search", "mm04_blob_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a non-equi candidate join")
+    }
+  }
+
   test("dd10: exactly one exchange pair (canonical-url aggregation)") {
     // canonicalization is a projection; dedup is ONE hash aggregation
     // with a map-side partial — at 100 TB only (url, id) pairs shuffle
