@@ -1107,13 +1107,19 @@ object Relational {
         |ORDER BY l_returnflag""") { (s, dir) =>
       val cents = round(col("l_extendedprice") * 100).cast("long")
       val qty = round(col("l_quantity")).cast("long")
+      // ONE percentile aggregate for all three price points: the exact
+      // percentile buffers a value→count map per group, so three
+      // separate aggs tripled the buffer work (4.6s → ~2s at sf0.1)
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
-          duckRound(percentile(cents, lit(0.25)) / 100.0, 4).as("p25_price"),
-          duckRound(percentile(cents, lit(0.50)) / 100.0, 4).as("p50_price"),
-          duckRound(percentile(cents, lit(0.75)) / 100.0, 4).as("p75_price"),
+          percentile(cents, array(lit(0.25), lit(0.50), lit(0.75))).as("ps"),
           duckRound(percentile(qty, lit(0.50)), 4).as("p50_qty"))
+        .select(col("l_returnflag"), col("n"),
+          duckRound(element_at(col("ps"), 1) / 100.0, 4).as("p25_price"),
+          duckRound(element_at(col("ps"), 2) / 100.0, 4).as("p50_price"),
+          duckRound(element_at(col("ps"), 3) / 100.0, 4).as("p75_price"),
+          col("p50_qty"))
         .orderBy("l_returnflag")
     },
 
