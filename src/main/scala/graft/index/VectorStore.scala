@@ -93,6 +93,27 @@ object VectorStore {
       .saveAsTable(s"${name}_codes")
   }
 
+  /** Ingest new vectors into a built store: assign + quantize with the
+    * STORED centroids and codebook (never retrained per batch — the
+    * IndexMaintenance append contract: unique vec_ids, and the
+    * artifact stays self-consistent because every code in it was
+    * produced by the same codebook). Codebook drift — new data outside
+    * the recorded per-dim [min, max] — clamps to the range edge (codes
+    * saturate at 0/255); rebuild when drift matters. */
+  def append(newVecs: DataFrame, name: String): Unit = {
+    val spark = newVecs.sparkSession
+    graft.expressions.VectorExpressions.ensureRegistered(spark)
+    val cent = collectCentroids(spark, s"${name}_centroids")
+    codesOf(newVecs, spark.table(s"${name}_stats"), cent)
+      .select(col("vec_id"),
+        transform(col("code"),
+          v => greatest(lit(0), least(lit(255), v.cast("int"))))
+          .cast("array<smallint>").as("code"),
+        col("cid"))
+      .write.mode("append").partitionBy("cid")
+      .saveAsTable(s"${name}_codes")
+  }
+
   private def collectCentroids(spark: SparkSession,
                                table: String): Seq[(Long, Seq[Double])] =
     spark.table(table)

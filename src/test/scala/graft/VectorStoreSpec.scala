@@ -98,6 +98,25 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(corpusScans == 0, s"serve plan scans the corpus:\n$p")
   }
 
+  test("append: new vectors join the store under the FROZEN codebook") {
+    val e = tables.load(spark, dir, "embeddings")
+    import spark.implicits._
+    // append an exact copy of probe 25's vector under a fresh id: with
+    // the stored codebook it quantizes identically, so it must come
+    // back as that probe's nearest neighbor (cosine against its own
+    // dequantization beats every other vector's)
+    val probeVec = e.filter(col("vec_id") === 25)
+      .select(col("embedding").cast("array<double>"))
+      .collect().head.getSeq[Double](0).toArray
+    VectorStore.append(
+      Seq((999999L, probeVec)).toDF("vec_id", "embedding"), "vs")
+    val served = VectorStore.serveTopK(
+      Seq((25L, probeVec)).toDF("probe_id", "pe"), "vs", k = 1)
+    val top = served.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(top == Set((25L, 999999L)),
+      s"appended duplicate not retrieved at rank 1: ${top.mkString(",")}")
+  }
+
   test("serve-many: a second, different probe set works off the same build") {
     val e = tables.load(spark, dir, "embeddings")
     val probes2 = e.filter(col("vec_id") % 40 === 0 && col("vec_id") < 800)
