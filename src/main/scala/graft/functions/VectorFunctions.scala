@@ -73,4 +73,50 @@ object VectorFunctions {
     * native expression reads the vector's own length. */
   def hyperplaneSignature(v: Column, bits: Int, dim: Int): Column =
     hyperplaneSignature(v, bits)
+
+  // --- Scalar (int8) quantization — the ONE home of the SQ expression
+  //     trees shared by sm08 (queries.Similarity) and the ANN artifact
+  //     (index.VectorStore). These formulations are load-bearing for
+  //     cross-engine bit parity: floor(x·255 + 0.5), never round() —
+  //     floor and the exact +0.5 add are IEEE-identical on Spark and
+  //     DuckDB, while round() hits the shortest-decimal-repr divergence
+  //     DuckRound exists for. A fix here moves every consumer at once.
+
+  /** Per-dimension min/max of `vecCol` over a frame, as ONE row of two
+    * ordered arrays `(mns, mxs)` — the SQ codebook. 64-row aggregation
+    * (struct sort keys on pos first), broadcastable. */
+  def sqStatsRow(e: org.apache.spark.sql.DataFrame,
+                 vecCol: String): org.apache.spark.sql.DataFrame =
+    e.select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("pos", "xi")))
+      .groupBy("pos").agg(min(col("xi")).as("mn"), max(col("xi")).as("mx"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+          t => t.getField("mn")).as("mns"),
+        transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+          t => t.getField("mx")).as("mxs"))
+
+  /** Quantize a vector to one code in [0, 255] per dimension. Codes
+    * CLAMP at the range edges, so quantizing data outside the codebook
+    * (frozen-codebook ingest drift) saturates instead of overflowing a
+    * downstream narrow cast; for data inside the codebook the clamp is
+    * an exact no-op. Returns array<bigint>. */
+  def sqQuantize(vec: Column, mns: Column, mxs: Column): Column =
+    transform(vec.cast("array<double>"), (x, d) => {
+      val mn = element_at(mns, d + 1)
+      val mx = element_at(mxs, d + 1)
+      when(mx === mn, lit(0L))
+        .otherwise(greatest(lit(0L), least(lit(255L),
+          floor((x - mn) / (mx - mn) * 255.0 + 0.5))))
+    })
+
+  /** Dequantize codes back to the cell of the original value — what
+    * asymmetric (ADC) scoring compares full-precision probes against. */
+  def sqDequantize(code: Column, mns: Column, mxs: Column): Column =
+    transform(code, (v, d) => {
+      val mn = element_at(mns, d + 1)
+      val mx = element_at(mxs, d + 1)
+      when(mx === mn, mn)
+        .otherwise(mn + (v.cast("double") / 255.0) * (mx - mn))
+    })
 }

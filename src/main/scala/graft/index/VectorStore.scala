@@ -36,47 +36,22 @@ object VectorStore {
   val NProbe = 2
   val TopK = 10
 
-  /** Per-dimension min/max of the corpus as ONE row of two ordered
-    * arrays — the SQ codebook. 64-row aggregation, broadcastable. */
-  private def statsRowOf(e: DataFrame): DataFrame =
-    e.select(posexplode(col("embedding").cast("array<double>"))
-        .as(Seq("pos", "xi")))
-      .groupBy("pos").agg(min(col("xi")).as("mn"), max(col("xi")).as("mx"))
-      .agg(
-        transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
-          t => t.getField("mn")).as("mns"),
-        transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
-          t => t.getField("mx")).as("mxs"))
-
-  /** Quantize: float embedding → one code in [0, 255] per dimension.
-    * floor(x·255 + 0.5), never round() — floor and the exact +0.5 add
-    * are IEEE-identical across engines (the sm08 parity argument).
-    * Stored as smallint (parquet INT32/INT16 annotated): the VALUE
-    * range is 8-bit; a production layout packs 4 codes per int32. */
+  /** Assignment + quantization of a vector frame against a codebook:
+    * `(vec_id, cid, code)`. The SQ expression trees live in
+    * `VectorFunctions` (shared with sm08); `sqQuantize` CLAMPS at the
+    * range edges BEFORE the narrow cast here, so frozen-codebook
+    * ingest of drifted data saturates at 0/255 instead of overflowing
+    * the smallint (ANSI mode would otherwise fail the append job).
+    * Stored as smallint: the VALUE range is 8-bit; a production
+    * layout packs 4 codes per int32. */
   private def codesOf(e: DataFrame, stRow: DataFrame,
                       cent: Seq[(Long, Seq[Double])]): DataFrame =
     Similarity.nearestCells(
         e.crossJoin(broadcast(stRow)), "vec_id", "embedding", cent, 1,
         carry = Seq("embedding", "mns", "mxs"))
       .select(col("vec_id"), col("cid"),
-        transform(col("embedding").cast("array<double>"), (x, d) => {
-          val mn = element_at(col("mns"), d + 1)
-          val mx = element_at(col("mxs"), d + 1)
-          when(mx === mn, lit(0L))
-            .otherwise(floor((x - mn) / (mx - mn) * 255.0 + 0.5))
-        }).cast("array<smallint>").as("code"))
-
-  /** Dequantize a code array back to the cell of the original value —
-    * the serve-time reconstruction ADC scores against. */
-  private def dequantize(code: org.apache.spark.sql.Column,
-                         mns: org.apache.spark.sql.Column,
-                         mxs: org.apache.spark.sql.Column) =
-    transform(code, (v, d) => {
-      val mn = element_at(mns, d + 1)
-      val mx = element_at(mxs, d + 1)
-      when(mx === mn, mn)
-        .otherwise(mn + (v.cast("double") / 255.0) * (mx - mn))
-    })
+        VectorFunctions.sqQuantize(col("embedding"), col("mns"), col("mxs"))
+          .cast("array<smallint>").as("code"))
 
   /** Build the artifact from an `(vec_id, embedding)` frame. */
   def build(e: DataFrame, name: String): Unit = {
@@ -86,7 +61,8 @@ object VectorStore {
       .select(col("vec_id").as("cid"),
         col("embedding").cast("array<double>").as("ce"))
       .write.mode("overwrite").saveAsTable(s"${name}_centroids")
-    statsRowOf(e).write.mode("overwrite").saveAsTable(s"${name}_stats")
+    VectorFunctions.sqStatsRow(e, "embedding")
+      .write.mode("overwrite").saveAsTable(s"${name}_stats")
     val cent = collectCentroids(spark, s"${name}_centroids")
     codesOf(e, spark.table(s"${name}_stats"), cent)
       .write.mode("overwrite").partitionBy("cid")
@@ -98,36 +74,35 @@ object VectorStore {
     * IndexMaintenance append contract: unique vec_ids, and the
     * artifact stays self-consistent because every code in it was
     * produced by the same codebook). Codebook drift — new data outside
-    * the recorded per-dim [min, max] — clamps to the range edge (codes
-    * saturate at 0/255); rebuild when drift matters. */
+    * the recorded per-dim [min, max] — saturates at the range edge
+    * inside `sqQuantize`; rebuild when drift matters. */
   def append(newVecs: DataFrame, name: String): Unit = {
     val spark = newVecs.sparkSession
     graft.expressions.VectorExpressions.ensureRegistered(spark)
     val cent = collectCentroids(spark, s"${name}_centroids")
     codesOf(newVecs, spark.table(s"${name}_stats"), cent)
-      .select(col("vec_id"),
-        transform(col("code"),
-          v => greatest(lit(0), least(lit(255), v.cast("int"))))
-          .cast("array<smallint>").as("code"),
-        col("cid"))
+      .select(col("vec_id"), col("code"), col("cid"))
       .write.mode("append").partitionBy("cid")
       .saveAsTable(s"${name}_codes")
   }
 
   private def collectCentroids(spark: SparkSession,
                                table: String): Seq[(Long, Seq[Double])] =
-    spark.table(table)
-      .select(col("cid").cast("long"), col("ce"))
-      .collect().toSeq
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-      .sortBy(_._1)
+    Similarity.collectCentroids(spark.table(table))
 
   /** Top-k cosine neighbors for `probes` (`probe_id`, `pe`), served
     * ENTIRELY from the artifact: probe cells via a projection against
     * the collected centroids, candidates from the partition-pruned
     * code table, asymmetric scoring of the full-precision probe
     * against dequantized codes. Output matches sm08's shape
-    * (probe_id, neighbor_id, rank, cosine — cosine UNROUNDED). */
+    * (probe_id, neighbor_id, rank, cosine — cosine UNROUNDED).
+    *
+    * Id-space contract: `probe_id` values live in the SAME id space as
+    * the stored `vec_id`s (the sm08 convention) — a stored vector
+    * whose id equals the probe's is excluded as "the probe itself".
+    * Probes with an unrelated id scheme must be re-keyed first, or a
+    * colliding corpus neighbor would silently vanish from its
+    * results. */
   def serveTopK(probes: DataFrame, name: String,
                 nprobe: Int = NProbe, k: Int = TopK): DataFrame = {
     val spark = probes.sparkSession
@@ -143,7 +118,8 @@ object VectorStore {
       .crossJoin(broadcast(spark.table(s"${name}_stats")))
     val scored = cand
       .select(col("probe_id"), col("pe"), col("vec_id"),
-        dequantize(col("code"), col("mns"), col("mxs")).as("deq"))
+        VectorFunctions.sqDequantize(col("code"), col("mns"), col("mxs"))
+          .as("deq"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         VectorFunctions.cosine(col("pe"), col("deq")).as("cosine"))
     val w = Window.partitionBy("probe_id")

@@ -178,15 +178,23 @@ object ConnectedComponents {
     // node universe BEFORE canon: canon drops self-loops, so a node
     // appearing only as (a, a) would otherwise vanish from the output
     // while minLabel labels it with itself — the two must agree.
-    val nodes = pairs.select(a.as("node")).union(pairs.select(b.as("node")))
+    // `pairs` may be an expensive derived plan (the MinHash verify
+    // chain): persist it so the three consumers here (canon + the two
+    // universe branches) evaluate it once, checkpoint both derivatives,
+    // then release it before the rounds start.
+    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = p.select(a.as("node")).union(p.select(b.as("node")))
       .distinct()
-    val init = canon(pairs.select(a.as("src"), b.as("dst")))
+      .localCheckpoint(true)
+    val init = canon(p.select(a.as("src"), b.as("dst")))
     if (init.isEmpty) {
+      p.unpersist()
       // only self-loops (or nothing): every node is its own root
       return nodes.select(col("node"), col("node").as("root"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
     var (edges, prevSig) = checkpointObservingEdges(init)
+    p.unpersist() // nodes and init are both checkpointed by now
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {

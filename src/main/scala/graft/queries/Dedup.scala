@@ -66,16 +66,22 @@ object Dedup {
   private def mhA(i: Int): Int = 29 + 37 * i
   private def mhB(i: Int): Int = 11 + 17 * i
 
-  /** Shared DuckDB CTE chain ending in `scored(doc_a, doc_b, j)` — the
-    * MinHash-banded candidate pairs with exact (unrounded) Jaccard.
-    * dd03 selects the report off it; dd06 feeds it into the
-    * connected-components oracle. */
-  private def minhashScoredCtes: String = {
+  /** The ONE shared CTE prefix (sh → hashed → sigs → bands) that every
+    * MinHash oracle builds on — `minhashScoredCtes` (dd03/dd06) and
+    * `bipartiteScoredCtes` (pl14) both start here, so an edit to the
+    * signature scheme (hash-prefix width, band layout, seeds) can
+    * never leave one oracle on the old scheme. Band keys derive from
+    * NumHashes/BandRows exactly like the Spark side's [[bandDefs]]. */
+  private def minhashBaseCtes: String = {
     val mhAggs = (0 until NumHashes)
       .map(i => s"min((hm * ${mhA(i)} + ${mhB(i)}) % $P) AS mh$i")
       .mkString(",\n         |    ")
     val bandSelects = (0 until NumHashes / BandRows)
-      .map(b => s"SELECT doc_id, $b AS band, mh${2 * b} || '|' || mh${2 * b + 1} AS key FROM sigs")
+      .map { b =>
+        val key = (0 until BandRows).map(r => s"mh${b * BandRows + r}")
+          .mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, $key AS key FROM sigs"
+      }
       .mkString("\n         |  UNION ALL ")
     s"""sh AS ($DuckShingles),
        |hashed AS (
@@ -88,7 +94,15 @@ object Dedup {
        |    count(*) AS sz
        |  FROM hashed GROUP BY doc_id),
        |bands AS (
-       |  $bandSelects),
+       |  $bandSelects)"""
+  }
+
+  /** Shared DuckDB CTE chain ending in `scored(doc_a, doc_b, j)` — the
+    * MinHash-banded candidate pairs with exact (unrounded) Jaccard.
+    * dd03 selects the report off it; dd06 feeds it into the
+    * connected-components oracle. */
+  private def minhashScoredCtes: String =
+    s"""$minhashBaseCtes,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
@@ -105,7 +119,6 @@ object Dedup {
        |  FROM inter
        |  JOIN sigs sa ON sa.doc_id = doc_a
        |  JOIN sigs sb ON sb.doc_id = doc_b)"""
-  }
 
   /** MinHash-banded candidate pairs with exact intersection and both
     * shingle-set sizes `(doc_a, doc_b, inter, sza, szb)` — the shared
@@ -145,10 +158,14 @@ object Dedup {
     * one Seq, so a change to NumHashes/BandRows can never desync
     * batch candidates from a previously built band table's layout
     * silently — they all move together (stored artifacts must be
-    * rebuilt, which the DedupStore scaladoc states). */
+    * rebuilt, which the DedupStore scaladoc states). Band b's key is
+    * the BandRows consecutive minhashes mh(b·r)..mh(b·r+r−1), derived
+    * from the constants (not hard-coded pairs) on BOTH the Spark and
+    * the oracle side (`minhashBaseCtes`). */
   def bandDefs: Seq[(org.apache.spark.sql.Column, org.apache.spark.sql.Column)] =
     (0 until NumHashes / BandRows).map(b =>
-      lit(b) -> concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
+      lit(b) -> concat_ws("|",
+        (0 until BandRows).map(r => col(s"mh${b * BandRows + r}")): _*))
 
   /** The LSH band keys of a signature frame, exploded to one row per
     * (doc_id, band, key) — the join key space of candidate generation
@@ -198,7 +215,15 @@ object Dedup {
     * against the corpus bands — the corpus is never self-joined and
     * never shuffled on anything but its candidate subset. The exact
     * verify joins shingles only for candidate (corpus, probe) pairs.
-    * Output: (doc_id, probe_doc_id, jaccard), jaccard UNROUNDED. */
+    * Output: (doc_id, probe_doc_id, jaccard), jaccard UNROUNDED.
+    *
+    * Cache lifecycle: like every lazy query builder here (Q.scala
+    * contract), the reused intermediates (shingles, signatures — up to
+    * corpus-scale) stay persisted for the caller to materialize the
+    * result against; CALLERS clear the cache between invocations
+    * (`spark.catalog.clearCache()`, as Verify/Bench do). For an eager
+    * serve-many API with self-managed caches, use
+    * `DedupStore.incrementalPairs`. */
   def bipartitePairs(corpus: DataFrame, probe: DataFrame,
                      tau: Double): DataFrame = {
     import org.apache.spark.storage.StorageLevel
@@ -236,24 +261,7 @@ object Dedup {
     * signature scheme. */
   def bipartiteScoredCtes(corpusPred: String => String,
                           probePred: String => String): String = {
-    val mhAggs = (0 until NumHashes)
-      .map(i => s"min((hm * ${mhA(i)} + ${mhB(i)}) % $P) AS mh$i")
-      .mkString(",\n         |    ")
-    val bandSelects = (0 until NumHashes / BandRows)
-      .map(b => s"SELECT doc_id, $b AS band, mh${2 * b} || '|' || mh${2 * b + 1} AS key FROM sigs")
-      .mkString("\n         |  UNION ALL ")
-    s"""sh AS ($DuckShingles),
-       |hashed AS (
-       |  SELECT doc_id,
-       |    CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % $P AS hm
-       |  FROM sh),
-       |sigs AS (
-       |  SELECT doc_id,
-       |    $mhAggs,
-       |    count(*) AS sz
-       |  FROM hashed GROUP BY doc_id),
-       |bands AS (
-       |  $bandSelects),
+    s"""$minhashBaseCtes,
        |xcand AS (
        |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS probe_doc_id
        |  FROM bands a JOIN bands b

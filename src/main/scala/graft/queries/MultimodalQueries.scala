@@ -139,11 +139,17 @@ object MultimodalQueries {
          |ORDER BY doc_a, doc_b"""
     }) { (s, dir) =>
       import org.apache.spark.storage.StorageLevel
+      // chunk count from CHARACTER length, matching the char-based
+      // substring below and the oracle's length(VARCHAR): a byte-based
+      // count (mm01's blob framing) would generate phantom trailing
+      // indices on multibyte text — byte==char only on this ASCII
+      // stand-in corpus, and count/slice must agree on ANY corpus
       val ch = docs(s, dir)
         .filter(length(col("text")) > 0)
         .select(col("doc_id"), col("text"),
           explode(sequence(lit(0L),
-            Multimodal.chunkCount(Multimodal.blobOf(col("text")), ChunkBytes) - 1))
+            ceil(length(col("text")).cast("double") / ChunkBytes)
+              .cast("long") - 1))
             .as("i"))
         .select(col("doc_id"),
           md5(substring(col("text"),

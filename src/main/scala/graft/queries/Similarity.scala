@@ -152,7 +152,7 @@ object Similarity {
   /** Collect a centroid frame `(cid, ce: array<float|double>)` to the
     * driver for literal embedding in `nearestCells`. Only ever called
     * on k-row frames (k = IvfCells). */
-  private def collectCentroids(cent: DataFrame): Seq[(Long, Seq[Double])] =
+  private[graft] def collectCentroids(cent: DataFrame): Seq[(Long, Seq[Double])] =
     cent.select(col("cid").cast("long"),
         col("ce").cast("array<double>"))
       .collect().toSeq
@@ -689,31 +689,17 @@ object Similarity {
          |ORDER BY probe_id, rank"""
     }) { (s, dir) =>
       val e = emb(s, dir)
-      val st = e
-        .select(posexplode(col("embedding").cast("array<double>"))
-          .as(Seq("pos", "xi")))
-        .groupBy("pos").agg(min(col("xi")).as("mn"), max(col("xi")).as("mx"))
-      // 64 rows → two ordered arrays in ONE row (struct sort keys on
-      // pos first), broadcast to every quantizing task
-      val stRow = st.agg(
-        transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
-          t => t.getField("mn")).as("mns"),
-        transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
-          t => t.getField("mx")).as("mxs"))
-      // quantize (the stored byte codes) then dequantize for scoring —
-      // composed here because Verify re-derives artifacts per query;
-      // a serving deployment persists `code` and runs only the second
-      // transform per scan
+      // codebook + quantize + dequantize all come from the ONE set of
+      // SQ expression builders shared with the persisted-artifact path
+      // (graft.index.VectorStore) — composed inline here because
+      // Verify re-derives artifacts per query; a serving deployment
+      // persists the codes and runs only the dequantize per scan
+      val stRow = sqStatsRow(e, "embedding")
       val deq = e.crossJoin(broadcast(stRow))
         .select(col("vec_id"),
-          transform(col("embedding").cast("array<double>"), (x, d) => {
-            val mn = element_at(col("mns"), d + 1)
-            val mx = element_at(col("mxs"), d + 1)
-            val code = when(mx === mn, lit(0L))
-              .otherwise(floor((x - mn) / (mx - mn) * 255.0 + 0.5))
-            when(mx === mn, mn)
-              .otherwise(mn + (code.cast("double") / 255.0) * (mx - mn))
-          }).as("deq"))
+          sqDequantize(
+            sqQuantize(col("embedding"), col("mns"), col("mxs")),
+            col("mns"), col("mxs")).as("deq"))
       val probes = e.filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
       val scored = deq.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
