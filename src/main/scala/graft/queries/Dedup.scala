@@ -290,6 +290,52 @@ object Dedup {
     * star-contraction — same join/agg primitives, more bookkeeping.) */
   private val MaxCcRounds = 20
 
+  /** dd10's deterministic messy-URL synthesis (the corpus carries no
+    * provenance URL): mixed-case host, tracking query, fragment,
+    * trailing slash, all keyed off doc_id; paths collide via % 211 so
+    * canonicalization has real work to do. Public single source with
+    * [[canonicalUrl]] for the pipeline composition (pl16). */
+  def messyUrl(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("https://"),
+      when(docId % 3 === 0, lit("CRAWL.Example.COM"))
+        .otherwise(lit("crawl.example.com")),
+      lit("/doc/"), (docId % 211).cast("string"),
+      when(docId % 5 === 0, lit("/")).otherwise(lit("")),
+      when(docId % 2 === 0, lit("?utm_source=rss&utm_medium=feed"))
+        .otherwise(lit("")),
+      when(docId % 7 === 0, lit("#section-2")).otherwise(lit("")))
+
+  /** URL canonicalization: strip fragment → strip query → lowercase
+    * scheme+host → strip trailing slash. Every regex is single-match
+    * (anchored or consume-to-end), so Spark's replace-all and DuckDB's
+    * replace-first semantics agree. */
+  def canonicalUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val stripped = regexp_replace(
+      regexp_replace(url, "#.*", ""), "\\?.*", "")
+    regexp_replace(
+      concat(lower(regexp_extract(stripped, "^https?://[^/?#]+", 0)),
+        regexp_replace(stripped, "^https?://[^/?#]+", "")),
+      "/$", "")
+  }
+
+  /** DuckDB twins of [[messyUrl]] / [[canonicalUrl]]. UNSTRIPPED
+    * margin strings (like `minhashBaseCtes`): they embed into Q
+    * oracles, which stripMargin ONCE on the final interpolated text —
+    * pre-stripping here would let that pass eat the leading `|` of
+    * SQL's `||` concatenations. */
+  val DuckMessyUrl: String =
+    """'https://' || CASE WHEN doc_id % 3 = 0 THEN 'CRAWL.Example.COM' ELSE 'crawl.example.com' END
+        |      || '/doc/' || CAST(doc_id % 211 AS VARCHAR)
+        |      || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+        |      || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=rss&utm_medium=feed' ELSE '' END
+        |      || CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END"""
+
+  def duckCanonicalUrl(urlExpr: String): String =
+    s"""regexp_replace(
+        |      concat(lower(regexp_extract(regexp_replace(regexp_replace($urlExpr, '#.*', ''), '\\?.*', ''), '^https?://[^/?#]+')),
+        |             regexp_replace(regexp_replace(regexp_replace($urlExpr, '#.*', ''), '\\?.*', ''), '^https?://[^/?#]+', '')),
+        |      '/$$', '')"""
+
   val qs: Seq[Q] = Seq(
 
     // --- Exact dedup: content hash → keep lowest doc_id per group ---
@@ -572,50 +618,28 @@ object Dedup {
     //     the min doc_id. At 100 TB this is a map-side projection plus
     //     a single shuffle of (url, id) pairs — never the page bodies.
     Q("dd10_url_dedup",
-      """WITH u AS (
-        |  SELECT doc_id,
-        |    'https://' || CASE WHEN doc_id % 3 = 0 THEN 'CRAWL.Example.COM' ELSE 'crawl.example.com' END
-        |      || '/doc/' || CAST(doc_id % 211 AS VARCHAR)
-        |      || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
-        |      || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=rss&utm_medium=feed' ELSE '' END
-        |      || CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END AS url
+      s"""WITH u AS (
+        |  SELECT doc_id, $DuckMessyUrl AS url
         |  FROM documents),
         |canon AS (
-        |  SELECT doc_id,
-        |    regexp_replace(
-        |      concat(lower(regexp_extract(u2, '^https?://[^/?#]+')),
-        |             regexp_replace(u2, '^https?://[^/?#]+', '')),
-        |      '/$', '') AS canonical_url
-        |  FROM (SELECT doc_id,
-        |          regexp_replace(regexp_replace(url, '#.*', ''), '\?.*', '') AS u2
-        |        FROM u))
+        |  SELECT doc_id, ${duckCanonicalUrl("url")} AS canonical_url
+        |  FROM u)
         |SELECT canonical_url,
         |  count(*) AS n_docs,
         |  CAST(min(doc_id) AS BIGINT) AS keep_doc_id
         |FROM canon
         |GROUP BY canonical_url
         |ORDER BY canonical_url""") { (s, dir) =>
-      val url = concat(lit("https://"),
-        when(col("doc_id") % 3 === 0, lit("CRAWL.Example.COM"))
-          .otherwise(lit("crawl.example.com")),
-        lit("/doc/"), (col("doc_id") % 211).cast("string"),
-        when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
-        when(col("doc_id") % 2 === 0, lit("?utm_source=rss&utm_medium=feed"))
-          .otherwise(lit("")),
-        when(col("doc_id") % 7 === 0, lit("#section-2")).otherwise(lit("")))
-      val stripped = regexp_replace(
-        regexp_replace(url, "#.*", ""), "\\?.*", "")
-      val canonical = regexp_replace(
-        concat(lower(regexp_extract(stripped, "^https?://[^/?#]+", 0)),
-          regexp_replace(stripped, "^https?://[^/?#]+", "")),
-        "/$", "")
       docs(s, dir)
-        .select(col("doc_id"), canonical.as("canonical_url"))
+        .select(col("doc_id"),
+          canonicalUrl(messyUrl(col("doc_id"))).as("canonical_url"))
         .groupBy("canonical_url")
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
         .orderBy("canonical_url")
     }
   )
+
+
 
   /** Chunk width shared by the batch report and the streaming ledger
     * (`graft.streaming.ChunkDedup`) — the two must chunk identically

@@ -638,6 +638,99 @@ object Pipeline {
         .filter(col("u") < col("keep_prob") * 4294967296.0)
         .select("doc_id", "lang")
         .orderBy("doc_id")
+    },
+
+    // --- The modern curation pipeline END-TO-END, as a funnel report:
+    //     URL-canonicalization dedup (dd10, the crawl's first stage) →
+    //     benchmark removal — BOTH the eval slice itself and every
+    //     fuzzy near-dup of it (pl14's bipartite MinHash) → temperature
+    //     rebalancing with rates computed on the POST-FILTER survivors
+    //     (pl15's deterministic coin). One row per stage with doc and
+    //     token counts — what a pipeline owner actually reviews before
+    //     a training run. Scale shape: each stage reuses its operator's
+    //     scale path (projection+hash-agg / broadcast band join /
+    //     broadcast rate join); the stage frames carry (doc_id, lang,
+    //     n_tok) — never text — so the funnel adds no corpus-width
+    //     shuffles beyond its operators' own. ---
+    Q("pl16_curation_funnel", {
+      val ctes = graft.queries.Dedup.bipartiteScoredCtes(
+        id => s"$id % 5 <> 0", id => s"$id % 5 = 0")
+      s"""WITH $ctes,
+         |u AS (
+         |  SELECT doc_id, lang, len($DuckToks) AS n_tok,
+         |    ${graft.queries.Dedup.DuckMessyUrl} AS url
+         |  FROM documents),
+         |canon AS (
+         |  SELECT doc_id, lang, n_tok,
+         |    ${graft.queries.Dedup.duckCanonicalUrl("url")} AS cu
+         |  FROM u),
+         |s1 AS (SELECT min(doc_id) AS doc_id FROM canon GROUP BY cu),
+         |s1d AS (SELECT c.doc_id, c.lang, c.n_tok
+         |        FROM canon c JOIN s1 ON c.doc_id = s1.doc_id),
+         |hits AS (SELECT DISTINCT doc_id FROM xscored WHERE j >= 0.4),
+         |s2 AS (SELECT * FROM s1d
+         |       WHERE doc_id % 5 <> 0
+         |         AND doc_id NOT IN (SELECT doc_id FROM hits)),
+         |c2 AS (SELECT lang, count(*) AS n_lang FROM s2 GROUP BY lang),
+         |r AS (SELECT lang,
+         |        sqrt(CAST((SELECT min(n_lang) FROM c2) AS DOUBLE)
+         |             / CAST(n_lang AS DOUBLE)) AS keep_prob
+         |      FROM c2),
+         |s3 AS (SELECT s2.doc_id, s2.lang, s2.n_tok
+         |       FROM s2 JOIN r ON s2.lang = r.lang
+         |       WHERE CAST(CAST(concat('0x', substr(md5(CAST(s2.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+         |             < r.keep_prob * 4294967296.0),
+         |f AS (
+         |  SELECT 0 AS stage, 'corpus' AS label, count(*) AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM u
+         |  UNION ALL SELECT 1, 'url_dedup', count(*),
+         |    CAST(sum(n_tok) AS BIGINT) FROM s1d
+         |  UNION ALL SELECT 2, 'decontaminated', count(*),
+         |    CAST(sum(n_tok) AS BIGINT) FROM s2
+         |  UNION ALL SELECT 3, 'sampled', count(*),
+         |    CAST(sum(n_tok) AS BIGINT) FROM s3)
+         |SELECT CAST(stage AS INT) AS stage, label, n_docs, n_tokens
+         |FROM f ORDER BY stage"""
+    }) { (s, dir) =>
+      import org.apache.spark.storage.StorageLevel
+      import graft.queries.Dedup
+      val base = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          tokenCount(col("text")).cast("long").as("n_tok"),
+          Dedup.canonicalUrl(Dedup.messyUrl(col("doc_id"))).as("cu"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val s1 = base.groupBy("cu").agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val s1d = base.join(s1, "doc_id").select("doc_id", "lang", "n_tok")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val hits = Dedup.bipartitePairs(
+          d.filter(col("doc_id") % 5 =!= 0),
+          d.filter(col("doc_id") % 5 === 0), 0.4)
+        .select("doc_id").distinct()
+      val s2 = s1d.filter(col("doc_id") % 5 =!= 0)
+        .join(hits, Seq("doc_id"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val c2 = s2.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      val rates = c2
+        .crossJoin(broadcast(c2.agg(min(col("n_lang")).as("n_min"))))
+        .select(col("lang"),
+          sqrt(col("n_min").cast("double") / col("n_lang").cast("double"))
+            .as("keep_prob"))
+      val coin = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long").cast("double")
+      val s3 = s2.join(broadcast(rates), "lang")
+        .filter(coin < col("keep_prob") * 4294967296.0)
+        .select("doc_id", "lang", "n_tok")
+      def row(stage: Int, label: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+          .select(lit(stage).as("stage"), lit(label).as("label"),
+            col("n_docs"), col("n_tokens"))
+      row(0, "corpus", base)
+        .unionByName(row(1, "url_dedup", s1d))
+        .unionByName(row(2, "decontaminated", s2))
+        .unionByName(row(3, "sampled", s3))
+        .orderBy("stage")
     }
   )
 }
