@@ -712,6 +712,55 @@ object Similarity {
         .select(col("probe_id"), col("neighbor_id"), col("rank"),
           duckRound(col("cosine"), 6).as("cosine"))
         .orderBy("probe_id", "rank")
+    },
+
+    // --- IVF cell-stats report: per-cell occupancy and radius — the
+    //     index-health profile an ANN deployment reviews before tuning
+    //     nprobe/cells (an empty or bloated cell means the quantizer
+    //     doesn't fit the data). Assignment is the same shuffle-free
+    //     projection as sm03 (struct-ordered argmin, identical
+    //     tie-break); the report is ONE O(cells) aggregation. The mean
+    //     distance uses the exact-integer device (sum of
+    //     floor(dist·2^20) as BIGINT, ONE final division): a double
+    //     sum() merges in partition order and can flip the rounding
+    //     boundary against the oracle — max() is order-independent and
+    //     needs no such guard. ---
+    Q("sm09_cell_stats", {
+      val dist = l2SqSql("e.embedding", "c.ce")
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  WHERE vec_id < $IvfCells),
+         |assign AS (
+         |  SELECT vec_id, cid, d2 FROM (
+         |    SELECT e.vec_id, c.cid, $dist AS d2,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |                         ORDER BY $dist, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cent c)
+         |  WHERE rn = 1)
+         |SELECT cid, count(*) AS n_vecs,
+         |  round(CAST(CAST(sum(CAST(floor(sqrt(d2) * 1048576.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         |        / 1048576.0 / count(*), 6) AS mean_dist,
+         |  round(max(sqrt(d2)), 6) AS max_dist
+         |FROM assign GROUP BY cid ORDER BY cid"""
+    }) { (s, dir) =>
+      val e = emb(s, dir)
+      val cent = collectCentroids(e.filter(col("vec_id") < IvfCells)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+      // inline nearestCells' argmin, keeping the DISTANCE too: same
+      // struct order (d, cid) as the SQL's ORDER BY d, cid tie-break
+      val cands = array(cent.map { case (cid, ce) =>
+        struct(l2DistanceSq(col("embedding"), typedlit(ce)).as("d"),
+          lit(cid).as("cid"))
+      }: _*)
+      val m = array_min(cands)
+      e.select(m.getField("cid").as("cid"), m.getField("d").as("d2"))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_vecs"),
+          duckRound(
+            sum(floor(sqrt(col("d2")) * 1048576.0).cast("long")).cast("double")
+              / 1048576.0 / count(lit(1)), 6).as("mean_dist"),
+          duckRound(max(sqrt(col("d2"))), 6).as("max_dist"))
+        .orderBy("cid")
     }
   )
 

@@ -192,6 +192,11 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("Window"), s"assignment (keep=$keep) windows:\n$p")
       assert(!p.contains("Join"), s"assignment (keep=$keep) joins:\n$p")
     }
+    // sm09's report shares the projection-argmin: one aggregation,
+    // no join, no window, no cross join against the centroid set
+    val p9 = plan("sm09_cell_stats")
+    assert(!p9.contains("CartesianProduct") && !p9.contains("Window"),
+      "sm09 lost the projection-argmin assignment")
   }
 
   test("sm01: probe side is broadcast (corpus scan stays shuffle-free)") {
