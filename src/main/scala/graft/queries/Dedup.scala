@@ -639,8 +639,6 @@ object Dedup {
     }
   )
 
-
-
   /** Chunk width shared by the batch report and the streaming ledger
     * (`graft.streaming.ChunkDedup`) — the two must chunk identically
     * or the batch-equality contract breaks. */

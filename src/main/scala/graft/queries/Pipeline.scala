@@ -42,6 +42,43 @@ object Pipeline {
   private def sqlLit(t: String): String = "'" + t.replace("'", "''") + "'"
   private val BenchList = Benchmark5Grams.map(sqlLit).mkString("(", ", ", ")")
 
+  // --- Temperature-sampling primitives, the ONE source shared by the
+  //     standalone operator (pl15) and the composed funnel (pl16) —
+  //     an edit to the coin or the rate formula moves both. ---
+
+  /** Per-lang keep_prob = sqrt(n_min / n_lang) over any frame with a
+    * `lang` column — the T=2 flattening rates, a tiny broadcastable
+    * frame. Only IEEE exact-rounded ops (sqrt/div), so both engines
+    * compute the same double. */
+  private def temperatureRates(df: DataFrame): DataFrame = {
+    val counts = df.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    counts
+      .crossJoin(broadcast(counts.agg(min(col("n_lang")).as("n_min"))))
+      .select(col("lang"),
+        sqrt(col("n_min").cast("double") / col("n_lang").cast("double"))
+          .as("keep_prob"))
+  }
+
+  /** Deterministic per-doc coin: first 8 md5 hex chars of the id as a
+    * uniform u32, as a double for the keep_prob·2^32 comparison. */
+  private def coinOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double")
+
+  /** DuckDB twins: `cAlias`/`rAlias` CTEs computing the rates over
+    * `src`, and the coin expression over an id. UNSTRIPPED margins —
+    * they embed into Q oracles (stripMargin runs once there). */
+  private def duckTemperatureCtes(src: String, cAlias: String,
+                                  rAlias: String): String =
+    s"""$cAlias AS (SELECT lang, count(*) AS n_lang FROM $src GROUP BY lang),
+        |$rAlias AS (SELECT lang,
+        |        sqrt(CAST((SELECT min(n_lang) FROM $cAlias) AS DOUBLE)
+        |             / CAST(n_lang AS DOUBLE)) AS keep_prob
+        |      FROM $cAlias)"""
+
+  private def duckCoin(idExpr: String): String =
+    s"CAST(CAST(concat('0x', substr(md5(CAST($idExpr AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)"
+
   val qs: Seq[Q] = Seq(
 
     // --- Contamination detection: which documents contain which
@@ -612,29 +649,16 @@ object Pipeline {
     //     all exact-rounded IEEE ops, so both engines compare the
     //     SAME double (no rounding-boundary flake class). ---
     Q("pl15_temperature_sample",
-      """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
-        |r AS (SELECT lang,
-        |        sqrt(CAST((SELECT min(n_lang) FROM c) AS DOUBLE)
-        |             / CAST(n_lang AS DOUBLE)) AS keep_prob
-        |      FROM c),
-        |h AS (SELECT doc_id, lang,
-        |        CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) AS u
+      s"""WITH ${duckTemperatureCtes("documents", "c", "r")},
+        |h AS (SELECT doc_id, lang, ${duckCoin("doc_id")} AS u
         |      FROM documents)
         |SELECT h.doc_id, h.lang
         |FROM h JOIN r ON h.lang = r.lang
         |WHERE h.u < r.keep_prob * 4294967296.0
         |ORDER BY h.doc_id""") { (s, dir) =>
       val d = docs(s, dir)
-      val counts = d.groupBy("lang").agg(count(lit(1)).as("n_lang"))
-      val rates = counts
-        .crossJoin(broadcast(counts.agg(min(col("n_lang")).as("n_min"))))
-        .select(col("lang"),
-          sqrt(col("n_min").cast("double") / col("n_lang").cast("double"))
-            .as("keep_prob"))
-      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long").cast("double")
-      d.select(col("doc_id"), col("lang"), u.as("u"))
-        .join(broadcast(rates), "lang")
+      d.select(col("doc_id"), col("lang"), coinOf(col("doc_id")).as("u"))
+        .join(broadcast(temperatureRates(d)), "lang")
         .filter(col("u") < col("keep_prob") * 4294967296.0)
         .select("doc_id", "lang")
         .orderBy("doc_id")
@@ -671,14 +695,10 @@ object Pipeline {
          |s2 AS (SELECT * FROM s1d
          |       WHERE doc_id % 5 <> 0
          |         AND doc_id NOT IN (SELECT doc_id FROM hits)),
-         |c2 AS (SELECT lang, count(*) AS n_lang FROM s2 GROUP BY lang),
-         |r AS (SELECT lang,
-         |        sqrt(CAST((SELECT min(n_lang) FROM c2) AS DOUBLE)
-         |             / CAST(n_lang AS DOUBLE)) AS keep_prob
-         |      FROM c2),
+         |${duckTemperatureCtes("s2", "c2", "r")},
          |s3 AS (SELECT s2.doc_id, s2.lang, s2.n_tok
          |       FROM s2 JOIN r ON s2.lang = r.lang
-         |       WHERE CAST(CAST(concat('0x', substr(md5(CAST(s2.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+         |       WHERE ${duckCoin("s2.doc_id")}
          |             < r.keep_prob * 4294967296.0),
          |f AS (
          |  SELECT 0 AS stage, 'corpus' AS label, count(*) AS n_docs,
@@ -711,16 +731,8 @@ object Pipeline {
       val s2 = s1d.filter(col("doc_id") % 5 =!= 0)
         .join(hits, Seq("doc_id"), "left_anti")
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val c2 = s2.groupBy("lang").agg(count(lit(1)).as("n_lang"))
-      val rates = c2
-        .crossJoin(broadcast(c2.agg(min(col("n_lang")).as("n_min"))))
-        .select(col("lang"),
-          sqrt(col("n_min").cast("double") / col("n_lang").cast("double"))
-            .as("keep_prob"))
-      val coin = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long").cast("double")
-      val s3 = s2.join(broadcast(rates), "lang")
-        .filter(coin < col("keep_prob") * 4294967296.0)
+      val s3 = s2.join(broadcast(temperatureRates(s2)), "lang")
+        .filter(coinOf(col("doc_id")) < col("keep_prob") * 4294967296.0)
         .select("doc_id", "lang", "n_tok")
       def row(stage: Int, label: String, df: DataFrame): DataFrame =
         df.agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))

@@ -136,15 +136,20 @@ object Similarity {
     */
   def nearestCells(vecs: DataFrame, idCol: String, vecCol: String,
                    centroids: Seq[(Long, Seq[Double])], keep: Int,
-                   carry: Seq[String] = Nil): DataFrame = {
+                   carry: Seq[String] = Nil,
+                   withDist: Boolean = false): DataFrame = {
+    require(!withDist || keep == 1, "withDist only defined for keep == 1")
     val cands = array(centroids.map { case (cid, ce) =>
       struct(l2DistanceSq(col(vecCol), typedlit(ce)).as("d"),
         lit(cid).as("cid"))
     }: _*)
     val out = col(idCol) +: carry.map(col)
-    if (keep == 1)
-      vecs.select(out :+ array_min(cands).getField("cid").as("cid"): _*)
-    else
+    if (keep == 1) {
+      val m = array_min(cands)
+      val cols = out :+ m.getField("cid").as("cid")
+      vecs.select(
+        (if (withDist) cols :+ m.getField("d").as("d2") else cols): _*)
+    } else
       vecs.select(out :+ explode(transform(
         slice(array_sort(cands), 1, keep), c => c.getField("cid"))).as("cid"): _*)
   }
@@ -736,30 +741,40 @@ object Similarity {
          |      row_number() OVER (PARTITION BY e.vec_id
          |                         ORDER BY $dist, c.cid) AS rn
          |    FROM embeddings e CROSS JOIN cent c)
-         |  WHERE rn = 1)
-         |SELECT cid, count(*) AS n_vecs,
-         |  round(CAST(CAST(sum(CAST(floor(sqrt(d2) * 1048576.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
-         |        / 1048576.0 / count(*), 6) AS mean_dist,
-         |  round(max(sqrt(d2)), 6) AS max_dist
-         |FROM assign GROUP BY cid ORDER BY cid"""
+         |  WHERE rn = 1),
+         |g AS (
+         |  SELECT cid, count(*) AS n_vecs,
+         |    round(CAST(CAST(sum(CAST(floor(sqrt(d2) * 1048576.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         |          / 1048576.0 / count(*), 6) AS mean_dist,
+         |    round(max(sqrt(d2)), 6) AS max_dist
+         |  FROM assign GROUP BY cid)
+         |SELECT c.cid, coalesce(g.n_vecs, 0) AS n_vecs,
+         |  g.mean_dist, g.max_dist
+         |FROM cent c LEFT JOIN g ON g.cid = c.cid
+         |ORDER BY c.cid"""
     }) { (s, dir) =>
+      import s.implicits._
       val e = emb(s, dir)
       val cent = collectCentroids(e.filter(col("vec_id") < IvfCells)
         .select(col("vec_id").as("cid"), col("embedding").as("ce")))
-      // inline nearestCells' argmin, keeping the DISTANCE too: same
-      // struct order (d, cid) as the SQL's ORDER BY d, cid tie-break
-      val cands = array(cent.map { case (cid, ce) =>
-        struct(l2DistanceSq(col("embedding"), typedlit(ce)).as("d"),
-          lit(cid).as("cid"))
-      }: _*)
-      val m = array_min(cands)
-      e.select(m.getField("cid").as("cid"), m.getField("d").as("d2"))
-        .groupBy("cid")
+      val assign = nearestCells(e.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", cent, 1, withDist = true)
+      val g = assign.groupBy("cid")
         .agg(count(lit(1)).as("n_vecs"),
           duckRound(
             sum(floor(sqrt(col("d2")) * 1048576.0).cast("long")).cast("double")
               / 1048576.0 / count(lit(1)), 6).as("mean_dist"),
           duckRound(max(sqrt(col("d2"))), 6).as("max_dist"))
+      // LEFT JOIN from the centroid list (aggregate FIRST — both sides
+      // of this join are O(cells)): an UNPOPULATED cell must show as
+      // n_vecs = 0 with null distances — a silently missing row is
+      // exactly the quantizer-misfit signal this report exists for.
+      // (With corpus-vector centroids every cell holds its own
+      // centroid; with a trained/external set it need not.)
+      cent.map(_._1).toDF("cid")
+        .join(g, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+          col("mean_dist"), col("max_dist"))
         .orderBy("cid")
     }
   )

@@ -192,11 +192,18 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("Window"), s"assignment (keep=$keep) windows:\n$p")
       assert(!p.contains("Join"), s"assignment (keep=$keep) joins:\n$p")
     }
-    // sm09's report shares the projection-argmin: one aggregation,
-    // no join, no window, no cross join against the centroid set
+    // sm09's report shares the projection-argmin: no window, no
+    // cartesian/nested-loop, and EXACTLY ONE join — the O(cells)
+    // completeness join after the group-by. A second join means the
+    // assignment regressed to a corpus-side centroid join.
     val p9 = plan("sm09_cell_stats")
-    assert(!p9.contains("CartesianProduct") && !p9.contains("Window"),
-      "sm09 lost the projection-argmin assignment")
+    assert(!p9.contains("Window"), "sm09 windows the assignment")
+    assert(!p9.contains("CartesianProduct") &&
+      !p9.contains("BroadcastNestedLoopJoin"),
+      "sm09 plans a non-equi centroid join")
+    val joins = "\\(\\d+\\) \\w*Join\\w*".r.findAllIn(p9).size
+    assert(joins == 1, s"sm09 plans $joins joins (expected only the " +
+      s"post-aggregate completeness join):\n$p9")
   }
 
   test("sm01: probe side is broadcast (corpus scan stays shuffle-free)") {
