@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.index.VectorStore
+
+/** Streaming ingest into the ANN artifact (`graft.index.VectorStore`)
+  * — the third streaming-maintenance twin beside `IndexMaintenance`
+  * (postings) and `ChunkDedup` (chunk ledger): an embedding pipeline
+  * produces vectors continuously, and each micro-batch is assigned +
+  * quantized under the store's FROZEN centroids and codebook
+  * (`VectorStore.append`), so serving never waits on a rebuild and
+  * every code in the artifact is self-consistent. Codebook drift
+  * saturates at the range edges (see `sqQuantize`); rebuild when the
+  * marker ledger says enough drifted batches have accumulated.
+  *
+  * Delivery: same commit-marker pattern as the other two — the
+  * per-batch `(batch_id, n_vecs)` marker row is written AFTER the code
+  * append, and a replayed batch whose marker exists is skipped. The
+  * marker contract requires a DURABLE `checkpointDir` (stable batch
+  * ids across restarts). The crash-between-append-and-marker window
+  * duplicates codes on replay; a transactional table format closes it
+  * at this same seam.
+  */
+object VectorMaintenance {
+
+  /** Starts the maintenance query: each micro-batch of `newVecs`
+    * (`vec_id`, `embedding`) is handed to [[appendBatch]]. */
+  def maintain(newVecs: DataFrame, storeName: String,
+               markerTable: String, checkpointDir: String): StreamingQuery =
+    newVecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatch(batch, batchId, storeName, markerTable)
+      }
+      .start()
+
+  /** One micro-batch: append the batch's codes under the stored
+    * codebook, then the commit marker. Replay-safe via the marker. */
+  def appendBatch(batch: DataFrame, batchId: Long,
+                  storeName: String, markerTable: String): Unit = {
+    val spark = batch.sparkSession
+    val committed = spark.catalog.tableExists(markerTable) &&
+      !spark.table(markerTable).filter(col("batch_id") === batchId).isEmpty
+    if (!committed) {
+      VectorStore.append(batch.select(col("vec_id"), col("embedding")),
+        storeName)
+      batch.groupBy()
+        .agg(count(lit(1)).as("n_vecs"))
+        .withColumn("batch_id", lit(batchId))
+        .select("batch_id", "n_vecs")
+        .write.mode("append").saveAsTable(markerTable)
+    }
+  }
+
+  /** Total ingested vectors according to the marker ledger (0 when no
+    * batch has committed yet). */
+  def vecCount(spark: org.apache.spark.sql.SparkSession,
+               markerTable: String): Long =
+    if (!spark.catalog.tableExists(markerTable)) 0L
+    else spark.table(markerTable).agg(sum("n_vecs")).collect()(0) match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+}

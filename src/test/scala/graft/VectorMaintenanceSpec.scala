@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.index.VectorStore
+import graft.streaming.VectorMaintenance
+
+/** Streaming vector ingest must honor the batch contract: streamed
+  * vectors become retrievable from the store under the FROZEN
+  * codebook, and a replayed batch id is a no-op (commit marker).
+  */
+class VectorMaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def reset(name: String, marker: String): Unit =
+    (Seq("centroids", "stats", "codes").map(t => s"${name}_$t") :+ marker)
+      .foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+        val d = new java.io.File(
+          if (wh.getScheme == null) wh.toString else wh.getPath, t)
+        if (d.exists()) rm(d)
+      }
+
+  test("streamed vectors are served from the store; replay is a no-op") {
+    import spark.implicits._
+    reset("vm", "vm_marker")
+    val e = tables.load(spark, dir, "embeddings")
+    // build on the existing corpus; stream in two new vectors, one an
+    // exact copy of vector 50's embedding under a fresh id
+    VectorStore.build(e.select(col("vec_id"), col("embedding")), "vm")
+    val v50 = e.filter(col("vec_id") === 50)
+      .select(col("embedding").cast("array<double>"))
+      .collect().head.getSeq[Double](0).toArray
+
+    val stream = MemoryStream[(Long, Array[Double])](spark)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-vm-ckpt").toString
+    val q = VectorMaintenance.maintain(
+      stream.toDF().toDF("vec_id", "embedding"), "vm", "vm_marker", ckpt)
+    try {
+      stream.addData((777001L, v50), (777002L, v50.map(_ * 0.5)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(VectorMaintenance.vecCount(spark, "vm_marker") == 2L)
+
+    // the streamed copy of vector 50 must come back as its top hit
+    val served = VectorStore.serveTopK(
+      Seq((50L, v50)).toDF("probe_id", "pe"), "vm", k = 2)
+    val neighbors = served.collect().map(_.getLong(1)).toSet
+    assert(neighbors.contains(777001L),
+      s"streamed duplicate not retrieved: $neighbors")
+
+    // replaying the SAME batch id must not duplicate codes
+    val before = spark.table("vm_codes")
+      .filter(col("vec_id") >= 777000L).count()
+    VectorMaintenance.appendBatch(
+      Seq((777001L, v50)).toDF("vec_id", "embedding"), 0L, "vm", "vm_marker")
+    val after = spark.table("vm_codes")
+      .filter(col("vec_id") >= 777000L).count()
+    assert(before == after, "replayed batch appended duplicate codes")
+    assert(VectorMaintenance.vecCount(spark, "vm_marker") == 2L)
+  }
+}
