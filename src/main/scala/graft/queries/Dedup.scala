@@ -636,6 +636,51 @@ object Dedup {
         .groupBy("canonical_url")
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
         .orderBy("canonical_url")
+    },
+
+    // --- Blocked fuzzy matching (record linkage): near-identical
+    //     dimension values that exact dedup misses — typos, OCR noise,
+    //     vendor spelling drift ("smal ring" vs "small ring"). The
+    //     scale shape is the classic three-stage linkage plan:
+    //     (1) DISTINCT the match column first — the verify stage then
+    //     runs on unique values, never on the row count; (2) BLOCK on
+    //     a cheap deterministic key (here the noun — the last token)
+    //     so candidate pairs are an EQUI-join within blocks, never a
+    //     cross join; (3) VERIFY candidates with the O(len²) edit
+    //     distance only inside blocks. Reported with per-value row
+    //     counts (broadcast-size join back) so the consumer sees the
+    //     collapse weight. Levenshtein is integer-exact on both
+    //     engines — no float parity risk anywhere. ---
+    Q("dd11_fuzzy_match",
+      """WITH names AS (
+        |  SELECT p_name, count(*) AS n_parts FROM part GROUP BY p_name),
+        |cand AS (
+        |  SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |    a.n_parts AS n_parts_a, b.n_parts AS n_parts_b,
+        |    levenshtein(a.p_name, b.p_name) AS dist
+        |  FROM names a JOIN names b
+        |    ON string_split(a.p_name, ' ')[-1] = string_split(b.p_name, ' ')[-1]
+        |   AND a.p_name < b.p_name)
+        |SELECT name_a, name_b, CAST(dist AS INT) AS dist,
+        |  CAST(n_parts_a AS BIGINT) AS n_parts_a,
+        |  CAST(n_parts_b AS BIGINT) AS n_parts_b
+        |FROM cand
+        |WHERE dist <= 2
+        |ORDER BY name_a, name_b""") { (s, dir) =>
+      val names = tables.load(s, dir, "part")
+        .groupBy("p_name").agg(count(lit(1)).as("n_parts"))
+        .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+      val a = names.select(col("p_name").as("name_a"),
+        col("n_parts").as("n_parts_a"), col("blk"))
+      val b = names.select(col("p_name").as("name_b"),
+        col("n_parts").as("n_parts_b"), col("blk"))
+      a.join(b, Seq("blk"))
+        .filter(col("name_a") < col("name_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 2)
+        .select(col("name_a"), col("name_b"), col("dist"),
+          col("n_parts_a"), col("n_parts_b"))
+        .orderBy("name_a", "name_b")
     }
   )
 

@@ -743,6 +743,46 @@ object Pipeline {
         .unionByName(row(2, "decontaminated", s2))
         .unionByName(row(3, "sampled", s3))
         .orderBy("stage")
+    },
+
+    // --- Nucleus (top-p) selection: per source, keep the
+    //     highest-value documents until 90% of the source's token
+    //     mass is covered — the data-mixing move that caps each
+    //     source at its densest core instead of a fixed row quota
+    //     (pl04). Value rank here = n_tok desc (doc_id tiebreak);
+    //     any per-doc score column drops in unchanged. ONE window
+    //     partitioning per source: the prefix sum and the source
+    //     total share the same exchange+sort (pl12's shape). The
+    //     keep rule is nucleus-standard — include a doc iff the
+    //     mass BEFORE it is under p — and is evaluated entirely in
+    //     INTEGER arithmetic ((cum − n_tok)·10 < tot·9): no float
+    //     division ever touches the cut boundary, so both engines
+    //     agree exactly on every edge doc. ---
+    Q("pl17_top_p",
+      s"""SELECT source, doc_id, n_tok,
+         |  (cum - n_tok) * 10 < tot * 9 AS kept
+         |FROM (
+         |  SELECT source, doc_id, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY source
+         |                     ORDER BY n_tok DESC, doc_id) AS cum,
+         |    sum(n_tok) OVER (PARTITION BY source) AS tot
+         |  FROM (
+         |    SELECT source, doc_id,
+         |      CAST(len($DuckToks) AS BIGINT) AS n_tok
+         |    FROM documents))
+         |ORDER BY source, doc_id""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy("source")
+        .orderBy(col("n_tok").desc, col("doc_id"))
+      val wAll = Window.partitionBy("source")
+      docs(s, dir)
+        .select(col("source"), col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(wOrd))
+        .withColumn("tot", sum(col("n_tok")).over(wAll))
+        .select(col("source"), col("doc_id"), col("n_tok"),
+          ((col("cum") - col("n_tok")) * 10 < col("tot") * 9).as("kept"))
+        .orderBy("source", "doc_id")
     }
   )
 }

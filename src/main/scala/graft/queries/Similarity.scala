@@ -776,6 +776,153 @@ object Similarity {
         .select(col("cid"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
           col("mean_dist"), col("max_dist"))
         .orderBy("cid")
+    },
+
+    // --- SemDeDup (Abbas et al. 2023): semantic dedup by clustering
+    //     then within-cluster pairwise cosine — the other candidate
+    //     path to dd07's LSH banding. Cells come from the sm03 coarse
+    //     quantizer (shuffle-free argmin projection), so the pairwise
+    //     stage is an EQUI-join on cell id: per-cell work is
+    //     O((N/cells)²) and never all-pairs — at 100 TB cells scale
+    //     with ~√N to bound it. The keep rule is deterministic: a
+    //     vector is dropped iff a LOWER-id vector in its cell has
+    //     cosine ≥ τ (the paper keeps one representative per group;
+    //     min-id is the engine-exact variant). No rounding anywhere:
+    //     both engines build bit-identical cosines (sm01 convention),
+    //     so the τ comparison and the integer dup-counts match
+    //     exactly. ---
+    Q("dd12_semantic_dedup", {
+      val dist = l2SqSql("e.embedding", "c.ce")
+      val cos = cosineSql("ea.embedding", "eb.embedding")
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  WHERE vec_id < $IvfCells),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |                         ORDER BY $dist, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |pairs AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM assign a JOIN assign b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |dup AS (
+         |  SELECT p.vb AS vec_id, count(*) AS n_dups
+         |  FROM pairs p
+         |  JOIN embeddings ea ON ea.vec_id = p.va
+         |  JOIN embeddings eb ON eb.vec_id = p.vb
+         |  WHERE $cos >= $NearDupCos
+         |  GROUP BY p.vb)
+         |SELECT a.vec_id, a.cid,
+         |  CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_dups,
+         |  coalesce(d.n_dups, 0) > 0 AS dropped
+         |FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id
+         |ORDER BY a.vec_id"""
+    }) { (s, dir) =>
+      val e = emb(s, dir)
+      val cent = collectCentroids(e.filter(col("vec_id") < IvfCells)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+      val assign = nearestCells(e.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", cent, 1)
+      // norms once per side (sm01 pattern); the equi-join on cid is the
+      // bounded candidate generator — the filter then touches only
+      // in-cell pairs
+      val en = e.select(col("vec_id"), col("embedding"),
+        l2Norm(col("embedding")).as("nrm"))
+      val pairs = assign.select(col("vec_id").as("va"), col("cid"))
+        .join(assign.select(col("vec_id").as("vb"), col("cid")), Seq("cid"))
+        .filter(col("va") < col("vb"))
+      val nrm = col("na") * col("nb")
+      val dup = pairs
+        .join(en.select(col("vec_id").as("va"), col("embedding").as("ea"),
+          col("nrm").as("na")), Seq("va"))
+        .join(en.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+          col("nrm").as("nb")), Seq("vb"))
+        .filter(when(nrm === 0.0, lit(0.0))
+          .otherwise(dot(col("ea"), col("eb")) / nrm) >= NearDupCos)
+        .groupBy(col("vb").as("vec_id"))
+        .agg(count(lit(1)).as("n_dups"))
+      assign.join(dup, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          (coalesce(col("n_dups"), lit(0L)) > 0).as("dropped"))
+        .orderBy("vec_id")
+    },
+
+    // --- Per-label centroid OUTLIERS: the embedding-quality filter a
+    //     curation pipeline runs before training — vectors far from
+    //     their group centroid are mislabeled/noise candidates. Two
+    //     corpus passes: (1) per-(label, dim) EXACT integer sums
+    //     (sum of floor(x·2²⁰) — double sum() merges in partition
+    //     order and is not reproducible cross-engine; the Lloyd
+    //     device from sm04) collected once (labels × dims = tiny);
+    //     (2) a shuffle-free projection computes each vector's
+    //     distance to ITS OWN label centroid (CASE over the 10
+    //     label literals), then one top-5-per-label window
+    //     (WindowGroupLimit-bounded). Ranks compare UNROUNDED
+    //     distances — bit-identical on both engines — and only the
+    //     reported column is rounded. ---
+    Q("sm10_centroid_outliers",
+      s"""WITH sums AS (
+         |  SELECT label, pos, sum(xi) AS s, count(*) AS n FROM (
+         |    SELECT label,
+         |      unnest(range(1, len(embedding) + 1)) AS pos,
+         |      unnest(list_transform(embedding,
+         |        x -> CAST(floor(CAST(x AS DOUBLE) * $QScale.0) AS BIGINT))) AS xi
+         |    FROM embeddings)
+         |  GROUP BY label, pos),
+         |cent AS (
+         |  SELECT label, list(comp ORDER BY pos) AS ce FROM (
+         |    SELECT label, pos,
+         |      CAST(s AS DOUBLE) / CAST(n * $QScale AS DOUBLE) AS comp
+         |    FROM sums)
+         |  GROUP BY label),
+         |d AS (
+         |  SELECT e.vec_id, e.label,
+         |    ${l2SqSql("e.embedding", "c.ce")} AS d2
+         |  FROM embeddings e JOIN cent c ON c.label = e.label)
+         |SELECT vec_id, label, CAST(rank AS INT) AS rank,
+         |  round(sqrt(d2), 6) AS dist
+         |FROM (
+         |  SELECT vec_id, label, d2,
+         |    row_number() OVER (PARTITION BY label
+         |                       ORDER BY d2 DESC, vec_id) AS rank
+         |  FROM d)
+         |WHERE rank <= 5
+         |ORDER BY label, rank""") { (s, dir) =>
+      val e = emb(s, dir)
+      // pass 1: per-(label, dim) exact integer sums → label centroids
+      // on the driver (labels × 64 rows)
+      val comps = e
+        .select(col("label"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(sum(floor(col("x") * QScale.toDouble).cast("decimal(38,0)")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("pos"),
+          (col("s").cast("double") / (col("n") * QScale).cast("double"))
+            .as("comp"))
+        .collect()
+      val cents: Seq[(Int, Seq[Double])] = comps.groupBy(_.getInt(0)).toSeq
+        .map { case (l, rs) =>
+          (l, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+        }.sortBy(_._1)
+      // pass 2: distance to own-label centroid as a literal CASE chain
+      // (shuffle-free projection), then one bounded ranking window
+      val d2 = cents.foldLeft(lit(null).cast("double")) { case (acc, (l, ce)) =>
+        when(col("label") === l,
+          l2DistanceSq(col("embedding"), typedlit(ce))).otherwise(acc)
+      }
+      val w = Window.partitionBy("label")
+        .orderBy(col("d2").desc, col("vec_id"))
+      e.select(col("vec_id"), col("label"), d2.as("d2"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("vec_id"), col("label"), col("rank"),
+          duckRound(sqrt(col("d2")), 6).as("dist"))
+        .orderBy("label", "rank")
     }
   )
 

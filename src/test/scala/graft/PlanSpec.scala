@@ -294,4 +294,34 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, // agg shuffle + output sort
       s"dd10 plans $exchanges exchanges:\n$p")
   }
+
+  test("dd11/dd12: fuzzy/semantic candidates are equi-joins, no cartesian") {
+    // both are blocked-candidate plans: the O(n²) verify (levenshtein /
+    // cosine) must only ever run inside a block/cell equi-join
+    for (q <- Seq("dd11_fuzzy_match", "dd12_semantic_dedup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a non-equi candidate join:\n$p")
+    }
+  }
+
+  test("sm10: assignment-free distance projection + one bounded window") {
+    // pass 2 must be a shuffle-free projection (centroids are literals,
+    // no centroid join) into a single ranked window with its limit
+    // pushed into WindowGroupLimit
+    val p = plan("sm10_centroid_outliers")
+    assert(!p.contains("Join"), s"sm10 pass 2 plans a join:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"sm10 rank limit not pushed pre-sort:\n$p")
+  }
+
+  test("pl17: prefix sum and source total share one exchange") {
+    // both windows partition by source — a second hashpartitioning
+    // exchange means the plan re-shuffles what is already co-located
+    val p = plan("pl17_top_p")
+    val hashEx = "hashpartitioning\\(source".r.findAllIn(p).size
+    assert(hashEx <= 1,
+      s"pl17 plans $hashEx source-hash exchanges:\n$p")
+  }
 }
