@@ -599,6 +599,51 @@ object Text {
         .orderBy("token")
     },
 
+    // --- Salted SKEW JOIN: tx14's device applied to a join. tx04
+    //     broadcasts the DF side; at 100 TB the vocabulary doesn't
+    //     broadcast, the TF⋈DF join shuffles on `token`, and Zipf
+    //     skew parks the head tokens' entire posting mass on single
+    //     tasks. Fix: salt the fat (TF) side with hash(doc_id)%16,
+    //     replicate the skinny (DF) side ×16, equi-join on
+    //     (token, salt) — every hot token now spreads over 16 tasks,
+    //     at the cost of a bounded 16× blowup of the SMALL side only.
+    //     shuffle_hash hint models the no-broadcast regime; results
+    //     are identical to tx04 by construction (same expression
+    //     trees, the salt never reaches an aggregate). ---
+    Q("tx30_salted_join",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |td AS (SELECT doc_id, token, count(*) AS cnt FROM tok WHERE token <> ''
+        |       GROUP BY doc_id, token),
+        |df AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok
+        |       WHERE token <> '' GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT td.doc_id, td.token,
+        |  round(CAST(td.cnt AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS tfidf
+        |FROM td JOIN df ON td.token = df.token CROSS JOIN n
+        |WHERE td.cnt >= 3
+        |ORDER BY td.doc_id, td.token""") { (s, dir) =>
+      val SaltN = 16
+      val td = termDoc(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val df = td.groupBy("token").agg(count(lit(1)).as("df"))
+      val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      val tdSalted = td
+        .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(SaltN)))
+      val dfReplicated = df.withColumn("salt",
+        explode(sequence(lit(0L), lit(SaltN - 1L))))
+      tdSalted
+        .join(dfReplicated.hint("shuffle_hash"), Seq("token", "salt"))
+        .crossJoin(broadcast(n))
+        .filter(col("cnt") >= 3)
+        .select(col("doc_id"), col("token"),
+          duckRound(col("cnt").cast("double") *
+            log(col("n_docs").cast("double") / col("df").cast("double")), 6)
+            .as("tfidf"))
+        .orderBy("doc_id", "token")
+    },
+
     // --- Word bigram counts ---
     Q("tx11_bigrams",
       """WITH t AS (SELECT doc_id,

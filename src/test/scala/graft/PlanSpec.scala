@@ -316,6 +316,16 @@ class PlanSpec extends AnyFunSuite {
       s"sm10 rank limit not pushed pre-sort:\n$p")
   }
 
+  test("tx30: DF join is a salted shuffle join, not a broadcast") {
+    // the whole point is the no-broadcast regime: the TF⋈DF join must
+    // shuffle on (token, salt) so hot tokens spread across 16 tasks
+    val p = plan("tx30_salted_join")
+    assert(p.contains("ShuffledHashJoin"),
+      s"tx30 lost the shuffled DF join:\n$p")
+    assert("keys \\[2\\]: \\[token#\\d+, salt#\\d+".r.findFirstIn(p).isDefined,
+      s"tx30 join keys must be (token, salt):\n$p")
+  }
+
   test("pl17: prefix sum and source total share one exchange") {
     // both windows partition by source — a second hashpartitioning
     // exchange means the plan re-shuffles what is already co-located
