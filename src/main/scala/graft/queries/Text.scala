@@ -1058,6 +1058,144 @@ object Text {
           size(col("ds")).cast("long").as("n_pairs"),
           array_min(col("ds")).cast("long").as("min_dist"))
         .orderBy("doc_id")
+    },
+
+    // --- TextRank (Mihalcea & Tarau 2004): PageRank over the word
+    //     graph — corpus-level keyword salience beyond raw counts
+    //     (tx01) or TF-IDF (tx04). Nodes = vocabulary, directed edges
+    //     = bigram counts, 3 power iterations with damping 0.85. The
+    //     determinism device is INTEGER PageRank: ranks start at 10⁶
+    //     and every update is  150000 + Σ (r·w·17) div (outw·20)  —
+    //     pure integral multiply/divide/sum, so both engines agree
+    //     bit-for-bit with no rounding guard (a double formulation
+    //     would accumulate contributions in engine-dependent order).
+    //     Scale shape: the edge list aggregates map-side to vocab²
+    //     (bounded by observed bigrams); each iteration is one
+    //     equi-join on src + one sum by dst — vocabulary-sized
+    //     shuffles, never corpus-sized; the corpus is scanned once. ---
+    Q("tx31_textrank",
+      """WITH tks AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |                     x -> x <> '') AS tk
+        |  FROM documents),
+        |e AS (
+        |  SELECT src, dst, count(*) AS w FROM (
+        |    SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS src,
+        |           unnest(list_transform(range(1, len(tk)), i -> tk[i+1])) AS dst
+        |    FROM tks)
+        |  GROUP BY src, dst),
+        |nodes AS (
+        |  SELECT src AS token FROM e UNION SELECT dst FROM e),
+        |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY src),
+        |r0 AS (SELECT token, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (SELECT e.dst AS token,
+        |         sum((r.r * e.w * 17) // (o.outw * 20)) AS c
+        |       FROM e JOIN r0 r ON r.token = e.src
+        |              JOIN ow o ON o.src = e.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT n.token, CAST(150000 + coalesce(c.c, 0) AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN c1 c ON c.token = n.token),
+        |c2 AS (SELECT e.dst AS token,
+        |         sum((r.r * e.w * 17) // (o.outw * 20)) AS c
+        |       FROM e JOIN r1 r ON r.token = e.src
+        |              JOIN ow o ON o.src = e.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT n.token, CAST(150000 + coalesce(c.c, 0) AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN c2 c ON c.token = n.token),
+        |c3 AS (SELECT e.dst AS token,
+        |         sum((r.r * e.w * 17) // (o.outw * 20)) AS c
+        |       FROM e JOIN r2 r ON r.token = e.src
+        |              JOIN ow o ON o.src = e.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT n.token, CAST(150000 + coalesce(c.c, 0) AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN c3 c ON c.token = n.token)
+        |SELECT token, r AS rank FROM r3
+        |ORDER BY rank DESC, token""") { (s, dir) =>
+      import org.apache.spark.storage.StorageLevel
+      val e = docs(s, dir)
+        .select(tokens(col("text")).as("tk"))
+        .select(explode(wordNgramsOf(col("tk"), 2)).as("bg"))
+        .select(substring_index(col("bg"), " ", 1).as("src"),
+          substring_index(col("bg"), " ", -1).as("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // read by ow + 3 iterations
+      val nodes = e.select(col("src").as("token"))
+        .union(e.select(col("dst"))).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val ew = e.join(e.groupBy("src").agg(sum("w").as("outw")), "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val r3 = (1 to 3).foldLeft(nodes.withColumn("r", lit(1000000L))) {
+        (r, _) =>
+          val c = ew.join(r.withColumnRenamed("token", "src"), "src")
+            .select(col("dst").as("token"),
+              expr("(r * w * 17) div (outw * 20)").as("term"))
+            .groupBy("token").agg(sum("term").as("c"))
+          nodes.join(c, Seq("token"), "left")
+            .select(col("token"),
+              (lit(150000L) + coalesce(col("c"), lit(0L))).as("r"))
+      }
+      r3.select(col("token"), col("r").as("rank"))
+        .orderBy(col("rank").desc, col("token"))
+    },
+
+    // --- Cross-source n-gram overlap matrix: which sources copy from
+    //     each other (mirrors, scraped re-posts, shared boilerplate) —
+    //     the between-subset contamination report, where pl01/pl14
+    //     check corpus-vs-benchmark. Per source, the DISTINCT 5-gram
+    //     set keyed by md5 DIGEST (32 fixed chars shuffle, never
+    //     n-gram text); the pair counts come from a self-equi-join on
+    //     the digest — per-digest fan-out is bounded by sources², and
+    //     the join output is integer counts only. Jaccard divides two
+    //     exact integers, identically on both engines. ---
+    Q("tx32_source_overlap",
+      """WITH sh AS (
+        |  SELECT DISTINCT source,
+        |    md5(ng) AS d
+        |  FROM (
+        |    SELECT source, unnest(list_transform(range(1, len(tk) - 3),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+        |           tk[i+3] || ' ' || tk[i+4])) AS ng
+        |    FROM (SELECT source,
+        |            list_filter(string_split_regex(lower(text), '\s+'),
+        |                        x -> x <> '') AS tk
+        |          FROM documents))),
+        |cnt AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+        |ov AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*) AS n_shared
+        |  FROM sh a JOIN sh b ON a.d = b.d AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT ov.source_a, ov.source_b,
+        |  CAST(ov.n_shared AS BIGINT) AS n_shared,
+        |  CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+        |  round(CAST(ov.n_shared AS DOUBLE)
+        |        / CAST(ca.n + cb.n - ov.n_shared AS DOUBLE), 6) AS jaccard
+        |FROM ov JOIN cnt ca ON ca.source = ov.source_a
+        |        JOIN cnt cb ON cb.source = ov.source_b
+        |ORDER BY source_a, source_b""") { (s, dir) =>
+      import org.apache.spark.storage.StorageLevel
+      val sh = docs(s, dir)
+        .select(col("source"),
+          explode(wordNgramsOf(tokens(col("text")), 5)).as("ng"))
+        .select(col("source"), md5(col("ng").cast("binary")).as("d"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK) // counts + both join sides
+      val cnt = sh.groupBy("source").agg(count(lit(1)).as("n"))
+      val ov = sh.select(col("source").as("source_a"), col("d"))
+        .join(sh.select(col("source").as("source_b"), col("d")), Seq("d"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_shared"))
+      ov.join(broadcast(cnt.select(col("source").as("source_a"),
+          col("n").as("n_a"))), Seq("source_a"))
+        .join(broadcast(cnt.select(col("source").as("source_b"),
+          col("n").as("n_b"))), Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("n_shared"),
+          col("n_a"), col("n_b"),
+          duckRound(col("n_shared").cast("double") /
+            (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 6)
+            .as("jaccard"))
+        .orderBy("source_a", "source_b")
     }
   )
 }
