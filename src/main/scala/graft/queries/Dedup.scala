@@ -667,9 +667,12 @@ object Dedup {
         |FROM cand
         |WHERE dist <= 2
         |ORDER BY name_a, name_b""") { (s, dir) =>
+      // persist: both self-join sides read the same distinct-names
+      // aggregation (dd03/sm02 convention for self-joined frames)
       val names = tables.load(s, dir, "part")
         .groupBy("p_name").agg(count(lit(1)).as("n_parts"))
         .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = names.select(col("p_name").as("name_a"),
         col("n_parts").as("n_parts_a"), col("blk"))
       val b = names.select(col("p_name").as("name_b"),

@@ -310,18 +310,32 @@ object Similarity {
       e.filter(col("vec_id") % TrainMod === 0)
         .select(col("vec_id"), col("embedding")),
       "vec_id", "embedding", cents, 1, carry = Seq("embedding"))
-    val comps = members
-      .select(col("cid"),
+    keyedIntegerMeans(members, "cid")
+  }
+
+  /** Per-key exact-integer per-dim means of `embedding`, collected to
+    * the driver as literal centroids — the parity-load-bearing device
+    * (see the lloydSql scaladoc for the overflow/order analysis)
+    * shared by Lloyd training (key = cell) and the per-label centroid
+    * report (sm10, key = label): each component accumulates as
+    * `sum(floor(x·2²⁰))` in decimal(38,0) — exact and
+    * order-independent — then divides ONCE. One home so an overflow
+    * or rounding fix moves both consumers (and their DuckDB mirrors
+    * stay one pattern). */
+  private def keyedIntegerMeans(vecs: DataFrame,
+                                keyCol: String): Seq[(Long, Seq[Double])] = {
+    val comps = vecs
+      .select(col(keyCol).cast("long").as("k"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
-      .groupBy("cid", "pos")
+      .groupBy("k", "pos")
       .agg(sum(floor(col("x") * QScale.toDouble).cast("decimal(38,0)")).as("s"),
         count(lit(1)).as("n"))
-      .select(col("cid"), col("pos"),
+      .select(col("k"), col("pos"),
         (col("s").cast("double") / (col("n") * QScale).cast("double"))
           .as("comp"))
       .collect()
-    comps.groupBy(_.getLong(0)).toSeq.map { case (cid, rs) =>
-      (cid, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+    comps.groupBy(_.getLong(0)).toSeq.map { case (k, rs) =>
+      (k, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
     }.sortBy(_._1)
   }
 
@@ -824,8 +838,13 @@ object Similarity {
       val e = emb(s, dir)
       val cent = collectCentroids(e.filter(col("vec_id") < IvfCells)
         .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+      // persist: (vec_id, cid) longs feed both pair sides AND the
+      // final report join — without it the corpus-wide argmin
+      // projection runs three times (and the tiny row width means
+      // none of the float-array cache tax that keeps `en` uncached)
       val assign = nearestCells(e.select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", cent, 1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // norms once per side (sm01 pattern); the equi-join on cid is the
       // bounded candidate generator — the filter then touches only
       // in-cell pairs
@@ -894,21 +913,9 @@ object Similarity {
          |ORDER BY label, rank""") { (s, dir) =>
       val e = emb(s, dir)
       // pass 1: per-(label, dim) exact integer sums → label centroids
-      // on the driver (labels × 64 rows)
-      val comps = e
-        .select(col("label"),
-          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
-        .groupBy("label", "pos")
-        .agg(sum(floor(col("x") * QScale.toDouble).cast("decimal(38,0)")).as("s"),
-          count(lit(1)).as("n"))
-        .select(col("label"), col("pos"),
-          (col("s").cast("double") / (col("n") * QScale).cast("double"))
-            .as("comp"))
-        .collect()
-      val cents: Seq[(Int, Seq[Double])] = comps.groupBy(_.getInt(0)).toSeq
-        .map { case (l, rs) =>
-          (l, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
-        }.sortBy(_._1)
+      // on the driver (labels × 64 rows) — the shared Lloyd device
+      val cents = keyedIntegerMeans(
+        e.select(col("label"), col("embedding")), "label")
       // pass 2: distance to own-label centroid as a literal CASE chain
       // (shuffle-free projection), then one bounded ranking window
       val d2 = cents.foldLeft(lit(null).cast("double")) { case (acc, (l, ce)) =>

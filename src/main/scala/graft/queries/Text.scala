@@ -257,6 +257,36 @@ object Text {
       .limit(10)
   }
 
+  /** TF-IDF oracle + final projection, shared by tx04 (broadcast DF
+    * join) and tx30 (salted shuffle DF join): the two queries differ
+    * ONLY in join strategy, and keeping one copy of the scoring
+    * formula/SQL is what makes "results ≡ tx04 by construction" an
+    * enforced property rather than a manually-synced claim. */
+  private val TfIdfOracleSql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+      |  FROM documents),
+      |td AS (SELECT doc_id, token, count(*) AS cnt FROM tok WHERE token <> ''
+      |       GROUP BY doc_id, token),
+      |df AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok
+      |       WHERE token <> '' GROUP BY token),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT td.doc_id, td.token,
+      |  round(CAST(td.cnt AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS tfidf
+      |FROM td JOIN df ON td.token = df.token CROSS JOIN n
+      |WHERE td.cnt >= 3
+      |ORDER BY td.doc_id, td.token"""
+
+  /** The TF-IDF scoring tail over a joined (doc_id, token, cnt, df,
+    * n_docs) frame — see [[TfIdfOracleSql]]. */
+  private def tfIdfSelect(joined: DataFrame): DataFrame =
+    joined.filter(col("cnt") >= 3)
+      .select(col("doc_id"), col("token"),
+        duckRound(col("cnt").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 6)
+          .as("tfidf"))
+      .orderBy("doc_id", "token")
+
   val qs: Seq[Q] = Seq(
 
     // --- Tokenize + global token counts ---
@@ -308,20 +338,7 @@ object Text {
     },
 
     // --- TF-IDF (joins TF with DF and the corpus size) ---
-    Q("tx04_tfidf",
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
-        |  FROM documents),
-        |td AS (SELECT doc_id, token, count(*) AS cnt FROM tok WHERE token <> ''
-        |       GROUP BY doc_id, token),
-        |df AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok
-        |       WHERE token <> '' GROUP BY token),
-        |n AS (SELECT count(*) AS n_docs FROM documents)
-        |SELECT td.doc_id, td.token,
-        |  round(CAST(td.cnt AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS tfidf
-        |FROM td JOIN df ON td.token = df.token CROSS JOIN n
-        |WHERE td.cnt >= 3
-        |ORDER BY td.doc_id, td.token""") { (s, dir) =>
+    Q("tx04_tfidf", TfIdfOracleSql) { (s, dir) =>
       // persist: td feeds both the TF rows and the DF aggregation —
       // without it Spark re-tokenizes the corpus for each use.
       val td = termDoc(s, dir)
@@ -330,13 +347,8 @@ object Text {
       // one tokenize pass feeds both TF and DF instead of two.
       val df = td.groupBy("token").agg(count(lit(1)).as("df"))
       val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
-      td.join(broadcast(df), "token").crossJoin(broadcast(n))
-        .filter(col("cnt") >= 3)
-        .select(col("doc_id"), col("token"),
-          duckRound(col("cnt").cast("double") *
-            log(col("n_docs").cast("double") / col("df").cast("double")), 6)
-            .as("tfidf"))
-        .orderBy("doc_id", "token")
+      tfIdfSelect(
+        td.join(broadcast(df), "token").crossJoin(broadcast(n)))
     },
 
     // --- Per-document keyword extraction: top-3 TF-IDF terms per doc
@@ -610,20 +622,7 @@ object Text {
     //     shuffle_hash hint models the no-broadcast regime; results
     //     are identical to tx04 by construction (same expression
     //     trees, the salt never reaches an aggregate). ---
-    Q("tx30_salted_join",
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
-        |  FROM documents),
-        |td AS (SELECT doc_id, token, count(*) AS cnt FROM tok WHERE token <> ''
-        |       GROUP BY doc_id, token),
-        |df AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok
-        |       WHERE token <> '' GROUP BY token),
-        |n AS (SELECT count(*) AS n_docs FROM documents)
-        |SELECT td.doc_id, td.token,
-        |  round(CAST(td.cnt AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS tfidf
-        |FROM td JOIN df ON td.token = df.token CROSS JOIN n
-        |WHERE td.cnt >= 3
-        |ORDER BY td.doc_id, td.token""") { (s, dir) =>
+    Q("tx30_salted_join", TfIdfOracleSql) { (s, dir) =>
       val SaltN = 16
       val td = termDoc(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -633,15 +632,10 @@ object Text {
         .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(SaltN)))
       val dfReplicated = df.withColumn("salt",
         explode(sequence(lit(0L), lit(SaltN - 1L))))
-      tdSalted
-        .join(dfReplicated.hint("shuffle_hash"), Seq("token", "salt"))
-        .crossJoin(broadcast(n))
-        .filter(col("cnt") >= 3)
-        .select(col("doc_id"), col("token"),
-          duckRound(col("cnt").cast("double") *
-            log(col("n_docs").cast("double") / col("df").cast("double")), 6)
-            .as("tfidf"))
-        .orderBy("doc_id", "token")
+      tfIdfSelect(
+        tdSalted
+          .join(dfReplicated.hint("shuffle_hash"), Seq("token", "salt"))
+          .crossJoin(broadcast(n)))
     },
 
     // --- Word bigram counts ---
@@ -1069,6 +1063,13 @@ object Text {
     //     pure integral multiply/divide/sum, so both engines agree
     //     bit-for-bit with no rounding guard (a double formulation
     //     would accumulate contributions in engine-dependent order).
+    //     The r·w·17 product accumulates WIDE (Spark decimal(38,0),
+    //     DuckDB HUGEINT): with a web-scale vocabulary a hub token's
+    //     rank times a head bigram weight exceeds 2⁶³, where the
+    //     engines diverge differently (Spark wraps, DuckDB raises) —
+    //     the sm04 Lloyd-sum overflow rule applied to products. The
+    //     QUOTIENT fits BIGINT (total mass is conserved at N·10⁶),
+    //     so only the product is wide.
     //     Scale shape: the edge list aggregates map-side to vocab²
     //     (bounded by observed bigrams); each iteration is one
     //     equi-join on src + one sum by dst — vocabulary-sized
@@ -1089,21 +1090,21 @@ object Text {
         |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY src),
         |r0 AS (SELECT token, CAST(1000000 AS BIGINT) AS r FROM nodes),
         |c1 AS (SELECT e.dst AS token,
-        |         sum((r.r * e.w * 17) // (o.outw * 20)) AS c
+        |         sum((CAST(r.r AS HUGEINT) * e.w * 17) // (o.outw * 20)) AS c
         |       FROM e JOIN r0 r ON r.token = e.src
         |              JOIN ow o ON o.src = e.src
         |       GROUP BY e.dst),
         |r1 AS (SELECT n.token, CAST(150000 + coalesce(c.c, 0) AS BIGINT) AS r
         |       FROM nodes n LEFT JOIN c1 c ON c.token = n.token),
         |c2 AS (SELECT e.dst AS token,
-        |         sum((r.r * e.w * 17) // (o.outw * 20)) AS c
+        |         sum((CAST(r.r AS HUGEINT) * e.w * 17) // (o.outw * 20)) AS c
         |       FROM e JOIN r1 r ON r.token = e.src
         |              JOIN ow o ON o.src = e.src
         |       GROUP BY e.dst),
         |r2 AS (SELECT n.token, CAST(150000 + coalesce(c.c, 0) AS BIGINT) AS r
         |       FROM nodes n LEFT JOIN c2 c ON c.token = n.token),
         |c3 AS (SELECT e.dst AS token,
-        |         sum((r.r * e.w * 17) // (o.outw * 20)) AS c
+        |         sum((CAST(r.r AS HUGEINT) * e.w * 17) // (o.outw * 20)) AS c
         |       FROM e JOIN r2 r ON r.token = e.src
         |              JOIN ow o ON o.src = e.src
         |       GROUP BY e.dst),
@@ -1128,7 +1129,7 @@ object Text {
         (r, _) =>
           val c = ew.join(r.withColumnRenamed("token", "src"), "src")
             .select(col("dst").as("token"),
-              expr("(r * w * 17) div (outw * 20)").as("term"))
+              expr("(CAST(r AS DECIMAL(38,0)) * w * 17) div (outw * 20)").as("term"))
             .groupBy("token").agg(sum("term").as("c"))
           nodes.join(c, Seq("token"), "left")
             .select(col("token"),

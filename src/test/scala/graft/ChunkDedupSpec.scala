@@ -13,20 +13,8 @@ import graft.streaming.ChunkDedup
 class ChunkDedupSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
-  /** DROP TABLE plus physical warehouse-dir removal: the catalog is
-    * per-JVM but the warehouse dir persists across test runs, and an
-    * append-mode CREATE refuses a leftover location. */
-  private def reset(tables: String*): Unit = tables.foreach { t =>
-    spark.sql(s"DROP TABLE IF EXISTS $t")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
-    val dir = new java.io.File(
-      if (wh.getScheme == null) wh.toString else wh.getPath, t)
-    if (dir.exists()) rm(dir)
-  }
+  private def reset(tables: String*): Unit =
+    TestWarehouse.reset(spark, tables: _*)
 
   // 10-token chunks: docs built from 10-word sentences so sharing is
   // controlled exactly. S1 is the boilerplate chunk.

@@ -17,17 +17,8 @@ class DedupMaintenanceSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
-  private def reset(tables: String*): Unit = tables.foreach { t =>
-    spark.sql(s"DROP TABLE IF EXISTS $t")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
-    val d = new java.io.File(
-      if (wh.getScheme == null) wh.toString else wh.getPath, t)
-    if (d.exists()) rm(d)
-  }
+  private def reset(tables: String*): Unit =
+    TestWarehouse.reset(spark, tables: _*)
 
   private def resetStore(name: String): Unit =
     reset(s"${name}_shingles", s"${name}_sigs", s"${name}_bands")

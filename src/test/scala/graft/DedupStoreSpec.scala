@@ -15,18 +15,8 @@ class DedupStoreSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
-  private def reset(name: String): Unit =
-    Seq("shingles", "sigs", "bands").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS ${name}_$t")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
-      val d = new java.io.File(
-        if (wh.getScheme == null) wh.toString else wh.getPath, s"${name}_$t")
-      if (d.exists()) rm(d)
-    }
+  private def reset(name: String): Unit = TestWarehouse.reset(spark,
+    Seq("shingles", "sigs", "bands").map(t => s"${name}_$t"): _*)
 
   test("incrementalPairs == batch dd03 pairs touching the new docs") {
     reset("ds_inc")

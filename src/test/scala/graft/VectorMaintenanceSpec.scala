@@ -15,18 +15,8 @@ class VectorMaintenanceSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   private def reset(name: String, marker: String): Unit =
-    (Seq("centroids", "stats", "codes").map(t => s"${name}_$t") :+ marker)
-      .foreach { t =>
-        spark.sql(s"DROP TABLE IF EXISTS $t")
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(); ()
-        }
-        val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
-        val d = new java.io.File(
-          if (wh.getScheme == null) wh.toString else wh.getPath, t)
-        if (d.exists()) rm(d)
-      }
+    TestWarehouse.reset(spark,
+      Seq("centroids", "stats", "codes").map(t => s"${name}_$t") :+ marker: _*)
 
   test("streamed vectors are served from the store; replay is a no-op") {
     import spark.implicits._

@@ -13,18 +13,8 @@ class VectorStoreSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
-  private def reset(name: String): Unit =
-    Seq("centroids", "stats", "codes").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS ${name}_$t")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
-      val d = new java.io.File(
-        if (wh.getScheme == null) wh.toString else wh.getPath, s"${name}_$t")
-      if (d.exists()) rm(d)
-    }
+  private def reset(name: String): Unit = TestWarehouse.reset(spark,
+    Seq("centroids", "stats", "codes").map(t => s"${name}_$t"): _*)
 
   // ---- independent reference implementation (pure Scala, no Spark
   //      plans): same IEEE op order as the engine's folds ----
