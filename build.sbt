@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run's stdout must reach the console UNWRAPPED: sbt's default
+// LoggedOutput decorates every line with "[info] ", and the round driver's
+// bench parser only accepts a line that STARTS with '{' — every prior
+// round's BENCH_r{N}.json came back "parsed": null because of the prefix.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
