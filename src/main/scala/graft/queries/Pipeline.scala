@@ -783,6 +783,47 @@ object Pipeline {
         .select(col("source"), col("doc_id"), col("n_tok"),
           ((col("cum") - col("n_tok")) * 10 < col("tot") * 9).as("kept"))
         .orderBy("source", "doc_id")
+    },
+
+    // --- Incremental crawl dedup with a Bloom-filter scan prune: flag
+    //     which docs of TODAY'S batch were already ingested, against a
+    //     history too big to broadcast-hash-join wholesale. The bloom
+    //     is built over the BOUNDED new batch (~10 bits/key — fits the
+    //     driver even when the batch is millions of docs, where a
+    //     broadcast hash relation would not) and applied MAP-SIDE to
+    //     the history scan, so only history rows colliding with the
+    //     batch (|batch|·(1+fpp), not |history|) reach the exact join.
+    //     Results are EXACT — the join removes bloom false positives,
+    //     and blooms have no false negatives — which is why this is
+    //     oracle-checkable. The batch is a synthesized re-crawl: the
+    //     %5 slice unchanged (⇒ seen), the %7 slice modified (⇒ new);
+    //     the corpus itself has no exact dup texts (dd01). ---
+    Q("pl18_bloom_increment",
+      """WITH newbatch AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, md5(text || ' updated') FROM documents
+        |  WHERE doc_id % 7 = 0),
+        |hist AS (SELECT DISTINCT md5(text) AS h FROM documents)
+        |SELECT n.doc_id,
+        |  EXISTS (SELECT 1 FROM hist WHERE hist.h = n.h) AS seen_before
+        |FROM newbatch n ORDER BY doc_id""") { (s, dir) =>
+      val d = docs(s, dir)
+      val newBatch = d.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .unionByName(d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            md5(concat(col("text"), lit(" updated"))).as("h")))
+      val bloom = newBatch.stat.bloomFilter("h", 100000L, 0.01)
+      val bloomBc = s.sparkContext.broadcast(bloom)
+      val mightBeInBatch = udf((h: String) => bloomBc.value.mightContainString(h))
+      // the one deliberate UDF on a scan path: O(1)/row, and it exists
+      // to DELETE the history shuffle, not to compute on it
+      val histHits = d.select(md5(col("text")).as("hh"))
+        .filter(mightBeInBatch(col("hh"))).distinct()
+      newBatch.join(histHits, col("h") === col("hh"), "left")
+        .select(col("doc_id"), col("hh").isNotNull.as("seen_before"))
+        .orderBy("doc_id")
     }
   )
 }

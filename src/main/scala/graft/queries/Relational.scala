@@ -1123,6 +1123,72 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // --- Null-safe equality join (<=> / IS NOT DISTINCT FROM): the
+    //     join treats NULL as a real key value — NULL matches NULL,
+    //     which a plain equi-join silently drops. Still a hash-joinable
+    //     equi-predicate (EqualNullSafe), so the plan is the same
+    //     broadcast/SMJ as q03/q04, not a BNLJ: at scale the NULL key
+    //     becomes ONE (possibly skewed) hash bucket, the AQE skew-join
+    //     case, not a different algorithm. Keys are synthesized with
+    //     nullif so the corpus actually exercises the NULL-match path. ---
+    Q("q49_nullsafe_join",
+      """WITH o AS (
+        |  SELECT o_orderkey, nullif(o_custkey % 50, 0) AS k FROM orders),
+        |c AS (
+        |  SELECT c_custkey, nullif(c_custkey % 50, 0) AS k FROM customer)
+        |SELECT o.k AS k, count(*) AS n_pairs,
+        |  count(DISTINCT o.o_orderkey) AS n_orders,
+        |  count(DISTINCT c.c_custkey) AS n_customers
+        |FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.k
+        |GROUP BY o.k
+        |ORDER BY k NULLS FIRST""") { (s, dir) =>
+      def keyed(c: org.apache.spark.sql.Column) =
+        when(c === 0, lit(null)).otherwise(c)
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), keyed(col("o_custkey") % 50).as("k"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), keyed(col("c_custkey") % 50).as("ck"))
+      o.join(c, col("k") <=> col("ck"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          countDistinct(col("c_custkey")).as("n_customers"))
+        .orderBy(col("k").asc_nulls_first)
+    },
+
+    // --- Z-order (Morton) clustering key: interleave the bits of two
+    //     columns into one BIGINT sort key (graft.operators.ZOrder —
+    //     a pure codegen'd shift/mask expression, no UDF). Writing the
+    //     table sorted by this key makes BOTH columns' per-file min-max
+    //     stats tight simultaneously, so a 2-d box predicate prunes
+    //     files on either column — the layout move behind Delta's
+    //     OPTIMIZE ZORDER BY, at 100 TB the difference between reading
+    //     a hyper-rectangle and reading everything (file-skipping
+    //     effect itself is pinned in ZOrderSpec; this query pins the
+    //     key's bit layout against an independent SQL formulation). ---
+    Q("q50_zorder_key", {
+      // col 0 bit j → output bit 2j, col 1 bit j → 2j+1 (round-robin
+      // interleave) — the same layout ZOrder.zValue documents
+      val zTerms = (0 until 8).flatMap(j => Seq(
+        s"(((x >> $j) & 1) << ${2 * j})",
+        s"(((y >> $j) & 1) << ${2 * j + 1})")).mkString(" + ")
+      s"""WITH pts AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    l_partkey % 256 AS x, l_suppkey % 256 AS y
+         |  FROM lineitem)
+         |SELECT l_orderkey, l_linenumber, x, y,
+         |  CAST($zTerms AS BIGINT) AS zval
+         |FROM pts
+         |ORDER BY zval, l_orderkey, l_linenumber"""
+    }) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_partkey") % 256).as("x"), (col("l_suppkey") % 256).as("y"))
+        .withColumn("zval",
+          graft.operators.ZOrder.zValue(Seq(col("x"), col("y")), bits = 8))
+        .orderBy("zval", "l_orderkey", "l_linenumber")
+    },
+
     // --- approx_count_distinct: no exact SQL twin → rows-only check;
     //     the exact variant is q13 ---
     Q.noOracle("q23_approx_count_distinct") { (s, dir) =>

@@ -123,6 +123,7 @@ object Similarity {
     * constant: the oracle SQL captures it at object init (a later
     * declaration interpolates 0 — observed with pl12's budget). */
   private val RangeCos = 0.3
+  private val BalancedQuota = 30 // sm11 per-cell sample cap
 
   /** Shuffle-free coarse-quantizer assignment: each vector's `keep`
     * nearest centroids, computed as a per-row PROJECTION over the
@@ -930,6 +931,51 @@ object Similarity {
         .select(col("vec_id"), col("label"), col("rank"),
           duckRound(sqrt(col("d2")), 6).as("dist"))
         .orderBy("label", "rank")
+    },
+
+    // --- Cluster-balanced sampling (embedding-diversity coreset): cap
+    //     every coarse cell at the same quota so the sample covers the
+    //     embedding space instead of mirroring its density — the data-
+    //     selection move for training mixtures (head clusters stop
+    //     drowning out tail clusters). Cell assignment is sm03's
+    //     shuffle-free argmin projection; within a cell the quota picks
+    //     by a deterministic md5 coin (not similarity), so it's a
+    //     uniform subsample of the cell. ONE exchange total (the
+    //     per-cell ranking window, rank≤k ⇒ WindowGroupLimit prunes
+    //     partial ranks map-side); cells scale with the corpus, so the
+    //     per-cell partition stays bounded at 100 TB. ---
+    Q("sm11_balanced_sample", {
+      val dist = l2SqSql("e.embedding", "c.ce")
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  WHERE vec_id < $IvfCells),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |                         ORDER BY $dist, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |ranked AS (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY cid
+         |                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rank
+         |  FROM assign)
+         |SELECT cid, CAST(rank AS BIGINT) AS rank, vec_id
+         |FROM ranked WHERE rank <= $BalancedQuota
+         |ORDER BY cid, rank"""
+    }) { (s, dir) =>
+      val e = emb(s, dir)
+      val cent = collectCentroids(e.filter(col("vec_id") < IvfCells)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+      val assign = nearestCells(e.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", cent, 1)
+      val w = Window.partitionBy("cid")
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      assign.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= BalancedQuota)
+        .select(col("cid"), col("rank"), col("vec_id"))
+        .orderBy("cid", "rank")
     }
   )
 

@@ -1197,6 +1197,40 @@ object Text {
             (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 6)
             .as("jaccard"))
         .orderBy("source_a", "source_b")
+    },
+
+    // --- BPE merge-pair statistics (tokenizer training, iteration 1):
+    //     count adjacent CHARACTER pairs across the corpus, weighted by
+    //     word frequency — the argmax pair is the first merge a
+    //     byte-pair-encoding vocabulary build would apply. The corpus
+    //     collapses to vocabulary-sized word counts FIRST (one shuffle,
+    //     map-side partials), then pair extraction runs over the tiny
+    //     (word, count) frame — at 100 TB the second agg sees |vocab|
+    //     rows, not |corpus| tokens. Each position contributes one
+    //     pair ("aaa" → "aa" twice), matching BPE's occurrence count. ---
+    Q("tx33_bpe_pairs",
+      s"""WITH words AS (
+         |  SELECT w, count(*) AS wn FROM (
+         |    SELECT unnest($DuckToks) AS w FROM documents)
+         |  GROUP BY w),
+         |pairs AS (
+         |  SELECT unnest(list_transform(range(1, len(w)),
+         |                               i -> substr(w, i, 2))) AS pair, wn
+         |  FROM words WHERE len(w) >= 2)
+         |SELECT pair, CAST(sum(wn) AS BIGINT) AS n
+         |FROM pairs GROUP BY pair
+         |ORDER BY n DESC, pair LIMIT 50""") { (s, dir) =>
+      tokenStream(s, dir)
+        .groupBy("token").agg(count(lit(1)).as("wn"))
+        // sequence(1, 0) would yield [1, 0] (negative step), not empty
+        // like DuckDB's range(1, 1) — 1-char words must be filtered out
+        .filter(length(col("token")) >= 2)
+        .select(explode(transform(
+            sequence(lit(1), length(col("token")) - 1),
+            i => col("token").substr(i, lit(2)))).as("pair"),
+          col("wn"))
+        .groupBy("pair").agg(sum(col("wn")).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(50)
     }
   )
 }

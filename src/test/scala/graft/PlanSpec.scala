@@ -334,4 +334,25 @@ class PlanSpec extends AnyFunSuite {
     assert(hashEx <= 1,
       s"pl17 plans $hashEx source-hash exchanges:\n$p")
   }
+
+  test("pl18: bloom prune reaches the history scan; exact join broadcasts") {
+    val p = plan("pl18_bloom_increment")
+    // the bloom UDF must run INSIDE the history FileScan's data filters
+    // (map-side, before any exchange) — that placement is the operator's
+    // entire reason to exist at 100 TB
+    assert("Condition : [^\\n]*UDF".r.findFirstIn(p).isDefined,
+      s"pl18 bloom filter not applied on the scan side:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"pl18 exact verify join must broadcast the bounded hit set:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"pl18 shuffles the history for the verify join:\n$p")
+  }
+
+  test("sm11: cell assignment shuffle-free; quota rank bounded pre-sort") {
+    val p = plan("sm11_balanced_sample")
+    assert(!p.contains("Join"),
+      s"sm11 assignment must be a literal-centroid projection, not a join:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"sm11 per-cell quota not pushed into WindowGroupLimit:\n$p")
+  }
 }
