@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.TrendMaintenance
+
+/** The streamed Misra–Gries ledger must keep the MG guarantees for the
+  * WHOLE stream (mergeable summaries): after streaming a corpus in
+  * micro-batches, the merged sketch (a) contains every token whose true
+  * count exceeds n/(k+1), and (b) estimates within [true − n/(k+1),
+  * true]. Plus the maintainer contracts: replayed batches are no-ops,
+  * an absent ledger serves empty.
+  */
+class TrendMaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val K = 8
+
+  // skewed corpus: "alpha" dominates, "beta"/"gamma" frequent, a long
+  // tail of singletons spread across batches so cross-batch merging is
+  // what establishes the heavy set
+  private val batches: Seq[Seq[(Long, String)]] = Seq(
+    Seq((1L, "alpha alpha alpha beta gamma tail1 tail2"),
+        (2L, "alpha beta gamma tail3")),
+    Seq((3L, "alpha alpha beta gamma tail4 tail5 tail6"),
+        (4L, "alpha beta tail7")),
+    Seq((5L, "alpha alpha alpha beta gamma gamma tail8 tail9")))
+
+  private def exactCounts: Map[String, Long] =
+    batches.flatten.flatMap(_._2.split(" ")).groupBy(identity)
+      .map { case (t, g) => t -> g.size.toLong }
+
+  test("streamed sketch keeps the whole-stream MG bounds") {
+    import spark.implicits._
+    val st = "trend_sketch"
+    val mt = "trend_marker"
+    TestWarehouse.reset(spark, st, mt)
+
+    val stream = MemoryStream[(Long, String)](spark)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-tm-ckpt").toString
+    val q = TrendMaintenance.maintain(
+      stream.toDF().toDF("doc_id", "text"), st, mt, ckpt, K)
+    try batches.foreach { b =>
+      stream.addData(b: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val exact = exactCounts
+    val n = TrendMaintenance.streamLength(spark, mt)
+    assert(n == exact.values.sum, "marker ledger must track stream length")
+    val bound = n / (K + 1)
+
+    val sketch = TrendMaintenance.heavyHitters(spark, st, K)
+    val est = sketch.map(e => e.item -> e.est).toMap
+    assert(sketch.size <= K)
+    // (a) completeness: every true-heavy token survives the merges
+    for ((t, c) <- exact if c > bound)
+      assert(est.contains(t), s"heavy token $t (count $c > $bound) missing")
+    // (b) per-entry error band
+    for ((t, e) <- est) {
+      val c = exact(t)
+      assert(e <= c, s"$t overestimated: $e > $c")
+      assert(e >= c - bound, s"$t underestimated: $e < $c - $bound")
+    }
+    // the dominant token is actually ranked first
+    assert(sketch.head.item == "alpha")
+  }
+
+  test("a replayed micro-batch is a no-op (commit marker)") {
+    import spark.implicits._
+    val st = "trend_sketch_replay"
+    val mt = "trend_marker_replay"
+    TestWarehouse.reset(spark, st, mt)
+
+    val b = batches.head.toDF("doc_id", "text")
+    TrendMaintenance.appendBatch(b, 0L, st, mt, K)
+    val once = TrendMaintenance.heavyHitters(spark, st, K)
+    val nOnce = TrendMaintenance.streamLength(spark, mt)
+    TrendMaintenance.appendBatch(b, 0L, st, mt, K) // replay
+    assert(TrendMaintenance.heavyHitters(spark, st, K) == once)
+    assert(TrendMaintenance.streamLength(spark, mt) == nOnce)
+    assert(once.nonEmpty)
+  }
+
+  test("absent ledger serves empty, not an error") {
+    assert(TrendMaintenance.heavyHitters(spark, "trend_never_made", K).isEmpty)
+    assert(TrendMaintenance.streamLength(spark, "trend_marker_never") == 0L)
+  }
+}
