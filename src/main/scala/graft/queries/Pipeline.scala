@@ -824,6 +824,51 @@ object Pipeline {
       newBatch.join(histHits, col("h") === col("hh"), "left")
         .select(col("doc_id"), col("hh").isNotNull.as("seen_before"))
         .orderBy("doc_id")
+    },
+
+    // --- Epoch-based mixture materialization: upsample/downsample each
+    //     source to a FRACTIONAL epoch count (2.25× / 1× / 0.5× by
+    //     source group) — the training-mixture move where high-quality
+    //     sources repeat and low-quality ones subsample. floor(epochs)
+    //     full copies per doc, plus one more iff the doc's md5 coin
+    //     lands under the fractional part — deterministic, and with
+    //     power-of-two fractions the u32 thresholds (2³⁰, 0, 2³¹) are
+    //     exact integers, so both engines agree on every edge doc.
+    //     Pure projection + bounded explode (fan-out = epochs), no
+    //     shuffle before the output sort: at 100 TB the copies
+    //     materialize map-side into the shard writer. ---
+    Q("pl20_epoch_mixture",
+      s"""WITH m AS (
+         |  SELECT doc_id, source,
+         |    CAST(regexp_extract(source, '([0-9]+)$$', 1) AS INT) % 3 AS g,
+         |    ${duckCoin("doc_id")} AS coin
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source,
+         |    (CASE g WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN coin < CASE g WHEN 0 THEN 1073741824.0
+         |                              WHEN 1 THEN 0.0
+         |                              ELSE 2147483648.0 END
+         |       THEN 1 ELSE 0 END) AS n
+         |  FROM m)
+         |SELECT doc_id, source, CAST(u AS INT) AS copy
+         |FROM (SELECT doc_id, source, unnest(range(1, n + 1)) AS u
+         |      FROM c WHERE n >= 1)
+         |ORDER BY doc_id, copy""") { (s, dir) =>
+      val g = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int") % 3
+      val base = when(g === 0, 2).when(g === 1, 1).otherwise(0)
+      val thresh = when(g === 0, lit(1073741824.0))
+        .when(g === 1, lit(0.0)).otherwise(lit(2147483648.0))
+      docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          (base + when(coinOf(col("doc_id")) < thresh, 1).otherwise(0))
+            .as("n"))
+        // sequence(1, 0) yields [1, 0] (negative step), not empty —
+        // zero-copy docs must be filtered before the explode
+        .filter(col("n") >= 1)
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(1), col("n"))).as("copy"))
+        .orderBy("doc_id", "copy")
     }
   )
 }

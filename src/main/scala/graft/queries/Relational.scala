@@ -1193,6 +1193,39 @@ object Relational {
         .orderBy("zval", "l_orderkey", "l_linenumber")
     },
 
+    // --- Recursive CTE (WITH RECURSIVE, ANSI SQL:1999 — new in Spark
+    //     4.0): walk a parent hierarchy (parent(k) = ⌊k/2⌋, the
+    //     implicit binary tree over custkeys — key 0 is the root; the
+    //     cur >= 1 guard stops the walk there since ⌊0/2⌋ = 0 would
+    //     self-loop forever). Each recursion level plans one equi-join
+    //     against the dimension — depth ⌈log₂ max_key⌉ levels total, so
+    //     the iteration count grows with key WIDTH, not row count. For
+    //     graph closure over data-sized components, pointer-jumping /
+    //     star-contraction CC (dd06, `operators/ConnectedComponents`)
+    //     is the O(log n)-rounds scale path; this is the SQL surface. ---
+    Q("q51_recursive_cte",
+      """WITH RECURSIVE walk(k, cur, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer
+        |  UNION ALL
+        |  SELECT w.k, c.c_custkey, w.depth + 1
+        |  FROM walk w JOIN customer c
+        |    ON w.cur >= 1 AND c.c_custkey = CAST(floor(w.cur / 2.0) AS BIGINT))
+        |SELECT depth, count(*) AS n, min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT k, max(depth) AS depth FROM walk GROUP BY k)
+        |GROUP BY depth ORDER BY depth""") { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("q51_customer")
+      s.sql("""
+        WITH RECURSIVE walk(k, cur, depth) AS (
+          SELECT c_custkey, c_custkey, 0 FROM q51_customer
+          UNION ALL
+          SELECT w.k, c.c_custkey, w.depth + 1
+          FROM walk w JOIN q51_customer c
+            ON w.cur >= 1 AND c.c_custkey = CAST(floor(w.cur / 2.0) AS BIGINT))
+        SELECT depth, count(*) AS n, min(k) AS min_k, max(k) AS max_k
+        FROM (SELECT k, max(depth) AS depth FROM walk GROUP BY k)
+        GROUP BY depth ORDER BY depth""")
+    },
+
     // --- approx_count_distinct: no exact SQL twin → rows-only check;
     //     the exact variant is q13 ---
     Q.noOracle("q23_approx_count_distinct") { (s, dir) =>
