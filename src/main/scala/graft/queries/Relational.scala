@@ -1226,6 +1226,48 @@ object Relational {
         GROUP BY depth ORDER BY depth""")
     },
 
+    // --- Ordered-event funnel (view → click → purchase): per user, the
+    //     earliest view, the earliest click AFTER it, the earliest
+    //     purchase after THAT — sequence matching by staged conditional
+    //     min-aggregation, the set-based formulation of
+    //     MATCH_RECOGNIZE's simplest pattern. All three stages group
+    //     and join on user_id (one co-partitioned key end to end), and
+    //     each stage's frame shrinks monotonically — at 100 TB the
+    //     funnel is three user-keyed aggregations over an
+    //     ever-narrowing survivor set, never a per-user sort. Output
+    //     counts only: timestamps stay internal (ns vs µs parquet
+    //     types would fuzz a timestamp compare, not the semantics). ---
+    Q("q52_funnel",
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t1
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        |  GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |  (SELECT count(*) FROM c) AS n_click,
+        |  (SELECT count(*) FROM p) AS n_purchase""") { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+    },
+
     // --- approx_count_distinct: no exact SQL twin → rows-only check;
     //     the exact variant is q13 ---
     Q.noOracle("q23_approx_count_distinct") { (s, dir) =>

@@ -1231,6 +1231,52 @@ object Text {
           col("wn"))
         .groupBy("pair").agg(sum(col("wn")).as("n"))
         .orderBy(col("n").desc, col("pair")).limit(50)
+    },
+
+    // --- Triangle enumeration over the word co-occurrence graph: edges
+    //     = canonicalized (a < b) bigram pairs seen ≥ 2×, triangles =
+    //     the 3-cycle join e(a,b) ⋈ e(b,c) ⋈ e(a,c) with a < b < c (the
+    //     canonical orientation counts each triangle exactly once —
+    //     the classic distributed triangle-count shape). The corpus
+    //     collapses to the VOCAB-sized edge list first (441 edges at
+    //     sf0.01, 465 at sf0.1 — vocabulary saturates), so the two
+    //     self-joins run on frames whose size is set by the language,
+    //     not the corpus: at 100 TB the joins are unchanged while the
+    //     one corpus pass feeding them scales out. ---
+    Q("tx34_word_triangles",
+      s"""WITH t AS (SELECT $DuckToks AS tk FROM documents),
+         |bg AS (
+         |  SELECT unnest(list_transform(range(1, len(tk)),
+         |                i -> tk[i] || ' ' || tk[i+1])) AS bigram
+         |  FROM t),
+         |bc AS (SELECT bigram FROM bg GROUP BY bigram HAVING count(*) >= 2),
+         |e AS (
+         |  SELECT DISTINCT
+         |    least(string_split(bigram, ' ')[1], string_split(bigram, ' ')[2]) AS a,
+         |    greatest(string_split(bigram, ' ')[1], string_split(bigram, ' ')[2]) AS b
+         |  FROM bc
+         |  WHERE string_split(bigram, ' ')[1] <> string_split(bigram, ' ')[2])
+         |SELECT e1.a AS a, e1.b AS b, e2.b AS c
+         |FROM e e1
+         |JOIN e e2 ON e2.a = e1.b
+         |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+         |ORDER BY a, b, c""") { (s, dir) =>
+      val sp = split(col("bigram"), " ")
+      val e = docs(s, dir)
+        .select(tokens(col("text")).as("tk"))
+        .select(explode(wordNgramsOf(col("tk"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+        .select(least(sp.getItem(0), sp.getItem(1)).as("a"),
+          greatest(sp.getItem(0), sp.getItem(1)).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      e.as("e1")
+        .join(e.as("e2"), col("e2.a") === col("e1.b"))
+        .join(e.as("e3"),
+          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+        .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+        .orderBy("a", "b", "c")
     }
   )
 }
