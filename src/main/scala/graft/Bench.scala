@@ -76,7 +76,13 @@ object Bench {
     // and values are rounded to 10 ms — ~1.1 KB, with headroom for the
     // query count to keep growing. Full names + nanosecond precision go
     // to stderr for humans reading the raw log.
-    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // strip trailing zeros ("0.30"→"0.3", "2.00"→"2"): at 130+ queries
+    // the compact line brushes the driver's 2000-char tail cap
+    def fmt(v: Double): String = {
+      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      else s
+    }
     val prefixes = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }
     val collided = prefixes.groupBy(_._2).collect { case (p, g) if g.size > 1 => p }.toSet
     val qs = results.map { case (full, v) =>
@@ -92,7 +98,9 @@ object Bench {
     val detail = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     System.err.println(s"""[bench-detail] {"queries":$detail}""")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$buildErr}"""
+    // basename only: "/root/testdata/sf0.1" → "sf0.1" (tail-budget)
+    val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfShort"$buildErr}"""
     // Durability: the driver's log-tail capture has truncated the stdout
     // line in past rounds (BENCH_r04 lost 17 of 77 queries), so the
     // full-name full-precision record also lands on disk where the next

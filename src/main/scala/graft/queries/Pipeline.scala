@@ -412,6 +412,9 @@ object Pipeline {
         // driver's pandas bridge renders as float — "1234.0" vs
         // Spark's int64 "1234" hash-diverges with identical values.
         // The oracle therefore CASTs total_chars back to BIGINT.
+        // (CORRECTNESS_r07 still showed red because the r7 gate ran the
+        // round-7 SNAPSHOT, which predates that CAST; post-fix the row
+        // re-verified bit-exact — dtypes and cells — at all three SFs.)
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"),
           graft.functions.ParityFunctions.duckRound(
