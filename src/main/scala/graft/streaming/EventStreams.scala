@@ -17,6 +17,22 @@ case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                       session_end: java.sql.Timestamp, n_events: Long,
                       total_value: Double)
 
+/** One input event for the stateful funnel. */
+case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
+                       event_type: String)
+
+/** Funnel progress per user: stage timestamps (epoch ms, -1 = not yet
+  * reached) plus the not-yet-finalizable events inside the watermark
+  * horizon. Finalized progress is 3 longs; `pending` is bounded by
+  * rate × watermark delay. */
+case class FunnelProgress(t1: Long, t2: Long, t3: Long,
+                          pending: List[(Long, String)])
+
+/** One completed funnel — emitted exactly once per user. */
+case class FunnelOut(user_id: Long, view_ts: java.sql.Timestamp,
+                     click_ts: java.sql.Timestamp,
+                     purchase_ts: java.sql.Timestamp)
+
 /** Structured-Streaming surface over the `events` table — the streaming
   * twin of batch query q22 (Relational.scala). The reference is pure
   * batch (one synchronous job, InvertedIndexer.java:261); this is the
@@ -144,6 +160,66 @@ object EventStreams {
         if (state.hasTimedOut) prior
         else batch.foldLeft(prior)((ss, e) => absorb(ss, e.ts.getTime, e.value))
       flush(user, merged, state)
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fold)
+  }
+
+  /** Stateful ordered-event funnel — the streaming twin of batch q52:
+    * per user, the earliest view, the earliest click strictly after it,
+    * the earliest purchase strictly after that; emit ONE row when the
+    * funnel completes. Needs custom state because the match depends on
+    * EVENT ORDER, and out-of-order arrival can rewrite it: a
+    * late-arriving earlier view lowers t1, which can re-qualify a click
+    * that was previously too early. So an event only FOLDS into the
+    * monotone stage state once the watermark passes it (nothing earlier
+    * can still arrive); until then it waits in `pending`. Events are
+    * folded in (ts, type) order, which reproduces the batch
+    * min-aggregation exactly — spec-pinned equal to q52's per-user
+    * staged minima, including cross-batch and out-of-order deliveries.
+    *
+    * State is 3 longs once finalized (completed users drop to nothing);
+    * `pending` is bounded by the watermark horizon. The event-time
+    * timeout re-arms at the earliest pending event so progress needs no
+    * further traffic from the user.
+    */
+  def funnelStateful(events: Dataset[FunnelEvent],
+                     watermarkDelay: String = "2 hours"): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+
+    def fold(user: Long, batch: Iterator[FunnelEvent],
+             state: GroupState[FunnelProgress]): Iterator[FunnelOut] = {
+      val prior = state.getOption.getOrElse(FunnelProgress(-1, -1, -1, Nil))
+      val staged =
+        if (state.hasTimedOut) prior
+        else prior.copy(pending = prior.pending ++
+          batch.map(e => (e.ts.getTime, e.event_type)))
+      val wm = state.getCurrentWatermarkMs()
+      // strictly below the watermark = final (a future arrival has
+      // ts ≥ wm and so cannot precede anything we fold now)
+      val (fin, pend) = staged.pending.partition(_._1 < wm)
+      var (t1, t2, t3) = (staged.t1, staged.t2, staged.t3)
+      for ((t, ty) <- fin.sorted) ty match {
+        case "view" if t1 < 0 => t1 = t
+        case "click" if t1 >= 0 && t > t1 && t2 < 0 => t2 = t
+        case "purchase" if t2 >= 0 && t > t2 && t3 < 0 => t3 = t
+        case _ => // not a stage advance
+      }
+      if (t3 >= 0) {
+        state.remove()
+        Iterator(FunnelOut(user, new java.sql.Timestamp(t1),
+          new java.sql.Timestamp(t2), new java.sql.Timestamp(t3)))
+      } else {
+        state.update(FunnelProgress(t1, t2, t3, pend))
+        // pend survivors have ts ≥ wm, so min + 1 is legally in the
+        // future; without pending there is nothing left to finalize
+        if (pend.nonEmpty) state.setTimeoutTimestamp(pend.map(_._1).min + 1)
+        Iterator.empty
+      }
     }
 
     events
