@@ -872,6 +872,129 @@ object Pipeline {
         .select(col("doc_id"), col("source"),
           explode(sequence(lit(1), col("n"))).as("copy"))
         .orderBy("doc_id", "copy")
+    },
+
+    // --- HTML main-content extraction (the crawl stage UPSTREAM of
+    //     every other curation op): wrap each doc in deterministic page
+    //     chrome — nav/script/footer boilerplate — then recover the
+    //     article text by dropping script blocks wholesale, stripping
+    //     tags, decoding entities, and collapsing whitespace. Pure
+    //     regex projections (one corpus pass, no shuffle before the
+    //     sort); at 100 TB extraction is embarrassingly parallel and
+    //     fuses into the scan. The md5 pins byte-exact recovery: the
+    //     extracted text must equal the original article + the nav/
+    //     footer TEXT the real extractor would also keep (tags and
+    //     scripts gone), so parity is provable, not eyeballed. ---
+    Q("pl21_html_extract",
+      """WITH page AS (
+        |  SELECT doc_id,
+        |    '<html><head><script>var t=' || CAST(doc_id AS VARCHAR)
+        |      || ';track(t);</script></head><body>'
+        |      || '<nav>Home &amp; About</nav>'
+        |      || '<div class="main"><p>' || text || '</p></div>'
+        |      || '<footer>&copy; 2024 corp</footer></body></html>' AS html
+        |  FROM documents),
+        |ext AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(html, '<script.*?</script>', ' ', 'g'),
+        |      '<[^>]+>', ' ', 'g'),
+        |      '&amp;', '&', 'g'),
+        |      '&copy;', '(c)', 'g'),
+        |      '\s+', ' ', 'g')) AS extracted
+        |  FROM page)
+        |SELECT doc_id, length(extracted) AS n_chars,
+        |  md5(extracted) AS extract_md5
+        |FROM ext
+        |ORDER BY doc_id""") { (s, dir) =>
+      val page = docs(s, dir).select(col("doc_id"),
+        concat(
+          lit("<html><head><script>var t="), col("doc_id").cast("string"),
+          lit(";track(t);</script></head><body>"),
+          lit("<nav>Home &amp; About</nav>"),
+          lit("<div class=\"main\"><p>"), col("text"), lit("</p></div>"),
+          lit("<footer>&copy; 2024 corp</footer></body></html>")).as("html"))
+      val extracted = trim(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(col("html"),
+          "<script.*?</script>", " "),
+          "<[^>]+>", " "),
+          "&amp;", "&"),
+          "&copy;", "(c)"),
+          "\\s+", " "))
+      page.select(col("doc_id"), extracted.as("extracted"))
+        .select(col("doc_id"), length(col("extracted")).as("n_chars"),
+          md5(col("extracted")).as("extract_md5"))
+        .orderBy("doc_id")
+    },
+
+    // --- Data-quality audit (dbt-test / Great-Expectations shape): one
+    //     report row per expectation — referential integrity via anti-
+    //     join counts, column-range and consistency invariants via
+    //     conditional sums. Each check is either a map-side conditional
+    //     aggregation (one pass per table, partials combine) or a
+    //     broadcast anti-join against the dimension's key set; nothing
+    //     materializes violating ROWS, only counts — at 100 TB the
+    //     audit costs one scan per audited table. A zero row proves
+    //     the check RAN and passed (absent ≠ passing). ---
+    Q("pl22_data_audit",
+      """SELECT check_name, n_violations FROM (
+        |  SELECT 'orders_orphan_custkey' AS check_name,
+        |    (SELECT count(*) FROM orders o
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                       WHERE c.c_custkey = o.o_custkey)) AS n_violations
+        |  UNION ALL
+        |  SELECT 'lineitem_orphan_orderkey',
+        |    (SELECT count(*) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                       WHERE o.o_orderkey = l.l_orderkey))
+        |  UNION ALL
+        |  SELECT 'lineitem_discount_range',
+        |    (SELECT count(*) FROM lineitem
+        |     WHERE l_discount < 0 OR l_discount > 0.1)
+        |  UNION ALL
+        |  SELECT 'lineitem_nonpositive_qty',
+        |    (SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
+        |  UNION ALL
+        |  SELECT 'documents_blank_text',
+        |    (SELECT count(*) FROM documents
+        |     WHERE text IS NULL OR trim(text) = '')
+        |  UNION ALL
+        |  SELECT 'documents_nchars_mismatch',
+        |    (SELECT count(*) FROM documents WHERE n_chars <> length(text)))
+        |ORDER BY check_name""") { (s, dir) =>
+      def row(name: String, n: org.apache.spark.sql.DataFrame) =
+        n.select(lit(name).as("check_name"),
+          col("n").cast("long").as("n_violations"))
+      val li = docs(s, dir) // documents
+      val orders = tables.load(s, dir, "orders")
+      val cust = tables.load(s, dir, "customer")
+      val line = tables.load(s, dir, "lineitem")
+      val orphanOrders = orders
+        .join(broadcast(cust.select(col("c_custkey").as("o_custkey"))),
+          Seq("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+      val orphanLines = line
+        .join(orders.select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+      val discountRange = line.agg(sum(
+        when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+          .otherwise(0L)).as("n"))
+      val nonposQty = line.agg(sum(
+        when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("n"))
+      val blankText = li.agg(sum(
+        when(col("text").isNull || trim(col("text")) === "", 1L)
+          .otherwise(0L)).as("n"))
+      val ncharsMismatch = li.agg(sum(
+        when(col("n_chars") =!= length(col("text")), 1L)
+          .otherwise(0L)).as("n"))
+      row("orders_orphan_custkey", orphanOrders)
+        .unionByName(row("lineitem_orphan_orderkey", orphanLines))
+        .unionByName(row("lineitem_discount_range", discountRange))
+        .unionByName(row("lineitem_nonpositive_qty", nonposQty))
+        .unionByName(row("documents_blank_text", blankText))
+        .unionByName(row("documents_nchars_mismatch", ncharsMismatch))
+        .orderBy("check_name")
     }
   )
 }
