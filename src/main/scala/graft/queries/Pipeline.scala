@@ -821,9 +821,11 @@ object Pipeline {
       val bloomBc = s.sparkContext.broadcast(bloom)
       val mightBeInBatch = udf((h: String) => bloomBc.value.mightContainString(h))
       // the one deliberate UDF on a scan path: O(1)/row, and it exists
-      // to DELETE the history shuffle, not to compute on it
+      // to DELETE the history shuffle, not to compute on it. isNotNull
+      // runs first: md5(NULL text) is NULL and mightContainString
+      // would NPE on it (a NULL hash is trivially not in the batch)
       val histHits = d.select(md5(col("text")).as("hh"))
-        .filter(mightBeInBatch(col("hh"))).distinct()
+        .filter(col("hh").isNotNull && mightBeInBatch(col("hh"))).distinct()
       newBatch.join(histHits, col("h") === col("hh"), "left")
         .select(col("doc_id"), col("hh").isNotNull.as("seen_before"))
         .orderBy("doc_id")
@@ -933,9 +935,12 @@ object Pipeline {
     //     conditional sums. Each check is either a map-side conditional
     //     aggregation (one pass per table, partials combine) or a
     //     broadcast anti-join against the dimension's key set; nothing
-    //     materializes violating ROWS, only counts — at 100 TB the
-    //     audit costs one scan per audited table. A zero row proves
-    //     the check RAN and passed (absent ≠ passing). ---
+    //     materializes violating ROWS, only counts. All of a table's
+    //     conditional invariants share ONE scan+agg (lineitem's two
+    //     range checks, documents' two consistency checks); each FK
+    //     check is its own anti-join scan — so a table costs one scan
+    //     per check CLASS, not per check. A zero row proves the check
+    //     RAN and passed (absent ≠ passing). ---
     Q("pl22_data_audit",
       """SELECT check_name, n_violations FROM (
         |  SELECT 'orders_orphan_custkey' AS check_name,
@@ -977,23 +982,33 @@ object Pipeline {
         .join(orders.select(col("o_orderkey").as("l_orderkey")),
           Seq("l_orderkey"), "left_anti")
         .agg(count(lit(1)).as("n"))
-      val discountRange = line.agg(sum(
-        when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
-          .otherwise(0L)).as("n"))
-      val nonposQty = line.agg(sum(
-        when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("n"))
-      val blankText = li.agg(sum(
-        when(col("text").isNull || trim(col("text")) === "", 1L)
-          .otherwise(0L)).as("n"))
-      val ncharsMismatch = li.agg(sum(
-        when(col("n_chars") =!= length(col("text")), 1L)
-          .otherwise(0L)).as("n"))
+      // one scan + one agg carries BOTH lineitem invariants (and both
+      // documents invariants): conditional sums over the same rows
+      // must not each pay their own 100-TB pass
+      val lineChecks = line.agg(
+        sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+          .otherwise(0L)).as("disc"),
+        sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("qty"))
+      val docChecks = li.agg(
+        sum(when(col("text").isNull || trim(col("text")) === "", 1L)
+          .otherwise(0L)).as("blank"),
+        sum(when(col("n_chars") =!= length(col("text")), 1L)
+          .otherwise(0L)).as("mismatch"))
+      // stack() fans the one-row agg into report rows INSIDE the same
+      // subtree — selecting each counter into its own union branch
+      // would replant (and re-scan) the whole agg per branch
+      val lineRows = lineChecks.select(expr(
+        """stack(2, 'lineitem_discount_range', disc,
+          |         'lineitem_nonpositive_qty', qty)
+          |  AS (check_name, n_violations)""".stripMargin))
+      val docRows = docChecks.select(expr(
+        """stack(2, 'documents_blank_text', blank,
+          |         'documents_nchars_mismatch', mismatch)
+          |  AS (check_name, n_violations)""".stripMargin))
       row("orders_orphan_custkey", orphanOrders)
         .unionByName(row("lineitem_orphan_orderkey", orphanLines))
-        .unionByName(row("lineitem_discount_range", discountRange))
-        .unionByName(row("lineitem_nonpositive_qty", nonposQty))
-        .unionByName(row("documents_blank_text", blankText))
-        .unionByName(row("documents_nchars_mismatch", ncharsMismatch))
+        .unionByName(lineRows)
+        .unionByName(docRows)
         .orderBy("check_name")
     }
   )

@@ -182,10 +182,14 @@ object EventStreams {
     * min-aggregation exactly — spec-pinned equal to q52's per-user
     * staged minima, including cross-batch and out-of-order deliveries.
     *
-    * State is 3 longs once finalized (completed users drop to nothing);
-    * `pending` is bounded by the watermark horizon. The event-time
-    * timeout re-arms at the earliest pending event so progress needs no
-    * further traffic from the user.
+    * State is 3 longs of stage progress per active user plus `pending`
+    * bounded by the watermark horizon. A COMPLETED user keeps a 3-long
+    * tombstone (t3 set, empty pending) — the processed-set state any
+    * exactly-once emitter needs: dropping it would let later events
+    * recreate blank state and emit a second FunnelOut for a user the
+    * batch twin reports once. The event-time timeout re-arms at the
+    * earliest pending event so progress needs no further traffic from
+    * the user.
     */
   def funnelStateful(events: Dataset[FunnelEvent],
                      watermarkDelay: String = "2 hours"): Dataset[FunnelOut] = {
@@ -194,6 +198,11 @@ object EventStreams {
     def fold(user: Long, batch: Iterator[FunnelEvent],
              state: GroupState[FunnelProgress]): Iterator[FunnelOut] = {
       val prior = state.getOption.getOrElse(FunnelProgress(-1, -1, -1, Nil))
+      if (prior.t3 >= 0) {
+        // completed tombstone: drain the batch, never re-emit — the
+        // batch twin reports this user exactly once
+        return Iterator.empty
+      }
       val staged =
         if (state.hasTimedOut) prior
         else prior.copy(pending = prior.pending ++
@@ -210,7 +219,8 @@ object EventStreams {
         case _ => // not a stage advance
       }
       if (t3 >= 0) {
-        state.remove()
+        // keep the done tombstone (pending dropped): exactly-once
+        state.update(FunnelProgress(t1, t2, t3, Nil))
         Iterator(FunnelOut(user, new java.sql.Timestamp(t1),
           new java.sql.Timestamp(t2), new java.sql.Timestamp(t3)))
       } else {

@@ -51,7 +51,15 @@ object TrendMaintenance {
 
   /** One micro-batch: tokenize, reduce to one O(k) sketch, append its
     * entries `(batch_id, item, est)` then the `(batch_id, n_tokens)`
-    * commit marker. Replay-safe via the marker. */
+    * commit marker. Replay-safe via the marker — and unlike the
+    * ADDITIVE ledgers (ChunkDedup increments, where a crash-window
+    * replay merely double-counts), duplicate sketch ROW-SETS under one
+    * batch_id would be silently map-merged into a non-MG summary, so
+    * the crash window between the two writes is closed here: if the
+    * sketch rows are already visible (the file commit protocol makes
+    * partial visibility impossible — rows appear only when the append
+    * job commits), the replay ADOPTS them and writes only the marker,
+    * never a second row-set. */
   def appendBatch(batch: DataFrame, batchId: Long, sketchTable: String,
                   markerTable: String, k: Int): Unit = {
     val spark = batch.sparkSession
@@ -59,21 +67,25 @@ object TrendMaintenance {
     val committed = spark.catalog.tableExists(markerTable) &&
       !spark.table(markerTable).filter(col("batch_id") === batchId).isEmpty
     if (!committed) {
+      val orphaned = spark.catalog.tableExists(sketchTable) &&
+        !spark.table(sketchTable).filter(col("batch_id") === batchId).isEmpty
       val toks = batch
         .select(explode(graft.functions.TextFunctions.tokens(col("text")))
           .as("token"))
         .persist() // feeds the sketch AND the length count — one tokenize
-      // one aggregation: partial O(k) maps per partition, O(k) merge —
-      // the token stream itself never shuffles
-      val agg = new HeavyHitters(k)
-      val entries = toks.select(col("token").as[String])
-        .select(agg.toColumn.name("sketch"))
-        .head()
       val n = toks.count()
+      if (!orphaned) {
+        // one aggregation: partial O(k) maps per partition, O(k) merge
+        // — the token stream itself never shuffles
+        val agg = new HeavyHitters(k)
+        val entries = toks.select(col("token").as[String])
+          .select(agg.toColumn.name("sketch"))
+          .head()
+        entries.toDF()
+          .select(lit(batchId).as("batch_id"), col("item"), col("est"))
+          .write.mode("append").saveAsTable(sketchTable)
+      }
       toks.unpersist()
-      entries.toDF()
-        .select(lit(batchId).as("batch_id"), col("item"), col("est"))
-        .write.mode("append").saveAsTable(sketchTable)
       Seq((batchId, n)).toDF("batch_id", "n_tokens")
         .write.mode("append").saveAsTable(markerTable)
     }
@@ -85,10 +97,15 @@ object TrendMaintenance {
     * batch order doesn't affect the guarantees (mergeable summaries).
     * Returns `(item, est)` sorted est desc, item asc. */
   def heavyHitters(spark: SparkSession, sketchTable: String,
-                   k: Int): Seq[HHEntry] = {
-    if (!spark.catalog.tableExists(sketchTable)) return Nil
+                   markerTable: String, k: Int): Seq[HHEntry] = {
+    if (!spark.catalog.tableExists(sketchTable) ||
+        !spark.catalog.tableExists(markerTable)) return Nil
     val agg = new HeavyHitters(k)
+    // COMMITTED batches only: an orphan row-set whose marker never
+    // landed must not serve (its tokens are also absent from
+    // streamLength, so quoting n/(k+1) against it would lie)
     val perBatch = spark.table(sketchTable)
+      .join(spark.table(markerTable).select("batch_id"), "batch_id")
       .collect()
       .groupBy(_.getLong(0))
       .toSeq.sortBy(_._1)

@@ -102,9 +102,13 @@ class FunnelSpec extends AnyFunSuite {
       q.processAllAvailable()
       stream.addData(Seq(FunnelEvent(9L, ts("2024-01-03 00:00:00"), "view")))
       q.processAllAvailable()
-      // a second purchase after completion must not re-emit
+      // neither a stray purchase NOR a full second view→click→purchase
+      // sequence may re-emit: the tombstone survives completion
       stream.addData(Seq(
         FunnelEvent(1L, ts("2024-01-03 00:10:00"), "purchase"),
+        FunnelEvent(1L, ts("2024-01-03 01:00:00"), "view"),
+        FunnelEvent(1L, ts("2024-01-03 01:01:00"), "click"),
+        FunnelEvent(1L, ts("2024-01-03 01:02:00"), "purchase"),
         FunnelEvent(9L, ts("2024-01-04 00:00:00"), "view")))
       q.processAllAvailable()
       stream.addData(Seq(FunnelEvent(9L, ts("2024-01-05 00:00:00"), "view")))

@@ -51,7 +51,7 @@ class TrendMaintenanceSpec extends AnyFunSuite {
     assert(n == exact.values.sum, "marker ledger must track stream length")
     val bound = n / (K + 1)
 
-    val sketch = TrendMaintenance.heavyHitters(spark, st, K)
+    val sketch = TrendMaintenance.heavyHitters(spark, st, mt, K)
     val est = sketch.map(e => e.item -> e.est).toMap
     assert(sketch.size <= K)
     // (a) completeness: every true-heavy token survives the merges
@@ -75,16 +75,42 @@ class TrendMaintenanceSpec extends AnyFunSuite {
 
     val b = batches.head.toDF("doc_id", "text")
     TrendMaintenance.appendBatch(b, 0L, st, mt, K)
-    val once = TrendMaintenance.heavyHitters(spark, st, K)
+    val once = TrendMaintenance.heavyHitters(spark, st, mt, K)
     val nOnce = TrendMaintenance.streamLength(spark, mt)
     TrendMaintenance.appendBatch(b, 0L, st, mt, K) // replay
-    assert(TrendMaintenance.heavyHitters(spark, st, K) == once)
+    assert(TrendMaintenance.heavyHitters(spark, st, mt, K) == once)
     assert(TrendMaintenance.streamLength(spark, mt) == nOnce)
     assert(once.nonEmpty)
   }
 
   test("absent ledger serves empty, not an error") {
-    assert(TrendMaintenance.heavyHitters(spark, "trend_never_made", K).isEmpty)
+    assert(TrendMaintenance.heavyHitters(spark, "trend_never_made", "trend_marker_never", K).isEmpty)
     assert(TrendMaintenance.streamLength(spark, "trend_marker_never") == 0L)
+  }
+
+  test("crash window: orphan sketch rows don't serve; replay adopts them") {
+    import spark.implicits._
+    val st = "trend_sketch_crash"
+    val mt = "trend_marker_crash"
+    TestWarehouse.reset(spark, st, mt)
+
+    // simulate a crash between the two writes: sketch rows landed,
+    // marker did not (write rows directly, as appendBatch would have)
+    Seq((0L, "alpha", 3L), (0L, "beta", 1L)).toDF("batch_id", "item", "est")
+      .write.mode("append").saveAsTable(st)
+    assert(TrendMaintenance.heavyHitters(spark, st, mt, K).isEmpty,
+      "uncommitted sketch rows must not serve")
+
+    // replay of the same batch: adopt the orphan rows, marker only —
+    // no second row-set under the same batch_id
+    val b = batches.head.toDF("doc_id", "text")
+    TrendMaintenance.appendBatch(b, 0L, st, mt, K)
+    assert(spark.table(st).filter(org.apache.spark.sql.functions
+      .col("batch_id") === 0L).count() == 2,
+      "replay must not append a duplicate sketch row-set")
+    val served = TrendMaintenance.heavyHitters(spark, st, mt, K)
+    assert(served.map(e => e.item -> e.est).toMap ==
+      Map("alpha" -> 3L, "beta" -> 1L),
+      "adopted orphan sketch must serve after the marker lands")
   }
 }

@@ -22,10 +22,18 @@ mk("embeddings", Seq("vec_id"))
 mk("orders", Seq("o_orderkey")) // o_custkey NOT offset: 10x orders/customer
 mk("customer", Seq("c_custkey"))
 mk("lineitem", Seq("l_orderkey"))
-// passthrough tables (dims + events keep their sf0.1 size)
-for (t <- Seq("region", "nation", "supplier", "part", "events"))
-  graft.tables.load(spark, src, t)
-    .write.mode("overwrite").parquet(s"$out/$t.parquet")
+// passthrough tables (dims + events keep their sf0.1 size). RAW file
+// copy, NOT a load/rewrite round-trip: graft.tables.load converts
+// events.ts from parquet TIMESTAMP(NANOS) to TimestampType, and a
+// rewritten (micros) file would then break tables.load's `ts DIV 1000`
+// nanos bridge when read back.
+for (t <- Seq("region", "nation", "supplier", "part", "events")) {
+  val from = java.nio.file.Paths.get(src, s"$t.parquet")
+  val to = java.nio.file.Paths.get(out, s"$t.parquet")
+  java.nio.file.Files.createDirectories(to.getParent)
+  java.nio.file.Files.copy(from, to,
+    java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+}
 println("BUILT " + spark.read.parquet(s"$out/documents.parquet").count() +
   " docs, " + spark.read.parquet(s"$out/lineitem.parquet").count() + " lineitem")
 sys.exit(0)
