@@ -355,4 +355,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"),
       s"sm11 per-cell quota not pushed into WindowGroupLimit:\n$p")
   }
+
+  test("pl22: each table's invariants share one scan (one per check class)") {
+    val p = plan("pl22_data_audit")
+    def scans(t: String) =
+      s"Location: [^\\n]*$t\\.parquet".r.findAllIn(p).size
+    // lineitem: one FK anti-join scan + ONE fused conditional agg scan;
+    // documents: both consistency checks in a single scan
+    assert(scans("lineitem") == 2,
+      s"lineitem scanned ${scans("lineitem")}x — invariants unfused:\n$p")
+    assert(scans("documents") == 1,
+      s"documents scanned ${scans("documents")}x — invariants unfused:\n$p")
+  }
 }
