@@ -1277,6 +1277,57 @@ object Text {
           col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
         .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
         .orderBy("a", "b", "c")
+    },
+
+    // --- Suffix-strip stemming (index-time normalization, the light-
+    //     Porter shape): ies→i, sses→ss, plural-s drop, ing/ed strip —
+    //     anchored regex projections, zero shuffle before the stem
+    //     aggregation, so at 100 TB stemming fuses into the token scan
+    //     exactly like lowercasing (reference P1). The corpus is
+    //     uninflected (synthetic tech vocabulary), so deterministic
+    //     inflection families are injected per doc_id — the pl08/pl18
+    //     observability device — and the report pins CONFLATION: each
+    //     family (joins/joining/joined + the natural base form "join")
+    //     must collapse to one stem with n_forms counting its variants. ---
+    Q("tx35_stem",
+      """WITH injected AS (
+        |  SELECT doc_id,
+        |    text || CASE doc_id % 3
+        |      WHEN 0 THEN ' joins joining joined'
+        |      WHEN 1 THEN ' filters filtering filtered'
+        |      ELSE ' sorts sorting sorted' END AS text
+        |  FROM documents),
+        |w AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> x <> '')) AS t
+        |  FROM injected),
+        |st AS (
+        |  SELECT t,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(t,
+        |      'ies$', 'i'), 'sses$', 'ss'), '([^s])s$', '\1'),
+        |      '([a-z][a-z])ing$', '\1'), '([a-z][a-z])ed$', '\1') AS stem
+        |  FROM w)
+        |SELECT stem, count(*) AS n,
+        |  CAST(count(DISTINCT t) AS BIGINT) AS n_forms
+        |FROM st GROUP BY stem
+        |HAVING count(DISTINCT t) >= 2
+        |ORDER BY stem""") { (s, dir) =>
+      val injected = docs(s, dir).select(concat(col("text"),
+        when(col("doc_id") % 3 === 0, " joins joining joined")
+          .when(col("doc_id") % 3 === 1, " filters filtering filtered")
+          .otherwise(" sorts sorting sorted")).as("text"))
+      val stem = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(col("t"),
+        "ies$", "i"), "sses$", "ss"), "([^s])s$", "$1"),
+        "([a-z][a-z])ing$", "$1"), "([a-z][a-z])ed$", "$1")
+      injected
+        .select(explode(tokens(col("text"))).as("t"))
+        .select(col("t"), stem.as("stem"))
+        .groupBy("stem")
+        .agg(count(lit(1)).as("n"), countDistinct(col("t")).as("n_forms"))
+        .filter(col("n_forms") >= 2)
+        .orderBy("stem")
     }
   )
 }
