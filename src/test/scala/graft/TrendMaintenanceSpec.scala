@@ -88,6 +88,59 @@ class TrendMaintenanceSpec extends AnyFunSuite {
     assert(TrendMaintenance.streamLength(spark, "trend_marker_never") == 0L)
   }
 
+  test("restart from the checkpoint continues batch ids, no replay dups") {
+    // the docstring's contract: batch ids are only stable across
+    // restarts when the query resumes from the same durable checkpoint
+    // — a MemoryStream is not replayable across query instances, so
+    // this uses the file source like the sessionize restart proof
+    import spark.implicits._
+    val st = "trend_sketch_restart"
+    val mt = "trend_marker_restart"
+    TestWarehouse.reset(spark, st, mt)
+    val base = java.nio.file.Files.createTempDirectory("graft-tm-restart")
+    val inDir = base.resolve("in"); val ckpt = base.resolve("chk").toString
+    java.nio.file.Files.createDirectories(inDir)
+
+    def writeWave(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("tm-wave")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").json(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".json")).findFirst().get()
+      java.nio.file.Files.copy(part, inDir.resolve(name))
+    }
+    def runOnce(): Unit = {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING")
+      val in = spark.readStream.schema(schema).json(inDir.toString)
+      val q = in.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          TrendMaintenance.appendBatch(b, id, st, mt, K)
+        }
+        .start()
+      q.awaitTermination(120000)
+    }
+
+    // one wave per query instance: each restart must CONTINUE the
+    // batch-id sequence (a reset-to-0 instance would be marker-skipped
+    // and silently drop its wave)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      writeWave(s"w$i.json", b); runOnce()
+    }
+
+    val n = TrendMaintenance.streamLength(spark, mt)
+    assert(n == exactCounts.values.sum,
+      s"restart lost or re-skipped a batch: streamed $n tokens of " +
+        exactCounts.values.sum)
+    val batchIds = spark.table(mt).select("batch_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(batchIds == batchIds.distinct, "duplicate batch ids after restart")
+    assert(batchIds.size == 3, s"expected 3 committed batches: $batchIds")
+  }
+
   test("crash window: orphan sketch rows don't serve; replay adopts them") {
     import spark.implicits._
     val st = "trend_sketch_crash"
