@@ -819,13 +819,16 @@ object Pipeline {
             md5(concat(col("text"), lit(" updated"))).as("h")))
       val bloom = newBatch.stat.bloomFilter("h", 100000L, 0.01)
       val bloomBc = s.sparkContext.broadcast(bloom)
-      val mightBeInBatch = udf((h: String) => bloomBc.value.mightContainString(h))
+      // null-aware INSIDE the udf: md5(NULL text) is NULL, and WHERE
+      // conjunct evaluation order is not guaranteed, so an external
+      // isNotNull guard could still let NULL reach mightContainString
+      // (NPE). A NULL hash is trivially not in the batch.
+      val mightBeInBatch = udf((h: String) =>
+        h != null && bloomBc.value.mightContainString(h))
       // the one deliberate UDF on a scan path: O(1)/row, and it exists
-      // to DELETE the history shuffle, not to compute on it. isNotNull
-      // runs first: md5(NULL text) is NULL and mightContainString
-      // would NPE on it (a NULL hash is trivially not in the batch)
+      // to DELETE the history shuffle, not to compute on it
       val histHits = d.select(md5(col("text")).as("hh"))
-        .filter(col("hh").isNotNull && mightBeInBatch(col("hh"))).distinct()
+        .filter(mightBeInBatch(col("hh"))).distinct()
       newBatch.join(histHits, col("h") === col("hh"), "left")
         .select(col("doc_id"), col("hh").isNotNull.as("seen_before"))
         .orderBy("doc_id")
@@ -933,14 +936,18 @@ object Pipeline {
     //     report row per expectation — referential integrity via anti-
     //     join counts, column-range and consistency invariants via
     //     conditional sums. Each check is either a map-side conditional
-    //     aggregation (one pass per table, partials combine) or a
-    //     broadcast anti-join against the dimension's key set; nothing
-    //     materializes violating ROWS, only counts. All of a table's
-    //     conditional invariants share ONE scan+agg (lineitem's two
-    //     range checks, documents' two consistency checks); each FK
-    //     check is its own anti-join scan — so a table costs one scan
-    //     per check CLASS, not per check. A zero row proves the check
-    //     RAN and passed (absent ≠ passing). ---
+    //     aggregation (one pass per table, partials combine) or an
+    //     anti-join on the FK: BROADCAST when the referenced side is a
+    //     dimension (customer), a shuffle anti-join when it is itself
+    //     fact-sized (orders under lineitem — at 100 TB that key set
+    //     does not broadcast, and the shuffle anti-join on the FK is
+    //     the correct plan). Nothing materializes violating ROWS, only
+    //     counts. All of a table's conditional invariants share ONE
+    //     scan+agg (lineitem's two range checks, documents' two
+    //     consistency checks); each FK check is its own anti-join scan
+    //     — so a table costs one scan per check CLASS, not per check.
+    //     A zero row proves the check RAN and passed (absent ≠
+    //     passing). ---
     Q("pl22_data_audit",
       """SELECT check_name, n_violations FROM (
         |  SELECT 'orders_orphan_custkey' AS check_name,

@@ -182,35 +182,62 @@ object EventStreams {
     * min-aggregation exactly — spec-pinned equal to q52's per-user
     * staged minima, including cross-batch and out-of-order deliveries.
     *
+    * Stage timestamps are held in MICROSECONDS (the events corpus is
+    * micros-grained; millisecond truncation would both corrupt the
+    * strict '>' stage comparisons within a millisecond and emit
+    * timestamps up to 999 µs off the batch answer).
+    *
     * State is 3 longs of stage progress per active user plus `pending`
     * bounded by the watermark horizon. A COMPLETED user keeps a 3-long
     * tombstone (t3 set, empty pending) — the processed-set state any
-    * exactly-once emitter needs: dropping it would let later events
-    * recreate blank state and emit a second FunnelOut for a user the
-    * batch twin reports once. The event-time timeout re-arms at the
-    * earliest pending event so progress needs no further traffic from
-    * the user.
+    * exactly-once emitter needs: dropping it immediately would let
+    * later events recreate blank state and emit a second FunnelOut for
+    * a user the batch twin reports once. Tombstones and stalled
+    * partial-progress state expire `idleTtl` after the user's last
+    * event (watermark clock), so all-time distinct users don't
+    * accumulate state forever — the dropDuplicatesWithinWatermark
+    * trade: exactly-once is guaranteed within the TTL of the user's
+    * last activity, and a funnel re-completed after a full TTL of
+    * silence re-emits. The event-time timeout otherwise re-arms at the
+    * earliest pending event so progress needs no further traffic.
     */
   def funnelStateful(events: Dataset[FunnelEvent],
-                     watermarkDelay: String = "2 hours"): Dataset[FunnelOut] = {
+                     watermarkDelay: String = "2 hours",
+                     idleTtl: String = "30 days"): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
+    val ttlIv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(idleTtl))
+    require(ttlIv.months == 0, "idleTtl must be a fixed-length interval")
+    val ttlMs = ttlIv.days * 86400000L + ttlIv.microseconds / 1000
+
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + t.getNanos / 1000 % 1000
+    def toTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      t
+    }
 
     def fold(user: Long, batch: Iterator[FunnelEvent],
              state: GroupState[FunnelProgress]): Iterator[FunnelOut] = {
       val prior = state.getOption.getOrElse(FunnelProgress(-1, -1, -1, Nil))
+      val wm = state.getCurrentWatermarkMs()
       if (prior.t3 >= 0) {
-        // completed tombstone: drain the batch, never re-emit — the
-        // batch twin reports this user exactly once
+        // completed tombstone: drain arrivals without re-emitting; an
+        // idle-TTL timeout (no arrivals for idleTtl) reclaims it
+        if (state.hasTimedOut) state.remove()
+        else state.setTimeoutTimestamp(wm + ttlMs)
         return Iterator.empty
       }
       val staged =
         if (state.hasTimedOut) prior
         else prior.copy(pending = prior.pending ++
-          batch.map(e => (e.ts.getTime, e.event_type)))
-      val wm = state.getCurrentWatermarkMs()
+          batch.map(e => (micros(e.ts), e.event_type)))
       // strictly below the watermark = final (a future arrival has
-      // ts ≥ wm and so cannot precede anything we fold now)
-      val (fin, pend) = staged.pending.partition(_._1 < wm)
+      // ts ≥ wm and so cannot precede anything we fold now); wm is a
+      // millisecond clock, so finalize strictly below its µs boundary
+      val (fin, pend) = staged.pending.partition(_._1 < wm * 1000)
       var (t1, t2, t3) = (staged.t1, staged.t2, staged.t3)
       for ((t, ty) <- fin.sorted) ty match {
         case "view" if t1 < 0 => t1 = t
@@ -219,15 +246,21 @@ object EventStreams {
         case _ => // not a stage advance
       }
       if (t3 >= 0) {
-        // keep the done tombstone (pending dropped): exactly-once
+        // keep the done tombstone (pending dropped): exactly-once,
+        // reclaimed by the idle TTL
         state.update(FunnelProgress(t1, t2, t3, Nil))
-        Iterator(FunnelOut(user, new java.sql.Timestamp(t1),
-          new java.sql.Timestamp(t2), new java.sql.Timestamp(t3)))
+        state.setTimeoutTimestamp(wm + ttlMs)
+        Iterator(FunnelOut(user, toTs(t1), toTs(t2), toTs(t3)))
+      } else if (state.hasTimedOut && pend.isEmpty) {
+        // stalled partial progress idle past the TTL: reclaim
+        state.remove()
+        Iterator.empty
       } else {
         state.update(FunnelProgress(t1, t2, t3, pend))
-        // pend survivors have ts ≥ wm, so min + 1 is legally in the
-        // future; without pending there is nothing left to finalize
-        if (pend.nonEmpty) state.setTimeoutTimestamp(pend.map(_._1).min + 1)
+        // pend survivors have ts ≥ wm·1000, so their ms + 1 is legally
+        // in the future; with nothing pending, arm the idle TTL
+        if (pend.nonEmpty) state.setTimeoutTimestamp(pend.map(_._1).min / 1000 + 1)
+        else state.setTimeoutTimestamp(wm + ttlMs)
         Iterator.empty
       }
     }

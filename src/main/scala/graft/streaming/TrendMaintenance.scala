@@ -120,5 +120,8 @@ object TrendMaintenance {
     * in the n/(k+1) error bound a consumer should quote. */
   def streamLength(spark: SparkSession, markerTable: String): Long =
     if (!spark.catalog.tableExists(markerTable)) 0L
-    else spark.table(markerTable).agg(sum("n_tokens")).head().getLong(0)
+    // coalesce: a crash during the first marker append can leave the
+    // table existing but EMPTY, where sum() is NULL (getLong would NPE)
+    else spark.table(markerTable)
+      .agg(coalesce(sum("n_tokens"), lit(0L))).head().getLong(0)
 }

@@ -87,7 +87,36 @@ class FunnelSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("funnel emits exactly once and drops completed-user state") {
+  test("sub-millisecond stage gaps complete the funnel (micros state)") {
+    // the events corpus is micros-grained: stages 400 µs apart share a
+    // millisecond, so ms-truncated state would never satisfy the
+    // strict '>' comparisons and the funnel would silently stall
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[FunnelEvent]
+    val q = EventStreams.funnelStateful(stream.toDS())
+      .writeStream.format("memory").queryName("funnel_us")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(
+        FunnelEvent(1L, ts("2024-01-01 00:00:00.000100"), "view"),
+        FunnelEvent(1L, ts("2024-01-01 00:00:00.000500"), "click"),
+        FunnelEvent(1L, ts("2024-01-01 00:00:00.000900"), "purchase")))
+      q.processAllAvailable()
+      stream.addData(Seq(FunnelEvent(999L, ts("2024-01-02 00:00:00"), "view")))
+      q.processAllAvailable()
+      stream.addData(Seq(FunnelEvent(999L, ts("2024-01-03 00:00:00"), "view")))
+      q.processAllAvailable()
+      val got = spark.table("funnel_us").filter(col("user_id") === 1L)
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, java.sql.Timestamp)]
+        .collect().toSeq
+      assert(got == Seq((1L, ts("2024-01-01 00:00:00.000100"),
+        ts("2024-01-01 00:00:00.000500"), ts("2024-01-01 00:00:00.000900"))),
+        s"micros must survive state round-trip and comparisons: $got")
+    } finally q.stop()
+  }
+
+  test("funnel emits exactly once (completed user keeps a tombstone)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[FunnelEvent]
