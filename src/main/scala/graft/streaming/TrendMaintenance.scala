@@ -116,6 +116,28 @@ object TrendMaintenance {
     agg.finish(merged)
   }
 
+  /** Compaction (the operational counterpart IndexMaintenance.compact
+    * is to the postings table): fold all committed per-batch sketches
+    * into ONE merged row-set under a fresh synthetic batch tag, so the
+    * ledger returns to O(k) rows however many batches have landed.
+    * The merged sketch REPLACES its inputs — serving before/after is
+    * identical because the serve path performs the same fold. The
+    * marker ledger keeps one row per original batch (stream length and
+    * replay history must survive compaction); the compacted tag is
+    * max(batch_id) so a replayed old batch is still marker-skipped. */
+  def compact(spark: SparkSession, sketchTable: String, markerTable: String,
+              k: Int): Unit = {
+    import spark.implicits._
+    val merged = heavyHitters(spark, sketchTable, markerTable, k)
+    if (merged.nonEmpty) {
+      val tag = spark.table(markerTable).agg(max("batch_id"))
+        .head().getLong(0)
+      merged.toDF()
+        .select(lit(tag).as("batch_id"), col("item"), col("est"))
+        .write.mode("overwrite").saveAsTable(sketchTable)
+    }
+  }
+
   /** Total stream length Σ n_tokens across committed batches — the n
     * in the n/(k+1) error bound a consumer should quote. */
   def streamLength(spark: SparkSession, markerTable: String): Long =

@@ -83,6 +83,32 @@ class TrendMaintenanceSpec extends AnyFunSuite {
     assert(once.nonEmpty)
   }
 
+  test("compaction folds the ledger to O(k) rows, serving unchanged") {
+    import spark.implicits._
+    val st = "trend_sketch_compact"
+    val mt = "trend_marker_compact"
+    TestWarehouse.reset(spark, st, mt)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      TrendMaintenance.appendBatch(b.toDF("doc_id", "text"), i.toLong,
+        st, mt, K)
+    }
+    val before = TrendMaintenance.heavyHitters(spark, st, mt, K)
+    val rowsBefore = spark.table(st).count()
+    TrendMaintenance.compact(spark, st, mt, K)
+    assert(spark.table(st).count() <= K.toLong,
+      "compacted ledger must be O(k) rows")
+    assert(spark.table(st).count() < rowsBefore, "compaction must shrink")
+    assert(TrendMaintenance.heavyHitters(spark, st, mt, K) == before,
+      "serving must be identical before and after compaction")
+    assert(TrendMaintenance.streamLength(spark, mt) == exactCounts.values.sum,
+      "stream length must survive compaction")
+    // a replayed pre-compaction batch is still marker-skipped
+    TrendMaintenance.appendBatch(batches.head.toDF("doc_id", "text"), 0L,
+      st, mt, K)
+    assert(TrendMaintenance.heavyHitters(spark, st, mt, K) == before,
+      "replay after compaction must be a no-op")
+  }
+
   test("absent ledger serves empty, not an error") {
     assert(TrendMaintenance.heavyHitters(spark, "trend_never_made", "trend_marker_never", K).isEmpty)
     assert(TrendMaintenance.streamLength(spark, "trend_marker_never") == 0L)
