@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Whole-registry plan audit: NO registered query may plan a
+  * CartesianProduct, and a BroadcastNestedLoopJoin is allowed only on
+  * the whitelist below — every entry is a 1-row scalar broadcast
+  * (corpus-size constants, funnel stage counts, temperature n_min) or
+  * a BOUNDED broadcast probe set (sm-family probes, =!= self-pairing),
+  * none of which grow quadratically with the corpus. A new query that
+  * trips this either needs an equi-join reshape or a conscious,
+  * documented whitelist entry — the per-query PlanSpec guards catch
+  * specific shapes; this net catches the query nobody guarded.
+  */
+class GlobalPlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  // 1-row scalar broadcast (crossJoin with a single-row aggregate) or
+  // bounded broadcast probe sets — reviewed individually
+  private val bnljAllowed = Set(
+    "tx04_tfidf",             // 1-row corpus doc-count scalar
+    "tx17_ranked_search",     // 1-row corpus stats + bounded query terms
+    "tx19_ranked_from_index", // same, served from the artifact
+    "tx21_bm25",              // 1-row avgdl/N stats
+    "tx22_bm25_from_index",   // same, served from the artifact
+    "tx23_collocations",      // 1-row total-bigram scalar
+    "tx24_keywords",          // 1-row corpus doc-count scalar
+    "tx30_salted_join",       // bounded 16-row salt replication frame
+    "pl15_temperature_sample",// 1-row n_min scalar
+    "pl16_curation_funnel",   // composes pl15's scalar
+    "q52_funnel",             // three 1-row stage-count aggregates
+    "sm01_cosine_topk",       // bounded broadcast probes, =!= pairing
+    "sm05_pq_topk",           // bounded probe LUT broadcast
+    "sm08_sq_topk")           // bounded probe + 64-row stats broadcast
+
+  test("no query plans a cartesian; nested-loop joins only on whitelist") {
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val p = fn(spark, dir).queryExecution.executedPlan.toString
+      if (p.contains("CartesianProduct"))
+        offenders += s"$name: CartesianProduct"
+      if (p.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
+        offenders += s"$name: unwhitelisted BroadcastNestedLoopJoin"
+      spark.catalog.clearCache()
+    }
+    assert(offenders.isEmpty,
+      "quadratic-risk plans found:\n" + offenders.mkString("\n"))
+  }
+
+  test("whitelist carries no dead entries") {
+    // a stale entry means a query was reshaped (good) or renamed —
+    // either way the whitelist must shrink with it
+    val withBnlj = SparkEntry.queries.keySet.filter { name =>
+      val p = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      spark.catalog.clearCache()
+      p.contains("BroadcastNestedLoopJoin")
+    }
+    val dead = bnljAllowed -- withBnlj
+    assert(dead.isEmpty, s"whitelist entries no longer needed: $dead")
+  }
+}
