@@ -251,8 +251,17 @@ object EventStreams {
         state.update(FunnelProgress(t1, t2, t3, Nil))
         state.setTimeoutTimestamp(wm + ttlMs)
         Iterator(FunnelOut(user, toTs(t1), toTs(t2), toTs(t3)))
-      } else if (state.hasTimedOut && pend.isEmpty) {
-        // stalled partial progress idle past the TTL: reclaim
+      } else if (state.hasTimedOut && fin.isEmpty && pend.isEmpty) {
+        // genuine idle-TTL timeout: a TTL timeout is only armed when
+        // pending was already empty, so nothing folded this invocation
+        // (fin empty) means the user really has been silent for idleTtl
+        // — reclaim. A pending-finalization timeout (armed at
+        // min-pending+1ms) always finalizes at least that event, so
+        // fin.nonEmpty routes it to the update branch below: partial
+        // t1/t2 progress survives and the idle TTL re-arms, instead of
+        // being dropped the moment the watermark folds the first stage
+        // (which would strand any funnel whose stages are separated by
+        // more than the watermark delay of quiet time).
         state.remove()
         Iterator.empty
       } else {

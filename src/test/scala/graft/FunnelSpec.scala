@@ -116,6 +116,43 @@ class FunnelSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stage gap longer than the watermark delay still completes") {
+    // regression: the view is finalized by a pending-finalization
+    // timeout (watermark advance, no new events) long before the
+    // click/purchase arrive. Partial t1 progress must survive that
+    // timeout — only a genuine idleTtl of silence may reclaim state.
+    // Before the fix, the timeout branch removed the state the moment
+    // pending drained, so any funnel with a quiet gap between stages
+    // longer than the watermark delay could never complete.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[FunnelEvent]
+    val q = EventStreams.funnelStateful(stream.toDS())
+      .writeStream.format("memory").queryName("funnel_gap")
+      .outputMode("append").start()
+    try {
+      Seq(
+        Seq(FunnelEvent(1L, ts("2024-01-01 00:00:00"), "view")),
+        // sentinels push the watermark a day past the view, then fire
+        // the timeout batch that folds it into t1 with empty pending
+        Seq(FunnelEvent(999L, ts("2024-01-02 12:00:00"), "view")),
+        Seq(FunnelEvent(999L, ts("2024-01-02 12:01:00"), "view")),
+        // later stages arrive AFTER the view was finalized (their ts
+        // is ahead of the current watermark, so they are not late)
+        Seq(FunnelEvent(1L, ts("2024-01-02 11:00:00"), "click"),
+            FunnelEvent(1L, ts("2024-01-02 11:30:00"), "purchase")),
+        Seq(FunnelEvent(999L, ts("2024-01-03 00:00:00"), "view")),
+        Seq(FunnelEvent(999L, ts("2024-01-03 00:01:00"), "view"))
+      ).foreach { b => stream.addData(b); q.processAllAvailable() }
+      val got = spark.table("funnel_gap").filter(col("user_id") === 1L)
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, java.sql.Timestamp)]
+        .collect().toSeq
+      assert(got == Seq((1L, ts("2024-01-01 00:00:00"),
+        ts("2024-01-02 11:00:00"), ts("2024-01-02 11:30:00"))),
+        s"partial progress must survive its finalization timeout: $got")
+    } finally q.stop()
+  }
+
   test("funnel emits exactly once (completed user keeps a tombstone)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
