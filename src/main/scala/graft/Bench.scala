@@ -13,12 +13,16 @@ import org.apache.spark.sql.SparkSession
   * apart) to inflate its number — round 8's single-timing record came
   * back 3x its same-machine steady state from exactly such bursts.
   *
-  * dd02_ngram_jaccard is excluded: it is the documented all-pairs
-  * ORACLE ground truth for dd03's LSH path (Dedup.scala) — quadratic by
-  * design, test-SF only, never a scale path.
+  * Excluded queries are documented test-SF-only oracle twins, never
+  * scale paths: dd02 is the quadratic all-pairs ground truth for
+  * dd03's LSH banding; dd13/mm05 are the raw (no exact-dedup-first)
+  * twins of dd04/mm04, whose pair output is C(k,2) per exact-copy
+  * cluster by construction.
   */
 object Bench {
-  private val exclude = Set("dd02_ngram_jaccard")
+  private val exclude =
+    Set("dd02_ngram_jaccard", "dd13_simhash_allpairs",
+      "mm05_blob_neardup_allpairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

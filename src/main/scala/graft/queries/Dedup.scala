@@ -22,12 +22,119 @@ import graft.functions.TextFunctions._
   * size — a cluster of k identical docs emits C(k,2) pairs no matter
   * how good the banding is. A production pipeline therefore runs exact
   * dedup (dd01/dd05, linear) FIRST and near-dup detection on the
-  * surviving uniques; the operators here compose in that order.
+  * surviving uniques. Since round 9 that composition is ENFORCED in
+  * the registered pair-materializing scale paths: dd04 computes
+  * SimHash pairs over [[exactSurvivors]] (and mm04 does the same for
+  * blob chunks), so an exact-copy cluster contributes one signature,
+  * not C(k,2) output rows. The raw all-docs shapes stay registered as
+  * oracle-checked twins (dd13/mm05, test SFs only, excluded from
+  * bench like dd02).
   */
 object Dedup {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     tables.load(s, dir, "documents")
+
+  /** Exact-dedup survivors (dd05's keep-first, reduced to the columns
+    * near-dup signatures need): the enforced FIRST stage of the
+    * pair-materializing near-dup scale paths. One window shuffle over
+    * the content hash — linear, and it collapses every exact-copy
+    * cluster to a single representative BEFORE any pair fan-out. */
+  private def exactSurvivors(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+    docs(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "text")
+  }
+
+  /** DuckDB twin of [[exactSurvivors]] (dd05's oracle shape). */
+  private val DuckSurvivors =
+    """SELECT doc_id, text FROM documents
+      |WHERE doc_id IN (SELECT CAST(min(doc_id) AS BIGINT)
+      |                 FROM documents GROUP BY md5(text))""".stripMargin
+
+  /** SimHash near-dup pairs over any `(doc_id, text)` source frame:
+    * 32-bit weighted-bit signature, byte-banded candidate equi-join
+    * (pigeonhole-complete for hamming <= 3), shared by dd04 (exact
+    * survivors) and dd13 (raw all-docs twin). */
+  private def simhashPairs(src: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // Token hash inline per (doc, token) row: fingerprint is a
+    // codegen'd single-pass loop over a short token, so hashing at
+    // the row site beats the old distinct-vocab + broadcast-join
+    // detour (which tokenized the corpus twice — once for the
+    // broadcast build job — and paid a join) at every scale.
+    val th = src
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("cnt"), fingerprint(col("token")).as("h"))
+    // 32 weighted-bit votes folded into ONE aggregation: each bit of
+    // the signature is sign(sum(cnt * ±1)); the Scala loop unrolls the
+    // 32 terms with integer shift amounts, so everything stays in one
+    // codegen'd HashAggregate — no per-bit explode (32× row blowup).
+    // Cost note: compiling this 32-term generated aggregate is ~10s of
+    // one-time janino work (measured cold 12s vs warm 2.6s at sf0.1);
+    // that fixed cost amortizes at scale, the 32× row blowup wouldn't.
+    val simhash = (0 until 32).map { b =>
+      val vote = sum(col("cnt") *
+        (shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    // persist: the band self-join would otherwise recompute the whole
+    // tokenize→hash→signature chain for each side (one row per doc)
+    val sig = th.groupBy("doc_id").agg(simhash.as("simhash"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Band by byte: hamming <= 3 over 4 bytes pigeonholes at least one
+    // byte equal — band equi-join is candidate-complete, never O(n^2).
+    // hamming computed ONCE (withColumn) for both the filter and the
+    // projection, not per operator.
+    graft.operators.Banding.candidatePairs(sig, "doc_id",
+      (0 until 4).map(byte =>
+        lit(byte) -> shiftright(col("simhash"), byte * 8).bitwiseAND(lit(255L))),
+      carry = Seq("simhash"))
+      .withColumn("hamming",
+        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"),
+        col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** DuckDB twin of [[simhashPairs]] over any `(doc_id, text)` SQL
+    * source — dd04 passes [[DuckSurvivors]], dd13 the raw table. */
+  private def simhashOracleSql(src: String): String = {
+    // non-interpolated so '\s+' survives (the s-interpolator would
+    // reject the escape); the source is spliced by concatenation
+    val toks =
+      """SELECT doc_id, token, count(*) AS cnt
+        |FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+        |      FROM (""".stripMargin + src + """))
+        |WHERE token <> '' GROUP BY doc_id, token""".stripMargin
+    s"""WITH td AS ($toks),
+       |th AS (SELECT doc_id, cnt,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(token, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+       |  FROM td),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |    CASE WHEN sum(cnt * (2 * ((h >> b) & 1) - 1)) > 0 THEN 1 ELSE 0 END AS bit
+       |  FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS b)
+       |  GROUP BY doc_id, b),
+       |sig AS (SELECT doc_id, CAST(sum(bit * (1::BIGINT << b)) AS BIGINT) AS simhash
+       |        FROM bits GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, simhash, byte, (simhash >> (byte * 8)) & 255 AS key
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS byte))
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM bands a JOIN bands b
+       |  ON a.byte = b.byte AND a.key = b.key AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY doc_a, doc_b"""
+  }
 
   /** Distinct word 3-gram shingles of any `(doc_id, text)` frame:
     * (doc_id, shingle). The token array is projected to a real column
@@ -494,76 +601,27 @@ object Dedup {
     },
 
     // --- SimHash near-dup: 32-bit signature, banded candidates
-    //     (4 bytes; pigeonhole-complete for hamming <= 3) ---
-    Q("dd04_simhash", {
-      val toks =
-        """SELECT doc_id, token, count(*) AS cnt
-          |FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
-          |      FROM documents)
-          |WHERE token <> '' GROUP BY doc_id, token""".stripMargin
-      s"""WITH td AS ($toks),
-         |th AS (SELECT doc_id, cnt,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(string_split(token, ''), c -> CAST(ascii(c) AS BIGINT))),
-         |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
-         |  FROM td),
-         |bits AS (
-         |  SELECT doc_id, b,
-         |    CASE WHEN sum(cnt * (2 * ((h >> b) & 1) - 1)) > 0 THEN 1 ELSE 0 END AS bit
-         |  FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS b)
-         |  GROUP BY doc_id, b),
-         |sig AS (SELECT doc_id, CAST(sum(bit * (1::BIGINT << b)) AS BIGINT) AS simhash
-         |        FROM bits GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, simhash, byte, (simhash >> (byte * 8)) & 255 AS key
-         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS byte))
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-         |FROM bands a JOIN bands b
-         |  ON a.byte = b.byte AND a.key = b.key AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-         |ORDER BY doc_a, doc_b"""
-    }) { (s, dir) =>
-      import org.apache.spark.storage.StorageLevel
-      // Token hash inline per (doc, token) row: fingerprint is a
-      // codegen'd single-pass loop over a short token, so hashing at
-      // the row site beats the old distinct-vocab + broadcast-join
-      // detour (which tokenized the corpus twice — once for the
-      // broadcast build job — and paid a join) at every scale.
-      val th = docs(s, dir)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
-        .select(col("doc_id"), col("cnt"), fingerprint(col("token")).as("h"))
-      // 32 weighted-bit votes folded into ONE aggregation: each bit of
-      // the signature is sign(sum(cnt * ±1)); the Scala loop unrolls the
-      // 32 terms with integer shift amounts, so everything stays in one
-      // codegen'd HashAggregate — no per-bit explode (32× row blowup).
-      // Cost note: compiling this 32-term generated aggregate is ~10s of
-      // one-time janino work (measured cold 12s vs warm 2.6s at sf0.1);
-      // that fixed cost amortizes at scale, the 32× row blowup wouldn't.
-      val simhash = (0 until 32).map { b =>
-        val vote = sum(col("cnt") *
-          (shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1))
-        when(vote > 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      // persist: the band self-join would otherwise recompute the whole
-      // tokenize→hash→signature chain for each side (one row per doc)
-      val sig = th.groupBy("doc_id").agg(simhash.as("simhash"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // Band by byte: hamming <= 3 over 4 bytes pigeonholes at least one
-      // byte equal — band equi-join is candidate-complete, never O(n^2).
-      // hamming computed ONCE (withColumn) for both the filter and the
-      // projection, not per operator.
-      graft.operators.Banding.candidatePairs(sig, "doc_id",
-        (0 until 4).map(byte =>
-          lit(byte) -> shiftright(col("simhash"), byte * 8).bitwiseAND(lit(255L))),
-        carry = Seq("simhash"))
-        .withColumn("hamming",
-          bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))).cast("long"))
-        .filter(col("hamming") <= 3)
-        .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"),
-          col("hamming"))
-        .orderBy("doc_a", "doc_b")
+    //     (4 bytes; pigeonhole-complete for hamming <= 3). dd04 is the
+    //     SCALE path: signatures are computed over exactSurvivors, so
+    //     the enforced exact-dedup-first composition caps pair output
+    //     at genuine near-dup structure (a k-copy exact cluster used to
+    //     emit C(k,2) identical pairs — x15.9 output growth on the 10x
+    //     sweep — and is already dd01/dd05's report, not near-dup
+    //     information). dd13 below keeps the raw all-docs shape as the
+    //     oracle-checked twin. ---
+    Q("dd04_simhash", simhashOracleSql(DuckSurvivors)) { (s, dir) =>
+      simhashPairs(exactSurvivors(s, dir))
+    },
+
+    // --- Raw all-docs SimHash twin: same pipeline WITHOUT the
+    //     exact-dedup-first stage. Oracle-checked at test SFs so the
+    //     signature/banding math stays pinned independently of the
+    //     survivors composition; excluded from bench (pair output is
+    //     C(k,2) per exact-copy cluster by construction — the exact
+    //     failure mode dd04's composition exists to prevent). ---
+    Q("dd13_simhash_allpairs",
+      simhashOracleSql("SELECT doc_id, text FROM documents")) { (s, dir) =>
+      simhashPairs(docs(s, dir).select("doc_id", "text"))
     },
 
     // --- Chunk-level (sub-document) dedup: docs are cut into

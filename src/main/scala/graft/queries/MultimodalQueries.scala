@@ -26,6 +26,93 @@ object MultimodalQueries {
     * excluded from near-dup candidate generation. */
   private val MaxChunkDf = 50
 
+  /** Exact blob-dedup survivors (first payload per content digest),
+    * the enforced FIRST stage of the blob near-dup scale path mm04 —
+    * byte-identical payloads pair-fan-out C(k,2) in every chunk bucket
+    * and are already exact-dedup's report (see Dedup.exactSurvivors,
+    * the text-side twin of this composition). */
+  private def blobSurvivors(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+    docs(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "text")
+  }
+
+  private val DuckBlobSurvivors =
+    """SELECT doc_id, text FROM documents
+      |WHERE doc_id IN (SELECT CAST(min(doc_id) AS BIGINT)
+      |                 FROM documents GROUP BY md5(text))""".stripMargin
+
+  /** Chunk-digest near-dup pairs over any `(doc_id, text)` payload
+    * frame — shared by mm04 (blob survivors) and mm05 (raw twin). */
+  private def blobNeardupPairs(src: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // chunk count from CHARACTER length, matching the char-based
+    // substring below and the oracle's length(VARCHAR): a byte-based
+    // count (mm01's blob framing) would generate phantom trailing
+    // indices on multibyte text — byte==char only on this ASCII
+    // stand-in corpus, and count/slice must agree on ANY corpus
+    val ch = src
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L),
+          ceil(length(col("text")).cast("double") / ChunkBytes)
+            .cast("long") - 1))
+          .as("i"))
+      .select(col("doc_id"),
+        md5(substring(col("text"),
+          (col("i") * ChunkBytes + 1).cast("int"), lit(ChunkBytes))
+          .cast("binary")).as("ch"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK) // 3 consumers: sizes, df, pair join
+    val nChunks = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    val rare = ch.groupBy("ch").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxChunkDf).select("ch")
+    val rareChunks = ch.join(rare, "ch")
+    val pairs = rareChunks.select(col("doc_id").as("doc_a"), col("ch"))
+      .join(rareChunks.select(col("doc_id").as("doc_b"), col("ch")), "ch")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(nChunks.select(col("doc_id").as("doc_a"),
+        col("n_chunks").as("na")), "doc_a")
+      .join(nChunks.select(col("doc_id").as("doc_b"),
+        col("n_chunks").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        graft.functions.ParityFunctions.duckRound(
+          col("n_shared").cast("double") /
+            least(col("na"), col("nb")).cast("double"), 6).as("overlap"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** DuckDB twin of [[blobNeardupPairs]] over any `(doc_id, text)`
+    * SQL source. */
+  private def blobNeardupOracleSql(src: String): String =
+    s"""WITH c AS (
+       |  SELECT doc_id, text,
+       |    unnest(range(0, CAST(ceil(length(text) / $ChunkBytes.0) AS BIGINT))) AS i
+       |  FROM ($src) WHERE length(text) > 0),
+       |h AS (
+       |  SELECT DISTINCT doc_id,
+       |    md5(substring(text, CAST(i * $ChunkBytes + 1 AS INT), $ChunkBytes)) AS ch
+       |  FROM c),
+       |n AS (SELECT doc_id, count(*) AS n_chunks FROM h GROUP BY doc_id),
+       |rare AS (SELECT ch FROM h GROUP BY ch HAVING count(*) <= $MaxChunkDf),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |  FROM h a JOIN rare r ON a.ch = r.ch
+       |  JOIN h b ON b.ch = a.ch AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+       |  round(CAST(n_shared AS DOUBLE)
+       |        / CAST(least(na.n_chunks, nb.n_chunks) AS DOUBLE), 6) AS overlap
+       |FROM p
+       |JOIN n na ON na.doc_id = doc_a
+       |JOIN n nb ON nb.doc_id = doc_b
+       |ORDER BY doc_a, doc_b"""
+
   val qs: Seq[Q] = Seq(
 
     // --- Typed metadata over an opaque payload ---
@@ -113,68 +200,24 @@ object MultimodalQueries {
     //     boilerplate — dd09's territory — and would fan out C(k,2)
     //     pairs in one join bucket), so per-bucket work is bounded.
     //     Chunk SETS (distinct digests) make the overlap insensitive
-    //     to within-blob repetition. ---
-    Q("mm04_blob_neardup", {
-      s"""WITH c AS (
-         |  SELECT doc_id, text,
-         |    unnest(range(0, CAST(ceil(length(text) / $ChunkBytes.0) AS BIGINT))) AS i
-         |  FROM documents WHERE length(text) > 0),
-         |h AS (
-         |  SELECT DISTINCT doc_id,
-         |    md5(substring(text, CAST(i * $ChunkBytes + 1 AS INT), $ChunkBytes)) AS ch
-         |  FROM c),
-         |n AS (SELECT doc_id, count(*) AS n_chunks FROM h GROUP BY doc_id),
-         |rare AS (SELECT ch FROM h GROUP BY ch HAVING count(*) <= $MaxChunkDf),
-         |p AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-         |  FROM h a JOIN rare r ON a.ch = r.ch
-         |  JOIN h b ON b.ch = a.ch AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
-         |  round(CAST(n_shared AS DOUBLE)
-         |        / CAST(least(na.n_chunks, nb.n_chunks) AS DOUBLE), 6) AS overlap
-         |FROM p
-         |JOIN n na ON na.doc_id = doc_a
-         |JOIN n nb ON nb.doc_id = doc_b
-         |ORDER BY doc_a, doc_b"""
-    }) { (s, dir) =>
-      import org.apache.spark.storage.StorageLevel
-      // chunk count from CHARACTER length, matching the char-based
-      // substring below and the oracle's length(VARCHAR): a byte-based
-      // count (mm01's blob framing) would generate phantom trailing
-      // indices on multibyte text — byte==char only on this ASCII
-      // stand-in corpus, and count/slice must agree on ANY corpus
-      val ch = docs(s, dir)
-        .filter(length(col("text")) > 0)
-        .select(col("doc_id"), col("text"),
-          explode(sequence(lit(0L),
-            ceil(length(col("text")).cast("double") / ChunkBytes)
-              .cast("long") - 1))
-            .as("i"))
-        .select(col("doc_id"),
-          md5(substring(col("text"),
-            (col("i") * ChunkBytes + 1).cast("int"), lit(ChunkBytes))
-            .cast("binary")).as("ch"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK) // 3 consumers: sizes, df, pair join
-      val nChunks = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
-      val rare = ch.groupBy("ch").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= MaxChunkDf).select("ch")
-      val rareChunks = ch.join(rare, "ch")
-      val pairs = rareChunks.select(col("doc_id").as("doc_a"), col("ch"))
-        .join(rareChunks.select(col("doc_id").as("doc_b"), col("ch")), "ch")
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
-      pairs
-        .join(nChunks.select(col("doc_id").as("doc_a"),
-          col("n_chunks").as("na")), "doc_a")
-        .join(nChunks.select(col("doc_id").as("doc_b"),
-          col("n_chunks").as("nb")), "doc_b")
-        .select(col("doc_a"), col("doc_b"), col("n_shared"),
-          graft.functions.ParityFunctions.duckRound(
-            col("n_shared").cast("double") /
-              least(col("na"), col("nb")).cast("double"), 6).as("overlap"))
-        .orderBy("doc_a", "doc_b")
+    //     to within-blob repetition. mm04 is the SCALE path: it runs
+    //     over blobSurvivors (exact-dedup-first enforced), so byte-
+    //     identical payload clusters — already exact dedup's report —
+    //     never reach pair materialization; mm05 keeps the raw
+    //     all-payloads shape as the oracle-checked twin. ---
+    Q("mm04_blob_neardup", blobNeardupOracleSql(DuckBlobSurvivors)) {
+      (s, dir) => blobNeardupPairs(blobSurvivors(s, dir))
+    },
+
+    // --- Raw all-payloads twin of mm04: same chunk-digest pipeline
+    //     WITHOUT the exact-dedup-first stage. Oracle-checked at test
+    //     SFs so the chunking/overlap math stays pinned independently
+    //     of the survivors composition; excluded from bench (its pair
+    //     output is C(k,2) per byte-identical payload cluster — the
+    //     failure mode mm04's composition exists to prevent). ---
+    Q("mm05_blob_neardup_allpairs",
+      blobNeardupOracleSql("SELECT doc_id, text FROM documents")) {
+      (s, dir) => blobNeardupPairs(docs(s, dir).select("doc_id", "text"))
     }
   )
 }
