@@ -61,3 +61,29 @@ class HeavyHitters(k: Int)
   override def outputEncoder: Encoder[Seq[HHEntry]] =
     ExpressionEncoder[Seq[HHEntry]]()
 }
+
+/** Merge-only twin of [[HeavyHitters]]: aggregates already-built MG
+  * sketch MAPS (e.g. the per-batch row-sets of a sketch ledger)
+  * instead of raw items, using the same pairwise merge. Mergeable
+  * summaries hold over ANY merge tree, so the executor-side partial/
+  * final merge order never weakens the n/(k+1) bounds — this is what
+  * lets a serve path run as a standard Spark aggregation instead of a
+  * driver-side fold. */
+class SketchMerge(k: Int)
+    extends Aggregator[Map[String, Long], Map[String, Long], Map[String, Long]] {
+  private val hh = new HeavyHitters(k)
+
+  override def zero: Map[String, Long] = hh.zero
+  override def reduce(buf: Map[String, Long],
+                      sketch: Map[String, Long]): Map[String, Long] =
+    hh.merge(buf, sketch)
+  override def merge(a: Map[String, Long],
+                     b: Map[String, Long]): Map[String, Long] =
+    hh.merge(a, b)
+  override def finish(buf: Map[String, Long]): Map[String, Long] = buf
+
+  override def bufferEncoder: Encoder[Map[String, Long]] =
+    ExpressionEncoder[Map[String, Long]]()
+  override def outputEncoder: Encoder[Map[String, Long]] =
+    ExpressionEncoder[Map[String, Long]]()
+}

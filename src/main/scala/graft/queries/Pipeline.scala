@@ -817,7 +817,16 @@ object Pipeline {
         .unionByName(d.filter(col("doc_id") % 7 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"),
             md5(concat(col("text"), lit(" updated"))).as("h")))
-      val bloom = newBatch.stat.bloomFilter("h", 100000L, 0.01)
+      // sized from the ACTUAL batch (+25% headroom), never a literal:
+      // an undersized bloom degrades fpp toward 1 and the map-side
+      // history prune silently stops pruning (results stay exact — the
+      // join removes false positives — but the scan-prune benefit is
+      // the whole point). One extra count() pass over the bounded
+      // batch projection is the price of a filter that stays ~10
+      // bits/key at any batch size.
+      val batchRows = newBatch.count()
+      val bloom = newBatch.stat.bloomFilter("h",
+        math.max(1000L, batchRows * 5 / 4), 0.01)
       val bloomBc = s.sparkContext.broadcast(bloom)
       // null-aware INSIDE the udf: md5(NULL text) is NULL, and WHERE
       // conjunct evaluation order is not guaranteed, so an external
@@ -833,6 +842,14 @@ object Pipeline {
         .select(col("doc_id"), col("hh").isNotNull.as("seen_before"))
         .orderBy("doc_id")
     },
+
+    // --- [pl19 intentionally absent] The id was reserved for a
+    //     packed-shard WRITER (pl12's packing materialized to
+    //     size-bounded output files); that surface is covered by
+    //     pl13_shard_prep + the IndexStore bucketed-table writers, so
+    //     the id was retired rather than renumbering every later
+    //     query. Coverage audits: pl01-pl18, pl20-pl22 are all
+    //     registered; nothing is missing here. ---
 
     // --- Epoch-based mixture materialization: upsample/downsample each
     //     source to a FRACTIONAL epoch count (2.25× / 1× / 0.5× by

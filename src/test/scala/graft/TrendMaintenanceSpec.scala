@@ -109,6 +109,109 @@ class TrendMaintenanceSpec extends AnyFunSuite {
       "replay after compaction must be a no-op")
   }
 
+  test("serve path runs as an executor-side aggregation, not a driver fold") {
+    import spark.implicits._
+    val st = "trend_sketch_agg"
+    val mt = "trend_marker_agg"
+    TestWarehouse.reset(spark, st, mt)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      TrendMaintenance.appendBatch(b.toDF("doc_id", "text"), i.toLong,
+        st, mt, K)
+    }
+    // the serve plan is a real aggregation over the ledger join — the
+    // driver only ever receives the single O(k) merged map
+    val frame = TrendMaintenance.mergedSketchFrame(spark, st, mt, K)
+    val plan = frame.queryExecution.executedPlan.toString
+    assert(plan.contains("Aggregate"),
+      s"serve path must plan an aggregate, got:\n$plan")
+
+    // exact equality with the ordered driver fold on a corpus whose
+    // distinct tokens fit in k: no merge ever truncates, so the MG
+    // merge degenerates to a commutative map-sum and ANY merge order
+    // (executor partial/final included) must reproduce the reference
+    // fold bit-for-bit
+    val st2 = "trend_sketch_agg_eq"
+    val mt2 = "trend_marker_agg_eq"
+    TestWarehouse.reset(spark, st2, mt2)
+    val small: Seq[Seq[(Long, String)]] = Seq(
+      Seq((1L, "a a b c"), (2L, "a d e")),
+      Seq((3L, "b b c d"), (4L, "a a e")),
+      Seq((5L, "c d e a b")))
+    small.zipWithIndex.foreach { case (b, i) =>
+      TrendMaintenance.appendBatch(b.toDF("doc_id", "text"), i.toLong,
+        st2, mt2, K)
+    }
+    val agg = new graft.operators.HeavyHitters(K)
+    val reference = agg.finish(
+      spark.table(st2).collect()
+        .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+        .map { case (_, rows) =>
+          rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+        }
+        .foldLeft(agg.zero)(agg.merge))
+    assert(TrendMaintenance.heavyHitters(spark, st2, mt2, K) == reference,
+      "executor-side serve must equal the driver-order fold")
+  }
+
+  test("compact carries crash-window orphan rows through the rewrite") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val st = "trend_sketch_orphan"
+    val mt = "trend_marker_orphan"
+    TestWarehouse.reset(spark, st, mt)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      TrendMaintenance.appendBatch(b.toDF("doc_id", "text"), i.toLong,
+        st, mt, K)
+    }
+    // simulate an appendBatch caught between its two writes: sketch
+    // rows for batch 99 landed, marker did not
+    Seq((99L, "alpha", 3L), (99L, "beta", 1L))
+      .toDF("batch_id", "item", "est")
+      .write.mode("append").saveAsTable(st)
+    val before = TrendMaintenance.heavyHitters(spark, st, mt, K)
+
+    TrendMaintenance.compact(spark, st, mt, K)
+    assert(spark.table(st).filter(col("batch_id") === 99L).count() == 2,
+      "compaction must carry uncommitted rows through verbatim")
+    assert(TrendMaintenance.heavyHitters(spark, st, mt, K) == before,
+      "uncommitted rows must still not serve after compaction")
+
+    // the in-flight batch finishes (its replay writes only the
+    // marker): the carried rows are adopted, not recomputed
+    TrendMaintenance.appendBatch(batches.head.toDF("doc_id", "text"), 99L,
+      st, mt, K)
+    assert(spark.table(st).filter(col("batch_id") === 99L).count() == 2,
+      "adoption after compaction must not append a second row-set")
+    val est = TrendMaintenance.heavyHitters(spark, st, mt, K)
+      .map(e => e.item -> e.est).toMap
+    assert(est("alpha") >= before.map(e => e.item -> e.est).toMap.apply("alpha"),
+      "the adopted batch must now contribute to serving")
+    assert(TrendMaintenance.streamLength(spark, mt) >
+      exactCounts.values.sum, "the adopted batch's marker must count")
+  }
+
+  test("crash between compact's drop and rename is healed on next use") {
+    import spark.implicits._
+    val st = "trend_sketch_swap"
+    val mt = "trend_marker_swap"
+    TestWarehouse.reset(spark, st, mt)
+    spark.sql(s"DROP TABLE IF EXISTS ${st}_staging")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      TrendMaintenance.appendBatch(b.toDF("doc_id", "text"), i.toLong,
+        st, mt, K)
+    }
+    val before = TrendMaintenance.heavyHitters(spark, st, mt, K)
+    // simulate the crash window: ledger fully staged, original dropped,
+    // rename never ran
+    spark.table(st).write.mode("overwrite").saveAsTable(s"${st}_staging")
+    spark.sql(s"DROP TABLE $st")
+    assert(TrendMaintenance.heavyHitters(spark, st, mt, K) == before,
+      "serve must adopt the staged ledger after a mid-swap crash")
+    assert(spark.catalog.tableExists(st) &&
+      !spark.catalog.tableExists(s"${st}_staging"),
+      "recovery must complete the rename")
+  }
+
   test("absent ledger serves empty, not an error") {
     assert(TrendMaintenance.heavyHitters(spark, "trend_never_made", "trend_marker_never", K).isEmpty)
     assert(TrendMaintenance.streamLength(spark, "trend_marker_never") == 0L)
