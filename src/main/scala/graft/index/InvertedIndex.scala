@@ -187,6 +187,21 @@ object InvertedIndex {
     formatLegacy(postingListsLegacy(tdc).orderBy("term")).as[String]
   }
 
+  /** The reference job WITHOUT `-skip` (InvertedIndexer.java:53-64:
+    * `wordcount.skip.patterns` unset ⇒ both cached pattern sets stay
+    * empty, and :107-126 then runs lowercase → whitespace tokenize →
+    * length/numeric filters with NO punctuation scrub and NO stop-word
+    * filter — tokens keep their attached punctuation, e.g. `lord,`).
+    * Same packed ranking, formatting, term sort and single-file
+    * contract as [[buildLegacy]]; only the two filter inputs differ.
+    */
+  def buildLegacyNoSkip(spark: SparkSession, inputDir: String): Dataset[String] = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val tdc = termDocCounts(tokenize(scanTextDir(spark, inputDir), Nil))
+    formatLegacy(postingListsLegacy(tdc).orderBy("term")).as[String]
+  }
+
   private def readLines(path: String): Seq[String] = {
     val src = scala.io.Source.fromFile(path, "UTF-8")
     try src.getLines().map(_.trim).filter(_.nonEmpty).toList

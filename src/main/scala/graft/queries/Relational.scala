@@ -1213,7 +1213,14 @@ object Relational {
         |SELECT depth, count(*) AS n, min(k) AS min_k, max(k) AS max_k
         |FROM (SELECT k, max(depth) AS depth FROM walk GROUP BY k)
         |GROUP BY depth ORDER BY depth""") { (s, dir) =>
-      t(s, dir, "customer").createOrReplaceTempView("q51_customer")
+      // the recursion joins this dimension once PER LEVEL (~log2 of
+      // the max key, 15 levels at sf0.1) and Spark's recursive-CTE
+      // execution re-plans the view each iteration — persist it so
+      // levels 2..d read the in-memory relation instead of re-scanning
+      // parquet. Bounded: it is the dimension table, not the walk.
+      t(s, dir, "customer")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .createOrReplaceTempView("q51_customer")
       s.sql("""
         WITH RECURSIVE walk(k, cur, depth) AS (
           SELECT c_custkey, c_custkey, 0 FROM q51_customer

@@ -48,6 +48,59 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
       "quadratic-risk plans found:\n" + offenders.mkString("\n"))
   }
 
+  test("single-partition exchanges only carry bounded frames") {
+    // The driver-side-bottleneck class has per-query guards; this is
+    // the registry-wide net. An `Exchange SinglePartition` is BENIGN
+    // when fed by a partial/partial-merge aggregate (only O(state)
+    // buffers cross the wire — the standard scalar-aggregate shape,
+    // e.g. tx04's doc-count, q52's stage counts, tx20's sketch maps).
+    // Anything else funnels FULL ROWS through one task and must be a
+    // reviewed whitelist entry:
+    //   pl07_dataset_card — the exchanged frame is the (lang, source)
+    //   AGGREGATE result feeding the doc_share total window: group
+    //   cardinality (#langs × #sources), never corpus rows.
+    // (tx27's post-limit rank window plans a CollectLimit, not a
+    // single-partition exchange, so it needs no entry; the golden
+    // coalesce(1) sink lives outside the registry in writeIndex.)
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Partial, PartialMerge}
+
+    val fullRowAllowed = Set("pl07_dataset_card")
+
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    val tripped = scala.collection.mutable.Set[String]()
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan
+      val root = plan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val fullRowCarriers = root.collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning == SinglePartition => e.child
+      }.filter {
+        case agg: BaseAggregateExec =>
+          !agg.aggregateExpressions.forall(a =>
+            a.mode == Partial || a.mode == PartialMerge)
+        case _ => true
+      }
+      if (fullRowCarriers.nonEmpty) {
+        tripped += name
+        if (!fullRowAllowed(name))
+          offenders += s"$name: Exchange SinglePartition fed by " +
+            fullRowCarriers.map(_.nodeName).mkString(", ")
+      }
+      spark.catalog.clearCache()
+    }
+    assert(offenders.isEmpty,
+      "full rows funneled through one task:\n" + offenders.mkString("\n"))
+    val dead = fullRowAllowed -- tripped
+    assert(dead.isEmpty, s"single-partition whitelist entries no longer needed: $dead")
+  }
+
   test("whitelist carries no dead entries") {
     // a stale entry means a query was reshaped (good) or renamed —
     // either way the whitelist must shrink with it
