@@ -742,6 +742,68 @@ object Dedup {
         .select(col("name_a"), col("name_b"), col("dist"),
           col("n_parts_a"), col("n_parts_b"))
         .orderBy("name_a", "name_b")
+    },
+
+    // --- Substring-level (sliding-shingle) duplication: the
+    //     arbitrary-alignment complement of dd09's fixed chunks. dd09
+    //     cuts non-overlapping 10-token chunks, so a paragraph copied
+    //     at a shifted offset hashes into DIFFERENT chunks and is
+    //     invisible; here every 8-token window (stride 1) is hashed,
+    //     a window is duplicated when its digest occurs in ≥2 distinct
+    //     docs, and per doc the duplicated windows are merged into
+    //     maximal spans (gaps-and-islands over window starts — fixed
+    //     width makes interval ends monotone, so "new span iff
+    //     start − prev_start > width"). Output is the per-doc report a
+    //     curation pipeline thresholds on (ExactSubstr-style dedup):
+    //     span count, tokens covered by duplicated spans, coverage
+    //     fraction. Scale shape: tokenize map-side; ONE shuffle of
+    //     fixed-width (digest, doc, start) rows — stride 1 makes that
+    //     ~tokens-many rows, ~10× dd09's, the inherent price of
+    //     alignment-free detection (md5 here for oracle parity; a
+    //     production swap to xxhash64 ships 8 bytes, not 32 hex
+    //     chars); digest cardinality is high/uniform (no salting); the
+    //     span merge is a PARTITIONED window keyed by doc. No pair
+    //     materialization anywhere — output is linear in corpus size
+    //     even when every doc is a copy (the dd04-class C(k,2) blowup
+    //     cannot happen structurally). Cross-doc only by design:
+    //     within-doc repetition is tx15's job. ---
+    Q("dd14_substring_dup",
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, greatest(len(tk) - 7, 0))) AS start,
+        |    unnest(list_transform(range(0, greatest(len(tk) - 7, 0)),
+        |      i -> md5(array_to_string(tk[i + 1 : i + 8], ' ')))) AS ch
+        |  FROM tk),
+        |dup AS (SELECT ch FROM sh GROUP BY ch
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |ds AS (SELECT sh.doc_id, sh.start FROM sh JOIN dup USING (ch)),
+        |il AS (
+        |  SELECT doc_id, start,
+        |    CASE WHEN lag(start) OVER w IS NULL
+        |           OR start - lag(start) OVER w > 8 THEN 1 ELSE 0 END AS brk
+        |  FROM ds WINDOW w AS (PARTITION BY doc_id ORDER BY start)),
+        |isl AS (
+        |  SELECT doc_id, start,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+        |                   ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM il),
+        |sp AS (SELECT doc_id, island, max(start) + 8 - min(start) AS covered
+        |       FROM isl GROUP BY doc_id, island),
+        |agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_spans,
+        |          CAST(sum(covered) AS INT) AS dup_tokens
+        |        FROM sp GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.tk) AS INT) AS n_tokens,
+        |  coalesce(a.n_spans, 0) AS n_spans,
+        |  coalesce(a.dup_tokens, 0) AS dup_tokens,
+        |  round(CAST(coalesce(a.dup_tokens, 0) AS DOUBLE)
+        |        / CAST(greatest(len(t.tk), 1) AS DOUBLE), 6) AS dup_frac
+        |FROM tk t LEFT JOIN agg a ON t.doc_id = a.doc_id
+        |ORDER BY t.doc_id""") { (s, dir) =>
+      substringDupReport(docs(s, dir))
     }
   )
 
@@ -749,6 +811,66 @@ object Dedup {
     * (`graft.streaming.ChunkDedup`) — the two must chunk identically
     * or the batch-equality contract breaks. */
   val ChunkTokens = 10
+
+  /** Sliding-window width for dd14's substring-duplication report.
+    * Hardcoded as 8 (and 7 = width−1) in dd14's oracle SQL — keep in
+    * sync. Narrower than [[ChunkTokens]] on purpose: stride-1 windows
+    * already overlap, and 8 tokens is the shortest passage worth
+    * calling "duplicated" rather than a collocation. */
+  val SubstringShingleTokens = 8
+
+  /** dd14 as a reusable operator over any `(doc_id, text)` frame:
+    * per-doc maximal duplicated-span report from stride-1
+    * [[SubstringShingleTokens]]-token window digests shared across
+    * ≥2 docs. See the dd14 registration comment for the scale shape. */
+  def substringDupReport(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val w = SubstringShingleTokens
+    // persisted: tk feeds the shingle stream AND the final per-doc
+    // report (the chunkReportOf rationale — tokenize the corpus once)
+    val tk = documents
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // one row per sliding-window start; sequence(0, n−w) must never
+    // see a negative bound (Spark infers a negative step), so short
+    // docs exit here and rejoin with zero counts at the end
+    val sh = tk.filter(size(col("tk")) >= w)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("tk")) - w),
+          i => struct(i.as("start"),
+            md5(array_join(slice(col("tk"), i + 1, lit(w)), " ")
+              .cast("binary")).as("ch")))).as("s"))
+      .select(col("doc_id"), col("s.start").as("start"), col("s.ch").as("ch"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dup = sh.groupBy("ch")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("ch")
+    val ds = sh.join(dup, "ch").select("doc_id", "start")
+    // gaps-and-islands: fixed width ⇒ interval ends are monotone in
+    // starts, so a new span begins exactly when start − prev > width
+    val byStart = Window.partitionBy("doc_id").orderBy("start")
+    val prev = lag(col("start"), 1).over(byStart)
+    val islands = ds
+      .withColumn("brk",
+        when(prev.isNull.or(col("start") - prev > w), 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(
+        byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val spans = islands.groupBy("doc_id", "island")
+      .agg((max(col("start")) + w - min(col("start"))).as("covered"))
+    val agg = spans.groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_spans"),
+        sum(col("covered")).cast("int").as("dup_tokens"))
+    tk.select(col("doc_id"), size(col("tk")).as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0)).as("dup_tokens"),
+        duckRound(coalesce(col("dup_tokens"), lit(0)).cast("double") /
+          greatest(col("n_tokens"), lit(1)).cast("double"), 6).as("dup_frac"))
+      .orderBy("doc_id")
+  }
 
   /** One row per (doc_id, chunk md5) from a `(doc_id, tk)` frame:
     * consecutive non-overlapping [[ChunkTokens]]-token chunks, keyed
