@@ -443,6 +443,49 @@ object Dedup {
         |             regexp_replace(regexp_replace(regexp_replace($urlExpr, '#.*', ''), '\\?.*', ''), '^https?://[^/?#]+', '')),
         |      '/$$', '')"""
 
+  /** Sliding-window width for dd14's substring-duplication report.
+    * Hardcoded as 8 (and 7 = width−1) in dd14's oracle SQL — keep in
+    * sync. Narrower than `ChunkTokens` on purpose: stride-1 windows
+    * already overlap, and 8 tokens is the shortest passage worth
+    * calling "duplicated" rather than a collocation. */
+  val SubstringShingleTokens = 8
+
+  /** Shared CTE chain of dd14/dd15 (UNSTRIPPED margins, like
+    * [[DuckMessyUrl]] — the Q oracle stripMargins once on the final
+    * interpolated text; defined BEFORE `qs` because the Q entries
+    * interpolate it during object init): tokenized docs → stride-1
+    * window digests → cross-doc duplicated windows → gaps-and-islands
+    * merge → one row per (doc, island) with 0-based token bounds
+    * [s0, e0). The literals 8 and 7 (= width − 1) are
+    * [[SubstringShingleTokens]] — keep in sync with
+    * [[substringSpanFrames]]. */
+  val SubstringSpanCtes: String =
+    """tk AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    unnest(range(0, greatest(len(tk) - 7, 0))) AS start,
+      |    unnest(list_transform(range(0, greatest(len(tk) - 7, 0)),
+      |      i -> md5(array_to_string(tk[i + 1 : i + 8], ' ')))) AS ch
+      |  FROM tk),
+      |dup AS (SELECT ch FROM sh GROUP BY ch
+      |        HAVING count(DISTINCT doc_id) >= 2),
+      |ds AS (SELECT sh.doc_id, sh.start FROM sh JOIN dup USING (ch)),
+      |il AS (
+      |  SELECT doc_id, start,
+      |    CASE WHEN lag(start) OVER w IS NULL
+      |           OR start - lag(start) OVER w > 8 THEN 1 ELSE 0 END AS brk
+      |  FROM ds WINDOW w AS (PARTITION BY doc_id ORDER BY start)),
+      |isl AS (
+      |  SELECT doc_id, start,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+      |                   ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM il),
+      |sp AS (SELECT doc_id, island, min(start) AS s0, max(start) + 8 AS e0
+      |       FROM isl GROUP BY doc_id, island)"""
+
   val qs: Seq[Q] = Seq(
 
     // --- Exact dedup: content hash → keep lowest doc_id per group ---
@@ -768,33 +811,9 @@ object Dedup {
     //     cannot happen structurally). Cross-doc only by design:
     //     within-doc repetition is tx15's job. ---
     Q("dd14_substring_dup",
-      """WITH tk AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    unnest(range(0, greatest(len(tk) - 7, 0))) AS start,
-        |    unnest(list_transform(range(0, greatest(len(tk) - 7, 0)),
-        |      i -> md5(array_to_string(tk[i + 1 : i + 8], ' ')))) AS ch
-        |  FROM tk),
-        |dup AS (SELECT ch FROM sh GROUP BY ch
-        |        HAVING count(DISTINCT doc_id) >= 2),
-        |ds AS (SELECT sh.doc_id, sh.start FROM sh JOIN dup USING (ch)),
-        |il AS (
-        |  SELECT doc_id, start,
-        |    CASE WHEN lag(start) OVER w IS NULL
-        |           OR start - lag(start) OVER w > 8 THEN 1 ELSE 0 END AS brk
-        |  FROM ds WINDOW w AS (PARTITION BY doc_id ORDER BY start)),
-        |isl AS (
-        |  SELECT doc_id, start,
-        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY start
-        |                   ROWS UNBOUNDED PRECEDING) AS island
-        |  FROM il),
-        |sp AS (SELECT doc_id, island, max(start) + 8 - min(start) AS covered
-        |       FROM isl GROUP BY doc_id, island),
+      s"""WITH $SubstringSpanCtes,
         |agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_spans,
-        |          CAST(sum(covered) AS INT) AS dup_tokens
+        |          CAST(sum(e0 - s0) AS INT) AS dup_tokens
         |        FROM sp GROUP BY doc_id)
         |SELECT t.doc_id, CAST(len(t.tk) AS INT) AS n_tokens,
         |  coalesce(a.n_spans, 0) AS n_spans,
@@ -804,6 +823,26 @@ object Dedup {
         |FROM tk t LEFT JOIN agg a ON t.doc_id = a.doc_id
         |ORDER BY t.doc_id""") { (s, dir) =>
       substringDupReport(docs(s, dir))
+    },
+
+    // --- The duplicated passages THEMSELVES: dd14's maximal spans,
+    //     text reconstructed from each span's own doc, grouped by
+    //     exact text across docs, top-20 by distinct-doc reach — the
+    //     review surface behind dd14's numbers (is it boilerplate to
+    //     strip, or licence headers to keep?). Span rows are orders of
+    //     magnitude fewer than shingle rows, so the text join touches
+    //     little data, and the top-k is a TakeOrdered over the
+    //     span-text aggregate — never a global sort. ---
+    Q("dd15_dup_passages",
+      s"""WITH $SubstringSpanCtes,
+        |st AS (SELECT s.doc_id,
+        |         array_to_string(list_slice(t.tk, s.s0 + 1, s.e0), ' ') AS passage
+        |       FROM sp s JOIN tk t USING (doc_id))
+        |SELECT passage, CAST(count(DISTINCT doc_id) AS INT) AS n_docs,
+        |  CAST(count(*) AS INT) AS n_spans
+        |FROM st GROUP BY passage
+        |ORDER BY n_docs DESC, passage LIMIT 20""") { (s, dir) =>
+      dupPassagesReport(docs(s, dir))
     }
   )
 
@@ -812,23 +851,16 @@ object Dedup {
     * or the batch-equality contract breaks. */
   val ChunkTokens = 10
 
-  /** Sliding-window width for dd14's substring-duplication report.
-    * Hardcoded as 8 (and 7 = width−1) in dd14's oracle SQL — keep in
-    * sync. Narrower than [[ChunkTokens]] on purpose: stride-1 windows
-    * already overlap, and 8 tokens is the shortest passage worth
-    * calling "duplicated" rather than a collocation. */
-  val SubstringShingleTokens = 8
-
-  /** dd14 as a reusable operator over any `(doc_id, text)` frame:
-    * per-doc maximal duplicated-span report from stride-1
-    * [[SubstringShingleTokens]]-token window digests shared across
-    * ≥2 docs. See the dd14 registration comment for the scale shape. */
-  def substringDupReport(documents: DataFrame): DataFrame = {
+  /** Shared front half of dd14/dd15: tokenized corpus plus maximal
+    * duplicated spans, one row per (doc_id, island) with 0-based token
+    * bounds [s0, e0). Both returned frames are persisted — tk feeds
+    * the shingle stream AND each query's final join (the chunkReportOf
+    * rationale), spans has one consumer per query but is the natural
+    * cache point when a caller composes both reports in one session. */
+  def substringSpanFrames(documents: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
     val w = SubstringShingleTokens
-    // persisted: tk feeds the shingle stream AND the final per-doc
-    // report (the chunkReportOf rationale — tokenize the corpus once)
     val tk = documents
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -852,16 +884,27 @@ object Dedup {
     // starts, so a new span begins exactly when start − prev > width
     val byStart = Window.partitionBy("doc_id").orderBy("start")
     val prev = lag(col("start"), 1).over(byStart)
-    val islands = ds
+    val spans = ds
       .withColumn("brk",
         when(prev.isNull.or(col("start") - prev > w), 1).otherwise(0))
       .withColumn("island", sum(col("brk")).over(
         byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val spans = islands.groupBy("doc_id", "island")
-      .agg((max(col("start")) + w - min(col("start"))).as("covered"))
+      .groupBy("doc_id", "island")
+      .agg(min(col("start")).as("s0"),
+        (max(col("start")) + w).as("e0"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    (tk, spans)
+  }
+
+  /** dd14 as a reusable operator over any `(doc_id, text)` frame:
+    * per-doc maximal duplicated-span report from stride-1
+    * [[SubstringShingleTokens]]-token window digests shared across
+    * ≥2 docs. See the dd14 registration comment for the scale shape. */
+  def substringDupReport(documents: DataFrame): DataFrame = {
+    val (tk, spans) = substringSpanFrames(documents)
     val agg = spans.groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_spans"),
-        sum(col("covered")).cast("int").as("dup_tokens"))
+        sum(col("e0") - col("s0")).cast("int").as("dup_tokens"))
     tk.select(col("doc_id"), size(col("tk")).as("n_tokens"))
       .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
@@ -870,6 +913,28 @@ object Dedup {
         duckRound(coalesce(col("dup_tokens"), lit(0)).cast("double") /
           greatest(col("n_tokens"), lit(1)).cast("double"), 6).as("dup_frac"))
       .orderBy("doc_id")
+  }
+
+  /** dd15: the duplicated passages THEMSELVES — each maximal span's
+    * text reconstructed from its own doc's tokens, grouped by exact
+    * text across docs, top-k by distinct-doc reach. The review surface
+    * behind dd14's numbers: a curation owner reads these 20 strings to
+    * decide whether the duplication is boilerplate to strip or licence
+    * headers to keep. Span rows are FAR fewer than shingle rows (one
+    * per merged island), so the text join back to tk touches little
+    * data, and the final top-k is a TakeOrdered over the span-text
+    * aggregate — never a full sort. */
+  def dupPassagesReport(documents: DataFrame, k: Int = 20): DataFrame = {
+    val (tk, spans) = substringSpanFrames(documents)
+    val st = spans.join(tk, "doc_id")
+      .select(col("doc_id"),
+        array_join(slice(col("tk"), col("s0") + 1, col("e0") - col("s0")),
+          " ").as("passage"))
+    st.groupBy("passage")
+      .agg(countDistinct(col("doc_id")).cast("int").as("n_docs"),
+        count(lit(1)).cast("int").as("n_spans"))
+      .orderBy(col("n_docs").desc, col("passage"))
+      .limit(k)
   }
 
   /** One row per (doc_id, chunk md5) from a `(doc_id, tk)` frame:

@@ -70,6 +70,17 @@ class SubstringDupSpec extends AnyFunSuite {
       (3L, 25, 0, 0, 0.0)))
   }
 
+  test("dd15 reconstructs the copied passage text verbatim") {
+    val d1 = (passage.split(" ") ++ uniq("a", 8)).mkString(" ")
+    val d2 = (uniq("b", 3) ++ passage.split(" ") ++ uniq("c", 5)).mkString(" ")
+    val d3 = uniq("z", 15).mkString(" ")
+    val rows = Dedup.dupPassagesReport(
+        Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toList
+    assert(rows === List((passage, 2, 2)),
+      "one passage, reaching 2 docs, one span per doc")
+  }
+
   test("adjacent duplicated windows chain into one span") {
     // doc 2 and doc 3 each share a DIFFERENT half of doc 1's 24-token
     // run, overlapping at the 12-token boundary: doc 1's duplicated
