@@ -857,51 +857,48 @@ object Dedup {
     * the shingle stream AND each query's final join (the chunkReportOf
     * rationale), spans has one consumer per query but is the natural
     * cache point when a caller composes both reports in one session. */
-  def substringSpanFrames(documents: DataFrame): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.storage.StorageLevel
+  /** One row per stride-1 sliding window from a `(doc_id, tk)` frame:
+    * (doc_id, start, ch) with 0-based token start and the window's
+    * md5. The SAME digesting feeds the batch report and the streaming
+    * ledger (`graft.streaming.SubstringDedup`) — the batch-equality
+    * contract requires identical windows. sequence(0, n−w) must never
+    * see a negative bound (Spark infers a negative step), so short
+    * docs exit here — callers rejoin them with zero counts. */
+  def substringWindowDigestsOf(tk: DataFrame): DataFrame = {
     val w = SubstringShingleTokens
-    val tk = documents
-      .select(col("doc_id"), tokens(col("text")).as("tk"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // one row per sliding-window start; sequence(0, n−w) must never
-    // see a negative bound (Spark infers a negative step), so short
-    // docs exit here and rejoin with zero counts at the end
-    val sh = tk.filter(size(col("tk")) >= w)
+    tk.filter(size(col("tk")) >= w)
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), size(col("tk")) - w),
           i => struct(i.as("start"),
             md5(array_join(slice(col("tk"), i + 1, lit(w)), " ")
               .cast("binary")).as("ch")))).as("s"))
       .select(col("doc_id"), col("s.start").as("start"), col("s.ch").as("ch"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val dup = sh.groupBy("ch")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
-      .select("ch")
-    val ds = sh.join(dup, "ch").select("doc_id", "start")
-    // gaps-and-islands: fixed width ⇒ interval ends are monotone in
-    // starts, so a new span begins exactly when start − prev > width
+  }
+
+  /** Maximal spans from duplicated-window starts (doc_id, start):
+    * gaps-and-islands — fixed width ⇒ interval ends are monotone in
+    * starts, so a new span begins exactly when start − prev > width.
+    * One row per (doc_id, island) with 0-based token bounds [s0, e0).
+    * The window is PARTITIONED by doc — no single-partition risk. */
+  def spansFromStarts(ds: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = SubstringShingleTokens
     val byStart = Window.partitionBy("doc_id").orderBy("start")
     val prev = lag(col("start"), 1).over(byStart)
-    val spans = ds
-      .withColumn("brk",
+    ds.withColumn("brk",
         when(prev.isNull.or(col("start") - prev > w), 1).otherwise(0))
       .withColumn("island", sum(col("brk")).over(
         byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("doc_id", "island")
       .agg(min(col("start")).as("s0"),
         (max(col("start")) + w).as("e0"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    (tk, spans)
   }
 
-  /** dd14 as a reusable operator over any `(doc_id, text)` frame:
-    * per-doc maximal duplicated-span report from stride-1
-    * [[SubstringShingleTokens]]-token window digests shared across
-    * ≥2 docs. See the dd14 registration comment for the scale shape. */
-  def substringDupReport(documents: DataFrame): DataFrame = {
-    val (tk, spans) = substringSpanFrames(documents)
+  /** dd14's report schema from a tokenized corpus plus its duplicated
+    * spans — shared by the batch path and the streaming serve path
+    * (which must emit the identical report when the ledger was fed
+    * exactly this corpus). */
+  def substringReportFrom(tk: DataFrame, spans: DataFrame): DataFrame = {
     val agg = spans.groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_spans"),
         sum(col("e0") - col("s0")).cast("int").as("dup_tokens"))
@@ -913,6 +910,31 @@ object Dedup {
         duckRound(coalesce(col("dup_tokens"), lit(0)).cast("double") /
           greatest(col("n_tokens"), lit(1)).cast("double"), 6).as("dup_frac"))
       .orderBy("doc_id")
+  }
+
+  def substringSpanFrames(documents: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.storage.StorageLevel
+    val tk = documents
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = substringWindowDigestsOf(tk)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dup = sh.groupBy("ch")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("ch")
+    val spans = spansFromStarts(sh.join(dup, "ch").select("doc_id", "start"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    (tk, spans)
+  }
+
+  /** dd14 as a reusable operator over any `(doc_id, text)` frame:
+    * per-doc maximal duplicated-span report from stride-1
+    * [[SubstringShingleTokens]]-token window digests shared across
+    * ≥2 docs. See the dd14 registration comment for the scale shape. */
+  def substringDupReport(documents: DataFrame): DataFrame = {
+    val (tk, spans) = substringSpanFrames(documents)
+    substringReportFrom(tk, spans)
   }
 
   /** dd15: the duplicated passages THEMSELVES — each maximal span's
