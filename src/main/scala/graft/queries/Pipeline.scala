@@ -1034,6 +1034,83 @@ object Pipeline {
         .unionByName(lineRows)
         .unionByName(docRows)
         .orderBy("check_name")
+    },
+
+    // --- Linear quality classifier (fastText / CCNet shape): score
+    //     every doc with a Bernoulli naive-Bayes log-odds model over
+    //     HASHED bag-of-words features, trained on a good/bad source
+    //     split of the corpus itself (the CCNet recipe: Wikipedia-like
+    //     sources as positives, raw crawl as negatives — here the
+    //     deterministic stand-in is source-number parity). The hashing
+    //     trick is the scale contract: features are md5-u32 % 4096
+    //     buckets, so the model is AT MOST 4096 rows no matter the
+    //     corpus size — it broadcasts at 100 TB exactly as it does at
+    //     sf0.001, and training is two bucket-sized aggregations.
+    //     Feature extraction (distinct tokens → distinct buckets) is
+    //     all in-row array ops — map-side, no shuffle. Weights
+    //     w(b) = ln((df_good+1)(n_bad+2) / ((df_bad+1)(n_good+2))) are
+    //     ln of an exact integer ratio; per-doc score sums ≤4096 such
+    //     terms, so merge-order noise ~1e-13 sits far below the
+    //     4-decimal rounding (the tx25 determinism argument). The
+    //     keep flag thresholds the ROUNDED score so both engines
+    //     compare identical doubles. ---
+    Q("pl23_quality_classifier",
+      s"""WITH lab AS (
+         |  SELECT doc_id,
+         |    CAST(substr(source, 4) AS INT) % 2 AS good,
+         |    list_distinct(list_transform(list_distinct($DuckToks),
+         |      t -> CAST(CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 4096 AS INT))) AS fs
+         |  FROM documents),
+         |nf AS (SELECT CAST(sum(good) AS BIGINT) AS ng,
+         |              CAST(count(*) - sum(good) AS BIGINT) AS nb FROM lab),
+         |bf AS (SELECT good, unnest(fs) AS b FROM lab),
+         |dfreq AS (SELECT b, CAST(sum(good) AS BIGINT) AS dfg,
+         |                 CAST(count(*) - sum(good) AS BIGINT) AS dfb
+         |          FROM bf GROUP BY b),
+         |w AS (SELECT b,
+         |        ln(CAST((dfg + 1) * (nb + 2) AS DOUBLE)
+         |           / CAST((dfb + 1) * (ng + 2) AS DOUBLE)) AS w
+         |      FROM dfreq, nf),
+         |sc AS (SELECT l.doc_id, sum(w.w) AS score
+         |       FROM (SELECT doc_id, unnest(fs) AS b FROM lab) l
+         |       JOIN w USING (b) GROUP BY l.doc_id)
+         |SELECT lab.doc_id, CAST(len(lab.fs) AS INT) AS n_feats,
+         |  round(coalesce(sc.score, 0), 4) AS score,
+         |  CAST(round(coalesce(sc.score, 0), 4) > 0 AS INT) AS keep
+         |FROM lab LEFT JOIN sc ON lab.doc_id = sc.doc_id
+         |ORDER BY lab.doc_id""") { (s, dir) =>
+      import org.apache.spark.storage.StorageLevel
+      val B = 4096
+      def bucketOf(t: org.apache.spark.sql.Column) =
+        (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % B).cast("int")
+      // persisted: THREE consumers (training doc-freqs, scoring
+      // explode, final doc list) — uncached, each re-tokenizes the
+      // corpus. Feature arrays are tiny (distinct buckets per doc).
+      val lab = docs(s, dir).select(
+          col("doc_id"),
+          (expr("substring(source, 4)").cast("int") % 2).as("good"),
+          array_distinct(transform(array_distinct(tokens(col("text"))),
+            bucketOf _)).as("fs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nf = lab.agg(sum("good").as("ng"),
+        (count(lit(1)) - sum("good")).as("nb"))
+      val dfreq = lab.select(col("good"), explode(col("fs")).as("b"))
+        .groupBy("b").agg(sum("good").as("dfg"),
+          (count(lit(1)) - sum("good")).as("dfb"))
+      val w = dfreq.crossJoin(broadcast(nf))
+        .select(col("b"),
+          log(((col("dfg") + 1) * (col("nb") + 2)).cast("double") /
+              ((col("dfb") + 1) * (col("ng") + 2)).cast("double")).as("w"))
+      val sc = lab.select(col("doc_id"), explode(col("fs")).as("b"))
+        .join(broadcast(w), "b")
+        .groupBy("doc_id").agg(sum("w").as("score"))
+      lab.select(col("doc_id"), size(col("fs")).as("n_feats"))
+        .join(sc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_feats"),
+          graft.functions.ParityFunctions
+            .duckRound(coalesce(col("score"), lit(0.0)), 4).as("score"))
+        .withColumn("keep", (col("score") > 0).cast("int"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -1328,6 +1328,58 @@ object Text {
         .agg(count(lit(1)).as("n"), countDistinct(col("t")).as("n_forms"))
         .filter(col("n_forms") >= 2)
         .orderBy("stem")
+    },
+
+    // --- Per-source token-distribution drift: KL(P_source ∥ P_corpus)
+    //     — the domain-drift monitor a pipeline runs per ingest batch
+    //     to catch a source whose language shifted (scraper broke,
+    //     spam flood, wrong-language feed). The corpus collapses to
+    //     (source, token) counts in ONE partial-aggregated pass;
+    //     everything after is vocabulary-sized (marginals, the KL
+    //     join), so 100 TB of text costs one scan + model-sized math.
+    //     P_corpus dominates P_source by construction (corpus ⊇
+    //     source), so no smoothing and no log-of-zero. Each KL term is
+    //     (c/n_s)·ln(c·n / (n_s·c_t)) on exactly-representable
+    //     integer-valued doubles; per-source sums run over ≤|vocab|
+    //     terms, merge-order noise ~1e-15 ≪ the 6-decimal rounding.
+    //     KL ≥ 0 (Gibbs) is pinned in KlDriftSpec — a sign/ratio flip
+    //     in either engine's formula cannot pass. ---
+    Q("tx36_kl_drift",
+      s"""WITH tk AS (SELECT source, unnest($DuckToks) AS token FROM documents),
+         |st AS (SELECT source, token, count(*) AS c FROM tk GROUP BY source, token),
+         |s AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM st GROUP BY source),
+         |ct AS (SELECT token, CAST(sum(c) AS BIGINT) AS c_t FROM st GROUP BY token),
+         |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM st)
+         |SELECT st.source, s.n_s AS n_tokens,
+         |  round(sum((CAST(st.c AS DOUBLE) / s.n_s)
+         |    * ln((CAST(st.c AS DOUBLE) * n.n)
+         |          / (CAST(s.n_s AS DOUBLE) * ct.c_t))), 6) AS kl
+         |FROM st JOIN s USING (source) JOIN ct USING (token) CROSS JOIN n
+         |GROUP BY st.source, s.n_s
+         |ORDER BY st.source""") { (s, dir) =>
+      import org.apache.spark.storage.StorageLevel
+      // persisted: the (source, token) count frame has four consumers
+      // (both marginals, the grand total, the KL join) — uncached,
+      // each would re-scan and re-tokenize the corpus. The frame is
+      // |sources|×|vocab| rows, trivially cacheable at any scale.
+      val st = docs(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val sTot = st.groupBy("source").agg(sum("c").as("n_s"))
+      val ct = st.groupBy("token").agg(sum("c").as("c_t"))
+      val n = st.agg(sum("c").as("n"))
+      st.join(broadcast(sTot), "source")
+        .join(broadcast(ct), "token")
+        .crossJoin(broadcast(n))
+        .groupBy(col("source"), col("n_s"))
+        .agg(sum((col("c").cast("double") / col("n_s").cast("double")) *
+          log((col("c").cast("double") * col("n").cast("double")) /
+              (col("n_s").cast("double") * col("c_t").cast("double"))))
+          .as("kl_raw"))
+        .select(col("source"), col("n_s").as("n_tokens"),
+          duckRound(col("kl_raw"), 6).as("kl"))
+        .orderBy("source")
     }
   )
 }
