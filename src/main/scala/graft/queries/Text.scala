@@ -1380,6 +1380,76 @@ object Text {
         .select(col("source"), col("n_s").as("n_tokens"),
           duckRound(col("kl_raw"), 6).as("kl"))
         .orderBy("source")
+    },
+
+    // --- Subword segmentation (WordPiece/BPE APPLY — tx33 is
+    //     tokenizer TRAINING iteration 1, this is inference): greedy
+    //     maximal-munch over a fixed merge vocabulary, single-char
+    //     fallback, reported as corpus-weighted subword-unit counts —
+    //     the "how many tokens is this corpus under tokenizer X" pass
+    //     every training-data budget starts from. Scale contract: the
+    //     corpus collapses to (word, count) FIRST, so the per-word
+    //     state machine — a left-to-right fold trying 3-char then
+    //     2-char units then 1 char — runs on |distinct words| rows,
+    //     corpus-size-independent, and needs no broadcast at all.
+    //     Spark drives it as an `aggregate` HOF whose state is
+    //     (pos, acc); the skip guard `i < pos` turns the fixed
+    //     1..len(word) iteration into the variable-stride walk. The
+    //     DuckDB oracle implements the same walk as a recursive CTE —
+    //     two independent state-machine encodings that must agree
+    //     unit-for-unit. SubwordSegmentSpec pins losslessness:
+    //     concat(units) == word for every distinct word. ---
+    Q("tx37_subword_segment", {
+      val v3 = Seq("ing", "ble", "art").map(u => s"'$u'").mkString(", ")
+      val v2 = Seq("er", "me", "ge", "jo", "in", "ta", "so", "rt", "ha",
+        "sh", "va", "lu", "bi", "pa", "sl", "ow", "qu", "ck", "th", "he")
+        .map(u => s"'$u'").mkString(", ")
+      s"""WITH RECURSIVE tk AS (SELECT unnest($DuckToks) AS word FROM documents),
+         |wc AS (SELECT word, count(*) AS c FROM tk GROUP BY word),
+         |r AS (
+         |  SELECT word, 1 AS pos, CAST([] AS VARCHAR[]) AS acc FROM wc
+         |  UNION ALL
+         |  SELECT word,
+         |    pos + CASE WHEN substr(word, pos, 3) IN ($v3) THEN 3
+         |               WHEN substr(word, pos, 2) IN ($v2) THEN 2
+         |               ELSE 1 END,
+         |    list_append(acc,
+         |      CASE WHEN substr(word, pos, 3) IN ($v3) THEN substr(word, pos, 3)
+         |           WHEN substr(word, pos, 2) IN ($v2) THEN substr(word, pos, 2)
+         |           ELSE substr(word, pos, 1) END)
+         |  FROM r WHERE pos <= len(word)),
+         |fin AS (SELECT word, acc FROM r WHERE pos > len(word)),
+         |u AS (SELECT word, unnest(acc) AS unit FROM fin)
+         |SELECT u.unit, CAST(sum(wc.c) AS BIGINT) AS n,
+         |  CAST(count(DISTINCT u.word) AS BIGINT) AS n_words
+         |FROM u JOIN wc USING (word)
+         |GROUP BY u.unit ORDER BY u.unit"""
+    }) { (s, dir) =>
+      val v3 = Seq("ing", "ble", "art").map(u => s"'$u'").mkString(", ")
+      val v2 = Seq("er", "me", "ge", "jo", "in", "ta", "so", "rt", "ha",
+        "sh", "va", "lu", "bi", "pa", "sl", "ow", "qu", "ck", "th", "he")
+        .map(u => s"'$u'").mkString(", ")
+      val wc = docs(s, dir).select(explode(tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c"))
+      val seg =
+        s"""aggregate(
+           |  sequence(1, length(word)),
+           |  named_struct('pos', 1, 'acc', cast(array() as array<string>)),
+           |  (s, i) -> IF(i < s.pos, s,
+           |    CASE WHEN substring(word, s.pos, 3) IN ($v3) THEN
+           |           named_struct('pos', s.pos + 3,
+           |             'acc', array_append(s.acc, substring(word, s.pos, 3)))
+           |         WHEN substring(word, s.pos, 2) IN ($v2) THEN
+           |           named_struct('pos', s.pos + 2,
+           |             'acc', array_append(s.acc, substring(word, s.pos, 2)))
+           |         ELSE named_struct('pos', s.pos + 1,
+           |             'acc', array_append(s.acc, substring(word, s.pos, 1)))
+           |    END),
+           |  s -> s.acc)""".stripMargin
+      wc.withColumn("unit", explode(expr(seg)))
+        .groupBy("unit")
+        .agg(sum("c").as("n"), countDistinct(col("word")).as("n_words"))
+        .orderBy("unit")
     }
   )
 }

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** tx37 greedy subword segmentation: the oracle proves the two
+  * state-machine encodings (Spark aggregate-HOF fold vs DuckDB
+  * recursive CTE) agree on unit counts; this spec pins the invariants
+  * count equality can't see —
+  * (1) LOSSLESSNESS: concat(units) == word for every distinct corpus
+  *     word (a stride bug or off-by-one drops/duplicates characters),
+  * (2) GREEDINESS: wherever a 3-char vocab unit starts, the walk
+  *     takes it over the 2-char unit ("joining" must open with "jo"
+  *     then "in"+... no — must segment "ing" as one unit, never
+  *     "in"+"g"), checked on crafted words covering every priority
+  *     collision in the vocab,
+  * (3) every emitted unit is a vocab unit or a single char.
+  */
+class SubwordSegmentSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private val V3 = Set("ing", "ble", "art")
+  private val V2 = Set("er", "me", "ge", "jo", "in", "ta", "so", "rt",
+    "ha", "sh", "va", "lu", "bi", "pa", "sl", "ow", "qu", "ck", "th", "he")
+
+  /** Independent reference implementation: plain Scala greedy walk. */
+  private def segment(w: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var pos = 0
+    while (pos < w.length) {
+      if (pos + 3 <= w.length && V3(w.substring(pos, pos + 3))) {
+        out += w.substring(pos, pos + 3); pos += 3
+      } else if (pos + 2 <= w.length && V2(w.substring(pos, pos + 2))) {
+        out += w.substring(pos, pos + 2); pos += 2
+      } else { out += w.substring(pos, pos + 1); pos += 1 }
+    }
+    out.result()
+  }
+
+  test("corpus unit counts match an independent Scala walk; lossless") {
+    val docs = graft.tables.load(spark, dir, "documents")
+    val wc = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expected unit counts from the reference walk
+    val expected = scala.collection.mutable.Map[String, Long]()
+    val expWords = scala.collection.mutable.Map[String, Set[String]]()
+    wc.foreach { case (w, c) =>
+      val units = segment(w)
+      assert(units.mkString == w, s"lossy segmentation of '$w': $units")
+      units.foreach { u =>
+        assert(u.length == 1 || V3(u) || V2(u), s"non-vocab unit '$u'")
+        expected(u) = expected.getOrElse(u, 0L) + c
+        expWords(u) = expWords.getOrElse(u, Set.empty) + w
+      }
+    }
+    val got = SparkEntry.queries("tx37_subword_segment")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (u, (n, nw)) =>
+      assert(n == expected(u), s"unit '$u' count $n != ${expected(u)}")
+      assert(nw == expWords(u).size.toLong, s"unit '$u' n_words off")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("greedy priority: 3-char beats 2-char beats 1-char on collisions") {
+    // "joining": jo + in + ... wait — greedy at pos 0 tries "joi"(∉V3)
+    // then "jo"(∈V2); at pos 2 tries "ini"(∉) then "in"(∈V2) — but the
+    // suffix "ing" starts at pos 3, consumed as i+ng? Walk it exactly:
+    assert(segment("joining") == Seq("jo", "in", "ing"))
+    // "ingest" opens with the V3 unit even though "in" ∈ V2
+    assert(segment("ingest") == Seq("ing", "e", "s", "t"))
+    // "table": ta + ble (3-char wins at pos 2 over... 'bl' ∉ V2 anyway)
+    assert(segment("table") == Seq("ta", "ble"))
+    // "partying": pa + rt + y + ing
+    assert(segment("partying") == Seq("pa", "rt", "y", "ing"))
+  }
+}
