@@ -79,6 +79,54 @@ object Pipeline {
   private def duckCoin(idExpr: String): String =
     s"CAST(CAST(concat('0x', substr(md5(CAST($idExpr AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)"
 
+  // --- Quality-classifier primitives, the ONE source shared by the
+  //     registered query (pl23), the saved model artifact
+  //     (graft.index.QualityStore) and its streaming scorer — an edit
+  //     to the hash, the smoothing, or the rounding moves all three. ---
+
+  /** Feature-hash bucket count: the fastText hashing-trick bound.
+    * The model is ≤ this many rows at ANY corpus size. */
+  private[graft] val ClassifierBuckets = 4096
+
+  /** Per-doc feature set: distinct tokens → distinct md5-u32 % B
+    * buckets. All in-row array ops — map-side, no shuffle. */
+  private[graft] def classifierFeatures(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_distinct(transform(
+      array_distinct(graft.functions.TextFunctions.tokens(text)),
+      t => (conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+        % ClassifierBuckets).cast("int")))
+
+  /** Bernoulli-NB log-odds weights from a labeled feature frame
+    * (`good` ∈ {0,1}, `fs` array<int>): one bucket-sized aggregation
+    * plus a 1-row class-prior scalar. */
+  private[graft] def classifierWeights(labeled: DataFrame): DataFrame = {
+    val nf = labeled.agg(sum("good").as("ng"),
+      (count(lit(1)) - sum("good")).as("nb"))
+    labeled.select(col("good"), explode(col("fs")).as("b"))
+      .groupBy("b").agg(sum("good").as("dfg"),
+        (count(lit(1)) - sum("good")).as("dfb"))
+      .crossJoin(broadcast(nf))
+      .select(col("b"),
+        log(((col("dfg") + 1) * (col("nb") + 2)).cast("double") /
+            ((col("dfb") + 1) * (col("ng") + 2)).cast("double")).as("w"))
+  }
+
+  /** Score a (doc_id, fs) frame under a (b, w) weight frame: broadcast
+    * join + per-doc sum, 4-decimal DuckDB-exact rounding, keep flag on
+    * the ROUNDED score. Output (doc_id, n_feats, score, keep). */
+  private[graft] def classifierScore(feats: DataFrame,
+                                     weights: DataFrame): DataFrame = {
+    val sc = feats.select(col("doc_id"), explode(col("fs")).as("b"))
+      .join(broadcast(weights), "b")
+      .groupBy("doc_id").agg(sum("w").as("score"))
+    feats.select(col("doc_id"), size(col("fs")).as("n_feats"))
+      .join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_feats"),
+        graft.functions.ParityFunctions
+          .duckRound(coalesce(col("score"), lit(0.0)), 4).as("score"))
+      .withColumn("keep", (col("score") > 0).cast("int"))
+  }
+
   val qs: Seq[Q] = Seq(
 
     // --- Contamination detection: which documents contain which
@@ -1080,37 +1128,15 @@ object Pipeline {
          |FROM lab LEFT JOIN sc ON lab.doc_id = sc.doc_id
          |ORDER BY lab.doc_id""") { (s, dir) =>
       import org.apache.spark.storage.StorageLevel
-      val B = 4096
-      def bucketOf(t: org.apache.spark.sql.Column) =
-        (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % B).cast("int")
       // persisted: THREE consumers (training doc-freqs, scoring
       // explode, final doc list) — uncached, each re-tokenizes the
       // corpus. Feature arrays are tiny (distinct buckets per doc).
       val lab = docs(s, dir).select(
           col("doc_id"),
           (expr("substring(source, 4)").cast("int") % 2).as("good"),
-          array_distinct(transform(array_distinct(tokens(col("text"))),
-            bucketOf _)).as("fs"))
+          classifierFeatures(col("text")).as("fs"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val nf = lab.agg(sum("good").as("ng"),
-        (count(lit(1)) - sum("good")).as("nb"))
-      val dfreq = lab.select(col("good"), explode(col("fs")).as("b"))
-        .groupBy("b").agg(sum("good").as("dfg"),
-          (count(lit(1)) - sum("good")).as("dfb"))
-      val w = dfreq.crossJoin(broadcast(nf))
-        .select(col("b"),
-          log(((col("dfg") + 1) * (col("nb") + 2)).cast("double") /
-              ((col("dfb") + 1) * (col("ng") + 2)).cast("double")).as("w"))
-      val sc = lab.select(col("doc_id"), explode(col("fs")).as("b"))
-        .join(broadcast(w), "b")
-        .groupBy("doc_id").agg(sum("w").as("score"))
-      lab.select(col("doc_id"), size(col("fs")).as("n_feats"))
-        .join(sc, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_feats"),
-          graft.functions.ParityFunctions
-            .duckRound(coalesce(col("score"), lit(0.0)), 4).as("score"))
-        .withColumn("keep", (col("score") > 0).cast("int"))
-        .orderBy("doc_id")
+      classifierScore(lab, classifierWeights(lab)).orderBy("doc_id")
     }
   )
 }

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.index.QualityStore
+
+/** Streaming quality scoring under a FROZEN classifier model
+  * (`graft.index.QualityStore`) — the seventh streaming maintainer,
+  * and the first model-SERVING one: the batch side trains the
+  * bounded hashed-feature model once; a crawl stream then scores
+  * every incoming micro-batch with one broadcast join and appends to
+  * a scores ledger, so downstream filtering (keep/drop) reads scored
+  * rows without ever touching the training corpus. Retrain cadence is
+  * a deployment decision (the marker ledger counts scored batches);
+  * scores are reproducible because the model is frozen — a replayed
+  * doc scores identically months later.
+  *
+  * Delivery: same commit-marker pattern as the other maintainers —
+  * the per-batch `(batch_id, n_docs)` marker lands AFTER the scores
+  * append; a replayed batch whose marker exists is skipped; serving
+  * filters to committed batch ids so a crash between append and
+  * marker can't surface a half-visible batch. The marker contract
+  * requires a DURABLE `checkpointDir` (stable batch ids across
+  * restarts).
+  */
+object QualityMaintenance {
+
+  /** Starts the scoring query: each micro-batch of `newDocs`
+    * (`doc_id`, `text`) is scored under `storeName`'s frozen weights
+    * into `scoresTable`. */
+  def maintain(newDocs: DataFrame, storeName: String, scoresTable: String,
+               markerTable: String, checkpointDir: String): StreamingQuery = {
+    require(checkpointDir.nonEmpty,
+      "QualityMaintenance.maintain requires a durable checkpointDir: " +
+        "replay-skip markers are only valid against stable batch ids")
+    newDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        scoreBatch(batch, batchId, storeName, scoresTable, markerTable)
+      }
+      .start()
+  }
+
+  /** One micro-batch: score under the frozen model, append, then the
+    * commit marker. Replay-safe via the marker. */
+  def scoreBatch(batch: DataFrame, batchId: Long, storeName: String,
+                 scoresTable: String, markerTable: String): Unit = {
+    val spark = batch.sparkSession
+    val committed = spark.catalog.tableExists(markerTable) &&
+      !spark.table(markerTable).filter(col("batch_id") === batchId).isEmpty
+    if (!committed) {
+      QualityStore.score(batch.select(col("doc_id"), col("text")), storeName)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").saveAsTable(scoresTable)
+      batch.groupBy()
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("batch_id", lit(batchId))
+        .select("batch_id", "n_docs")
+        .write.mode("append").saveAsTable(markerTable)
+    }
+  }
+
+  /** Committed scores only (empty frame with the right schema when
+    * nothing has committed): a crash between the scores append and
+    * its marker never surfaces the orphan batch. */
+  def scores(spark: org.apache.spark.sql.SparkSession, scoresTable: String,
+             markerTable: String): DataFrame = {
+    if (!spark.catalog.tableExists(scoresTable) ||
+        !spark.catalog.tableExists(markerTable))
+      return spark.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0).as("n_feats"),
+          lit(0.0).as("score"), lit(0).as("keep"))
+        .limit(0)
+    spark.table(scoresTable)
+      .join(broadcast(spark.table(markerTable).select("batch_id")),
+        Seq("batch_id"), "left_semi")
+      .drop("batch_id")
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.index.QualityStore
+import graft.streaming.QualityMaintenance
+
+/** The stored classifier model must honor the batch contract: scoring
+  * under the frozen weights equals pl23's fresh-trained scores bit for
+  * bit (same hashing/smoothing/rounding via the shared primitives),
+  * the model stays within its 4096-row broadcast bound, streamed
+  * micro-batch scores equal batch scores, and a replayed batch id is a
+  * no-op (commit marker).
+  */
+class QualityStoreSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def labeledCorpus() = {
+    val docs = tables.load(spark, dir, "documents")
+    docs.select(col("doc_id"),
+      (expr("substring(source, 4)").cast("int") % 2).as("good"),
+      col("text"))
+  }
+
+  test("stored-model scores == fresh pl23 scores; model bounded") {
+    TestWarehouse.reset(spark, "qs_weights")
+    QualityStore.build(labeledCorpus(), "qs")
+    assert(QualityStore.modelRows(spark, "qs") <= 4096L)
+
+    val docs = tables.load(spark, dir, "documents")
+    val stored = QualityStore.score(
+      docs.select(col("doc_id"), col("text")), "qs")
+      .orderBy("doc_id").collect()
+    val fresh = SparkEntry.queries("pl23_quality_classifier")(spark, dir)
+      .collect()
+    assert(stored.length == fresh.length)
+    stored.zip(fresh).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0))
+      assert(a.getInt(1) == b.getInt(1))
+      assert(a.getDouble(2) == b.getDouble(2),
+        s"doc ${a.getLong(0)}: stored ${a.getDouble(2)} != fresh ${b.getDouble(2)}")
+      assert(a.getInt(3) == b.getInt(3))
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("streamed scores equal batch scores; replay is a no-op") {
+    import spark.implicits._
+    TestWarehouse.reset(spark, "qm_weights", "qm_scores", "qm_marker")
+    QualityStore.build(labeledCorpus(), "qm")
+
+    val docs = tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val rows = docs.as[(Long, String)].collect()
+    val (half1, half2) = rows.splitAt(rows.length / 2)
+
+    val stream = MemoryStream[(Long, String)](spark)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-qm-ckpt").toString
+    val q = QualityMaintenance.maintain(
+      stream.toDF().toDF("doc_id", "text"), "qm", "qm_scores", "qm_marker",
+      ckpt)
+    try {
+      stream.addData(half1.toSeq)
+      q.processAllAvailable()
+      stream.addData(half2.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = QualityMaintenance.scores(spark, "qm_scores", "qm_marker")
+      .orderBy("doc_id").collect()
+    val batch = QualityStore.score(docs, "qm").orderBy("doc_id").collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0))
+      assert(a.getDouble(a.fieldIndex("score")) ==
+        b.getDouble(b.fieldIndex("score")))
+    }
+
+    // replaying a committed batch id must not duplicate scores
+    val before = spark.table("qm_scores").count()
+    QualityMaintenance.scoreBatch(
+      half1.take(3).toSeq.toDF("doc_id", "text"), 0L, "qm", "qm_scores",
+      "qm_marker")
+    assert(spark.table("qm_scores").count() == before,
+      "replayed batch appended duplicate scores")
+    spark.catalog.clearCache()
+  }
+
+  test("serving with no committed batches is empty, not an error") {
+    TestWarehouse.reset(spark, "qe_scores", "qe_marker")
+    assert(QualityMaintenance.scores(spark, "qe_scores", "qe_marker")
+      .isEmpty)
+  }
+}
