@@ -111,6 +111,31 @@ object Pipeline {
             ((col("dfb") + 1) * (col("ng") + 2)).cast("double")).as("w"))
   }
 
+  /** DuckDB twin of the training+scoring chain: CTEs `lab` (labeled
+    * feature sets), `nf`/`dfreq`/`w` (the model) and `sc` (per-doc raw
+    * scores) — shared verbatim by pl23's report and pl24's selection
+    * so the two oracles can never train different models. */
+  private lazy val DuckClassifierCtes: String =
+    s"""lab AS (
+       |  SELECT doc_id,
+       |    CAST(substr(source, 4) AS INT) % 2 AS good,
+       |    list_distinct(list_transform(list_distinct($DuckToks),
+       |      t -> CAST(CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 4096 AS INT))) AS fs
+       |  FROM documents),
+       |nf AS (SELECT CAST(sum(good) AS BIGINT) AS ng,
+       |              CAST(count(*) - sum(good) AS BIGINT) AS nb FROM lab),
+       |bf AS (SELECT good, unnest(fs) AS b FROM lab),
+       |dfreq AS (SELECT b, CAST(sum(good) AS BIGINT) AS dfg,
+       |                 CAST(count(*) - sum(good) AS BIGINT) AS dfb
+       |          FROM bf GROUP BY b),
+       |w AS (SELECT b,
+       |        ln(CAST((dfg + 1) * (nb + 2) AS DOUBLE)
+       |           / CAST((dfb + 1) * (ng + 2) AS DOUBLE)) AS w
+       |      FROM dfreq, nf),
+       |sc AS (SELECT l.doc_id, sum(w.w) AS score
+       |       FROM (SELECT doc_id, unnest(fs) AS b FROM lab) l
+       |       JOIN w USING (b) GROUP BY l.doc_id)"""
+
   /** Score a (doc_id, fs) frame under a (b, w) weight frame: broadcast
     * join + per-doc sum, 4-decimal DuckDB-exact rounding, keep flag on
     * the ROUNDED score. Output (doc_id, n_feats, score, keep). */
@@ -1103,25 +1128,7 @@ object Pipeline {
     //     keep flag thresholds the ROUNDED score so both engines
     //     compare identical doubles. ---
     Q("pl23_quality_classifier",
-      s"""WITH lab AS (
-         |  SELECT doc_id,
-         |    CAST(substr(source, 4) AS INT) % 2 AS good,
-         |    list_distinct(list_transform(list_distinct($DuckToks),
-         |      t -> CAST(CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 4096 AS INT))) AS fs
-         |  FROM documents),
-         |nf AS (SELECT CAST(sum(good) AS BIGINT) AS ng,
-         |              CAST(count(*) - sum(good) AS BIGINT) AS nb FROM lab),
-         |bf AS (SELECT good, unnest(fs) AS b FROM lab),
-         |dfreq AS (SELECT b, CAST(sum(good) AS BIGINT) AS dfg,
-         |                 CAST(count(*) - sum(good) AS BIGINT) AS dfb
-         |          FROM bf GROUP BY b),
-         |w AS (SELECT b,
-         |        ln(CAST((dfg + 1) * (nb + 2) AS DOUBLE)
-         |           / CAST((dfb + 1) * (ng + 2) AS DOUBLE)) AS w
-         |      FROM dfreq, nf),
-         |sc AS (SELECT l.doc_id, sum(w.w) AS score
-         |       FROM (SELECT doc_id, unnest(fs) AS b FROM lab) l
-         |       JOIN w USING (b) GROUP BY l.doc_id)
+      s"""WITH $DuckClassifierCtes
          |SELECT lab.doc_id, CAST(len(lab.fs) AS INT) AS n_feats,
          |  round(coalesce(sc.score, 0), 4) AS score,
          |  CAST(round(coalesce(sc.score, 0), 4) > 0 AS INT) AS keep
@@ -1137,6 +1144,50 @@ object Pipeline {
           classifierFeatures(col("text")).as("fs"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       classifierScore(lab, classifierWeights(lab)).orderBy("doc_id")
+    },
+
+    // --- Classifier-driven SELECTION: keep the top 30% of each
+    //     source by quality score (the DCLM/FineWeb recipe — a
+    //     trained filter scores everything, a per-source quantile cut
+    //     decides what trains). Composes the shared classifier
+    //     primitives with a per-source rank: the cut
+    //     rank ≤ ceil(0.3·n) is evaluated as 10·rk ≤ 3·n + 9 in
+    //     exact integer arithmetic, and both engines rank on the
+    //     ROUNDED score with doc_id tiebreak, so the kept set is
+    //     deterministic cross-engine. One source-partitioned window
+    //     exchange beyond the scoring itself; at 100 TB the sort is
+    //     per-source-partition, never global. ---
+    Q("pl24_classifier_topq",
+      s"""WITH $DuckClassifierCtes,
+         |scored AS (
+         |  SELECT lab.doc_id, round(coalesce(sc.score, 0), 4) AS score
+         |  FROM lab LEFT JOIN sc ON lab.doc_id = sc.doc_id),
+         |r AS (
+         |  SELECT d.source, s.doc_id, s.score,
+         |    row_number() OVER (PARTITION BY d.source
+         |                       ORDER BY s.score DESC, s.doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY d.source) AS n_s
+         |  FROM scored s JOIN documents d USING (doc_id))
+         |SELECT source, doc_id, score, CAST(rk AS INT) AS rk
+         |FROM r WHERE rk * 10 <= n_s * 3 + 9
+         |ORDER BY source, rk""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.storage.StorageLevel
+      val lab = docs(s, dir).select(
+          col("doc_id"), col("source"),
+          (expr("substring(source, 4)").cast("int") % 2).as("good"),
+          classifierFeatures(col("text")).as("fs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val scored = classifierScore(lab, classifierWeights(lab))
+        .join(lab.select(col("doc_id"), col("source")), "doc_id")
+      val bySrc = Window.partitionBy("source")
+      val ranked = scored
+        .withColumn("rk", row_number().over(
+          bySrc.orderBy(col("score").desc, col("doc_id"))))
+        .withColumn("n_s", count(lit(1)).over(bySrc))
+      ranked.filter(col("rk") * 10 <= col("n_s") * 3 + 9)
+        .select(col("source"), col("doc_id"), col("score"), col("rk"))
+        .orderBy("source", "rk")
     }
   )
 }

@@ -30,6 +30,7 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     "pl15_temperature_sample",// 1-row n_min scalar
     "pl16_curation_funnel",   // composes pl15's scalar
     "pl23_quality_classifier",// 1-row (n_good, n_bad) class-prior scalar
+    "pl24_classifier_topq",   // composes pl23's class-prior scalar
     "tx36_kl_drift",          // 1-row corpus token-total scalar
     "q52_funnel",             // three 1-row stage-count aggregates
     "sm01_cosine_topk",       // bounded broadcast probes, =!= pairing
