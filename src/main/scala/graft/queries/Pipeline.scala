@@ -106,9 +106,15 @@ object Pipeline {
       .groupBy("b").agg(sum("good").as("dfg"),
         (count(lit(1)) - sum("good")).as("dfb"))
       .crossJoin(broadcast(nf))
+      // each operand casts to double BEFORE the multiply: a long
+      // product overflows once doc counts reach ~3e9·3e9 (the 100 TB
+      // regime this model is sized for); double products are exact
+      // until 2^53 and merely lose ulps past it, and both engines
+      // compute the same double either way
       .select(col("b"),
-        log(((col("dfg") + 1) * (col("nb") + 2)).cast("double") /
-            ((col("dfb") + 1) * (col("ng") + 2)).cast("double")).as("w"))
+        log(((col("dfg") + 1).cast("double") * (col("nb") + 2).cast("double")) /
+            ((col("dfb") + 1).cast("double") * (col("ng") + 2).cast("double")))
+          .as("w"))
   }
 
   /** DuckDB twin of the training+scoring chain: CTEs `lab` (labeled
@@ -129,8 +135,8 @@ object Pipeline {
        |                 CAST(count(*) - sum(good) AS BIGINT) AS dfb
        |          FROM bf GROUP BY b),
        |w AS (SELECT b,
-       |        ln(CAST((dfg + 1) * (nb + 2) AS DOUBLE)
-       |           / CAST((dfb + 1) * (ng + 2) AS DOUBLE)) AS w
+       |        ln((CAST(dfg + 1 AS DOUBLE) * CAST(nb + 2 AS DOUBLE))
+       |           / (CAST(dfb + 1 AS DOUBLE) * CAST(ng + 2 AS DOUBLE))) AS w
        |      FROM dfreq, nf),
        |sc AS (SELECT l.doc_id, sum(w.w) AS score
        |       FROM (SELECT doc_id, unnest(fs) AS b FROM lab) l

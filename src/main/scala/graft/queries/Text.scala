@@ -38,6 +38,18 @@ object Text {
   val Stop: Seq[String] = Seq("the", "a", "and", "of", "to")
   private val StopSqlList = Stop.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** tx37 merge vocabulary — the ONE source for the Spark fold, the
+    * DuckDB recursive-CTE oracle and `SubwordSegmentSpec`'s reference
+    * walk (the walk stays independent; the vocab is the contract).
+    * MUST be declared before `qs` (the oracle SQL interpolates at
+    * object init — the PackBudget caveat). */
+  private[graft] val SubwordV3: Seq[String] = Seq("ing", "ble", "art")
+  private[graft] val SubwordV2: Seq[String] = Seq("er", "me", "ge", "jo",
+    "in", "ta", "so", "rt", "ha", "sh", "va", "lu", "bi", "pa", "sl",
+    "ow", "qu", "ck", "th", "he")
+  private val SubV3Sql = SubwordV3.map(u => s"'$u'").mkString(", ")
+  private val SubV2Sql = SubwordV2.map(u => s"'$u'").mkString(", ")
+
   /** Fixed demo search inputs (tx16-tx19). */
   private val Phrase = "key agg"
   private val RankTerms = Seq("table", "window", "stream")
@@ -1400,10 +1412,8 @@ object Text {
     //     unit-for-unit. SubwordSegmentSpec pins losslessness:
     //     concat(units) == word for every distinct word. ---
     Q("tx37_subword_segment", {
-      val v3 = Seq("ing", "ble", "art").map(u => s"'$u'").mkString(", ")
-      val v2 = Seq("er", "me", "ge", "jo", "in", "ta", "so", "rt", "ha",
-        "sh", "va", "lu", "bi", "pa", "sl", "ow", "qu", "ck", "th", "he")
-        .map(u => s"'$u'").mkString(", ")
+      val v3 = SubV3Sql
+      val v2 = SubV2Sql
       s"""WITH RECURSIVE tk AS (SELECT unnest($DuckToks) AS word FROM documents),
          |wc AS (SELECT word, count(*) AS c FROM tk GROUP BY word),
          |r AS (
@@ -1425,10 +1435,8 @@ object Text {
          |FROM u JOIN wc USING (word)
          |GROUP BY u.unit ORDER BY u.unit"""
     }) { (s, dir) =>
-      val v3 = Seq("ing", "ble", "art").map(u => s"'$u'").mkString(", ")
-      val v2 = Seq("er", "me", "ge", "jo", "in", "ta", "so", "rt", "ha",
-        "sh", "va", "lu", "bi", "pa", "sl", "ow", "qu", "ck", "th", "he")
-        .map(u => s"'$u'").mkString(", ")
+      val v3 = SubV3Sql
+      val v2 = SubV2Sql
       val wc = docs(s, dir).select(explode(tokens(col("text"))).as("word"))
         .groupBy("word").agg(count(lit(1)).as("c"))
       val seg =

@@ -19,10 +19,16 @@ import graft.index.QualityStore
   * Delivery: same commit-marker pattern as the other maintainers —
   * the per-batch `(batch_id, n_docs)` marker lands AFTER the scores
   * append; a replayed batch whose marker exists is skipped; serving
-  * filters to committed batch ids so a crash between append and
-  * marker can't surface a half-visible batch. The marker contract
-  * requires a DURABLE `checkpointDir` (stable batch ids across
-  * restarts).
+  * filters to committed batch ids. The crash window between the
+  * scores append and the marker is CLOSED by orphan ADOPTION (the
+  * TrendMaintenance device): a replay that finds the batch's score
+  * rows already present skips the re-append and only commits the
+  * marker — sound because scores are DETERMINISTIC under the frozen
+  * model, so the orphan rows are bit-identical to what the re-append
+  * would write, and Spark's file-commit protocol makes the append
+  * all-or-nothing (a crash mid-job leaves no visible rows). The
+  * marker contract requires a DURABLE `checkpointDir` (stable batch
+  * ids across restarts).
   */
 object QualityMaintenance {
 
@@ -44,16 +50,21 @@ object QualityMaintenance {
   }
 
   /** One micro-batch: score under the frozen model, append, then the
-    * commit marker. Replay-safe via the marker. */
+    * commit marker. Replay-safe via the marker; a replay that lands
+    * in the crash window (scores appended, marker missing) ADOPTS the
+    * existing rows instead of duplicating them. */
   def scoreBatch(batch: DataFrame, batchId: Long, storeName: String,
                  scoresTable: String, markerTable: String): Unit = {
     val spark = batch.sparkSession
     val committed = spark.catalog.tableExists(markerTable) &&
       !spark.table(markerTable).filter(col("batch_id") === batchId).isEmpty
     if (!committed) {
-      QualityStore.score(batch.select(col("doc_id"), col("text")), storeName)
-        .withColumn("batch_id", lit(batchId))
-        .write.mode("append").saveAsTable(scoresTable)
+      val orphaned = spark.catalog.tableExists(scoresTable) &&
+        !spark.table(scoresTable).filter(col("batch_id") === batchId).isEmpty
+      if (!orphaned)
+        QualityStore.score(batch.select(col("doc_id"), col("text")), storeName)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").saveAsTable(scoresTable)
       batch.groupBy()
         .agg(count(lit(1)).as("n_docs"))
         .withColumn("batch_id", lit(batchId))

@@ -37,20 +37,20 @@ class QualityClassifierSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
-  test("model stays within the 4096-bucket hash space") {
-    // rebuild the feature frame the query builds and count distinct
-    // buckets — the model row bound that makes the broadcast safe at
-    // any corpus size
+  test("model stays within the bucket hash space") {
+    // build the feature frame through the SAME shared primitive the
+    // query uses (one source of truth — an edit to the hash moves
+    // this bound check too) and count distinct buckets: the model row
+    // bound that makes the broadcast safe at any corpus size
+    import graft.queries.Pipeline
     val docs = graft.tables.load(spark, dir, "documents")
     val buckets = docs
-      .select(explode(array_distinct(transform(
-        array_distinct(graft.functions.TextFunctions.tokens(col("text"))),
-        t => (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 4096)
-          .cast("int")))).as("b"))
+      .select(explode(Pipeline.classifierFeatures(col("text"))).as("b"))
       .agg(countDistinct(col("b")), min(col("b")), max(col("b")))
       .head()
-    assert(buckets.getLong(0) <= 4096L)
-    assert(buckets.getInt(1) >= 0 && buckets.getInt(2) < 4096)
+    assert(buckets.getLong(0) <= Pipeline.ClassifierBuckets.toLong)
+    assert(buckets.getInt(1) >= 0 &&
+      buckets.getInt(2) < Pipeline.ClassifierBuckets)
   }
 
   test("scoring join is broadcast; no corpus-vs-weights shuffle join") {

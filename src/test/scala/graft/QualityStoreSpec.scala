@@ -86,6 +86,26 @@ class QualityStoreSpec extends AnyFunSuite {
       "qm_marker")
     assert(spark.table("qm_scores").count() == before,
       "replayed batch appended duplicate scores")
+
+    // crash window: scores appended but the marker write died — the
+    // replay must ADOPT the orphan rows (no duplicate append) and
+    // only commit the marker
+    val crashDocs = half2.take(3).zipWithIndex
+      .map { case ((_, text), i) => (999001L + i, text) }
+      .toSeq.toDF("doc_id", "text")
+    graft.index.QualityStore.score(crashDocs, "qm")
+      .withColumn("batch_id", lit(99L))
+      .write.mode("append").saveAsTable("qm_scores")
+    val orphaned = spark.table("qm_scores").count()
+    QualityMaintenance.scoreBatch(crashDocs, 99L, "qm", "qm_scores",
+      "qm_marker")
+    assert(spark.table("qm_scores").count() == orphaned,
+      "crash-window replay duplicated the orphan batch")
+    assert(!spark.table("qm_marker").filter(col("batch_id") === 99L).isEmpty,
+      "crash-window replay did not commit the marker")
+    val batch99 = QualityMaintenance.scores(spark, "qm_scores", "qm_marker")
+      .join(crashDocs.select("doc_id"), "doc_id").count()
+    assert(batch99 == 3L, "adopted batch not served exactly once")
     spark.catalog.clearCache()
   }
 

@@ -20,9 +20,11 @@ class SubwordSegmentSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
-  private val V3 = Set("ing", "ble", "art")
-  private val V2 = Set("er", "me", "ge", "jo", "in", "ta", "so", "rt",
-    "ha", "sh", "va", "lu", "bi", "pa", "sl", "ow", "qu", "ck", "th", "he")
+  // vocab comes from the ONE shared source (graft.queries.Text); the
+  // WALK below stays an independent implementation — the vocab is the
+  // contract, the traversal is what this spec double-checks
+  private val V3 = graft.queries.Text.SubwordV3.toSet
+  private val V2 = graft.queries.Text.SubwordV2.toSet
 
   /** Independent reference implementation: plain Scala greedy walk. */
   private def segment(w: String): Seq[String] = {
