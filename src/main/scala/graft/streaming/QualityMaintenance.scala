@@ -73,6 +73,23 @@ object QualityMaintenance {
     }
   }
 
+  /** Rewrite the scores ledger into few files (per-batch appends
+    * accumulate one small file set per micro-batch — the classic
+    * streaming small-files problem). Rows and schema are unchanged;
+    * serving is identical before and after. CONTRACT: run in a
+    * maintenance window with the maintainer stopped (the SURVEY §6b
+    * convention); the snapshot is materialized via localCheckpoint
+    * BEFORE the source table drops, so the rewrite never reads the
+    * files it replaces. */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+              scoresTable: String, numFiles: Int = 1): Unit = {
+    val snapshot = spark.table(scoresTable)
+      .coalesce(numFiles)
+      .localCheckpoint(true) // materialize BEFORE dropping the source
+    spark.sql(s"DROP TABLE IF EXISTS $scoresTable")
+    snapshot.write.saveAsTable(scoresTable)
+  }
+
   /** Committed scores only (empty frame with the right schema when
     * nothing has committed): a crash between the scores append and
     * its marker never surfaces the orphan batch. */

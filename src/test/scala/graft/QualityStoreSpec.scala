@@ -109,6 +109,35 @@ class QualityStoreSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("scores-ledger compaction: fewer files, identical serving") {
+    import spark.implicits._
+    TestWarehouse.reset(spark, "qc_weights", "qc_scores", "qc_marker")
+    QualityStore.build(labeledCorpus(), "qc")
+    val docs = tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    docs.grouped(docs.length / 3 + 1).zipWithIndex.foreach { case (g, i) =>
+      QualityMaintenance.scoreBatch(g.toSeq.toDF("doc_id", "text"),
+        i.toLong, "qc", "qc_scores", "qc_marker")
+    }
+    def files(): Int = {
+      val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+      val d = new java.io.File(
+        if (wh.getScheme == null) wh.toString else wh.getPath, "qc_scores")
+      d.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    val before = QualityMaintenance.scores(spark, "qc_scores", "qc_marker")
+      .orderBy("doc_id").collect().toSeq
+    val filesBefore = files()
+    QualityMaintenance.compact(spark, "qc_scores")
+    val after = QualityMaintenance.scores(spark, "qc_scores", "qc_marker")
+      .orderBy("doc_id").collect().toSeq
+    assert(after == before, "compaction changed served scores")
+    assert(files() < filesBefore,
+      s"compaction did not shrink files: ${files()} vs $filesBefore")
+    spark.catalog.clearCache()
+  }
+
   test("serving with no committed batches is empty, not an error") {
     TestWarehouse.reset(spark, "qe_scores", "qe_marker")
     assert(QualityMaintenance.scores(spark, "qe_scores", "qe_marker")
