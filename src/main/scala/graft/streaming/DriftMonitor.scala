@@ -36,7 +36,10 @@ object DriftMonitor {
         .as("token"))
       .groupBy("token").agg(count(lit(1)).as("c_t"))
     ct.write.mode("overwrite").saveAsTable(s"${name}_ref")
-    ct.agg(sum("c_t").as("n"))
+    // total from the |vocab|-row table just written, NOT from `ct` —
+    // the uncached plan would re-scan and re-tokenize the corpus
+    docs.sparkSession.table(s"${name}_ref")
+      .agg(sum("c_t").as("n"))
       .write.mode("overwrite").saveAsTable(s"${name}_ref_total")
   }
 

@@ -56,6 +56,7 @@ object QualityMaintenance {
   def scoreBatch(batch: DataFrame, batchId: Long, storeName: String,
                  scoresTable: String, markerTable: String): Unit = {
     val spark = batch.sparkSession
+    recoverStaging(spark, scoresTable)
     val committed = spark.catalog.tableExists(markerTable) &&
       !spark.table(markerTable).filter(col("batch_id") === batchId).isEmpty
     if (!committed) {
@@ -78,16 +79,34 @@ object QualityMaintenance {
     * streaming small-files problem). Rows and schema are unchanged;
     * serving is identical before and after. CONTRACT: run in a
     * maintenance window with the maintainer stopped (the SURVEY §6b
-    * convention); the snapshot is materialized via localCheckpoint
-    * BEFORE the source table drops, so the rewrite never reads the
-    * files it replaces. */
+    * convention). Crash-safe via stage-then-swap (the
+    * TrendMaintenance device, NOT a drop-then-rewrite from volatile
+    * checkpoint blocks): the compacted ledger is fully written under
+    * `<table>_staging` before the one vulnerable step (drop+rename);
+    * a crash before the drop leaves the old ledger untouched, a crash
+    * between drop and rename is healed by [[recoverStaging]] at every
+    * entry point. */
   def compact(spark: org.apache.spark.sql.SparkSession,
               scoresTable: String, numFiles: Int = 1): Unit = {
-    val snapshot = spark.table(scoresTable)
-      .coalesce(numFiles)
-      .localCheckpoint(true) // materialize BEFORE dropping the source
+    recoverStaging(spark, scoresTable)
+    if (!spark.catalog.tableExists(scoresTable)) return
+    val staging = scoresTable + "_staging"
+    spark.table(scoresTable).coalesce(numFiles)
+      .write.mode("overwrite").saveAsTable(staging)
     spark.sql(s"DROP TABLE IF EXISTS $scoresTable")
-    snapshot.write.saveAsTable(scoresTable)
+    spark.sql(s"ALTER TABLE $staging RENAME TO $scoresTable")
+  }
+
+  /** Crash recovery for [[compact]]'s stage-then-swap: a crash
+    * between the DROP and the RENAME leaves no scores table but a
+    * complete staged copy — adopt it. Called by every entry point
+    * that reads or writes the scores table. */
+  private def recoverStaging(spark: org.apache.spark.sql.SparkSession,
+                             scoresTable: String): Unit = {
+    val staging = scoresTable + "_staging"
+    if (!spark.catalog.tableExists(scoresTable) &&
+        spark.catalog.tableExists(staging))
+      spark.sql(s"ALTER TABLE $staging RENAME TO $scoresTable")
   }
 
   /** Committed scores only (empty frame with the right schema when
@@ -95,6 +114,7 @@ object QualityMaintenance {
     * its marker never surfaces the orphan batch. */
   def scores(spark: org.apache.spark.sql.SparkSession, scoresTable: String,
              markerTable: String): DataFrame = {
+    recoverStaging(spark, scoresTable)
     if (!spark.catalog.tableExists(scoresTable) ||
         !spark.catalog.tableExists(markerTable))
       return spark.emptyDataFrame

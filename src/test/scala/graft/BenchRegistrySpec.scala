@@ -5,10 +5,10 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Registry-consistency nets for the bench harness: the exclude set
   * must reference live registry names (a rename would silently
   * un-exclude a documented-quadratic oracle twin and melt the 10x
-  * sweep), every excluded name must have a registered scale-path twin
-  * still measured, and the compact-stdout prefix scheme the driver
-  * parses must stay collision-aware (two queries sharing a prefix is
-  * legal only because the full name is emitted for both).
+  * sweep), and every excluded oracle twin must still have its
+  * MEASURED scale-path twin registered — excluding the quadratic
+  * shape is only honest while the linear shape it oracles for exists
+  * and is benched.
   */
 class BenchRegistrySpec extends AnyFunSuite {
 
@@ -17,11 +17,21 @@ class BenchRegistrySpec extends AnyFunSuite {
     assert(dead.isEmpty, s"excluded names not in the registry: $dead")
   }
 
-  test("every registered query is measured or documented-excluded") {
-    // the three excluded names are the test-SF-only oracle twins; the
-    // bench must measure everything else
-    val measured = SparkEntry.queries.keySet -- Bench.exclude
-    assert(measured.size == SparkEntry.queries.size - Bench.exclude.size)
-    assert(measured.nonEmpty)
+  test("every excluded oracle twin has a measured scale-path twin") {
+    // exclusion rationale, made executable: each test-SF-only shape
+    // exists to oracle a banded/survivors-first scale path — that
+    // path must be registered AND measured
+    val scaleTwin = Map(
+      "dd02_ngram_jaccard" -> "dd03_minhash_lsh",
+      "dd13_simhash_allpairs" -> "dd04_simhash",
+      "mm05_blob_neardup_allpairs" -> "mm04_blob_neardup")
+    assert(scaleTwin.keySet == Bench.exclude,
+      "exclude set and twin map out of lockstep — update both")
+    scaleTwin.foreach { case (excluded, scale) =>
+      assert(SparkEntry.queries.contains(scale),
+        s"$excluded's scale twin $scale left the registry")
+      assert(!Bench.exclude(scale),
+        s"$excluded's scale twin $scale is itself excluded")
+    }
   }
 }

@@ -135,6 +135,17 @@ class QualityStoreSpec extends AnyFunSuite {
     assert(after == before, "compaction changed served scores")
     assert(files() < filesBefore,
       s"compaction did not shrink files: ${files()} vs $filesBefore")
+
+    // simulate the one vulnerable compact step — crash between DROP
+    // and RENAME: stage a complete copy, drop the live table, and the
+    // next read must adopt the staged ledger (recoverStaging)
+    spark.table("qc_scores").write.mode("overwrite")
+      .saveAsTable("qc_scores_staging")
+    spark.sql("DROP TABLE qc_scores")
+    val recovered = QualityMaintenance.scores(spark, "qc_scores", "qc_marker")
+      .orderBy("doc_id").collect().toSeq
+    assert(recovered == before, "drop-to-rename crash lost the ledger")
+    assert(!spark.catalog.tableExists("qc_scores_staging"))
     spark.catalog.clearCache()
   }
 
