@@ -11,11 +11,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Each micro-batch digests ONLY its own documents
   * (`Dedup.substringWindowDigestsOf` — the same windowing the batch
   * report uses, so the two stay spec-equal by construction) and
-  * appends per-window `(ch, nd)` distinct-doc-count increments to an
-  * append-only ledger; global window frequency is the sum per digest.
-  * Correct because doc ids are unique across batches (the
-  * IndexMaintenance append contract), so per-batch distinct counts
-  * add up to the corpus-wide distinct count.
+  * appends per-window `(batch_id, ch, nd)` distinct-doc-count
+  * increments to an append-only ledger; global window frequency is
+  * the sum per digest (batch_id is dropped at serve time). Correct
+  * because doc ids are unique across batches (the IndexMaintenance
+  * append contract), so per-batch distinct counts add up to the
+  * corpus-wide distinct count.
   *
   * Scale shape: the ledger's shuffle key is the window md5 (32 fixed
   * chars, high uniform cardinality — no salting), increments are one
@@ -23,14 +24,22 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * inherent stride-1 price dd14 documents — and serving re-digests
   * only the corpus being REPORTED ON, never past batches' raw text.
   * The span merge at serve time is dd14's own doc-partitioned window.
+  * The ledger is the only maintainer ledger that is CORPUS-sized
+  * (stride-1 ⇒ ~tokens-many rows), so [[compact]] matters here more
+  * than anywhere: it collapses the per-batch rows to one row per
+  * distinct digest, restoring serve-time merge cost to
+  * O(distinct windows) however many batches have landed.
   *
-  * Delivery: the `ChunkDedup` commit-marker pattern — the per-batch
-  * `(batch_id, n_docs)` marker row is written AFTER the increments,
-  * and a replayed batch whose marker exists is skipped. The
-  * crash-between-append-and-marker window duplicates increments on
-  * replay; a transactional table format closes it at this same seam.
-  * (Duplicated increments can only overcount `nd`, which flips
-  * windows to "duplicated" early — never drops a real duplicate.)
+  * Delivery: the `QualityMaintenance` commit-marker + orphan-ADOPTION
+  * pattern — the per-batch `(batch_id, n_docs)` marker row is written
+  * AFTER the increments, and a replayed batch whose marker exists is
+  * skipped. The crash window between the append and the marker is
+  * CLOSED by adoption: the increments are DETERMINISTIC per batch
+  * (digesting the same docs yields the same (ch, nd) rows), so a
+  * replay that finds its batch_id already in the ledger writes only
+  * the marker, never a second row-set — without this, a replayed
+  * batch would double-count its own docs and flip single-doc windows
+  * to nd >= 2, surfacing false duplicated spans forever.
   */
 object SubstringDedup {
 
@@ -53,21 +62,31 @@ object SubstringDedup {
       }
       .start()
 
-  /** One micro-batch: digest the batch's windows, append `(ch, nd)`
-    * increments, then the commit marker. Replay-safe via the marker. */
+  /** One micro-batch: digest the batch's windows, append `(batch_id,
+    * ch, nd)` increments, then the commit marker. Replay-safe via the
+    * marker; a replay that lands in the crash window (increments
+    * appended, marker missing) ADOPTS the existing rows instead of
+    * duplicating them — sound because the increments are
+    * deterministic per batch and Spark's file-commit protocol makes
+    * the append all-or-nothing. */
   def appendBatch(batch: DataFrame, batchId: Long,
                   windowTable: String, markerTable: String): Unit = {
     val spark = batch.sparkSession
     graft.expressions.VectorExpressions.ensureRegistered(spark)
+    recoverStaging(spark, windowTable)
     val committed = spark.catalog.tableExists(markerTable) &&
       !spark.table(markerTable).filter(col("batch_id") === batchId).isEmpty
     if (!committed) {
-      graft.queries.Dedup.substringWindowDigestsOf(
-          batch.select(col("doc_id"),
-            graft.functions.TextFunctions.tokens(col("text")).as("tk")))
-        .groupBy("ch")
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .write.mode("append").saveAsTable(windowTable)
+      val orphaned = spark.catalog.tableExists(windowTable) &&
+        !spark.table(windowTable).filter(col("batch_id") === batchId).isEmpty
+      if (!orphaned)
+        graft.queries.Dedup.substringWindowDigestsOf(
+            batch.select(col("doc_id"),
+              graft.functions.TextFunctions.tokens(col("text")).as("tk")))
+          .groupBy("ch")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .select(lit(batchId).as("batch_id"), col("ch"), col("nd"))
+          .write.mode("append").saveAsTable(windowTable)
       batch.groupBy()
         .agg(count(lit(1)).as("n_docs"))
         .withColumn("batch_id", lit(batchId))
@@ -77,12 +96,72 @@ object SubstringDedup {
   }
 
   /** Corpus-wide window frequency from the ledger: sum of the
-    * per-batch distinct-doc increments per digest. Empty-but-typed
-    * when no batch has committed yet. */
-  def windowFrequency(spark: SparkSession, windowTable: String): DataFrame =
+    * per-batch distinct-doc increments per digest (batch_id dropped —
+    * serving is identical before and after [[compact]]). Empty-but-
+    * typed when no batch has committed yet. */
+  def windowFrequency(spark: SparkSession, windowTable: String): DataFrame = {
+    recoverStaging(spark, windowTable)
     if (!spark.catalog.tableExists(windowTable))
       spark.range(0).select(lit("").as("ch"), lit(0L).as("nd")).limit(0)
     else spark.table(windowTable).groupBy("ch").agg(sum("nd").as("nd"))
+  }
+
+  /** Collapse the corpus-sized ledger to ONE row per distinct window
+    * digest — the compaction the other maintainers already have
+    * (`TrendMaintenance.compact` protocol), and the one that matters
+    * most: this ledger grows by ~batch-token-count rows per batch, so
+    * serve-time merge cost grows with batch count until compacted.
+    *
+    * COMMITTED rows fold to `(tag, ch, sum(nd))` under tag = the max
+    * committed batch_id; serving is identical by construction because
+    * the serve path IS groupBy(ch).sum(nd). Orphan rows (a
+    * crash-window row-set whose marker never landed) are carried
+    * through VERBATIM under their own batch_id, so a later replay can
+    * still adopt them — folding them in would instead double-count
+    * when the replay re-appends. A replayed OLD batch stays
+    * marker-skipped (the marker ledger is untouched).
+    *
+    * Concurrency contract: run in a maintenance window with the
+    * maintainer stopped (SURVEY §6b). Crash-safe via stage-then-swap:
+    * the compacted ledger is fully written under `<table>_staging`
+    * before the one vulnerable step (drop + rename); a crash before
+    * the drop leaves the old ledger untouched, a crash between drop
+    * and rename is healed by [[recoverStaging]] at every entry point. */
+  def compact(spark: SparkSession, windowTable: String,
+              markerTable: String): Unit = {
+    recoverStaging(spark, windowTable)
+    if (!spark.catalog.tableExists(windowTable) ||
+        !spark.catalog.tableExists(markerTable)) return
+    val markers = spark.table(markerTable).select("batch_id")
+    val tagRow = markers.agg(max("batch_id")).head()
+    if (tagRow.isNullAt(0)) return
+    val tag = tagRow.getLong(0)
+    val ledger = spark.table(windowTable)
+    // marker sets are small (one row per batch) — broadcast both ways
+    val folded = ledger
+      .join(broadcast(markers), Seq("batch_id"), "left_semi")
+      .groupBy("ch").agg(sum("nd").as("nd"))
+      .select(lit(tag).as("batch_id"), col("ch"), col("nd"))
+    val orphans = ledger
+      .join(broadcast(markers), Seq("batch_id"), "left_anti")
+      .select("batch_id", "ch", "nd")
+    val staging = windowTable + "_staging"
+    folded.unionAll(orphans)
+      .write.mode("overwrite").saveAsTable(staging)
+    spark.sql(s"DROP TABLE IF EXISTS $windowTable")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $windowTable")
+  }
+
+  /** Crash recovery for [[compact]]'s stage-then-swap: a crash
+    * between the DROP and the RENAME leaves no window table but a
+    * complete staged ledger — adopt it. Called by every entry point
+    * that reads or writes the window table. */
+  private def recoverStaging(spark: SparkSession, windowTable: String): Unit = {
+    val staging = windowTable + "_staging"
+    if (!spark.catalog.tableExists(windowTable) &&
+        spark.catalog.tableExists(staging))
+      spark.sql(s"ALTER TABLE $staging RENAME TO $windowTable")
+  }
 
   /** Serve-time dd14 report for `documents` (`doc_id`, `text`)
     * against the MAINTAINED ledger — same schema as the batch report
