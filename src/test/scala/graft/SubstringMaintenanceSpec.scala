@@ -87,4 +87,113 @@ class SubstringMaintenanceSpec extends AnyFunSuite {
     assert(r.map(x => x.getLong(0) -> x.getInt(3)).toMap ==
       Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 0))
   }
+
+  test("compaction folds to one row per digest, serving unchanged") {
+    import spark.implicits._
+    val wt = "substr_ledger_compact"
+    val mt = "substr_marker_compact"
+    reset(wt, mt, wt + "_staging")
+
+    val docsDf = corpus.toDF("doc_id", "text")
+    SubstringDedup.appendBatch(corpus.take(2).toDF("doc_id", "text"),
+      0L, wt, mt)
+    SubstringDedup.appendBatch(corpus.drop(2).toDF("doc_id", "text"),
+      1L, wt, mt)
+
+    val freqBefore = SubstringDedup.windowFrequency(spark, wt)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val servedBefore = SubstringDedup.substringDupReportServed(docsDf, wt)
+      .collect().toSeq
+    val rowsBefore = spark.table(wt).count()
+
+    SubstringDedup.compact(spark, wt, mt)
+
+    // one row per distinct digest (no orphans here), strictly smaller:
+    // the shared passage's windows appeared in both batches
+    val rowsAfter = spark.table(wt).count()
+    assert(rowsAfter == spark.table(wt).select("ch").distinct().count(),
+      "compacted ledger must hold one row per distinct digest")
+    assert(rowsAfter < rowsBefore, "compaction must shrink the ledger")
+    val freqAfter = SubstringDedup.windowFrequency(spark, wt)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(freqAfter == freqBefore,
+      "window frequency must be identical before and after compaction")
+    assert(SubstringDedup.substringDupReportServed(docsDf, wt)
+      .collect().toSeq == servedBefore,
+      "served dd14 report must be identical before and after compaction")
+
+    // a replayed pre-compaction batch is still marker-skipped
+    SubstringDedup.appendBatch(corpus.take(2).toDF("doc_id", "text"),
+      0L, wt, mt)
+    assert(SubstringDedup.windowFrequency(spark, wt)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      == freqBefore, "replay after compaction must be a no-op")
+  }
+
+  test("crash window: replay adopts orphaned increments, single-counted") {
+    import spark.implicits._
+    val wt = "substr_ledger_orphan"
+    val mt = "substr_marker_orphan"
+    reset(wt, mt)
+
+    // batch 0 commits normally; its frequencies are the reference
+    SubstringDedup.appendBatch(corpus.take(2).toDF("doc_id", "text"),
+      0L, wt, mt)
+    SubstringDedup.appendBatch(corpus.drop(2).toDF("doc_id", "text"),
+      1L, wt, mt)
+    val committed = SubstringDedup.windowFrequency(spark, wt)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // simulate the crash window for batch 1: increments landed but the
+    // marker write never happened — rebuild the marker table with only
+    // batch 0's row (equivalent to crashing between the two appends)
+    TestWarehouse.reset(spark, mt)
+    Seq((0L, 2L)).toDF("batch_id", "n_docs")
+      .write.mode("append").saveAsTable(mt)
+
+    // replay of batch 1 lands in the crash window: it must ADOPT the
+    // existing rows (write only the marker), never append a second set
+    SubstringDedup.appendBatch(corpus.drop(2).toDF("doc_id", "text"),
+      1L, wt, mt)
+    val afterReplay = SubstringDedup.windowFrequency(spark, wt)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(afterReplay == committed,
+      "adopted replay must not double-count the crash-window batch")
+    assert(!spark.table(mt).filter($"batch_id" === 1L).isEmpty,
+      "adopting replay must write the missing marker")
+    // the passage windows are nd = 2 exactly (docs 1 and 3), not 3+
+    assert(afterReplay.values.max == 2L)
+  }
+
+  test("recoverStaging heals a crash between compact's DROP and RENAME") {
+    import spark.implicits._
+    val wt = "substr_ledger_recover"
+    val mt = "substr_marker_recover"
+    val staging = wt + "_staging"
+    reset(wt, mt, staging)
+
+    SubstringDedup.appendBatch(corpus.take(2).toDF("doc_id", "text"),
+      0L, wt, mt)
+    val before = SubstringDedup.windowFrequency(spark, wt)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // simulate the vulnerable instant: staged ledger fully written,
+    // window table dropped, rename never ran
+    spark.table(wt).write.mode("overwrite").saveAsTable(staging)
+    spark.sql(s"DROP TABLE $wt")
+
+    // any entry point heals it — serve first, then append
+    val healed = SubstringDedup.windowFrequency(spark, wt)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(healed == before, "serve must adopt the staged ledger")
+    assert(spark.catalog.tableExists(wt) &&
+      !spark.catalog.tableExists(staging))
+
+    // and the maintainer keeps working against the healed table
+    SubstringDedup.appendBatch(corpus.drop(2).toDF("doc_id", "text"),
+      1L, wt, mt)
+    assert(SubstringDedup.windowFrequency(spark, wt)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .values.max == 2L)
+  }
 }
