@@ -8,10 +8,15 @@ import org.apache.spark.sql.SparkSession
   * prune projections, under-measuring string-heavy queries); a warmup
   * pass reads every table end-to-end first so the first measured query
   * doesn't absorb JVM/codegen startup (~6s observed otherwise); each
-  * query is timed in TWO full passes and the minimum reported, so a
-  * co-tenant load burst must hit the same query in both passes (minutes
-  * apart) to inflate its number — round 8's single-timing record came
-  * back 3x its same-machine steady state from exactly such bursts.
+  * query is timed in TWO full passes and the minimum over SUCCESSFUL
+  * passes reported, so a co-tenant load burst must hit the same query
+  * in both passes (minutes apart) to inflate its number — round 8's
+  * single-timing record came back 3x its same-machine steady state from
+  * exactly such bursts. Queries whose two timings still disagree >2x
+  * (round 10: dd04 read 25.77s in BOTH passes vs ~4s steady) get one
+  * adaptive THIRD timing, and every run is checked against the
+  * committed steady-state history (tools/bench_steady.json) so residual
+  * contention self-labels per query in the JSON line.
   *
   * Excluded queries are documented test-SF-only oracle twins, never
   * scale paths: dd02 is the quadratic all-pairs ground truth for
@@ -80,28 +85,126 @@ object Bench {
       catch { case _: Throwable => -1.0 }
 
     val toRun = SparkEntry.all.filterNot(q => skip(q.name))
-    def timeOne(q: graft.queries.Q): Double = {
+    // (elapsed, succeeded): a failed query's time-to-fail must never be
+    // reported as its timing — min is taken over SUCCESSFUL passes only,
+    // and an all-passes-failed query lands in the "failed" list instead
+    def timeOne(q: graft.queries.Q): (Double, Boolean) = {
       // drop persisted intermediates from prior queries: measured
       // queries shouldn't inherit cache memory pressure (or benefit)
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try materialize(q.fn(spark, sfDir))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-      }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { materialize(q.fn(spark, sfDir)); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+          false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     val loadBefore = loadavg()
     val pass1 = toRun.map(q => q.name -> timeOne(q))
     val pass2 = toRun.map(q => q.name -> timeOne(q))
-    val loadAfter = loadavg()
-    val results = pass1.zip(pass2).map { case ((n, a), (_, b)) =>
-      n -> math.min(a, b)
+    // Adaptive third pass (round-10 lesson: dd04 read 25.77s in BOTH
+    // passes of a contended run vs ~4s steady — min-of-2 can't heal a
+    // burst that straddles both timings). Any query whose two good
+    // timings disagree >2x, or that has only one good timing, gets ONE
+    // extra timing; the burst now has to hit three windows.
+    val byName = toRun.map(q => q.name -> q).toMap
+    val retimed = scala.collection.mutable.Map.empty[String, (Double, Boolean)]
+    pass1.zip(pass2).foreach { case ((n, (a, aOk)), (_, (b, bOk))) =>
+      val oks = Seq(a -> aOk, b -> bOk).collect { case (t, true) => t }
+      val unstable = oks.size == 2 && oks.max > 2.0 * oks.min
+      if ((unstable || oks.size == 1) && byName.contains(n)) {
+        System.err.println(f"[bench] retiming $n (pass1=$a%.2f ok=$aOk, " +
+          f"pass2=$b%.2f ok=$bOk)")
+        retimed(n) = timeOne(byName(n))
+      }
     }
-    val passTotals = (pass1.map(_._2).sum, pass2.map(_._2).sum)
+    val loadAfter = loadavg()
+    val perQuery = pass1.zip(pass2).map { case ((n, p1), (_, p2)) =>
+      val attempts = Seq(p1, p2) ++ retimed.get(n)
+      val oks = attempts.collect { case (t, true) => t }
+      // all attempts failed: report the fastest failure time so the
+      // total stays honest about wall cost, but flag the query
+      (n, if (oks.nonEmpty) oks.min else attempts.map(_._1).min, oks.nonEmpty)
+    }
+    val results = perQuery.map { case (n, v, _) => n -> v }
+    val failedQueries = perQuery.collect { case (n, _, false) => n }
+    val passTotals = (pass1.map(_._2._1).sum, pass2.map(_._2._1).sum)
     System.err.println(
       f"[bench] pass1=${passTotals._1}%.1fs pass2=${passTotals._2}%.1fs " +
+      f"retimed=${retimed.size} failed=${failedQueries.size} " +
       f"load=$loadBefore%.2f->$loadAfter%.2f")
+    // Steady-state history (committed at tools/bench_steady.json): the
+    // best-known per-query min taken at 1-min loadavg < 1.5, on this
+    // machine, this binary. The JSON line references it two ways:
+    // "steady" = the history's total over the queries measured this run,
+    // and "contended" = queries whose reported min is still >2x (and
+    // >0.5s over) their steady-state — so a co-tenant-inflated record
+    // self-labels per query and the next round won't misread a burst as
+    // a regression. A run that is ITSELF low-load folds its mins back
+    // into the history (file rewritten; committed with the round).
+    val steadyPath = java.nio.file.Paths.get("tools", "bench_steady.json")
+    // basename only: "/root/testdata/sf0.1" → "sf0.1" — also the
+    // history's section key, so an sf0.01 iteration run can never
+    // pollute the sf0.1 record the driver's round bench is graded on
+    val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    val allSteady: Map[String, Map[String, Double]] =
+      if (java.nio.file.Files.exists(steadyPath)) {
+        try {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          val root = om.readTree(java.nio.file.Files.readAllBytes(steadyPath))
+          val secs = root.fieldNames()
+          val b = Map.newBuilder[String, Map[String, Double]]
+          while (secs.hasNext) {
+            val sec = secs.next()
+            if (sec != "note") {
+              val qn = root.get(sec)
+              val it = qn.fieldNames()
+              val qb = Map.newBuilder[String, Double]
+              while (it.hasNext) { val k = it.next(); qb += k -> qn.get(k).asDouble() }
+              b += sec -> qb.result()
+            }
+          }
+          b.result()
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] steady history unreadable: ${e.getMessage}")
+          Map.empty
+        }
+      } else Map.empty
+    val steady = allSteady.getOrElse(sfShort, Map.empty)
+    val contended = perQuery.collect {
+      case (n, v, true) if steady.get(n).exists(s => v > 2.0 * s && v - s > 0.5) => n
+    }
+    val steadyTotal = results.flatMap { case (n, _) => steady.get(n) }.sum
+    val lowLoad = loadBefore >= 0 && loadAfter >= 0 &&
+      math.max(loadBefore, loadAfter) < 1.5
+    if (lowLoad) {
+      val merged = (steady.keySet ++ perQuery.collect { case (n, _, true) => n })
+        .toSeq.sorted.flatMap { n =>
+          val obs = perQuery.find(p => p._1 == n && p._3).map(_._2)
+          (steady.get(n), obs) match {
+            case (Some(s), Some(o)) => Some(n -> math.min(s, o))
+            case (Some(s), None)    => Some(n -> s)
+            case (None, Some(o))    => Some(n -> o)
+            case _                  => None
+          }
+        }
+      val sections = (allSteady + (sfShort -> merged.toMap)).toSeq.sortBy(_._1)
+      val body = sections.map { case (sec, qs) =>
+        "\"" + sec + "\":" + qs.toSeq.sorted
+          .map { case (n, v) => "\"" + n + "\":" + v }
+          .mkString("{", ",", "}")
+      }.mkString(",")
+      val doc = s"""{"note":"best-known per-query min (sec) at 1-min loadavg < 1.5, local[$cpus], keyed by SF dir — maintained by Bench itself on low-load runs",$body}"""
+      try {
+        java.nio.file.Files.createDirectories(steadyPath.getParent)
+        java.nio.file.Files.write(steadyPath, doc.getBytes("UTF-8"))
+        System.err.println(s"[bench] steady history updated ($sfShort, ${merged.size} queries)")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] steady history write failed: ${e.getMessage}")
+      }
+    }
     // The driver keeps only the LAST 2000 chars of stdout and parses the
     // final JSON line out of that tail; sbt appends its own ~90-char
     // "[success]" trailer after us. A full-name, full-precision queries
@@ -134,18 +237,37 @@ object Bench {
     val detail = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     System.err.println(s"""[bench-detail] {"queries":$detail}""")
-    // basename only: "/root/testdata/sf0.1" → "sf0.1" (tail-budget)
-    val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    // min-of-2 provenance: 1-min loadavg straddling the run + both pass
-    // totals, so a reader can tell a clean record from a contended one
-    // without any external context. ~60 chars — fits the tail budget.
-    val prov = s""","load":[${fmt(loadBefore)},${fmt(loadAfter)}],"passes":[${fmt(passTotals._1)},${fmt(passTotals._2)}]"""
+    // provenance: 1-min loadavg straddling the run + both pass totals
+    // (a reader can tell a clean record from a contended one without
+    // external context), plus the steady-state reference: "steady" =
+    // tools/bench_steady.json's total over this run's queries, and
+    // "contended" = queries (prefix ids) still >2x their steady-state
+    // after the adaptive third pass — a contended record self-labels
+    // which numbers to distrust. "failed"/"retimed" only when nonempty.
+    def preOf(full: String): String = {
+      val pre = full.takeWhile(_ != '_')
+      if (collided(pre)) full else pre
+    }
+    val steadyProv =
+      if (steady.isEmpty) ""
+      else s""","steady":${fmt(steadyTotal)}""" + (
+        if (contended.isEmpty) ""
+        else contended.map(n => "\"" + preOf(n) + "\"")
+          .mkString(""","contended":[""", ",", "]"))
+    val failedProv =
+      if (failedQueries.isEmpty) ""
+      else failedQueries.map(n => "\"" + preOf(n) + "\"")
+        .mkString(""","failed":[""", ",", "]")
+    val retimedProv = if (retimed.isEmpty) "" else s""","retimed":${retimed.size}"""
+    val prov = s""","load":[${fmt(loadBefore)},${fmt(loadAfter)}],"passes":[${fmt(passTotals._1)},${fmt(passTotals._2)}]$steadyProv$failedProv$retimedProv"""
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfShort"$prov$buildErr}"""
     // Durability: the driver's log-tail capture has truncated the stdout
     // line in past rounds (BENCH_r04 lost 17 of 77 queries), so the
     // full-name full-precision record also lands on disk where the next
     // round can diff against it.
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir","load":[$loadBefore,$loadAfter],"passes":[${passTotals._1},${passTotals._2}]$buildErr}"""
+    val fullContended = failedQueries.map(n => "\"" + n + "\"")
+      .mkString("[", ",", "]")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir","load":[$loadBefore,$loadAfter],"passes":[${passTotals._1},${passTotals._2}],"steady":$steadyTotal,"contended":${contended.map(n => "\"" + n + "\"").mkString("[", ",", "]")},"failed":$fullContended,"retimed":${retimed.size}$buildErr}"""
     try {
       val out = java.nio.file.Paths.get("target", "bench_last.json")
       java.nio.file.Files.createDirectories(out.getParent)
