@@ -33,6 +33,15 @@ object Bench {
       "mm05_blob_neardup_allpairs")
 
   def main(args: Array[String]): Unit = {
+    // sampled before ANYTHING runs: the warmup pass alone drives 1-min
+    // loadavg past the steady-history gate (observed 0.02 -> 3.06 by
+    // the time the first measured query starts), so sampling any later
+    // makes the low-load gate unsatisfiable even on an idle machine
+    val loadAtStart =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split(" ").head.toDouble
+      catch { case _: Throwable => -1.0 }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default matches the driver's local[32] environment (see brief);
     // override with SPARK_GRAFT_CPUS for smaller local runs
@@ -101,7 +110,7 @@ object Bench {
         }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val loadBefore = loadavg()
+    val loadBefore = loadAtStart
     val pass1 = toRun.map(q => q.name -> timeOne(q))
     val pass2 = toRun.map(q => q.name -> timeOne(q))
     // Adaptive third pass (round-10 lesson: dd04 read 25.77s in BOTH
@@ -113,7 +122,12 @@ object Bench {
     val retimed = scala.collection.mutable.Map.empty[String, (Double, Boolean)]
     pass1.zip(pass2).foreach { case ((n, (a, aOk)), (_, (b, bOk))) =>
       val oks = Seq(a -> aOk, b -> bOk).collect { case (t, true) => t }
-      val unstable = oks.size == 2 && oks.max > 2.0 * oks.min
+      // absolute floor mirrors the contended check: sub-second jitter
+      // (0.61 vs 0.24) is not instability worth a third pass — round 11
+      // retimed 39 of ~140 queries on exactly such noise, adding ~1/4 of
+      // a pass of wall time for nothing
+      val unstable = oks.size == 2 && oks.max > 2.0 * oks.min &&
+        oks.max - oks.min > 0.5
       if ((unstable || oks.size == 1) && byName.contains(n)) {
         System.err.println(f"[bench] retiming $n (pass1=$a%.2f ok=$aOk, " +
           f"pass2=$b%.2f ok=$bOk)")
@@ -171,26 +185,63 @@ object Bench {
           System.err.println(s"[bench] steady history unreadable: ${e.getMessage}")
           Map.empty
         }
-      } else Map.empty
+      } else {
+        // loud, not silent: without history the steady/contended labels
+        // are inert and a contended record reads as a regression (the
+        // round-11 blind spot — the file was never committed)
+        System.err.println("[bench] WARNING steady history missing " +
+          s"($steadyPath) — steady/contended self-labeling inert this run")
+        Map.empty
+      }
     val steady = allSteady.getOrElse(sfShort, Map.empty)
+    // suspicious speedups awaiting confirmation (see fold rules below),
+    // kept in the same file under a "<sf>#pending" section
+    val pendingKey = sfShort + "#pending"
+    val pending = allSteady.getOrElse(pendingKey, Map.empty)
     val contended = perQuery.collect {
       case (n, v, true) if steady.get(n).exists(s => v > 2.0 * s && v - s > 0.5) => n
     }
     val steadyTotal = results.flatMap { case (n, _) => steady.get(n) }.sum
-    val lowLoad = loadBefore >= 0 && loadAfter >= 0 &&
-      math.max(loadBefore, loadAfter) < 1.5
+    // gate on loadBefore ONLY: loadAfter samples 1-min loadavg after the
+    // bench itself has been driving all cores for minutes — even a
+    // perfectly clean run ends at load >> 1.5 (round 11: 0.83 -> 2.73),
+    // so a max(before, after) gate can never fire and the history never
+    // bootstraps. What matters is that the machine was quiet when the
+    // run STARTED; the min-of-passes rule absorbs mid-run bursts.
+    val lowLoad = loadBefore >= 0 && loadBefore < 1.5
     if (lowLoad) {
+      val newPending = scala.collection.mutable.Map.empty[String, Double]
       val merged = (steady.keySet ++ perQuery.collect { case (n, _, true) => n })
         .toSeq.sorted.flatMap { n =>
           val obs = perQuery.find(p => p._1 == n && p._3).map(_._2)
           (steady.get(n), obs) match {
+            case (Some(s), Some(o)) if o * 3.0 < s =>
+              // An "ok" timing >3x BELOW the recorded steady is more
+              // likely a short-circuit (empty input, bad data returning
+              // ok) than a real 3x optimization, and min-merge would
+              // poison the baseline permanently — every later honest run
+              // would self-label contended. Fold only when a second
+              // consecutive low-load run lands within 1.5x; park the
+              // observation under "<sf>#pending" otherwise.
+              if (pending.get(n).exists(p => o <= p * 1.5 && p <= o * 1.5))
+                Some(n -> o)
+              else {
+                newPending(n) = o
+                System.err.println(f"[bench] $n%s observed $o%.2fs vs steady " +
+                  f"$s%.2fs (>3x faster) — pending confirmation, not folded")
+                Some(n -> s)
+              }
             case (Some(s), Some(o)) => Some(n -> math.min(s, o))
             case (Some(s), None)    => Some(n -> s)
             case (None, Some(o))    => Some(n -> o)
             case _                  => None
           }
         }
-      val sections = (allSteady + (sfShort -> merged.toMap)).toSeq.sortBy(_._1)
+      val withMerged = allSteady + (sfShort -> merged.toMap)
+      val withPending =
+        if (newPending.isEmpty) withMerged - pendingKey
+        else withMerged + (pendingKey -> newPending.toMap)
+      val sections = withPending.toSeq.sortBy(_._1)
       val body = sections.map { case (sec, qs) =>
         "\"" + sec + "\":" + qs.toSeq.sorted
           .map { case (n, v) => "\"" + n + "\":" + v }

@@ -17,6 +17,22 @@ class BenchRegistrySpec extends AnyFunSuite {
     assert(dead.isEmpty, s"excluded names not in the registry: $dead")
   }
 
+  test("steady-state history exists, parses, and covers the round SF") {
+    // tools/bench_steady.json is what makes the JSON line's
+    // steady/contended self-labels live; round 11 shipped the labeling
+    // code but never committed the history, leaving it silently inert.
+    // This spec makes that failure loud at `sbt test` time.
+    val path = java.nio.file.Paths.get("tools", "bench_steady.json")
+    assert(java.nio.file.Files.exists(path),
+      "tools/bench_steady.json missing — run Bench once at low load " +
+        "(loadavg < 1.5 at start) and commit the file")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(java.nio.file.Files.readAllBytes(path))
+    val sf = root.get("sf0.1")
+    assert(sf != null && sf.size() > 100,
+      s"steady history has no usable sf0.1 section (got ${Option(sf).map(_.size())})")
+  }
+
   test("every excluded oracle twin has a measured scale-path twin") {
     // exclusion rationale, made executable: each test-SF-only shape
     // exists to oracle a banded/survivors-first scale path — that
