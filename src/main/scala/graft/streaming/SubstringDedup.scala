@@ -30,16 +30,21 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * distinct digest, restoring serve-time merge cost to
   * O(distinct windows) however many batches have landed.
   *
-  * Delivery: the `QualityMaintenance` commit-marker + orphan-ADOPTION
-  * pattern — the per-batch `(batch_id, n_docs)` marker row is written
-  * AFTER the increments, and a replayed batch whose marker exists is
-  * skipped. The crash window between the append and the marker is
-  * CLOSED by adoption: the increments are DETERMINISTIC per batch
-  * (digesting the same docs yields the same (ch, nd) rows), so a
-  * replay that finds its batch_id already in the ledger writes only
-  * the marker, never a second row-set — without this, a replayed
-  * batch would double-count its own docs and flip single-doc windows
-  * to nd >= 2, surfacing false duplicated spans forever.
+  * Delivery: the `QualityMaintenance` commit-marker pattern — the
+  * per-batch `(batch_id, n_docs)` marker row is written AFTER the
+  * increments, and a replayed batch whose marker exists is skipped.
+  * The crash window between the increments and the marker is closed
+  * by PARTITION OVERWRITE, not adoption: the ledger is partitioned by
+  * batch_id and each batch writes its own partition with dynamic
+  * partition overwrite, so a replay that lands in the crash window
+  * REWRITES the partition completely — idempotent because the
+  * increments are deterministic per batch. Adoption (trusting rows
+  * already present under the batch_id) was abandoned: a crash mid
+  * file-commit can leave a PARTIALLY-visible row-set, and adopting it
+  * would permanently undercount those windows with no signal
+  * (VERDICT r11 ADVICE). Overwrite needs no completeness judgment —
+  * whatever was visible, partial or whole, is replaced by the full
+  * deterministic set.
   */
 object SubstringDedup {
 
@@ -62,13 +67,14 @@ object SubstringDedup {
       }
       .start()
 
-  /** One micro-batch: digest the batch's windows, append `(batch_id,
-    * ch, nd)` increments, then the commit marker. Replay-safe via the
-    * marker; a replay that lands in the crash window (increments
-    * appended, marker missing) ADOPTS the existing rows instead of
-    * duplicating them — sound because the increments are
-    * deterministic per batch and Spark's file-commit protocol makes
-    * the append all-or-nothing. */
+  /** One micro-batch: digest the batch's windows, write the `(ch, nd)`
+    * increments into the ledger's `batch_id=N` partition, then the
+    * commit marker. Replay-safe via the marker; a replay that lands in
+    * the crash window (increments visible — possibly PARTIALLY, after
+    * a mid-commit crash — marker missing) overwrites its partition
+    * with the full deterministic row-set via dynamic partition
+    * overwrite, so neither double-counting nor adopt-a-partial-batch
+    * undercounting is reachable. */
   def appendBatch(batch: DataFrame, batchId: Long,
                   windowTable: String, markerTable: String): Unit = {
     val spark = batch.sparkSession
@@ -77,16 +83,30 @@ object SubstringDedup {
     val committed = spark.catalog.tableExists(markerTable) &&
       !spark.table(markerTable).filter(col("batch_id") === batchId).isEmpty
     if (!committed) {
-      val orphaned = spark.catalog.tableExists(windowTable) &&
-        !spark.table(windowTable).filter(col("batch_id") === batchId).isEmpty
-      if (!orphaned)
+      // partition column last: matches the saveAsTable layout so the
+      // insertInto below resolves positionally
+      val increments =
         graft.queries.Dedup.substringWindowDigestsOf(
             batch.select(col("doc_id"),
               graft.functions.TextFunctions.tokens(col("text")).as("tk")))
           .groupBy("ch")
           .agg(countDistinct(col("doc_id")).as("nd"))
-          .select(lit(batchId).as("batch_id"), col("ch"), col("nd"))
-          .write.mode("append").saveAsTable(windowTable)
+          .select(col("ch"), col("nd"), lit(batchId).as("batch_id"))
+      if (!spark.catalog.tableExists(windowTable))
+        increments.write.partitionBy("batch_id").saveAsTable(windowTable)
+      else {
+        // session conf, not a write option: insertInto on a catalog
+        // table ignores per-write options, and STATIC overwrite would
+        // truncate every other batch's partition
+        val key = "spark.sql.sources.partitionOverwriteMode"
+        val prior = spark.conf.getOption(key)
+        spark.conf.set(key, "dynamic")
+        try increments.write.mode("overwrite").insertInto(windowTable)
+        finally prior match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
+      }
       batch.groupBy()
         .agg(count(lit(1)).as("n_docs"))
         .withColumn("batch_id", lit(batchId))
@@ -115,10 +135,11 @@ object SubstringDedup {
     * COMMITTED rows fold to `(tag, ch, sum(nd))` under tag = the max
     * committed batch_id; serving is identical by construction because
     * the serve path IS groupBy(ch).sum(nd). Orphan rows (a
-    * crash-window row-set whose marker never landed) are carried
-    * through VERBATIM under their own batch_id, so a later replay can
-    * still adopt them — folding them in would instead double-count
-    * when the replay re-appends. A replayed OLD batch stays
+    * crash-window row-set whose marker never landed, possibly partial)
+    * are carried through VERBATIM under their own batch_id partition,
+    * which the batch's eventual replay overwrites completely — folding
+    * them into the tag partition would instead double-count once the
+    * replay rewrites its own partition. A replayed OLD batch stays
     * marker-skipped (the marker ledger is untouched).
     *
     * Concurrency contract: run in a maintenance window with the
@@ -146,21 +167,47 @@ object SubstringDedup {
       .join(broadcast(markers), Seq("batch_id"), "left_anti")
       .select("batch_id", "ch", "nd")
     val staging = windowTable + "_staging"
+    // same partition layout as the live ledger: appendBatch's
+    // insertInto resolves positionally against (ch, nd | batch_id),
+    // and an orphan's replay must still target its own partition
     folded.unionAll(orphans)
-      .write.mode("overwrite").saveAsTable(staging)
-    spark.sql(s"DROP TABLE IF EXISTS $windowTable")
-    spark.sql(s"ALTER TABLE $staging RENAME TO $windowTable")
+      .select("ch", "nd", "batch_id")
+      .write.mode("overwrite").partitionBy("batch_id").saveAsTable(staging)
+    swapFromStaging(spark, windowTable)
   }
 
-  /** Crash recovery for [[compact]]'s stage-then-swap: a crash
-    * between the DROP and the RENAME leaves no window table but a
-    * complete staged ledger — adopt it. Called by every entry point
-    * that reads or writes the window table. */
+  /** Install the fully-written staged ledger as the live window table
+    * and drop the staging copy. By COPY, not `ALTER TABLE RENAME`: the
+    * in-memory catalog's rename moves the table directory but keeps
+    * each PARTITION's location pointing at the old path, silently
+    * emptying a partitioned table (only the Hive catalog rewrites
+    * partition locations on rename). The copy is the compacted ledger
+    * — one row per distinct digest — so the double write is small.
+    *
+    * Crash-safe: the overwrite of the live table internally drops then
+    * recreates it, so a crash mid-copy leaves no live table and an
+    * intact staged one — [[recoverStaging]] re-runs this swap. A crash
+    * after the copy but before the staging drop leaves both tables;
+    * the live one wins and the leftover staging is overwritten by the
+    * next compact. */
+  private def swapFromStaging(spark: SparkSession, windowTable: String): Unit = {
+    val staging = windowTable + "_staging"
+    spark.table(staging)
+      .write.mode("overwrite").partitionBy("batch_id").saveAsTable(windowTable)
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+  }
+
+  /** Crash recovery for [[compact]]'s stage-then-swap: a crash during
+    * the swap leaves no window table but a complete staged ledger —
+    * re-run the swap. Called by every entry point that reads or writes
+    * the window table. (The staging write itself crashing is harmless:
+    * the live table still exists, so this no-ops and the next compact
+    * overwrites the partial staging.) */
   private def recoverStaging(spark: SparkSession, windowTable: String): Unit = {
     val staging = windowTable + "_staging"
     if (!spark.catalog.tableExists(windowTable) &&
         spark.catalog.tableExists(staging))
-      spark.sql(s"ALTER TABLE $staging RENAME TO $windowTable")
+      swapFromStaging(spark, windowTable)
   }
 
   /** Serve-time dd14 report for `documents` (`doc_id`, `text`)

@@ -130,7 +130,7 @@ class SubstringMaintenanceSpec extends AnyFunSuite {
       == freqBefore, "replay after compaction must be a no-op")
   }
 
-  test("crash window: replay adopts orphaned increments, single-counted") {
+  test("crash window: replay overwrites its partition, single-counted") {
     import spark.implicits._
     val wt = "substr_ledger_orphan"
     val mt = "substr_marker_orphan"
@@ -151,18 +151,63 @@ class SubstringMaintenanceSpec extends AnyFunSuite {
     Seq((0L, 2L)).toDF("batch_id", "n_docs")
       .write.mode("append").saveAsTable(mt)
 
-    // replay of batch 1 lands in the crash window: it must ADOPT the
-    // existing rows (write only the marker), never append a second set
+    // replay of batch 1 lands in the crash window: it rewrites its own
+    // batch_id partition (deterministic rows), never appends a second
+    // set on top of the visible one
     SubstringDedup.appendBatch(corpus.drop(2).toDF("doc_id", "text"),
       1L, wt, mt)
     val afterReplay = SubstringDedup.windowFrequency(spark, wt)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(afterReplay == committed,
-      "adopted replay must not double-count the crash-window batch")
+      "crash-window replay must not double-count the batch")
     assert(!spark.table(mt).filter($"batch_id" === 1L).isEmpty,
-      "adopting replay must write the missing marker")
+      "crash-window replay must write the missing marker")
     // the passage windows are nd = 2 exactly (docs 1 and 3), not 3+
     assert(afterReplay.values.max == 2L)
+  }
+
+  test("crash window: a partially-visible batch is replaced, not adopted") {
+    import spark.implicits._
+    val wt = "substr_ledger_partial"
+    val mt = "substr_marker_partial"
+    reset(wt, mt)
+
+    SubstringDedup.appendBatch(corpus.take(2).toDF("doc_id", "text"),
+      0L, wt, mt)
+    SubstringDedup.appendBatch(corpus.drop(2).toDF("doc_id", "text"),
+      1L, wt, mt)
+    val committed = SubstringDedup.windowFrequency(spark, wt)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // simulate a crash MID file-commit for batch 1: only SOME of its
+    // increment rows are visible, and the marker never landed. The old
+    // orphan-ADOPTION logic would have trusted these rows and
+    // permanently undercounted (ADVICE r11, medium).
+    TestWarehouse.reset(spark, mt)
+    Seq((0L, 2L)).toDF("batch_id", "n_docs")
+      .write.mode("append").saveAsTable(mt)
+    val fullRows = spark.table(wt).filter($"batch_id" === 1L).count()
+    assert(fullRows > 3, s"need a multi-row batch to truncate (got $fullRows)")
+    val partial = spark.table(wt).filter($"batch_id" === 1L)
+      .select("ch", "nd", "batch_id").limit(3).collect().toSeq
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.createDataFrame(
+        spark.sparkContext.parallelize(partial),
+        spark.table(wt).select("ch", "nd", "batch_id").schema)
+      .write.mode("overwrite").insertInto(wt)
+    finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    assert(spark.table(wt).filter($"batch_id" === 1L).count() == 3L,
+      "setup: partition 1 must hold only the partial row-set")
+
+    // replay of batch 1 must restore the FULL deterministic row-set
+    SubstringDedup.appendBatch(corpus.drop(2).toDF("doc_id", "text"),
+      1L, wt, mt)
+    val afterReplay = SubstringDedup.windowFrequency(spark, wt)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(afterReplay == committed,
+      "replay must replace the partial partition with the full row-set")
+    assert(spark.table(wt).filter($"batch_id" === 1L).count() == fullRows)
+    assert(!spark.table(mt).filter($"batch_id" === 1L).isEmpty)
   }
 
   test("recoverStaging heals a crash between compact's DROP and RENAME") {
@@ -177,9 +222,11 @@ class SubstringMaintenanceSpec extends AnyFunSuite {
     val before = SubstringDedup.windowFrequency(spark, wt)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
-    // simulate the vulnerable instant: staged ledger fully written,
-    // window table dropped, rename never ran
-    spark.table(wt).write.mode("overwrite").saveAsTable(staging)
+    // simulate the vulnerable instant: staged ledger fully written
+    // (same partition layout compact stages), window table dropped,
+    // rename never ran
+    spark.table(wt).select("ch", "nd", "batch_id")
+      .write.mode("overwrite").partitionBy("batch_id").saveAsTable(staging)
     spark.sql(s"DROP TABLE $wt")
 
     // any entry point heals it — serve first, then append
