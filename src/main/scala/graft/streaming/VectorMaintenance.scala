@@ -55,6 +55,29 @@ object VectorMaintenance {
     }
   }
 
+  /** Compaction — the operational counterpart of append-only ingest
+    * (the `IndexMaintenance.compact` template): every micro-batch adds
+    * one file set to each cid partition it touches, so a thousand
+    * appends mean a thousand small files under the hot cells and the
+    * serve-time partition-pruned scan degrades into an open/close
+    * storm. Rewrites `<name>_codes` clustered by `cid` — ONE file set
+    * per cell — with the SAME partition spec, so `serveTopK`'s
+    * candidate read keeps its partition-pruned shape and identical
+    * results. Contents pass through an eager localCheckpoint so the
+    * rewrite never reads the files it is replacing. Run in a
+    * maintenance window with the maintainer stopped (SURVEY §6b); a
+    * transactional table format would swap manifests at this same
+    * seam. */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+              storeName: String): Unit = {
+    val codes = s"${storeName}_codes"
+    val snapshot = spark.table(codes)
+      .repartition(col("cid")) // all rows of a cell in one task → one file
+      .localCheckpoint(true)   // materialize BEFORE dropping the source
+    spark.sql(s"DROP TABLE IF EXISTS $codes")
+    snapshot.write.partitionBy("cid").saveAsTable(codes)
+  }
+
   /** Total ingested vectors according to the marker ledger (0 when no
     * batch has committed yet). */
   def vecCount(spark: org.apache.spark.sql.SparkSession,

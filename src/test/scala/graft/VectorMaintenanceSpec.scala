@@ -58,4 +58,60 @@ class VectorMaintenanceSpec extends AnyFunSuite {
     assert(before == after, "replayed batch appended duplicate codes")
     assert(VectorMaintenance.vecCount(spark, "vm_marker") == 2L)
   }
+
+  test("compact folds per-batch files; serving identical, still partitioned") {
+    import spark.implicits._
+    reset("vmc", "vmc_marker")
+    val e = tables.load(spark, dir, "embeddings")
+    VectorStore.build(e.select(col("vec_id"), col("embedding")), "vmc")
+    val v50 = e.filter(col("vec_id") === 50)
+      .select(col("embedding").cast("array<double>"))
+      .collect().head.getSeq[Double](0).toArray
+
+    // several streamed batches → several small file sets per hot cell
+    (0 until 4).foreach { i =>
+      VectorMaintenance.appendBatch(
+        Seq((800000L + i, v50.map(_ * (1.0 + 0.01 * i))))
+          .toDF("vec_id", "embedding"),
+        i.toLong, "vmc", "vmc_marker")
+    }
+
+    def dataFiles(): Seq[java.io.File] = {
+      val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+      val root = new java.io.File(
+        if (wh.getScheme == null) wh.toString else wh.getPath, "vmc_codes")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (!f.getName.startsWith("_") && !f.getName.startsWith("."))
+          Seq(f)
+        else Seq.empty
+      walk(root)
+    }
+    val filesBefore = dataFiles().size
+    val probes = Seq((50L, v50)).toDF("probe_id", "pe")
+    val servedBefore = VectorStore.serveTopK(probes, "vmc", k = 6)
+      .collect().toSeq
+
+    VectorMaintenance.compact(spark, "vmc")
+
+    // one file set per cell, strictly fewer files than the append trail
+    val filesAfter = dataFiles().size
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink the file count ($filesBefore -> $filesAfter)")
+    val cells = spark.sql("SHOW PARTITIONS vmc_codes").count()
+    assert(filesAfter <= cells,
+      s"expected at most one file per cell, got $filesAfter over $cells cells")
+    // the partition spec survives the rewrite — this is what keeps
+    // serveTopK's candidate read partition-prunable
+    val partCols = spark.catalog.listColumns("vmc_codes")
+      .collect().filter(_.isPartition).map(_.name).toSeq
+    assert(partCols == Seq("cid"),
+      s"partition spec lost in compaction: $partCols")
+    // serving is identical, including the streamed near-duplicates
+    val servedAfter = VectorStore.serveTopK(probes, "vmc", k = 6)
+      .collect().toSeq
+    assert(servedAfter == servedBefore)
+    assert(servedAfter.map(_.getLong(1)).exists(_ >= 800000L),
+      "test premise: streamed vectors must appear in the served top-k")
+  }
 }
