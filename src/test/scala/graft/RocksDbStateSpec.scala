@@ -81,4 +81,74 @@ class RocksDbStateSpec extends AnyFunSuite {
     } finally spark.conf.set(
       "spark.sql.streaming.stateStore.providerClass", saved)
   }
+
+  test("stateful funnel is backend-equal on RocksDB state store") {
+    // The funnel's state schema is the likeliest to break under store
+    // serialization: a case class holding three longs PLUS a
+    // List[(Long, String)] pending buffer, round-tripped through the
+    // provider on every micro-batch, with event-time timeouts re-armed
+    // from deserialized state. Re-run FunnelSpec's two hardest
+    // scenarios — the out-of-order cross-batch rewrite and the
+    // stage-gap-longer-than-watermark case (partial t1 progress must
+    // survive its own finalization timeout) — under RocksDB and pin
+    // the same answers the HashMap provider gives.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{EventStreams, FunnelEvent}
+    val saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-rocks-funnel-ckpt").toString
+      val stream = MemoryStream[FunnelEvent]
+      val q = EventStreams.funnelStateful(stream.toDS())
+        .writeStream.format("memory").queryName("rocks_funnel_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try {
+        Seq(
+          // user 1: out-of-order rewrite — first-arriving click at
+          // 00:30 is only qualified by the LATE 00:10 view (FunnelSpec
+          // "cross-batch"); state with a non-empty pending buffer must
+          // survive a RocksDB round trip in between
+          Seq(FunnelEvent(1L, ts("2024-01-01 00:30:00"), "click")),
+          Seq(FunnelEvent(1L, ts("2024-01-01 00:10:00"), "view"),
+              FunnelEvent(1L, ts("2024-01-01 00:50:00"), "purchase")),
+          // user 2: stage gap longer than the watermark delay
+          // (FunnelSpec:119) — the view is finalized by a timeout fired
+          // from DESERIALIZED state, then must persist as partial
+          // progress until the click/purchase arrive a day later
+          Seq(FunnelEvent(2L, ts("2024-01-01 00:00:00"), "view")),
+          Seq(FunnelEvent(999L, ts("2024-01-02 12:00:00"), "view")),
+          Seq(FunnelEvent(999L, ts("2024-01-02 12:01:00"), "view")),
+          Seq(FunnelEvent(2L, ts("2024-01-02 11:00:00"), "click"),
+              FunnelEvent(2L, ts("2024-01-02 11:30:00"), "purchase")),
+          Seq(FunnelEvent(999L, ts("2024-01-03 00:00:00"), "view")),
+          Seq(FunnelEvent(999L, ts("2024-01-03 00:01:00"), "view"))
+        ).foreach { b => stream.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+
+      val got = spark.table("rocks_funnel_out")
+        .filter(col("user_id") < 999)
+        .orderBy("user_id")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, java.sql.Timestamp)]
+        .collect().toSeq
+      assert(got == Seq(
+        (1L, ts("2024-01-01 00:10:00"), ts("2024-01-01 00:30:00"),
+          ts("2024-01-01 00:50:00")),
+        (2L, ts("2024-01-01 00:00:00"), ts("2024-01-02 11:00:00"),
+          ts("2024-01-02 11:30:00"))),
+        s"RocksDB-backed funnel diverged from the HashMap-provider answers: $got")
+
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      val stateFiles = walk(new java.io.File(ckpt, "state")).map(_.getName)
+      assert(stateFiles.exists(n =>
+          n.endsWith(".zip") || n.endsWith(".changelog") || n.contains("rocksdb")),
+        s"no RocksDB state artifacts under $ckpt/state: $stateFiles")
+    } finally spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass", saved)
+  }
 }
