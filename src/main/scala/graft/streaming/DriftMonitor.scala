@@ -28,19 +28,19 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object DriftMonitor {
 
   /** Freeze the reference distribution: per-token counts
-    * `<name>_ref` (token, c_t) + 1-row total `<name>_ref_total` (n).
-    * Overwrites. */
+    * `<name>_ref` (token, c_t). Overwrites. ONE artifact by design:
+    * the total `n` is derived from this table at serve time
+    * (vocabulary-sized sum, already scanned for the join), so there is
+    * no second table to crash-pair with — a rebuild that dies can
+    * leave an old or missing reference, never a NEW ref silently
+    * normalized by an OLD total (the KL-skewing failure the earlier
+    * two-table layout allowed between its writes). */
   def buildReference(docs: DataFrame, name: String): Unit = {
-    val ct = docs
+    docs
       .select(explode(graft.functions.TextFunctions.tokens(col("text")))
         .as("token"))
       .groupBy("token").agg(count(lit(1)).as("c_t"))
-    ct.write.mode("overwrite").saveAsTable(s"${name}_ref")
-    // total from the |vocab|-row table just written, NOT from `ct` —
-    // the uncached plan would re-scan and re-tokenize the corpus
-    docs.sparkSession.table(s"${name}_ref")
-      .agg(sum("c_t").as("n"))
-      .write.mode("overwrite").saveAsTable(s"${name}_ref_total")
+      .write.mode("overwrite").saveAsTable(s"${name}_ref")
   }
 
   /** Starts the monitor: one drift row per micro-batch of `newDocs`
@@ -97,9 +97,12 @@ object DriftMonitor {
       .join(broadcast(spark.table(s"${name}_ref")), Seq("token"), "left")
     val seenTot = joined.filter(col("c_t").isNotNull)
       .agg(coalesce(sum("c_b"), lit(0L)).as("n_seen"))
+    // n derived from the SAME table the per-token counts came from —
+    // ref and total cannot disagree (see buildReference)
+    val refTot = spark.table(s"${name}_ref").agg(sum("c_t").as("n"))
     joined
       .crossJoin(broadcast(seenTot))
-      .crossJoin(broadcast(spark.table(s"${name}_ref_total")))
+      .crossJoin(broadcast(refTot))
       .agg(
         coalesce(sum(col("c_b")), lit(0L)).as("n_tokens"),
         coalesce(sum(when(col("c_t").isNull, col("c_b")).otherwise(0L)),

@@ -96,6 +96,36 @@ class DriftMonitorSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("reference is ONE artifact: stale paired totals cannot skew KL") {
+    // crash-pairing regression (ADVICE r10): the old layout wrote
+    // <name>_ref then <name>_ref_total as two separate tables, so a
+    // rebuild that crashed between the writes left a NEW ref silently
+    // normalized by an OLD total. Now n derives from the ref table
+    // itself — prove it by planting an adversarial stale total under
+    // the old name and checking (a) buildReference never writes it,
+    // (b) driftRow's KL is identical with and without it present.
+    import spark.implicits._
+    TestWarehouse.reset(spark, "dp_ref", "dp_ref_total")
+    val docs = tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    DriftMonitor.buildReference(docs, "dp")
+    assert(!spark.catalog.tableExists("dp_ref_total"),
+      "buildReference must not write a second, crash-pairable artifact")
+
+    val slice = docs.limit(5).localCheckpoint(true)
+    val clean = DriftMonitor.driftRow(slice, "dp").collect().head
+    // the stale total an interrupted rebuild could have left behind:
+    // wildly wrong n — would shift every log term if it were read
+    Seq(Tuple1(1L)).toDF("n").write.saveAsTable("dp_ref_total")
+    val stale = DriftMonitor.driftRow(slice, "dp").collect().head
+    assert(clean == stale,
+      s"driftRow must ignore legacy paired totals: $clean vs $stale")
+    assert(clean.getDouble(clean.fieldIndex("kl")) > 0.0 ||
+      clean.getLong(clean.fieldIndex("n_tokens")) == 0L)
+    TestWarehouse.reset(spark, "dp_ref", "dp_ref_total")
+    spark.catalog.clearCache()
+  }
+
   test("a batch distributed like the reference drifts zero; novel tokens -> unseen") {
     import spark.implicits._
     TestWarehouse.reset(spark, "dz_ref", "dz_ref_total")
