@@ -450,6 +450,22 @@ object Dedup {
     * calling "duplicated" rather than a collocation. */
   val SubstringShingleTokens = 8
 
+  /** dd14/dd16 report SQL (shared verbatim: the report is
+    * digest-agnostic, see the dd16 registration comment). Defined
+    * before `qs` — interpolated during object init. */
+  private lazy val SubstringDupSql: String =
+    s"""WITH $SubstringSpanCtes,
+      |agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_spans,
+      |          CAST(sum(e0 - s0) AS INT) AS dup_tokens
+      |        FROM sp GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(t.tk) AS INT) AS n_tokens,
+      |  coalesce(a.n_spans, 0) AS n_spans,
+      |  coalesce(a.dup_tokens, 0) AS dup_tokens,
+      |  round(CAST(coalesce(a.dup_tokens, 0) AS DOUBLE)
+      |        / CAST(greatest(len(t.tk), 1) AS DOUBLE), 6) AS dup_frac
+      |FROM tk t LEFT JOIN agg a ON t.doc_id = a.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   /** Shared CTE chain of dd14/dd15 (UNSTRIPPED margins, like
     * [[DuckMessyUrl]] — the Q oracle stripMargins once on the final
     * interpolated text; defined BEFORE `qs` because the Q entries
@@ -810,19 +826,22 @@ object Dedup {
     //     even when every doc is a copy (the dd04-class C(k,2) blowup
     //     cannot happen structurally). Cross-doc only by design:
     //     within-doc repetition is tx15's job. ---
-    Q("dd14_substring_dup",
-      s"""WITH $SubstringSpanCtes,
-        |agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_spans,
-        |          CAST(sum(e0 - s0) AS INT) AS dup_tokens
-        |        FROM sp GROUP BY doc_id)
-        |SELECT t.doc_id, CAST(len(t.tk) AS INT) AS n_tokens,
-        |  coalesce(a.n_spans, 0) AS n_spans,
-        |  coalesce(a.dup_tokens, 0) AS dup_tokens,
-        |  round(CAST(coalesce(a.dup_tokens, 0) AS DOUBLE)
-        |        / CAST(greatest(len(t.tk), 1) AS DOUBLE), 6) AS dup_frac
-        |FROM tk t LEFT JOIN agg a ON t.doc_id = a.doc_id
-        |ORDER BY t.doc_id""") { (s, dir) =>
+    Q("dd14_substring_dup", SubstringDupSql) { (s, dir) =>
       substringDupReport(docs(s, dir))
+    },
+
+    // --- dd14's production-digest twin: the identical span pipeline
+    //     keyed by xxhash64 (8 bytes crossing the corpus-width shingle
+    //     shuffle) instead of md5 (32 hex chars) — the digest swap the
+    //     dd14 registration comment promises. The REPORT is
+    //     digest-agnostic (a digest only decides which windows match,
+    //     and any collision-free digest matches the same windows), so
+    //     the SAME DuckDB oracle checks both: this is a full
+    //     hash-compare correctness gate on the xxhash64 path, not a
+    //     rows-only check. Both stay measured — the bench delta is the
+    //     empirical answer to "what does the narrow digest buy". ---
+    Q("dd16_substring_dup_xx", SubstringDupSql) { (s, dir) =>
+      substringDupReport(docs(s, dir), XxDigest)
     },
 
     // --- The duplicated passages THEMSELVES: dd14's maximal spans,
@@ -864,14 +883,39 @@ object Dedup {
     * contract requires identical windows. sequence(0, n−w) must never
     * see a negative bound (Spark infers a negative step), so short
     * docs exit here — callers rejoin them with zero counts. */
-  def substringWindowDigestsOf(tk: DataFrame): DataFrame = {
+  def substringWindowDigestsOf(tk: DataFrame): DataFrame =
+    substringWindowDigestsOf(tk, Md5Digest)
+
+  /** md5 of the space-joined window: 32 hex chars on the wire. The
+    * streaming ledger (`graft.streaming.SubstringDedup`) and dd14 both
+    * use THIS digest — the batch-equality contract requires it. */
+  val Md5Digest: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    w => md5(w.cast("binary"))
+
+  /** xxhash64 of the window: 8 bytes on the wire instead of md5's 32
+    * hex chars — the production digest for the corpus-width shingle
+    * shuffle (dd14's one shuffle ships ~tokens-many rows; digest width
+    * IS the dominant byte cost). Collision odds at 64 bits are ~n²/2⁶⁵
+    * — about 5e-7 at a billion distinct windows — and a collision only
+    * ever OVERCOUNTS a duplicated window (two different texts sharing
+    * a digest), never drops a real duplicate. */
+  val XxDigest: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    w => xxhash64(w)
+
+  /** As [[substringWindowDigestsOf]] with the window digest pluggable
+    * — `digest` sees the space-joined window string and its output
+    * keys the duplicated-window shuffle (dd14 md5 / dd16 xxhash64). */
+  def substringWindowDigestsOf(
+      tk: DataFrame,
+      digest: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
     val w = SubstringShingleTokens
     tk.filter(size(col("tk")) >= w)
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), size(col("tk")) - w),
           i => struct(i.as("start"),
-            md5(array_join(slice(col("tk"), i + 1, lit(w)), " ")
-              .cast("binary")).as("ch")))).as("s"))
+            digest(array_join(slice(col("tk"), i + 1, lit(w)), " "))
+              .as("ch")))).as("s"))
       .select(col("doc_id"), col("s.start").as("start"), col("s.ch").as("ch"))
   }
 
@@ -912,12 +956,14 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  def substringSpanFrames(documents: DataFrame): (DataFrame, DataFrame) = {
+  def substringSpanFrames(documents: DataFrame,
+      digest: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        Md5Digest): (DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     val tk = documents
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sh = substringWindowDigestsOf(tk)
+    val sh = substringWindowDigestsOf(tk, digest)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dup = sh.groupBy("ch")
       .agg(countDistinct(col("doc_id")).as("nd"))
@@ -932,8 +978,10 @@ object Dedup {
     * per-doc maximal duplicated-span report from stride-1
     * [[SubstringShingleTokens]]-token window digests shared across
     * ≥2 docs. See the dd14 registration comment for the scale shape. */
-  def substringDupReport(documents: DataFrame): DataFrame = {
-    val (tk, spans) = substringSpanFrames(documents)
+  def substringDupReport(documents: DataFrame,
+      digest: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        Md5Digest): DataFrame = {
+    val (tk, spans) = substringSpanFrames(documents, digest)
     substringReportFrom(tk, spans)
   }
 
