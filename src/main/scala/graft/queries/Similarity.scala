@@ -871,6 +871,70 @@ object Similarity {
         .orderBy("vec_id")
     },
 
+    // --- SEMANTIC eval decontamination (pl02/pl14's third rung): the
+    //     contamination neither exact 5-grams (pl02) nor shingle
+    //     MinHash (pl14) can see — an eval item REWRITTEN into the
+    //     corpus shares no n-grams but sits next to it in embedding
+    //     space. Bipartite corpus-vs-eval cosine via dd12's cell
+    //     equi-join in pl14's broadcast-probe shape: both sides get
+    //     sm03's shuffle-free coarse-quantizer assignment (corpus 1
+    //     cell, eval IvfNProbe cells — the probe side over-assigns so
+    //     a τ-near pair straddling a cell boundary is still caught
+    //     when the eval copy probes the corpus copy's cell), then the
+    //     TINY eval side (embeddings + norms carried) is BROADCAST
+    //     into an equi-join on cid and cosine runs map-side on
+    //     candidates only. The corpus is never shuffled AND never
+    //     self-joined — at 100 TB this is one projection + one
+    //     broadcast-join scan, the same per-row cost as pl23's
+    //     scorer. ---
+    Q("pl25_semantic_decontaminate", {
+      val dc = l2SqSql("e.embedding", "c.ce")
+      val cos = cosineSql("a.embedding", "b.embedding")
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  WHERE vec_id < $IvfCells),
+         |ca AS (
+         |  SELECT vec_id, cid, embedding FROM (
+         |    SELECT e.vec_id, c.cid, e.embedding,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |                         ORDER BY $dc, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id % 5 <> 0)
+         |  WHERE rn = 1),
+         |ea AS (
+         |  SELECT vec_id, cid, embedding FROM (
+         |    SELECT e.vec_id, c.cid, e.embedding,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |                         ORDER BY $dc, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id % 5 = 0)
+         |  WHERE rn <= $IvfNProbe)
+         |SELECT a.vec_id, b.vec_id AS eval_vec_id,
+         |  round($cos, 6) AS cosine
+         |FROM ca a JOIN ea b ON a.cid = b.cid
+         |WHERE $cos >= $NearDupCos
+         |ORDER BY a.vec_id, eval_vec_id"""
+    }) { (s, dir) =>
+      val e = emb(s, dir)
+      val cent = collectCentroids(e.filter(col("vec_id") < IvfCells)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+      val en = e.select(col("vec_id"), col("embedding"),
+        l2Norm(col("embedding")).as("nrm"))
+      val ca = nearestCells(en.filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", cent, 1, carry = Seq("embedding", "nrm"))
+      val ea = nearestCells(en.filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", cent, IvfNProbe,
+        carry = Seq("embedding", "nrm"))
+        .select(col("cid"), col("vec_id").as("eval_vec_id"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
+      val nrm = col("nrm") * col("nb")
+      ca.join(broadcast(ea), Seq("cid"))
+        .withColumn("cos", when(nrm === 0.0, lit(0.0))
+          .otherwise(dot(col("embedding"), col("eb")) / nrm))
+        .filter(col("cos") >= NearDupCos)
+        .select(col("vec_id"), col("eval_vec_id"),
+          duckRound(col("cos"), 6).as("cosine"))
+        .orderBy("vec_id", "eval_vec_id")
+    },
+
     // --- Per-label centroid OUTLIERS: the embedding-quality filter a
     //     curation pipeline runs before training — vectors far from
     //     their group centroid are mislabeled/noise candidates. Two

@@ -306,6 +306,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("pl25: eval side broadcast, corpus never shuffled or self-joined") {
+    // the decontamination scan's 100 TB contract: cell assignment is a
+    // literal-centroid projection on BOTH sides, the tiny eval side
+    // broadcasts into the cid equi-join, and the corpus plans no
+    // exchange at all before the final output sort
+    val p = plan("pl25_semantic_decontaminate")
+    assert(p.contains("BroadcastExchange"),
+      s"pl25 lost the eval-side broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pl25 plans a non-equi candidate join:\n$p")
+    assert(!"Exchange hashpartitioning\\((vec_id|cid)".r.findFirstIn(p).isDefined,
+      s"pl25 shuffles the corpus for the candidate join:\n$p")
+  }
+
   test("sm10: assignment-free distance projection + one bounded window") {
     // pass 2 must be a shuffle-free projection (centroids are literals,
     // no centroid join) into a single ranked window with its limit
