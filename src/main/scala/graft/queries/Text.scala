@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables
@@ -298,6 +298,133 @@ object Text {
           log(col("n_docs").cast("double") / col("df").cast("double")), 6)
           .as("tfidf"))
       .orderBy("doc_id", "token")
+
+  // ---- Iterative BPE trainer (tx38/tx39) ----------------------------
+
+  /** Merges tx38 trains (and tx39 applies). Before `qs`: the oracle
+    * SQL interpolates at object init (the PackBudget caveat). */
+  private[graft] val BpeMerges = 8
+
+  /** Unit encoding for the merge-apply string trick: each subword unit
+    * travels as chr(31)+unit+chr(30), so applying merge (a, b) is ONE
+    * sequential replace of "␟a␞␟b␞" with "␟ab␞" — unit-boundary-safe
+    * (the delimiters enclose every unit, so the pattern can never
+    * match inside a longer unit) and overlap-free (an occurrence
+    * consumes its two whole units and shares no delimiter with the
+    * next, so consecutive pairs like a·b·a·b merge independently —
+    * the failure a space-JOINED encoding has, where adjacent matches
+    * share the separating space). Both engines run leftmost-
+    * nonoverlapping replace on the same encoding, so training states
+    * stay identical stage for stage. Corpus tokens are
+    * whitespace-split text and cannot contain the two control
+    * chars; even if one did, both engines would transform the same
+    * bytes the same way (parity holds; only the unit split would be
+    * off for that token). */
+  private val UO = "\u001f" // unit open (ASCII unit separator)
+  private val UC = "\u001e" // unit close (ASCII record separator)
+  private val DuckUnitRe = "chr(31) || '([^' || chr(30) || ']*)' || chr(30)"
+
+  /** word → wrapped single-char units (training state 0). */
+  private def bpeEncode(word: Column): Column =
+    array_join(transform(sequence(lit(1), length(word)),
+      i => concat(lit(UO), word.substr(i, lit(1)), lit(UC))), "")
+
+  private def bpeUnits(enc: Column): Column =
+    regexp_extract_all(enc, lit(s"$UO([^$UC]*)$UC"), lit(1))
+
+  private def bpeMergeApplied(enc: Column, a: String, b: String): Column =
+    call_function("replace", enc,
+      lit(UO + a + UC + UO + b + UC), lit(UO + a + b + UC))
+
+  /** Vocab-sized (word, wn) counts — the frame the whole trainer loops
+    * over: the corpus collapses to it in ONE shuffle (tx33's device)
+    * and is never touched again. Callers persist it across rounds. */
+  private[graft] def wordCounts(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wn"))
+
+  /** Iterative BPE training (Sennrich et al. 2016) — the loop whose
+    * first iteration is tx33. Each round: adjacent-unit pair counts
+    * weighted by word frequency (a vocabulary-sized aggregation),
+    * argmax pair by (n DESC, a, b) — the ONLY driver collect, ONE row
+    * per round — then the merge folded into the unit-string projection
+    * via the boundary-safe replace. State stays a distributed frame of
+    * |vocab| rows end to end: at 100 TB the corpus is read once into
+    * `wc` and every round costs one vocabulary-sized job, so training
+    * depth is a constant-per-round knob, not a corpus-scan multiplier.
+    * Stops early when no adjacent pair remains. */
+  def bpeTrain(wc: DataFrame, nMerges: Int): Seq[(Int, String, String, Long)] = {
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var enc: Column = bpeEncode(col("word"))
+    var exhausted = false
+    for (rk <- 1 to nMerges if !exhausted) {
+      val st = wc.select(enc.as("enc"), col("wn"))
+      val u = bpeUnits(col("enc"))
+      val best = st
+        // sequence(1, 0) yields [1, 0] (negative step), not empty —
+        // single-unit words must be filtered out (the tx33 gotcha)
+        .filter(size(u) >= 2)
+        .select(col("wn"), explode(transform(sequence(lit(1), size(u) - 1),
+          i => struct(element_at(u, i).as("a"),
+            element_at(u, i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wn")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, n) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((rk, a, b, n))
+        enc = bpeMergeApplied(enc, a, b)
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Trained segmentation of `word` — [[bpeEncode]] with the merge
+    * list folded in rank order (BPE apply IS replaying the merges). */
+  def bpeSegmented(word: Column,
+                   merges: Seq[(Int, String, String, Long)]): Column =
+    bpeUnits(merges.foldLeft(bpeEncode(word)) {
+      case (enc, (_, a, b, _)) => bpeMergeApplied(enc, a, b)
+    })
+
+  /** Unrolled DuckDB mirror of [[bpeTrain]]: stage CTEs s0..sN carry
+    * (word, enc, wn); each stage k counts pairs (p_k), takes the
+    * argmax (b_k) and applies it with the same boundary-safe replace.
+    * LEFT JOIN ON TRUE keeps s_k populated when b_k is empty (pair-
+    * exhausted corpus) — mirroring the Spark trainer's early stop. */
+  private def bpeStageCtes(n: Int): String = {
+    val uo = "chr(31)"; val uc = "chr(30)"
+    val s0 =
+      s"""wc AS (
+         |  SELECT w AS word, count(*) AS wn FROM (
+         |    SELECT unnest($DuckToks) AS w FROM documents)
+         |  GROUP BY w),
+         |s0 AS (
+         |  SELECT word, array_to_string(list_transform(range(1, len(word) + 1),
+         |    i -> $uo || substr(word, i, 1) || $uc), '') AS enc, wn
+         |  FROM wc)"""
+    val stages = (1 to n).map { k =>
+      s"""p$k AS (
+         |  SELECT u[i] AS a, u[i + 1] AS b, wn FROM (
+         |    SELECT u, unnest(range(1, len(u))) AS i, wn FROM (
+         |      SELECT regexp_extract_all(enc, $DuckUnitRe, 1) AS u, wn
+         |      FROM s${k - 1})
+         |    WHERE len(u) >= 2)),
+         |b$k AS (
+         |  SELECT a, b, CAST(sum(wn) AS BIGINT) AS n FROM p$k
+         |  GROUP BY a, b ORDER BY n DESC, a, b LIMIT 1),
+         |s$k AS (
+         |  SELECT word,
+         |    CASE WHEN b$k.a IS NULL THEN enc
+         |         ELSE replace(enc, $uo || b$k.a || $uc || $uo || b$k.b || $uc,
+         |                      $uo || b$k.a || b$k.b || $uc) END AS enc, wn
+         |  FROM s${k - 1} LEFT JOIN b$k ON TRUE)"""
+    }
+    (s0 +: stages).mkString(",\n")
+  }
 
   val qs: Seq[Q] = Seq(
 
@@ -1457,6 +1584,59 @@ object Text {
       wc.withColumn("unit", explode(expr(seg)))
         .groupBy("unit")
         .agg(sum("c").as("n"), countDistinct(col("word")).as("n_words"))
+        .orderBy("unit")
+    },
+
+    // --- Iterative BPE TRAINING (tx33 is iteration 1 of exactly this
+    //     loop; tx37 applies a hand-fixed vocabulary — this LEARNS
+    //     one): [[BpeMerges]] rounds of weighted adjacent-pair argmax
+    //     + merge, emitting the ranked merge table a tokenizer build
+    //     persists. Scale shape in [[bpeTrain]]: one corpus shuffle
+    //     into vocab-sized (word, wn), then every round is a
+    //     vocabulary-sized job with a 1-ROW driver collect. The DuckDB
+    //     oracle unrolls the same loop as stage CTEs over the same
+    //     delimiter-encoded unit strings — two independent encodings
+    //     of the training recursion that must agree merge for merge
+    //     (and `SubwordSegmentSpec` pins a third, plain-Scala
+    //     reference trainer against both). ---
+    Q("tx38_bpe_train",
+      s"""WITH ${bpeStageCtes(BpeMerges)}
+         |SELECT * FROM (
+         |  ${(1 to BpeMerges).map(k =>
+              s"SELECT $k AS rk, a AS lhs, b AS rhs, n FROM b$k")
+              .mkString("\n  |  UNION ALL ")})
+         |ORDER BY rk""") { (s, dir) =>
+      import s.implicits._
+      val wc = wordCounts(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // fully materialized by the per-round collects — safe to release
+      val m = try bpeTrain(wc, BpeMerges) finally wc.unpersist()
+      m.toDF("rk", "lhs", "rhs", "n").orderBy("rk")
+    },
+
+    // --- TRAINED-tokenizer corpus budget: tx37's report (corpus-
+    //     weighted subword-unit counts) under the vocabulary tx38 just
+    //     learned — train + apply end to end, the "how many tokens is
+    //     this corpus under OUR tokenizer" pass. Apply is merge
+    //     REPLAY in rank order (BPE inference is defined as replaying
+    //     the training merges), folded into one projection over the
+    //     same persisted vocab frame the trainer looped on. ---
+    Q("tx39_bpe_segment",
+      s"""WITH ${bpeStageCtes(BpeMerges)}
+         |SELECT unit, CAST(sum(wn) AS BIGINT) AS n,
+         |  CAST(count(DISTINCT word) AS BIGINT) AS n_words
+         |FROM (
+         |  SELECT word, wn,
+         |    unnest(regexp_extract_all(enc, $DuckUnitRe, 1)) AS unit
+         |  FROM s$BpeMerges)
+         |GROUP BY unit ORDER BY unit""") { (s, dir) =>
+      val wc = wordCounts(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val m = bpeTrain(wc, BpeMerges)
+      wc.select(col("word"), col("wn"),
+          explode(bpeSegmented(col("word"), m)).as("unit"))
+        .groupBy("unit")
+        .agg(sum("wn").as("n"), countDistinct(col("word")).as("n_words"))
         .orderBy("unit")
     }
   )

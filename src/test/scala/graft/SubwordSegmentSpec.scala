@@ -70,6 +70,85 @@ class SubwordSegmentSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  // ---- tx38/tx39: the TRAINED tokenizer ----------------------------
+
+  /** Third, independent BPE trainer: plain Scala over a (word units,
+    * count) map — list-based merge apply (leftmost first,
+    * non-overlapping), no delimiter-string encoding shared with the
+    * Spark path and no SQL shared with the DuckDB oracle. */
+  private def refBpeTrain(wc: Map[String, Long], nMerges: Int)
+      : Seq[(Int, String, String, Long)] = {
+    var state: Map[Vector[String], Long] =
+      wc.groupMapReduce { case (w, _) => w.map(_.toString).toVector }(_._2)(_ + _)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rk = 1
+    var done = false
+    while (rk <= nMerges && !done) {
+      val pairs = scala.collection.mutable.Map[(String, String), Long]()
+      state.foreach { case (u, c) =>
+        u.iterator.zip(u.iterator.drop(1)).foreach { p =>
+          pairs(p) = pairs.getOrElse(p, 0L) + c
+        }
+      }
+      if (pairs.isEmpty) done = true
+      else {
+        val ((a, b), n) = pairs.minBy { case ((a, b), n) => (-n, a, b) }
+        merges += ((rk, a, b, n))
+        def apply(u: Vector[String]): Vector[String] = {
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < u.length) {
+            if (i + 1 < u.length && u(i) == a && u(i + 1) == b) {
+              out += a + b; i += 2
+            } else { out += u(i); i += 1 }
+          }
+          out.result()
+        }
+        state = state.groupMapReduce { case (u, _) => apply(u) }(_._2)(_ + _)
+        rk += 1
+      }
+    }
+    merges.result()
+  }
+
+  test("tx38 trained merges equal an independent list-based BPE trainer") {
+    val wc = graft.tables.load(spark, dir, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = refBpeTrain(wc, graft.queries.Text.BpeMerges)
+    val got = SparkEntry.queries("tx38_bpe_train")(spark, dir)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected,
+      s"trained merges diverged:\n  spark: $got\n  ref:   $expected")
+    // a genuinely ITERATIVE signal, not 8 parallel argmaxes: at least
+    // one later merge must consume a unit an earlier merge created
+    val units = got.map { case (_, a, b, _) => a + b }.toSet
+    assert(got.exists { case (_, a, b, _) => units(a) || units(b) },
+      s"no merge builds on an earlier merge's unit — loop not iterating: $got")
+  }
+
+  test("tx39 trained segmentation round-trips: concat(units) == word") {
+    import org.apache.spark.sql.functions.{concat_ws, col}
+    val docs = graft.tables.load(spark, dir, "documents")
+    val wc = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wn"))
+    val merges = graft.queries.Text.bpeTrain(wc, graft.queries.Text.BpeMerges)
+    val lossy = wc.select(col("word"),
+        concat_ws("", graft.queries.Text.bpeSegmented(col("word"), merges))
+          .as("rejoined"))
+      .filter(col("word") =!= col("rejoined"))
+      .collect()
+    assert(lossy.isEmpty,
+      s"lossy trained segmentation: ${lossy.take(5).mkString(", ")}")
+    spark.catalog.clearCache()
+  }
+
   test("greedy priority: 3-char beats 2-char beats 1-char on collisions") {
     // "joining": jo + in + ... wait — greedy at pos 0 tries "joi"(∉V3)
     // then "jo"(∈V2); at pos 2 tries "ini"(∉) then "in"(∈V2) — but the
