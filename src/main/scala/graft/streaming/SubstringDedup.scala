@@ -56,14 +56,26 @@ object SubstringDedup {
     * only stable across restarts when the query resumes from the same
     * checkpoint. With a temp checkpoint a restarted query re-counts
     * from 0 and appendBatch would silently SKIP new data whose id
-    * collides with an old marker. */
+    * collides with an old marker.
+    *
+    * `digest` keys the ledger (dd14's md5 for oracle parity, or
+    * `Dedup.XxDigest` — 8 bytes per window instead of 32 hex chars,
+    * the dd16 production swap; at ledger scale the digest IS the row,
+    * so the narrow key quarters both the shuffle and the stored
+    * table). One digest per ledger for its WHOLE life: appendBatch,
+    * compact and the serve path must all agree, and the ledger schema
+    * itself pins it (ch is STRING under md5, BIGINT under xxhash64 —
+    * a mismatched writer fails loudly on insert rather than silently
+    * matching nothing). */
   def maintain(newDocs: DataFrame, windowTable: String,
-               markerTable: String, checkpointDir: String): StreamingQuery =
+               markerTable: String, checkpointDir: String,
+               digest: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                 graft.queries.Dedup.Md5Digest): StreamingQuery =
     newDocs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendBatch(batch, batchId, windowTable, markerTable)
+        appendBatch(batch, batchId, windowTable, markerTable, digest)
       }
       .start()
 
@@ -76,7 +88,9 @@ object SubstringDedup {
     * overwrite, so neither double-counting nor adopt-a-partial-batch
     * undercounting is reachable. */
   def appendBatch(batch: DataFrame, batchId: Long,
-                  windowTable: String, markerTable: String): Unit = {
+                  windowTable: String, markerTable: String,
+                  digest: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                    graft.queries.Dedup.Md5Digest): Unit = {
     val spark = batch.sparkSession
     graft.expressions.VectorExpressions.ensureRegistered(spark)
     recoverStaging(spark, windowTable)
@@ -88,7 +102,8 @@ object SubstringDedup {
       val increments =
         graft.queries.Dedup.substringWindowDigestsOf(
             batch.select(col("doc_id"),
-              graft.functions.TextFunctions.tokens(col("text")).as("tk")))
+              graft.functions.TextFunctions.tokens(col("text")).as("tk")),
+            digest)
           .groupBy("ch")
           .agg(countDistinct(col("doc_id")).as("nd"))
           .select(col("ch"), col("nd"), lit(batchId).as("batch_id"))
@@ -216,7 +231,9 @@ object SubstringDedup {
     * When the ledger was fed exactly this corpus, the output equals
     * `Dedup.substringDupReport(documents)` (spec-pinned). */
   def substringDupReportServed(documents: DataFrame,
-                               windowTable: String): DataFrame = {
+                               windowTable: String,
+                               digest: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                                 graft.queries.Dedup.Md5Digest): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = documents.sparkSession
     graft.expressions.VectorExpressions.ensureRegistered(spark)
@@ -226,7 +243,7 @@ object SubstringDedup {
     val tk = documents.select(col("doc_id"),
         graft.functions.TextFunctions.tokens(col("text")).as("tk"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val dupStarts = Dedup.substringWindowDigestsOf(tk)
+    val dupStarts = Dedup.substringWindowDigestsOf(tk, digest)
       .join(windowFrequency(spark, windowTable).filter(col("nd") >= 2), "ch")
       .select("doc_id", "start")
     Dedup.substringReportFrom(tk, Dedup.spansFromStarts(dupStarts))

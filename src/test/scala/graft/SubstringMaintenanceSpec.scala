@@ -62,6 +62,36 @@ class SubstringMaintenanceSpec extends AnyFunSuite {
     assert(spans == Map(1L -> 12, 2L -> 0, 3L -> 12, 4L -> 0))
   }
 
+  test("xxhash64-keyed ledger serves the identical report (dd16 digest)") {
+    // the production digest swap must hold for the STREAMING ledger
+    // too: an xxhash64 ledger (ch BIGINT, 8 bytes per window instead
+    // of md5's 32 hex chars) fed batch-by-batch serves the same
+    // digest-agnostic report as the one-shot batch path — including
+    // the decisive split-passage case where no single micro-batch ever
+    // sees both copies
+    import spark.implicits._
+    val wt = "substr_ledger_xx"
+    val mt = "substr_marker_xx"
+    reset(wt, mt)
+
+    val xx = graft.queries.Dedup.XxDigest
+    SubstringDedup.appendBatch(corpus.take(2).toDF("doc_id", "text"),
+      0L, wt, mt, xx)
+    SubstringDedup.appendBatch(corpus.drop(2).toDF("doc_id", "text"),
+      1L, wt, mt, xx)
+
+    val docsDf = corpus.toDF("doc_id", "text")
+    val streamed = SubstringDedup.substringDupReportServed(docsDf, wt, xx)
+      .collect().toSeq
+    val batch = graft.queries.Dedup.substringDupReport(docsDf)
+      .collect().toSeq
+    assert(streamed == batch,
+      "xxhash64 ledger must serve the digest-agnostic dd14 report")
+    assert(spark.table(wt).schema("ch").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "xx ledger must store 8-byte digests, not hex strings")
+  }
+
   test("a replayed micro-batch is a no-op (commit marker)") {
     import spark.implicits._
     val wt = "substr_ledger_replay"
