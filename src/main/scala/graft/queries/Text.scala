@@ -1638,6 +1638,67 @@ object Text {
         .groupBy("unit")
         .agg(sum("wn").as("n"), countDistinct(col("word")).as("n_words"))
         .orderBy("unit")
+    },
+
+    // --- LM PERPLEXITY quality filter (CCNet/KenLM-style, the
+    //     standard "does this read like language" curation stage): a
+    //     bigram LM trained on the corpus itself scores each doc's
+    //     cross-entropy H(d) = -avg(log2 P(b|a)) over its bigrams;
+    //     high-H docs are the gibberish/boilerplate candidates a
+    //     pipeline prunes (perplexity = 2^H, derivable). Self-trained
+    //     ⇒ every doc bigram exists in the LM — no smoothing and no
+    //     log(0) by construction. Scale shape: the LM collapses the
+    //     corpus to DISTINCT-bigram rows (the tx34 saturation
+    //     argument — bigram vocabulary is language-bounded, 441→465
+    //     edges sf0.01→0.1, while the corpus scales away from it), so
+    //     conditionals join LM-to-LM on the first token and the
+    //     vocab-sized prob table BROADCASTS onto the corpus bigram
+    //     stream: per-doc scoring is one map-side join + one doc-keyed
+    //     aggregation. Determinism: each doc's H sums ≤ doc-length
+    //     log2 terms (~1e-15 noise, the tx36 device) — only the
+    //     reported 6-decimal rounding touches engine floats. ---
+    Q("tx40_bigram_perplexity",
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |                        i -> tk[i] || ' ' || tk[i+1])) AS bigram
+         |  FROM t),
+         |lm AS (SELECT bigram, count(*) AS cab FROM bg GROUP BY bigram),
+         |ca AS (
+         |  SELECT string_split(bigram, ' ')[1] AS a, sum(cab) AS cn
+         |  FROM lm GROUP BY a),
+         |probs AS (
+         |  SELECT bigram, CAST(cab AS DOUBLE) / CAST(cn AS DOUBLE) AS p
+         |  FROM lm JOIN ca ON string_split(lm.bigram, ' ')[1] = ca.a),
+         |sc AS (
+         |  SELECT doc_id, count(*) AS nb, -avg(log2(p)) AS x
+         |  FROM bg JOIN probs USING (bigram) GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(coalesce(sc.nb, 0) AS BIGINT) AS n_bigrams,
+         |  round(coalesce(sc.x, 0.0), 6) AS xent
+         |FROM t LEFT JOIN sc USING (doc_id)
+         |ORDER BY t.doc_id""") { (s, dir) =>
+      import org.apache.spark.storage.StorageLevel
+      val d = docs(s, dir)
+      // persisted: the bigram stream feeds LM training AND scoring
+      val bg = d.select(col("doc_id"),
+          explode(wordNgramsOf(tokens(col("text")), 2)).as("bigram"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val lm = bg.groupBy("bigram").agg(count(lit(1)).as("cab"))
+      val ca = lm
+        .groupBy(split(col("bigram"), " ").getItem(0).as("a"))
+        .agg(sum("cab").as("cn"))
+      val probs = lm
+        .join(ca, split(col("bigram"), " ").getItem(0) === col("a"))
+        .select(col("bigram"),
+          (col("cab").cast("double") / col("cn").cast("double")).as("p"))
+      val sc = bg.join(broadcast(probs), "bigram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nb"), (-avg(log2(col("p")))).as("x"))
+      d.select(col("doc_id")).join(sc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+          duckRound(coalesce(col("x"), lit(0.0)), 6).as("xent"))
+        .orderBy("doc_id")
     }
   )
 }
