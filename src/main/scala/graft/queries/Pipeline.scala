@@ -158,6 +158,16 @@ object Pipeline {
       .withColumn("keep", (col("score") > 0).cast("int"))
   }
 
+  /** pl26 PII patterns — the Java∩RE2 common subset only (explicit
+    * [0-9] classes, non-capturing groups, \b boundaries; no
+    * lookbehind), so Spark's java.util.regex and DuckDB's RE2 match
+    * the same spans. Declared before `qs` (oracle SQL interpolates at
+    * object init); DuckDB regular strings keep backslashes literal, so
+    * the same Scala value feeds both engines unchanged. */
+  private val PiiEmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PiiPhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  private val PiiIpRe = "\\b[0-9]{1,3}(?:\\.[0-9]{1,3}){3}\\b"
+
   val qs: Seq[Q] = Seq(
 
     // --- Contamination detection: which documents contain which
@@ -1194,6 +1204,64 @@ object Pipeline {
       ranked.filter(col("rk") * 10 <= col("n_s") * 3 + 9)
         .select(col("source"), col("doc_id"), col("score"), col("rk"))
         .orderBy("source", "rk")
+    },
+
+    // --- PII REDACTION (the Dolma/RedPajama-style scrub every
+    //     public-data pipeline runs before training): detect + replace
+    //     emails, phone numbers and IPv4 addresses with typed
+    //     placeholders, report per-doc counts and the digest of the
+    //     redacted text (the auditable proof-of-scrub a compliance
+    //     review reads). The synthetic corpus carries no PII, so it is
+    //     SYNTHESIZED deterministically from doc_id (the dd10
+    //     messy-URL device) — ~1/7 of docs get an email, ~1/11 a
+    //     phone, ~1/13 an IP, all integer-arithmetic-derived so both
+    //     engines enrich identically. Patterns stay in the Java∩RE2
+    //     common subset ([0-9] classes, (?:) groups, \\b boundaries —
+    //     no lookbehind), and DuckDB's regexp_replace gets the 'g'
+    //     flag to match Spark's replace-all. Scale shape: pure
+    //     map-side projection — zero shuffles before the output sort,
+    //     the cheapest possible 100 TB pass. ---
+    Q("pl26_pii_redact", {
+      val enr = "text || " +
+        s"(CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END) || " +
+        s"(CASE WHEN doc_id % 11 = 0 THEN ' call 555-' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END) || " +
+        s"(CASE WHEN doc_id % 13 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 3) % 256 AS VARCHAR) || '.' || CAST(doc_id % 254 + 1 AS VARCHAR) ELSE '' END)"
+      s"""WITH e AS (SELECT doc_id, $enr AS t FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$PiiEmailRe')) AS INT) AS n_email,
+         |  CAST(len(regexp_extract_all(t, '$PiiPhoneRe')) AS INT) AS n_phone,
+         |  CAST(len(regexp_extract_all(t, '$PiiIpRe')) AS INT) AS n_ip,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$PiiEmailRe', '<EMAIL>', 'g'),
+         |    '$PiiPhoneRe', '<PHONE>', 'g'),
+         |    '$PiiIpRe', '<IP>', 'g')) AS red_digest
+         |FROM e ORDER BY doc_id"""
+    }) { (s, dir) =>
+      val id = col("doc_id")
+      val enriched = concat(col("text"),
+        when(id % 7 === 0, concat(lit(" contact user"), id.cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+        when(id % 11 === 0, concat(lit(" call 555-"),
+          (id % 900 + 100).cast("string"), lit("-"),
+          (id % 9000 + 1000).cast("string"))).otherwise(lit("")),
+        when(id % 13 === 0, concat(lit(" host 10."),
+          (id % 256).cast("string"), lit("."),
+          ((id * 3) % 256).cast("string"), lit("."),
+          (id % 254 + 1).cast("string"))).otherwise(lit("")))
+      val redacted = regexp_replace(regexp_replace(regexp_replace(
+        col("t"), lit(PiiEmailRe), lit("<EMAIL>")),
+        lit(PiiPhoneRe), lit("<PHONE>")),
+        lit(PiiIpRe), lit("<IP>"))
+      docs(s, dir).select(col("doc_id"), enriched.as("t"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(PiiEmailRe), lit(0)))
+            .as("n_email"),
+          size(regexp_extract_all(col("t"), lit(PiiPhoneRe), lit(0)))
+            .as("n_phone"),
+          size(regexp_extract_all(col("t"), lit(PiiIpRe), lit(0)))
+            .as("n_ip"),
+          md5(redacted.cast("binary")).as("red_digest"))
+        .orderBy("doc_id")
     }
   )
 }
