@@ -32,6 +32,45 @@ object Bench {
     Set("dd02_ngram_jaccard", "dd13_simhash_allpairs",
       "mm05_blob_neardup_allpairs")
 
+  /** Steady-history fold for one low-load run — extracted so
+    * `BenchSteadySpec` can pin the rules as an executable contract.
+    * Returns (merged steady, new pending).
+    *
+    * Rules: known query + plausible observation → min-ratchet. An "ok"
+    * timing >3x BELOW recorded steady is more likely a short-circuit
+    * (empty input, bad data returning ok) than a real 3x optimization,
+    * and min-merge would poison the baseline permanently — every later
+    * honest run would self-label contended. Such an observation only
+    * folds when the PREVIOUS low-load run parked a within-1.5x value
+    * in pending; otherwise it parks and the steady value stands. A
+    * query absent from this run keeps its steady entry; a new query
+    * enters at its observed value. Failed queries never reach here
+    * (caller filters to successful timings). */
+  private[graft] def foldSteady(steady: Map[String, Double],
+                                pending: Map[String, Double],
+                                observed: Map[String, Double])
+      : (Map[String, Double], Map[String, Double]) = {
+    val newPending = scala.collection.mutable.Map.empty[String, Double]
+    val merged = (steady.keySet ++ observed.keySet).toSeq.sorted.flatMap { n =>
+      (steady.get(n), observed.get(n)) match {
+        case (Some(s), Some(o)) if o * 3.0 < s =>
+          if (pending.get(n).exists(p => o <= p * 1.5 && p <= o * 1.5))
+            Some(n -> o)
+          else {
+            newPending(n) = o
+            System.err.println(f"[bench] $n%s observed $o%.2fs vs steady " +
+              f"$s%.2fs (>3x faster) — pending confirmation, not folded")
+            Some(n -> s)
+          }
+        case (Some(s), Some(o)) => Some(n -> math.min(s, o))
+        case (Some(s), None)    => Some(n -> s)
+        case (None, Some(o))    => Some(n -> o)
+        case _                  => None
+      }
+    }
+    (merged.toMap, newPending.toMap)
+  }
+
   def main(args: Array[String]): Unit = {
     // sampled before ANYTHING runs: the warmup pass alone drives 1-min
     // loadavg past the steady-history gate (observed 0.02 -> 3.06 by
@@ -210,37 +249,13 @@ object Bench {
     // run STARTED; the min-of-passes rule absorbs mid-run bursts.
     val lowLoad = loadBefore >= 0 && loadBefore < 1.5
     if (lowLoad) {
-      val newPending = scala.collection.mutable.Map.empty[String, Double]
-      val merged = (steady.keySet ++ perQuery.collect { case (n, _, true) => n })
-        .toSeq.sorted.flatMap { n =>
-          val obs = perQuery.find(p => p._1 == n && p._3).map(_._2)
-          (steady.get(n), obs) match {
-            case (Some(s), Some(o)) if o * 3.0 < s =>
-              // An "ok" timing >3x BELOW the recorded steady is more
-              // likely a short-circuit (empty input, bad data returning
-              // ok) than a real 3x optimization, and min-merge would
-              // poison the baseline permanently — every later honest run
-              // would self-label contended. Fold only when a second
-              // consecutive low-load run lands within 1.5x; park the
-              // observation under "<sf>#pending" otherwise.
-              if (pending.get(n).exists(p => o <= p * 1.5 && p <= o * 1.5))
-                Some(n -> o)
-              else {
-                newPending(n) = o
-                System.err.println(f"[bench] $n%s observed $o%.2fs vs steady " +
-                  f"$s%.2fs (>3x faster) — pending confirmation, not folded")
-                Some(n -> s)
-              }
-            case (Some(s), Some(o)) => Some(n -> math.min(s, o))
-            case (Some(s), None)    => Some(n -> s)
-            case (None, Some(o))    => Some(n -> o)
-            case _                  => None
-          }
-        }
-      val withMerged = allSteady + (sfShort -> merged.toMap)
+      val observed = perQuery.collect { case (n, v, true) => n -> v }.toMap
+      val (mergedMap, pendingMap) = foldSteady(steady, pending, observed)
+      val withMerged = allSteady + (sfShort -> mergedMap)
+      val newPending = pendingMap
       val withPending =
         if (newPending.isEmpty) withMerged - pendingKey
-        else withMerged + (pendingKey -> newPending.toMap)
+        else withMerged + (pendingKey -> newPending)
       val sections = withPending.toSeq.sortBy(_._1)
       val body = sections.map { case (sec, qs) =>
         "\"" + sec + "\":" + qs.toSeq.sorted
@@ -251,7 +266,7 @@ object Bench {
       try {
         java.nio.file.Files.createDirectories(steadyPath.getParent)
         java.nio.file.Files.write(steadyPath, doc.getBytes("UTF-8"))
-        System.err.println(s"[bench] steady history updated ($sfShort, ${merged.size} queries)")
+        System.err.println(s"[bench] steady history updated ($sfShort, ${mergedMap.size} queries)")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] steady history write failed: ${e.getMessage}")
       }

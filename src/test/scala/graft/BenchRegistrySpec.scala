@@ -51,3 +51,45 @@ class BenchRegistrySpec extends AnyFunSuite {
     }
   }
 }
+
+/** Executable contract for Bench.foldSteady — the rules that keep the
+  * committed steady history honest: min-ratchet on plausible timings,
+  * quarantine-then-confirm on implausible speedups, carry-through for
+  * queries a run didn't measure.
+  */
+class BenchSteadySpec extends org.scalatest.funsuite.AnyFunSuite {
+  private def fold(s: Map[String, Double], p: Map[String, Double],
+                   o: Map[String, Double]) = Bench.foldSteady(s, p, o)
+
+  test("plausible faster timing ratchets steady down; slower does not") {
+    val (m, pend) = fold(Map("q" -> 2.0, "r" -> 1.0), Map.empty,
+      Map("q" -> 1.5, "r" -> 4.0))
+    assert(m == Map("q" -> 1.5, "r" -> 1.0) && pend.isEmpty)
+  }
+
+  test("a >3x speedup parks in pending and does NOT fold") {
+    val (m, pend) = fold(Map("q" -> 9.0), Map.empty, Map("q" -> 1.0))
+    assert(m == Map("q" -> 9.0),
+      "implausible speedup must not poison the baseline on first sight")
+    assert(pend == Map("q" -> 1.0))
+  }
+
+  test("a second consecutive low-load run within 1.5x confirms the speedup") {
+    val (m, pend) = fold(Map("q" -> 9.0), Map("q" -> 1.0), Map("q" -> 1.2))
+    assert(m == Map("q" -> 1.2), "confirmed speedup must fold")
+    assert(pend.isEmpty)
+  }
+
+  test("a non-matching second observation re-parks instead of folding") {
+    // first run saw 1.0s, second sees 2.5s (>1.5x apart): neither value
+    // is trustworthy yet — steady stands, pending resets to the new one
+    val (m, pend) = fold(Map("q" -> 9.0), Map("q" -> 1.0), Map("q" -> 2.5))
+    assert(m == Map("q" -> 9.0))
+    assert(pend == Map("q" -> 2.5))
+  }
+
+  test("unmeasured queries carry through; new queries enter at observed") {
+    val (m, pend) = fold(Map("old" -> 3.0), Map.empty, Map("new" -> 0.7))
+    assert(m == Map("old" -> 3.0, "new" -> 0.7) && pend.isEmpty)
+  }
+}
