@@ -124,6 +124,11 @@ object Similarity {
     * declaration interpolates 0 — observed with pl12's budget). */
   private val RangeCos = 0.3
   private val BalancedQuota = 30 // sm11 per-cell sample cap
+  /** sm12 fixed query: the tx19 demo terms paired with vec_id 0's
+    * embedding as the probe; per-list truncation depth. Declared
+    * before `qs` (oracle SQL interpolates at object init). */
+  private val HybridTerms = Seq("table", "window", "stream")
+  private val HybridK = 50
 
   /** Shuffle-free coarse-quantizer assignment: each vector's `keep`
     * nearest centroids, computed as a per-row PROJECTION over the
@@ -1040,6 +1045,102 @@ object Similarity {
         .filter(col("rank") <= BalancedQuota)
         .select(col("cid"), col("rank"), col("vec_id"))
         .orderBy("cid", "rank")
+    },
+
+    // --- HYBRID retrieval via Reciprocal Rank Fusion (the standard
+    //     lexical+vector fusion every modern RAG stack runs): the
+    //     lexical list is TF-IDF over fixed query terms (tx17's
+    //     semantics — postings of the query terms only participate),
+    //     the vector list is cosine-to-probe (sm01's bit-identical
+    //     convention, probe = vec_id 0's embedding, the doc_id↔vec_id
+    //     identification the fixtures define), each truncated to its
+    //     top-$HybridK with deterministic (score DESC, id) ranks, then
+    //     fused as Σ 1/(60 + rank) over the lists a doc appears in
+    //     (Cormack et al.'s k=60). Determinism: lexical ranks compare
+    //     ROUNDED scores (6 dp — sub-float-noise for ≤3-term sums),
+    //     vector ranks compare bit-identical cosines, and the fused
+    //     score is a sum of two small-integer reciprocals — exactly
+    //     rounded IEEE on both engines. Scale shape: the lexical side
+    //     touches only query-term postings (index-prune discipline);
+    //     the vector side is ONE broadcast probe over a shuffle-free
+    //     corpus projection + TakeOrdered; the fusion joins two
+    //     $HybridK-row frames — at 100 TB the only corpus-width work
+    //     is the two scans each side already needs. ---
+    Q("sm12_hybrid_rrf", {
+      val cos = cosineSql("e.embedding", "p.pe")
+      val toks =
+        "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+      val terms = HybridTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH lex0 AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest($toks) AS token FROM documents)
+         |  WHERE token IN ($terms) GROUP BY doc_id, token),
+         |dft AS (SELECT token, count(*) AS df FROM lex0 GROUP BY token),
+         |nd AS (SELECT count(*) AS n FROM documents),
+         |lscore AS (
+         |  SELECT doc_id,
+         |    round(sum(tf * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE))), 6) AS s
+         |  FROM lex0 JOIN dft USING (token) CROSS JOIN nd GROUP BY doc_id),
+         |ltop AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+         |  FROM (SELECT * FROM lscore ORDER BY s DESC, doc_id LIMIT $HybridK)),
+         |p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+         |vscore AS (
+         |  SELECT e.vec_id AS doc_id, $cos AS c
+         |  FROM embeddings e CROSS JOIN p),
+         |vtop AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS r
+         |  FROM (SELECT * FROM vscore ORDER BY c DESC, doc_id LIMIT $HybridK))
+         |SELECT doc_id,
+         |  CAST(coalesce(l.r, 0) AS INT) AS r_lex,
+         |  CAST(coalesce(v.r, 0) AS INT) AS r_vec,
+         |  round(coalesce(1.0 / (60 + l.r), 0.0)
+         |        + coalesce(1.0 / (60 + v.r), 0.0), 6) AS rrf
+         |FROM ltop l FULL OUTER JOIN vtop v USING (doc_id)
+         |ORDER BY rrf DESC, doc_id LIMIT 20"""
+    }) { (s, dir) =>
+      val d = graft.tables.load(s, dir, "documents")
+      val lex0 = d.select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokens(col("text")))
+            .as("token"))
+        .filter(col("token").isin(HybridTerms: _*))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dft = lex0.groupBy("token").agg(count(lit(1)).as("df"))
+      val nd = d.agg(count(lit(1)).as("n"))
+      val lscore = lex0
+        .join(broadcast(dft), "token")
+        .crossJoin(broadcast(nd))
+        .groupBy("doc_id")
+        .agg(duckRound(sum(col("tf") *
+          log(col("n").cast("double") / col("df").cast("double"))), 6).as("s"))
+      val ltop = lscore.orderBy(col("s").desc, col("doc_id")).limit(HybridK)
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("s").desc, col("doc_id"))))
+        .select(col("doc_id"), col("r"))
+      val e = emb(s, dir)
+      val pe = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .collect().head.getSeq[Double](0)
+      val pn = col("nrm") * l2Norm(typedlit(pe))
+      val vtop = e
+        .select(col("vec_id").as("doc_id"), col("embedding"),
+          l2Norm(col("embedding")).as("nrm"))
+        .select(col("doc_id"), when(pn === 0.0, lit(0.0))
+          .otherwise(dot(col("embedding"), typedlit(pe)) / pn).as("c"))
+        .orderBy(col("c").desc, col("doc_id")).limit(HybridK)
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("c").desc, col("doc_id"))))
+        .select(col("doc_id"), col("r"))
+      ltop.withColumnRenamed("r", "r_lex")
+        .join(vtop.withColumnRenamed("r", "r_vec"), Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("r_lex"), lit(0)).as("r_lex"),
+          coalesce(col("r_vec"), lit(0)).as("r_vec"),
+          duckRound(
+            coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)), 6)
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(20)
     }
   )
 

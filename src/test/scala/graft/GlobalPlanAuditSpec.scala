@@ -35,7 +35,8 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     "q52_funnel",             // three 1-row stage-count aggregates
     "sm01_cosine_topk",       // bounded broadcast probes, =!= pairing
     "sm05_pq_topk",           // bounded probe LUT broadcast
-    "sm08_sq_topk")           // bounded probe + 64-row stats broadcast
+    "sm08_sq_topk",           // bounded probe + 64-row stats broadcast
+    "sm12_hybrid_rrf")        // 1-row corpus doc-count scalar (tx04 shape)
 
   test("no query plans a cartesian; nested-loop joins only on whitelist") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
