@@ -131,6 +131,31 @@ class SubwordSegmentSpec extends AnyFunSuite {
       s"no merge builds on an earlier merge's unit — loop not iterating: $got")
   }
 
+  test("property: trainer equals the reference on adversarial vocabularies") {
+    // Random small-alphabet vocabularies maximize the edge cases the
+    // corpus can't be trusted to hit: overlapping pair occurrences
+    // ("aaa" counts "aa" twice, merges once), ties broken by (a, b)
+    // order, merged units immediately re-pairing ("abab" → "ab"+"ab" →
+    // "abab"), and pair exhaustion before the merge budget. 6 seeds ×
+    // 5 merges, Spark trainer vs the independent list-based reference.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    def gen[A](g: Gen[A], seed: Long): A =
+      g.pureApply(Gen.Parameters.default, Seed(seed))
+    val word = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    for (seed <- 1L to 6L) {
+      val wc = gen(Gen.listOfN(12, Gen.zip(word, Gen.chooseNum(1L, 5L))), seed)
+        .groupMapReduce(_._1)(_._2)(_ + _)
+      val got = graft.queries.Text.bpeTrain(
+        wc.toSeq.toDF("word", "wn"), nMerges = 5)
+      val expected = refBpeTrain(wc, 5)
+      assert(got == expected,
+        s"seed $seed diverged on $wc:\n  spark: $got\n  ref:   $expected")
+    }
+  }
+
   test("tx39 trained segmentation round-trips: concat(units) == word") {
     import org.apache.spark.sql.functions.{concat_ws, col}
     val docs = graft.tables.load(spark, dir, "documents")
