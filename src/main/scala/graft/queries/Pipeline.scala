@@ -1206,21 +1206,20 @@ object Pipeline {
         .orderBy("source", "rk")
     },
 
-    // --- PII REDACTION (the Dolma/RedPajama-style scrub every
-    //     public-data pipeline runs before training): detect + replace
-    //     emails, phone numbers and IPv4 addresses with typed
-    //     placeholders, report per-doc counts and the digest of the
-    //     redacted text (the auditable proof-of-scrub a compliance
-    //     review reads). The synthetic corpus carries no PII, so it is
-    //     SYNTHESIZED deterministically from doc_id (the dd10
-    //     messy-URL device) — ~1/7 of docs get an email, ~1/11 a
-    //     phone, ~1/13 an IP, all integer-arithmetic-derived so both
-    //     engines enrich identically. Patterns stay in the Java∩RE2
-    //     common subset ([0-9] classes, (?:) groups, \\b boundaries —
-    //     no lookbehind), and DuckDB's regexp_replace gets the 'g'
-    //     flag to match Spark's replace-all. Scale shape: pure
-    //     map-side projection — zero shuffles before the output sort,
-    //     the cheapest possible 100 TB pass. ---
+    // --- PII REDACTION, full-coverage successor to round-5 pl08:
+    //     pl08 pins the count+scrub+digest mechanics on
+    //     email + a toy '555-dddd' phone and reports HIT DOCS ONLY —
+    //     the oracle-parity core. This is the production-shaped pass a
+    //     compliance review actually runs: adds IPv4, a real
+    //     10-digit boundary-anchored phone pattern, and one row per
+    //     DOC (zero-hit docs prove scrubbed-ness too — absence of
+    //     evidence must be recorded evidence). Same deterministic
+    //     doc_id synthesis device (~1/7 email, ~1/11 phone, ~1/13
+    //     IP); patterns in the Java∩RE2 common subset ([0-9] classes,
+    //     (?:) groups, \\b boundaries — no lookbehind); DuckDB
+    //     replace under 'g' to match Spark's replace-all. Scale
+    //     shape: pure map-side projection — zero shuffles before the
+    //     output sort, the cheapest possible 100 TB pass. ---
     Q("pl26_pii_redact", {
       val enr = "text || " +
         s"(CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END) || " +
