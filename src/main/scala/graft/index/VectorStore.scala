@@ -53,20 +53,117 @@ object VectorStore {
         VectorFunctions.sqQuantize(col("embedding"), col("mns"), col("mxs"))
           .cast("array<smallint>").as("code"))
 
-  /** Build the artifact from an `(vec_id, embedding)` frame. */
-  def build(e: DataFrame, name: String): Unit = {
+  // ---- Versioning ---------------------------------------------------
+  // `<name>_version` is a 1-row pointer (v: long); absent means v=1,
+  // whose tables live under the bare `<name>_*` names (the pre-
+  // versioning layout — existing stores keep working untouched).
+  // Version k>1 tables live under `<name>_vk_*`. Every reader resolves
+  // the pointer FIRST, so a rebuild becomes visible exactly when the
+  // 1-row pointer flip commits — the only multi-table-artifact swap
+  // that is atomic under a plain file catalog.
+
+  private def versionTable(name: String) = s"${name}_version"
+
+  /** Current artifact version (1 when the pointer table is absent). */
+  def currentVersion(spark: SparkSession, name: String): Long =
+    if (!spark.catalog.tableExists(versionTable(name))) 1L
+    else spark.table(versionTable(name)).head.getLong(0)
+
+  /** Table-name prefix of version `v`: bare name for v=1 (legacy
+    * layout), `<name>_v<k>` beyond. */
+  private def prefixOf(name: String, v: Long): String =
+    if (v <= 1L) name else s"${name}_v$v"
+
+  /** The prefix serving reads resolve against — pointer first. */
+  private[graft] def servingPrefix(spark: SparkSession, name: String): String =
+    prefixOf(name, currentVersion(spark, name))
+
+  /** Write the three artifact tables under `prefix`. */
+  private def buildAt(e: DataFrame, prefix: String): Unit = {
     val spark = e.sparkSession
     graft.expressions.VectorExpressions.ensureRegistered(spark)
     e.filter(col("vec_id") < Cells)
       .select(col("vec_id").as("cid"),
         col("embedding").cast("array<double>").as("ce"))
-      .write.mode("overwrite").saveAsTable(s"${name}_centroids")
+      .write.mode("overwrite").saveAsTable(s"${prefix}_centroids")
     VectorFunctions.sqStatsRow(e, "embedding")
-      .write.mode("overwrite").saveAsTable(s"${name}_stats")
-    val cent = collectCentroids(spark, s"${name}_centroids")
-    codesOf(e, spark.table(s"${name}_stats"), cent)
+      .write.mode("overwrite").saveAsTable(s"${prefix}_stats")
+    val cent = collectCentroids(spark, s"${prefix}_centroids")
+    codesOf(e, spark.table(s"${prefix}_stats"), cent)
       .write.mode("overwrite").partitionBy("cid")
-      .saveAsTable(s"${name}_codes")
+      .saveAsTable(s"${prefix}_codes")
+  }
+
+  /** Build the artifact from an `(vec_id, embedding)` frame. Resets
+    * the store to version 1: the pointer is dropped BEFORE any
+    * versioned tables, so serving flips to the freshly-built bare
+    * layout first and a crash mid-cleanup never leaves the pointer
+    * naming dropped tables. */
+  def build(e: DataFrame, name: String): Unit = {
+    buildAt(e, name)
+    e.sparkSession.sql(s"DROP TABLE IF EXISTS ${versionTable(name)}")
+    dropVersionsExcept(e.sparkSession, name, keep = 1L)
+  }
+
+  /** Drift-triggered re-quantization — the rebuild arc DriftMonitor's
+    * signal calls for: retrain the coarse quantizer and SQ codebook on
+    * the CURRENT vectors and install the result as a NEW VERSION with
+    * an atomic pointer flip. The old version keeps serving until the
+    * flip commits; a crash anywhere before it leaves the pointer — and
+    * therefore serving — on the old, complete artifact (a retried
+    * rebuild overwrites the partial next-version tables). Old-version
+    * tables are dropped only AFTER the flip; a crash in that window
+    * leaks tables, swept by [[dropVersionsExcept]] on the next
+    * rebuild/build. Returns the new version number. */
+  def rebuild(e: DataFrame, name: String): Long = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val next = currentVersion(spark, name) + 1L
+    buildAt(e, prefixOf(name, next))
+    Seq(next).toDF("v").write.mode("overwrite")
+      .saveAsTable(versionTable(name)) // THE swap: one 1-row commit
+    dropVersionsExcept(spark, name, keep = next)
+    next
+  }
+
+  /** Drop every artifact version except `keep` (catalog-listed, so
+    * leaked versions from a crashed post-flip cleanup are swept too —
+    * version-k table names match `<name>_v<k>_<suffix>` exactly). */
+  private def dropVersionsExcept(spark: SparkSession, name: String,
+                                 keep: Long): Unit = {
+    val re = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(name) +
+        "_v(\\d+)_(centroids|stats|codes)")
+    spark.catalog.listTables().collect().foreach { t =>
+      val m = re.matcher(t.name)
+      if (m.matches() && m.group(1).toLong != keep)
+        spark.sql(s"DROP TABLE IF EXISTS ${t.name}")
+    }
+    if (keep > 1L)
+      Seq("centroids", "stats", "codes").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS ${name}_$s"))
+  }
+
+  /** [[rebuild]] gated on the drift signal: re-quantize only when the
+    * LATEST committed drift row reports unseen-token/novel mass or KL
+    * above the thresholds. Returns the new version when it fired. The
+    * ledger row shape is `DriftMonitor.drifts` (batch_id, n_tokens,
+    * n_unseen, kl). */
+  def rebuildIfDrifted(e: DataFrame, name: String,
+                       driftLedger: String, driftMarkers: String,
+                       maxUnseenFrac: Double = 0.1,
+                       maxKl: Double = 0.5): Option[Long] = {
+    val spark = e.sparkSession
+    val last = graft.streaming.DriftMonitor
+      .drifts(spark, driftLedger, driftMarkers)
+      .orderBy(col("batch_id").desc).limit(1).collect()
+    val drifted = last.headOption.exists { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val unseen = if (n == 0L) 0.0
+        else r.getAs[Long]("n_unseen").toDouble / n
+      unseen > maxUnseenFrac || r.getAs[Double]("kl") > maxKl
+    }
+    if (drifted) Some(rebuild(e, name)) else None
   }
 
   /** Ingest new vectors into a built store: assign + quantize with the
@@ -75,15 +172,50 @@ object VectorStore {
     * artifact stays self-consistent because every code in it was
     * produced by the same codebook). Codebook drift — new data outside
     * the recorded per-dim [min, max] — saturates at the range edge
-    * inside `sqQuantize`; rebuild when drift matters. */
+    * inside `sqQuantize`; [[rebuild]] when drift matters (the appended
+    * codes land in the CURRENT version, so ingest replayed after a
+    * rebuild re-quantizes under the new codebook). */
   def append(newVecs: DataFrame, name: String): Unit = {
     val spark = newVecs.sparkSession
     graft.expressions.VectorExpressions.ensureRegistered(spark)
-    val cent = collectCentroids(spark, s"${name}_centroids")
-    codesOf(newVecs, spark.table(s"${name}_stats"), cent)
+    val p = servingPrefix(spark, name)
+    recoverCodesStaging(spark, p)
+    val cent = collectCentroids(spark, s"${p}_centroids")
+    codesOf(newVecs, spark.table(s"${p}_stats"), cent)
       .select(col("vec_id"), col("code"), col("cid"))
       .write.mode("append").partitionBy("cid")
-      .saveAsTable(s"${name}_codes")
+      .saveAsTable(s"${p}_codes")
+  }
+
+  /** Install a fully-written staged codes table as the live one and
+    * drop the staging copy — by COPY, not `ALTER TABLE RENAME`: the
+    * in-memory catalog's rename keeps each PARTITION's location
+    * pointing at the old path (the SubstringDedup.swapFromStaging
+    * rationale), silently emptying a partitioned table. Crash-safe:
+    * the overwrite internally drops then recreates the live table, so
+    * a crash mid-copy leaves no live table and an intact staged one —
+    * [[recoverCodesStaging]] re-runs this swap; a crash after the copy
+    * but before the staging drop leaves both, the live one wins and
+    * the next compact overwrites the leftover. */
+  private[graft] def swapCodesFromStaging(spark: SparkSession,
+                                          prefix: String): Unit = {
+    val codes = s"${prefix}_codes"
+    spark.table(codes + "_staging")
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").saveAsTable(codes)
+    spark.sql(s"DROP TABLE IF EXISTS ${codes}_staging")
+  }
+
+  /** Crash recovery for the codes stage-then-swap: no live codes table
+    * but a complete staged one means the swap died mid-copy — re-run
+    * it. Called by every entry point that reads or writes the codes
+    * table. */
+  private[graft] def recoverCodesStaging(spark: SparkSession,
+                                         prefix: String): Unit = {
+    val codes = s"${prefix}_codes"
+    if (!spark.catalog.tableExists(codes) &&
+        spark.catalog.tableExists(codes + "_staging"))
+      swapCodesFromStaging(spark, prefix)
   }
 
   private def collectCentroids(spark: SparkSession,
@@ -107,15 +239,17 @@ object VectorStore {
                 nprobe: Int = NProbe, k: Int = TopK): DataFrame = {
     val spark = probes.sparkSession
     graft.expressions.VectorExpressions.ensureRegistered(spark)
-    val cent = collectCentroids(spark, s"${name}_centroids")
+    val p = servingPrefix(spark, name) // pointer first: version-atomic
+    recoverCodesStaging(spark, p)
+    val cent = collectCentroids(spark, s"${p}_centroids")
     val pcells = Similarity.nearestCells(
       probes.select(col("probe_id"), col("pe").as("embedding")),
       "probe_id", "embedding", cent, nprobe)
-    val cand = spark.table(s"${name}_codes")
+    val cand = spark.table(s"${p}_codes")
       .join(pcells, Seq("cid"))
       .join(probes, Seq("probe_id"))
       .filter(col("vec_id") =!= col("probe_id"))
-      .crossJoin(broadcast(spark.table(s"${name}_stats")))
+      .crossJoin(broadcast(spark.table(s"${p}_stats")))
     val scored = cand
       .select(col("probe_id"), col("pe"), col("vec_id"),
         VectorFunctions.sqDequantize(col("code"), col("mns"), col("mxs"))

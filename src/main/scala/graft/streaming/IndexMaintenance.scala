@@ -32,6 +32,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object IndexMaintenance {
 
+  /** Default bucket count for the postings table — the IndexStore
+    * test-SF sizing. Appends MUST match the bucket count the table was
+    * built with; `saveAsTable(append)` enforces it loudly on mismatch,
+    * so a deployment that built at hundreds of buckets (SURVEY §6b)
+    * passes its count here. */
+  val DefaultBuckets = 8
+
   /** Starts the maintenance query: each micro-batch of `newDocs`
     * (`doc_id`, `text`) is handed to `appendBatch`.
     *
@@ -41,12 +48,13 @@ object IndexMaintenance {
     * a temp checkpoint restarts ids at 0 and old markers would silently
     * swallow new batches. */
   def maintain(newDocs: DataFrame, termDocTable: String,
-               statsTable: String, checkpointDir: String): StreamingQuery =
+               statsTable: String, checkpointDir: String,
+               buckets: Int = DefaultBuckets): StreamingQuery =
     newDocs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendBatch(batch, batchId, termDocTable, statsTable)
+        appendBatch(batch, batchId, termDocTable, statsTable, buckets)
       }
       .start()
 
@@ -55,17 +63,22 @@ object IndexMaintenance {
     * marker. Replay-safe: a batch whose marker exists is skipped.
     */
   def appendBatch(batch: DataFrame, batchId: Long,
-                  termDocTable: String, statsTable: String): Unit = {
+                  termDocTable: String, statsTable: String,
+                  buckets: Int = DefaultBuckets): Unit = {
     val spark = batch.sparkSession
     // the batch may be the session's first graft work (no tables.load
     // ran): the tokenizer below resolves from the session registry
     graft.expressions.VectorExpressions.ensureRegistered(spark)
+    // a crashed compact swap may have left the postings under the
+    // staging name; adopt BEFORE the append or this batch would start
+    // a fresh table and strand the staged artifact forever
+    recoverStaging(spark, termDocTable)
     val committed = spark.catalog.tableExists(statsTable) &&
       !spark.table(statsTable).filter(col("batch_id") === batchId).isEmpty
     if (!committed) {
       graft.queries.Text.termDocPositionalOf(batch)
         .write.mode("append")
-        .bucketBy(8, "token").sortBy("token")
+        .bucketBy(buckets, "token").sortBy("token")
         .saveAsTable(termDocTable)
       batch.groupBy()
         .agg(count(lit(1)).as("n_docs"))
@@ -126,14 +139,21 @@ object IndexMaintenance {
       Seq("doc_id"), "left_anti")
   }
 
+  /** The maintained postings as a DataFrame — the serve-side entry
+    * point, healing a crashed compact swap first (the serving read
+    * must never find "no table" while a complete staged artifact
+    * sits one rename away). */
+  def postings(spark: org.apache.spark.sql.SparkSession,
+               termDocTable: String): DataFrame = {
+    recoverStaging(spark, termDocTable)
+    spark.table(termDocTable)
+  }
+
   /** Compaction — the operational counterpart of append-only
     * maintenance: every micro-batch adds one file set per bucket, and
     * a thousand appends mean a thousand small files per bucket scan.
     * Rewrites the table as ONE file set with the SAME bucket spec
-    * (serving plans keep their zero-exchange property). The table
-    * contents pass through an eager localCheckpoint so the rewrite
-    * never reads the files it is replacing. (A transactional table
-    * format would swap manifests instead; same seam.)
+    * (serving plans keep their zero-exchange property).
     */
   def compact(spark: org.apache.spark.sql.SparkSession,
               termDocTable: String): Unit =
@@ -144,19 +164,52 @@ object IndexMaintenance {
     * and then clears the tombstone table, returning `withoutDeleted`
     * to a pass-through. The ledger is untouched — it was already
     * decremented at delete time, and purging changes only where the
-    * deletion is represented, not the live count. */
+    * deletion is represented, not the live count.
+    *
+    * CONTRACT: run in a maintenance window with the maintainer stopped
+    * (SURVEY §6b). Crash-safe via stage-then-swap (the TrendMaintenance
+    * protocol — this replaced a localCheckpoint→DROP→rewrite sequence
+    * whose crash window PERMANENTLY lost the whole postings artifact,
+    * since localCheckpoint blocks die with the JVM): the compacted
+    * postings are fully written under `<table>_staging` — read straight
+    * from the live files, no artifact-sized memory pin — before the one
+    * vulnerable step (drop + rename). A crash before the drop leaves
+    * the live table untouched; a crash between drop and rename is
+    * healed by [[recoverStaging]] at every entry point. The bucket spec
+    * travels with the staged table's metadata, so the swap preserves
+    * the zero-exchange serving property (spec-pinned). Tombstones are
+    * cleared only AFTER the swap: a crash before that leaves them
+    * anti-joining already-purged ids — a no-op, cleared next compact. */
   def compact(spark: org.apache.spark.sql.SparkSession,
-              termDocTable: String, tombstoneTable: Option[String]): Unit = {
+              termDocTable: String, tombstoneTable: Option[String],
+              buckets: Int = DefaultBuckets): Unit = {
+    recoverStaging(spark, termDocTable)
+    if (!spark.catalog.tableExists(termDocTable)) return
     val live = tombstoneTable
       .map(t => withoutDeleted(spark.table(termDocTable), t))
       .getOrElse(spark.table(termDocTable))
-    val snapshot = live
-      .repartition(col("token"))
-      .localCheckpoint(true) // materialize BEFORE dropping the source
+    val staging = termDocTable + "_staging"
+    live.repartition(col("token"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "token").sortBy("token")
+      .saveAsTable(staging)
     spark.sql(s"DROP TABLE IF EXISTS $termDocTable")
-    snapshot.write
-      .bucketBy(8, "token").sortBy("token")
-      .saveAsTable(termDocTable)
+    spark.sql(s"ALTER TABLE $staging RENAME TO $termDocTable")
     tombstoneTable.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  /** Crash recovery for [[compact]]'s stage-then-swap: a crash between
+    * the DROP and the RENAME leaves no postings table but a complete
+    * staged one — adopt it. (RENAME is sound here because the postings
+    * table is bucketed but NOT partitioned: the in-memory catalog's
+    * rename pitfall is stale per-PARTITION locations, and the bucket
+    * spec lives in table metadata, which the rename carries.) Called by
+    * every entry point that reads or writes the postings table. */
+  private def recoverStaging(spark: org.apache.spark.sql.SparkSession,
+                             termDocTable: String): Unit = {
+    val staging = termDocTable + "_staging"
+    if (!spark.catalog.tableExists(termDocTable) &&
+        spark.catalog.tableExists(staging))
+      spark.sql(s"ALTER TABLE $staging RENAME TO $termDocTable")
   }
 }

@@ -60,22 +60,36 @@ object VectorMaintenance {
     * one file set to each cid partition it touches, so a thousand
     * appends mean a thousand small files under the hot cells and the
     * serve-time partition-pruned scan degrades into an open/close
-    * storm. Rewrites `<name>_codes` clustered by `cid` — ONE file set
-    * per cell — with the SAME partition spec, so `serveTopK`'s
-    * candidate read keeps its partition-pruned shape and identical
-    * results. Contents pass through an eager localCheckpoint so the
-    * rewrite never reads the files it is replacing. Run in a
-    * maintenance window with the maintainer stopped (SURVEY §6b); a
-    * transactional table format would swap manifests at this same
-    * seam. */
+    * storm. Rewrites the CURRENT version's `_codes` clustered by `cid`
+    * — ONE file set per cell — with the SAME partition spec, so
+    * `serveTopK`'s candidate read keeps its partition-pruned shape and
+    * identical results.
+    *
+    * CONTRACT: run in a maintenance window with the maintainer stopped
+    * (SURVEY §6b). Crash-safe via stage-then-swap (this replaced a
+    * localCheckpoint→DROP→rewrite sequence whose crash window
+    * PERMANENTLY lost the code table, since localCheckpoint blocks die
+    * with the JVM — and whose checkpoint pinned the artifact in
+    * cluster memory for the whole rewrite): the compacted codes are
+    * fully written under `<codes>_staging`, read straight from the
+    * live files, before the swap. The codes table is PARTITIONED, so
+    * the swap is `VectorStore.swapCodesFromStaging`'s copy (rename
+    * would strand partition locations under the in-memory catalog); a
+    * crash mid-swap is healed by `recoverCodesStaging` at every codes
+    * entry point. */
   def compact(spark: org.apache.spark.sql.SparkSession,
               storeName: String): Unit = {
-    val codes = s"${storeName}_codes"
-    val snapshot = spark.table(codes)
+    val p = VectorStore.servingPrefix(spark, storeName)
+    VectorStore.recoverCodesStaging(spark, p)
+    val codes = s"${p}_codes"
+    spark.table(codes)
       .repartition(col("cid")) // all rows of a cell in one task → one file
-      .localCheckpoint(true)   // materialize BEFORE dropping the source
-    spark.sql(s"DROP TABLE IF EXISTS $codes")
-    snapshot.write.partitionBy("cid").saveAsTable(codes)
+      .write.mode("overwrite").partitionBy("cid")
+      .saveAsTable(codes + "_staging")
+    // no explicit DROP: the swap's overwrite replaces the live table
+    // itself, so the only no-live-table window is inside the copy —
+    // exactly the window recoverCodesStaging heals
+    VectorStore.swapCodesFromStaging(spark, p)
   }
 
   /** Total ingested vectors according to the marker ledger (0 when no

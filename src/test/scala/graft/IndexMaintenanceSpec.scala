@@ -168,4 +168,63 @@ class IndexMaintenanceSpec extends AnyFunSuite {
 
     for (t <- Seq(td, st)) spark.sql(s"DROP TABLE IF EXISTS $t")
   }
+
+  test("compact crash window: staged postings adopted, serving survives") {
+    import spark.implicits._
+    val td = "idx_crash_termdoc"
+    val st = "idx_crash_stats"
+    TestWarehouse.reset(spark, td, st, td + "_staging")
+
+    val base = Seq((1L, "alpha beta gamma"), (2L, "beta delta"))
+      .toDF("doc_id", "text")
+    graft.queries.Text.termDocPositionalOf(base)
+      .write.bucketBy(8, "token").sortBy("token").saveAsTable(td)
+    base.groupBy().agg(count(lit(1)).as("n_docs"))
+      .withColumn("batch_id", lit(-1L)).select("batch_id", "n_docs")
+      .write.saveAsTable(st)
+    val rowsBefore = spark.table(td).orderBy("doc_id", "token")
+      .collect().toSeq
+
+    // simulate compact dying at its ONE vulnerable point — staging
+    // fully written, live table dropped, rename never ran (exactly the
+    // window that used to lose the artifact under drop-then-rewrite)
+    spark.table(td).repartition(col("token"))
+      .write.mode("overwrite").bucketBy(8, "token").sortBy("token")
+      .saveAsTable(td + "_staging")
+    spark.sql(s"DROP TABLE $td")
+    assert(!spark.catalog.tableExists(td))
+
+    // the next serving read recovers the artifact — identical contents
+    val served = IndexMaintenance.postings(spark, td)
+    assert(spark.catalog.tableExists(td), "staged postings not adopted")
+    assert(!spark.catalog.tableExists(td + "_staging"),
+      "adoption must consume the staging table")
+    assert(served.orderBy("doc_id", "token").collect().toSeq == rowsBefore,
+      "recovered postings differ from the pre-crash artifact")
+
+    // the adopted table keeps the bucket layout (zero-exchange serving)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = spark.table(td).groupBy("token").agg(sum("cnt"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("Bucketed: true") && !p.contains("Exchange"),
+        s"adopted postings lost the bucket layout:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+    // a maintenance append landing in the crash window also recovers
+    // first (fresh-table stranding is unreachable): re-create the
+    // window, then append a new batch
+    spark.table(td).repartition(col("token"))
+      .write.mode("overwrite").bucketBy(8, "token").sortBy("token")
+      .saveAsTable(td + "_staging")
+    spark.sql(s"DROP TABLE $td")
+    IndexMaintenance.appendBatch(
+      Seq((3L, "gamma zeta")).toDF("doc_id", "text"), 7L, td, st)
+    assert(!spark.catalog.tableExists(td + "_staging"))
+    assert(spark.table(td).select("doc_id").distinct().count() == 3L,
+      "append after adoption must see old AND new docs")
+
+    TestWarehouse.reset(spark, td, st)
+  }
 }

@@ -114,4 +114,57 @@ class VectorMaintenanceSpec extends AnyFunSuite {
     assert(servedAfter.map(_.getLong(1)).exists(_ >= 800000L),
       "test premise: streamed vectors must appear in the served top-k")
   }
+
+  test("compact crash window: staged codes adopted, serving identical") {
+    import spark.implicits._
+    reset("vmx", "vmx_marker")
+    spark.sql("DROP TABLE IF EXISTS vmx_codes_staging")
+    val e = tables.load(spark, dir, "embeddings")
+    VectorStore.build(e.select(col("vec_id"), col("embedding")), "vmx")
+    val v50 = e.filter(col("vec_id") === 50)
+      .select(col("embedding").cast("array<double>"))
+      .collect().head.getSeq[Double](0).toArray
+    val probes = Seq((50L, v50)).toDF("probe_id", "pe")
+    val servedBefore = VectorStore.serveTopK(probes, "vmx", k = 5)
+      .collect().toSeq
+
+    // simulate compact dying mid-swap: staging fully written, live
+    // codes table gone (the overwrite's internal drop happened, the
+    // recreate did not) — the exact window that used to PERMANENTLY
+    // lose the code table under localCheckpoint→DROP→rewrite
+    spark.table("vmx_codes").repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid")
+      .saveAsTable("vmx_codes_staging")
+    spark.sql("DROP TABLE vmx_codes")
+    assert(!spark.catalog.tableExists("vmx_codes"))
+
+    // the next serve recovers the artifact and returns identical rows
+    val servedAfter = VectorStore.serveTopK(probes, "vmx", k = 5)
+      .collect().toSeq
+    assert(spark.catalog.tableExists("vmx_codes"), "staged codes not adopted")
+    assert(!spark.catalog.tableExists("vmx_codes_staging"),
+      "adoption must consume the staging table")
+    assert(servedAfter == servedBefore,
+      "recovered codes serve differently from the pre-crash artifact")
+
+    // the adopted table keeps the cid partition spec (what keeps the
+    // candidate read partition-prunable) — and is non-empty on disk
+    // (the in-memory-catalog rename pitfall this copy-swap exists for)
+    val partCols = spark.catalog.listColumns("vmx_codes")
+      .collect().filter(_.isPartition).map(_.name).toSeq
+    assert(partCols == Seq("cid"), s"partition spec lost: $partCols")
+    assert(spark.table("vmx_codes").count() == e.count(),
+      "adopted codes table lost rows")
+
+    // an ingest landing in the crash window also recovers first
+    spark.table("vmx_codes").repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid")
+      .saveAsTable("vmx_codes_staging")
+    spark.sql("DROP TABLE vmx_codes")
+    VectorMaintenance.appendBatch(
+      Seq((900001L, v50)).toDF("vec_id", "embedding"), 11L, "vmx", "vmx_marker")
+    assert(!spark.catalog.tableExists("vmx_codes_staging"))
+    assert(spark.table("vmx_codes").filter(col("vec_id") === 900001L)
+      .count() == 1L, "append after adoption lost the new batch")
+  }
 }
