@@ -110,6 +110,15 @@ object SubstringDedup {
       if (!spark.catalog.tableExists(windowTable))
         increments.write.partitionBy("batch_id").saveAsTable(windowTable)
       else {
+        // insertInto resolves POSITIONALLY against the table layout:
+        // a ledger from before the batch_id-partitioned layout
+        // (unpartitioned, batch_id first) would be silently mis-mapped
+        // — and mode("overwrite") on an UNPARTITIONED table truncates
+        // every committed batch while the markers still claim them.
+        // Fail loudly instead of corrupting; same for a digest-type
+        // mismatch (md5 STRING ledger fed xxhash64 BIGINT increments).
+        assertLedgerLayout(spark, windowTable,
+          increments.schema("ch").dataType)
         // session conf, not a write option: insertInto on a catalog
         // table ignores per-write options, and STATIC overwrite would
         // truncate every other batch's partition
@@ -128,6 +137,30 @@ object SubstringDedup {
         .select("batch_id", "n_docs")
         .write.mode("append").saveAsTable(markerTable)
     }
+  }
+
+  /** Write-path layout guard: the existing ledger must be partitioned
+    * by exactly `batch_id` and key its `ch` column with the SAME type
+    * the incoming increments carry. Anything else is a legacy or
+    * foreign table that positional insertInto would corrupt — refuse
+    * with a migration message rather than truncate or mis-map. */
+  private def assertLedgerLayout(spark: SparkSession, windowTable: String,
+      chType: org.apache.spark.sql.types.DataType): Unit = {
+    val cols = spark.catalog.listColumns(windowTable).collect()
+    val partCols = cols.filter(_.isPartition).map(_.name).toSeq
+    require(partCols == Seq("batch_id"),
+      s"ledger $windowTable has partition columns ${partCols.mkString("[", ",", "]")}, " +
+        "expected [batch_id]: this is a pre-partitioned-layout (or foreign) table " +
+        "that positional insertInto would corrupt. Migrate it first: " +
+        "rewrite as SELECT ch, nd, batch_id ... partitionBy(batch_id), " +
+        "or start a fresh ledger and replay from the checkpoint.")
+    val ledgerCh = cols.find(_.name == "ch").map(_.dataType)
+    val expected = chType.simpleString
+    require(ledgerCh.contains(expected),
+      s"ledger $windowTable keys ch as ${ledgerCh.getOrElse("<missing>")} but this " +
+        s"maintainer's digest produces $expected: one digest per ledger for its " +
+        "whole life (md5=string, xxhash64=bigint) — point the maintainer at the " +
+        "digest the ledger was built with, or start a fresh ledger.")
   }
 
   /** Corpus-wide window frequency from the ledger: sum of the

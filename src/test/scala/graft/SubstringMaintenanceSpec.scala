@@ -273,4 +273,47 @@ class SubstringMaintenanceSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       .values.max == 2L)
   }
+
+  test("a legacy unpartitioned ledger is refused, not truncated") {
+    import spark.implicits._
+    val wt = "substr_ledger_legacy"
+    val mt = "substr_marker_legacy"
+    reset(wt, mt)
+
+    // the pre-partitioned-layout shape: batch_id FIRST, no partitioning
+    // — positional insertInto would mis-map columns and a static
+    // overwrite would truncate every committed batch
+    Seq((0L, "deadbeef", 2L)).toDF("batch_id", "ch", "nd")
+      .write.saveAsTable(wt)
+    Seq((0L, 2L)).toDF("batch_id", "n_docs").write.saveAsTable(mt)
+
+    val ex = intercept[IllegalArgumentException] {
+      SubstringDedup.appendBatch(corpus.take(2).toDF("doc_id", "text"),
+        1L, wt, mt)
+    }
+    assert(ex.getMessage.contains("Migrate"),
+      s"refusal must carry a migration message, got: ${ex.getMessage}")
+    // the legacy ledger survives untouched
+    assert(spark.table(wt).collect().toSeq ==
+      Seq(org.apache.spark.sql.Row(0L, "deadbeef", 2L)))
+  }
+
+  test("a digest-type mismatch against the ledger is refused") {
+    import spark.implicits._
+    val wt = "substr_ledger_md5"
+    val mt = "substr_marker_md5"
+    reset(wt, mt)
+
+    // md5 ledger (ch STRING) ...
+    SubstringDedup.appendBatch(corpus.take(2).toDF("doc_id", "text"),
+      0L, wt, mt)
+    val before = SubstringDedup.windowFrequency(spark, wt).count()
+    // ... fed xxhash64 BIGINT increments a batch later
+    val ex = intercept[IllegalArgumentException] {
+      SubstringDedup.appendBatch(corpus.drop(2).toDF("doc_id", "text"),
+        1L, wt, mt, graft.queries.Dedup.XxDigest)
+    }
+    assert(ex.getMessage.contains("digest"))
+    assert(SubstringDedup.windowFrequency(spark, wt).count() == before)
+  }
 }
