@@ -426,6 +426,30 @@ object Text {
     (s0 +: stages).mkString(",\n")
   }
 
+  /** tx39's corpus-budget semantics, shared with its serve-from-
+    * artifact twin tx41: corpus-weighted subword-unit counts under a
+    * BpeMerges-deep vocabulary — Spark side. */
+  private def bpeUnitReport(wc: DataFrame,
+      m: Seq[(Int, String, String, Long)]): DataFrame =
+    wc.select(col("word"), col("wn"),
+        explode(bpeSegmented(col("word"), m)).as("unit"))
+      .groupBy("unit")
+      .agg(sum("wn").as("n"), countDistinct(col("word")).as("n_words"))
+      .orderBy("unit")
+
+  /** ... and the DuckDB side (train-in-SQL then aggregate the final
+    * stage's units): ONE oracle text for tx39 and tx41 — the stored
+    * artifact must reproduce the fresh train-and-apply exactly. */
+  private def bpeSegmentOracle: String =
+    s"""WITH ${bpeStageCtes(BpeMerges)}
+       |SELECT unit, CAST(sum(wn) AS BIGINT) AS n,
+       |  CAST(count(DISTINCT word) AS BIGINT) AS n_words
+       |FROM (
+       |  SELECT word, wn,
+       |    unnest(regexp_extract_all(enc, $DuckUnitRe, 1)) AS unit
+       |  FROM s$BpeMerges)
+       |GROUP BY unit ORDER BY unit"""
+
   val qs: Seq[Q] = Seq(
 
     // --- Tokenize + global token counts ---
@@ -1621,23 +1645,16 @@ object Text {
     //     REPLAY in rank order (BPE inference is defined as replaying
     //     the training merges), folded into one projection over the
     //     same persisted vocab frame the trainer looped on. ---
-    Q("tx39_bpe_segment",
-      s"""WITH ${bpeStageCtes(BpeMerges)}
-         |SELECT unit, CAST(sum(wn) AS BIGINT) AS n,
-         |  CAST(count(DISTINCT word) AS BIGINT) AS n_words
-         |FROM (
-         |  SELECT word, wn,
-         |    unnest(regexp_extract_all(enc, $DuckUnitRe, 1)) AS unit
-         |  FROM s$BpeMerges)
-         |GROUP BY unit ORDER BY unit""") { (s, dir) =>
+    Q("tx39_bpe_segment", bpeSegmentOracle) { (s, dir) =>
       val wc = wordCounts(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val m = bpeTrain(wc, BpeMerges)
-      wc.select(col("word"), col("wn"),
-          explode(bpeSegmented(col("word"), m)).as("unit"))
-        .groupBy("unit")
-        .agg(sum("wn").as("n"), countDistinct(col("word")).as("n_words"))
-        .orderBy("unit")
+      // eager-checkpoint the unit-vocab-sized report so wc can be
+      // released here (tx38's try/finally discipline): without it each
+      // execution leaks a cached corpus-vocab frame for the session
+      try {
+        val m = bpeTrain(wc, BpeMerges)
+        bpeUnitReport(wc, m).localCheckpoint(true)
+      } finally wc.unpersist()
     },
 
     // --- LM PERPLEXITY quality filter (CCNet/KenLM-style, the
@@ -1699,6 +1716,22 @@ object Text {
           coalesce(col("nb"), lit(0L)).as("n_bigrams"),
           duckRound(coalesce(col("x"), lit(0.0)), 6).as("xent"))
         .orderBy("doc_id")
+    },
+
+    // --- tx39 SERVED FROM THE FROZEN TOKENIZER ARTIFACT
+    //     (graft.index.TokenizerStore — the QualityStore pattern for
+    //     learned vocabularies): same oracle text as tx39, but the
+    //     serve path replays merges read from the stored ≤BpeMerges-row
+    //     table instead of re-running the training loop — zero training
+    //     jobs at serve time, one scan of the frame being segmented
+    //     (plan-guarded in PlanSpec: the ONLY corpus-scan in the plan
+    //     is the segmentation input; no persisted-wc training scans).
+    //     The build-once/serve-many contract tx18/tx19 establish for
+    //     postings, extended to the tokenizer. ---
+    Q("tx41_bpe_segment_stored", bpeSegmentOracle) { (s, dir) =>
+      val store = graft.index.TokenizerStore.forCorpus(s, dir)
+      bpeUnitReport(wordCounts(s, dir),
+        graft.index.TokenizerStore.merges(s, store))
     }
   )
 }
