@@ -1066,7 +1066,39 @@ object Similarity {
     //     corpus projection + TakeOrdered; the fusion joins two
     //     $HybridK-row frames — at 100 TB the only corpus-width work
     //     is the two scans each side already needs. ---
-    Q("sm12_hybrid_rrf", {
+    Q("sm12_hybrid_rrf", hybridRrfOracle) { (s, dir) =>
+      val d = graft.tables.load(s, dir, "documents")
+      val lex0 = d.select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokens(col("text")))
+            .as("token"))
+        .filter(col("token").isin(HybridTerms: _*))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      hybridRrfFrom(s, dir, lex0, d.agg(count(lit(1)).as("n")))
+    },
+
+    // --- sm12 SERVED FROM THE INDEX ARTIFACT (tx18/tx19's build-once/
+    //     query-many contract, extended to hybrid retrieval): the
+    //     lexical side reads query-term postings and n_docs from the
+    //     bucketed IndexStore tables instead of re-tokenizing the
+    //     corpus — the plan's only raw-table scans are the embeddings
+    //     the vector side genuinely needs (PlanSpec-guarded: zero
+    //     `documents` scans). Same oracle text as sm12: the artifact
+    //     must reproduce the fresh-scan fusion exactly. At 100 TB the
+    //     lexical side's cost drops from a corpus re-tokenize to a few
+    //     pruned bucket reads. ---
+    Q("sm13_hybrid_rrf_from_index", hybridRrfOracle) { (s, dir) =>
+      val td = graft.index.IndexStore.termDoc(s, dir)
+      val lex0 = td.filter(col("token").isin(HybridTerms: _*))
+        .select(col("doc_id"), col("token"), col("cnt").as("tf"))
+      hybridRrfFrom(s, dir, lex0,
+        graft.index.IndexStore.docStats(s, dir)
+          .select(col("n_docs").as("n")))
+    }
+  )
+
+  /** One oracle text for sm12 and sm13 — the index-served twin must
+    * hash-match the fresh-scan fusion. */
+  private def hybridRrfOracle: String = {
       val cos = cosineSql("e.embedding", "p.pe")
       val toks =
         "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
@@ -1097,16 +1129,17 @@ object Similarity {
          |  round(coalesce(1.0 / (60 + l.r), 0.0)
          |        + coalesce(1.0 / (60 + v.r), 0.0), 6) AS rrf
          |FROM ltop l FULL OUTER JOIN vtop v USING (doc_id)
-         |ORDER BY rrf DESC, doc_id LIMIT 20"""
-    }) { (s, dir) =>
-      val d = graft.tables.load(s, dir, "documents")
-      val lex0 = d.select(col("doc_id"),
-          explode(graft.functions.TextFunctions.tokens(col("text")))
-            .as("token"))
-        .filter(col("token").isin(HybridTerms: _*))
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin.trim
+  }
+
+  /** Fusion core shared by sm12 (fresh-scan lexical side) and sm13
+    * (index-served lexical side): `lex0` = `(doc_id, token, tf)`
+    * restricted to the query terms, `nd` = 1-row `(n)` corpus count —
+    * everything downstream (TF-IDF score, per-side top-K rank frames,
+    * reciprocal-rank fusion) is side-agnostic. */
+  private def hybridRrfFrom(s: SparkSession, dir: String,
+      lex0: DataFrame, nd: DataFrame): DataFrame = {
       val dft = lex0.groupBy("token").agg(count(lit(1)).as("df"))
-      val nd = d.agg(count(lit(1)).as("n"))
       val lscore = lex0
         .join(broadcast(dft), "token")
         .crossJoin(broadcast(nd))
@@ -1141,8 +1174,7 @@ object Similarity {
               coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)), 6)
             .as("rrf"))
         .orderBy(col("rrf").desc, col("doc_id")).limit(20)
-    }
-  )
+  }
 
   /** IVF range search: ivfTopK minus the ranking window — candidates
     * from the same shuffle-free cell assignment + equi-join, then a

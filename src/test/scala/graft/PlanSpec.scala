@@ -130,6 +130,36 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sm13: lexical side served from the index — zero documents scans") {
+    // the hybrid-retrieval twin's lexical side must read the bucketed
+    // postings + stats artifacts; the only raw-table scans left are
+    // the embeddings the vector side genuinely needs
+    val p = plan("sm13_hybrid_rrf_from_index")
+    assert(p.contains("Bucketed: true"),
+      s"sm13 must read the bucketed index table:\n$p")
+    val scanLocs = "Location:[^\\n]*".r.findAllIn(p).toSeq
+    assert(scanLocs.nonEmpty)
+    assert(!scanLocs.exists(_.contains("documents")),
+      s"sm13 re-tokenizes the raw corpus: ${scanLocs.mkString("; ")}")
+    assert(scanLocs.exists(_.contains("embeddings")),
+      "sm13's vector side should still scan embeddings")
+  }
+
+  test("tx41: serve plan is ONE corpus scan — zero training-side scans") {
+    // the frozen-tokenizer serve must read the corpus exactly once
+    // (the frame being segmented); the merge table folds in driver-side
+    // as literals, and no persisted-wc training scan may appear. tx39
+    // by contrast runs BpeMerges training jobs before its final pass.
+    val p = plan("tx41_bpe_segment_stored")
+    val scanLocs = "Location:[^\\n]*".r.findAllIn(p).toSeq
+    assert(scanLocs.size == 1, s"tx41 expected exactly one scan, got: " +
+      s"${scanLocs.mkString("; ")}")
+    assert(scanLocs.head.contains("documents"),
+      s"tx41's one scan must be the segmentation input: ${scanLocs.head}")
+    assert(!p.contains("InMemoryTableScan"),
+      s"tx41 must not read training-loop cache state:\n$p")
+  }
+
   test("pl02/pl03: corpus actions are pure projections (one sort exchange)") {
     // decontamination and hash-splitting must never shuffle the corpus;
     // their single exchange is the report's final range sort
