@@ -24,9 +24,14 @@ import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SparkSession}
   */
 object IndexStore {
 
-  /** bucket count: sized for test SFs; a 100 TB deployment picks
-    * buckets so each bucket file lands in the 128–512 MB range. */
-  private val Buckets = 8
+  /** Default bucket count: sized for test SFs; a 100 TB deployment
+    * picks buckets so each bucket file lands in the 128–512 MB range
+    * (SURVEY §6b — hundreds of buckets). The count used at BUILD time
+    * is recorded in the stats side table and every later entry point
+    * checks against it: bucketing is a physical co-partitioning
+    * contract, and a consumer assuming a different count would
+    * silently lose the zero-exchange property (or corrupt appends). */
+  val DefaultBuckets = 8
 
   // one build per (JVM, sfDir): repeated queries in the same session
   // (Verify runs tx18 then tx19) reuse the artifact
@@ -54,30 +59,51 @@ object IndexStore {
   }
 
   /** Name of the saved positional-postings table for `dir`, building
-    * it (and the stats side table) on first use in this JVM. */
-  def termDocTable(s: SparkSession, dir: String): String = {
+    * it (and the stats side table, which records the bucket count) on
+    * first use in this JVM. A call whose `buckets` disagrees with the
+    * count the artifact was BUILT with fails loudly — never serve a
+    * table under a co-partitioning assumption it doesn't satisfy. */
+  def termDocTable(s: SparkSession, dir: String,
+                   buckets: Int = DefaultBuckets): String = {
     import org.apache.spark.sql.functions._
+    require(buckets > 0, s"bucket count must be positive, got $buckets")
     val name = s"graft_termdoc_${tag(dir)}"
     built.getOrElseUpdate(s.sparkContext.applicationId + "/" + name, {
       replaceTable(s, name,
         graft.queries.Text.termDocPositional(s, dir)
           .write.mode("overwrite")
-          .bucketBy(Buckets, "token").sortBy("token"))
+          .bucketBy(buckets, "token").sortBy("token"))
       replaceTable(s, s"graft_docstats_${tag(dir)}",
         graft.tables.load(s, dir, "documents")
           .agg(count(lit(1)).as("n_docs"))
+          .withColumn("buckets", lit(buckets))
           .write.mode("overwrite"))
     })
+    val rec = recordedBuckets(s, dir)
+    require(rec == buckets,
+      s"index artifact for $dir was built with $rec buckets but this " +
+        s"consumer assumes $buckets: the bucket count is a physical " +
+        "co-partitioning contract — read the recorded count via " +
+        "recordedBuckets, or rebuild the artifact at the new count.")
     name
   }
 
-  /** The saved positional postings as a DataFrame (building if needed). */
-  def termDoc(s: SparkSession, dir: String): DataFrame =
-    s.table(termDocTable(s, dir))
+  /** The bucket count the artifact for `dir` was built with — what a
+    * consumer (a maintainer append, a co-located join planner) reads
+    * instead of assuming a constant. */
+  def recordedBuckets(s: SparkSession, dir: String): Int =
+    s.table(s"graft_docstats_${tag(dir)}").select("buckets").head.getInt(0)
 
-  /** The saved one-row corpus stats (n_docs) — building if needed. */
+  /** The saved positional postings as a DataFrame (building if needed). */
+  def termDoc(s: SparkSession, dir: String,
+              buckets: Int = DefaultBuckets): DataFrame =
+    s.table(termDocTable(s, dir, buckets))
+
+  /** The saved one-row corpus stats (n_docs) — building if needed.
+    * Projected to n_docs: the recorded bucket count is artifact
+    * metadata, not query data (consumers crossJoin this frame). */
   def docStats(s: SparkSession, dir: String): DataFrame = {
     termDocTable(s, dir)
-    s.table(s"graft_docstats_${tag(dir)}")
+    s.table(s"graft_docstats_${tag(dir)}").select("n_docs")
   }
 }
