@@ -1127,19 +1127,29 @@ object Relational {
     //     join treats NULL as a real key value — NULL matches NULL,
     //     which a plain equi-join silently drops. Still a hash-joinable
     //     equi-predicate (EqualNullSafe), so the plan is the same
-    //     broadcast/SMJ as q03/q04, not a BNLJ: at scale the NULL key
-    //     becomes ONE (possibly skewed) hash bucket, the AQE skew-join
-    //     case, not a different algorithm. Keys are synthesized with
-    //     nullif so the corpus actually exercises the NULL-match path;
-    //     the 500 modulus keeps per-key fan-out ~constant as both sides
-    //     scale (a low-cardinality synthetic key made pair volume grow
-    //     quadratically with SF — measured 26s at 10×-sf0.1 with %50,
-    //     9.6s with %500 — the dd04-class artifact, not the join). ---
+    //     broadcast/SMJ as q03/q04, not a BNLJ. The key is the NATURAL
+    //     custkey with every 500th key nulled out (the dirty-FK shape:
+    //     "unknown customer" rows), so the non-null side scales like
+    //     the real FK join — key cardinality grows WITH the data,
+    //     per-key fan-out stays ~constant — while the NULL residue
+    //     class concentrates 1/500 of BOTH sides into ONE hash bucket:
+    //     the documented AQE skew-join case, quadratic only within
+    //     that sliver (9000 pairs at sf0.1, 90M at 100× — the skewed
+    //     bucket AQE splits, not a plan problem). Rounds ≤12 used
+    //     `custkey % 500` itself as the key: a FIXED 500-key space
+    //     makes TOTAL pair volume quadratic in SF (×9.6 at 10×, ~45B
+    //     pairs at 100×) — an artifact of the synthetic modulus, not
+    //     of nullsafe joins — so the 100×-posture sweep replaced it
+    //     with this natural-key shape. ---
     Q("q49_nullsafe_join",
       """WITH o AS (
-        |  SELECT o_orderkey, nullif(o_custkey % 500, 0) AS k FROM orders),
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_custkey % 500 = 0 THEN NULL ELSE o_custkey END AS k
+        |  FROM orders),
         |c AS (
-        |  SELECT c_custkey, nullif(c_custkey % 500, 0) AS k FROM customer)
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 500 = 0 THEN NULL ELSE c_custkey END AS k
+        |  FROM customer)
         |SELECT o.k AS k, count(*) AS n_pairs,
         |  count(DISTINCT o.o_orderkey) AS n_orders,
         |  count(DISTINCT c.c_custkey) AS n_customers
@@ -1147,11 +1157,11 @@ object Relational {
         |GROUP BY o.k
         |ORDER BY k NULLS FIRST""") { (s, dir) =>
       def keyed(c: org.apache.spark.sql.Column) =
-        when(c === 0, lit(null)).otherwise(c)
+        when(c % 500 === 0, lit(null)).otherwise(c)
       val o = t(s, dir, "orders")
-        .select(col("o_orderkey"), keyed(col("o_custkey") % 500).as("k"))
+        .select(col("o_orderkey"), keyed(col("o_custkey")).as("k"))
       val c = t(s, dir, "customer")
-        .select(col("c_custkey"), keyed(col("c_custkey") % 500).as("ck"))
+        .select(col("c_custkey"), keyed(col("c_custkey")).as("ck"))
       o.join(c, col("k") <=> col("ck"))
         .groupBy("k")
         .agg(count(lit(1)).as("n_pairs"),
