@@ -622,6 +622,62 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // --- QUALITY-AWARE canonical selection: dd06 keeps the min doc_id
+    //     per near-dup component; production pipelines keep the BEST
+    //     copy — here the longest (n_chars, the standard "most complete
+    //     variant" heuristic; ties → min doc_id for determinism). Same
+    //     CC labels as dd06; the only addition is a row_number window
+    //     PARTITIONED BY COMPONENT ROOT, and component sizes are
+    //     near-dup cluster sizes (constant in corpus growth — see the
+    //     §6 100x varied-corpus evidence), so the window never sees a
+    //     corpus-sized partition. Out-of-graph docs bypass the window
+    //     entirely (a window over the NULL-root partition would
+    //     otherwise funnel ~the whole corpus into one partition AND
+    //     wrongly keep a single survivor of it). ---
+    Q("dd17_cluster_keep_best",
+      s"""WITH RECURSIVE $minhashScoredCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM scored WHERE j >= 0.4),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT DISTINCT src AS node, src AS r FROM edges
+         |  UNION
+         |  SELECT e.dst AS node, r.r FROM reach r JOIN edges e ON e.src = r.node),
+         |comp AS (SELECT node, CAST(min(r) AS BIGINT) AS root
+         |         FROM reach GROUP BY node),
+         |ranked AS (
+         |  SELECT d.doc_id, d.lang, d.n_chars,
+         |    row_number() OVER (PARTITION BY c.root
+         |                       ORDER BY d.n_chars DESC, d.doc_id) AS rn
+         |  FROM documents d JOIN comp c ON c.node = d.doc_id)
+         |SELECT doc_id, lang, n_chars FROM (
+         |  SELECT d.doc_id, d.lang, d.n_chars
+         |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+         |  WHERE c.root IS NULL
+         |  UNION ALL
+         |  SELECT doc_id, lang, n_chars FROM ranked WHERE rn = 1)
+         |ORDER BY doc_id""") { (s, dir) =>
+      import org.apache.spark.storage.StorageLevel
+      import org.apache.spark.sql.expressions.Window
+      val pairs = minhashVerified(s, dir).select("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val labels =
+        graft.operators.ConnectedComponents.minLabel(pairs, MaxCcRounds)
+      val joined = docs(s, dir)
+        .join(labels, col("doc_id") === col("node"), "left")
+      val w = Window.partitionBy("root")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val best = joined.filter(col("root").isNotNull)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      joined.filter(col("root").isNull)
+        .select("doc_id", "lang", "n_chars")
+        .unionByName(best.select("doc_id", "lang", "n_chars"))
+        .orderBy("doc_id")
+    },
+
     // --- Containment (asymmetric Jaccard |A∩B| / |A|): catches a doc
     //     EMBEDDED in a larger one, which symmetric Jaccard misses
     //     (a quote inside a long doc scores low on union but high on

@@ -1261,6 +1261,80 @@ object Pipeline {
             .as("n_ip"),
           md5(redacted.cast("binary")).as("red_digest"))
         .orderBy("doc_id")
+    },
+
+    // --- IMPORTANCE RESAMPLING against a target domain (the DSIR
+    //     recipe — Xie et al. 2023, "Data Selection for Language
+    //     Models via Importance Resampling": score every raw doc by
+    //     how much more likely its tokens are under a TRUSTED-domain
+    //     LM than under the raw-corpus LM, then sample by weight).
+    //     Target = sources src0/src1 (the stand-in for "wiki-quality"
+    //     domains); both LMs are add-1-smoothed unigram models over
+    //     the corpus vocabulary, and the per-doc report is the
+    //     per-token mean log2 likelihood ratio — the deterministic
+    //     core of DSIR (production adds Gumbel noise at the final
+    //     sample; a seeded coin like pl15's md5 device slots in
+    //     unchanged). Scale shape (the tx40 pattern): ONE corpus
+    //     tokenize persisted for LM build AND scoring; both LMs
+    //     collapse to vocab-sized frames; the merged log-ratio table
+    //     BROADCASTS onto the token stream; scoring is one map-side
+    //     join + one doc-keyed aggregation — the corpus is never
+    //     self-joined. Determinism: per-token ratios are exact-rounded
+    //     double ops + libm log2; the 6-decimal rounding over a
+    //     ≤doc-length mean absorbs ulp drift (the tx36/tx40 device).
+    //     ---
+    Q("pl27_importance_resample",
+      s"""WITH t AS (
+         |  SELECT doc_id, source, unnest($DuckToks) AS w FROM documents),
+         |corp AS (SELECT w, count(*) AS cc FROM t GROUP BY w),
+         |tgt AS (SELECT w, count(*) AS ct FROM t
+         |        WHERE source IN ('src0', 'src1') GROUP BY w),
+         |tot AS (SELECT
+         |    (SELECT count(*) FROM t WHERE source IN ('src0', 'src1')) AS nt,
+         |    (SELECT count(*) FROM t) AS nc,
+         |    (SELECT count(DISTINCT w) FROM t) AS v),
+         |lm AS (
+         |  SELECT corp.w,
+         |    log2(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE))
+         |    - log2(CAST(cc + 1 AS DOUBLE) / CAST(nc + v AS DOUBLE)) AS lr
+         |  FROM corp LEFT JOIN tgt ON tgt.w = corp.w CROSS JOIN tot),
+         |sc AS (
+         |  SELECT doc_id, count(*) AS n_toks, avg(lr) AS s
+         |  FROM t JOIN lm ON lm.w = t.w GROUP BY doc_id)
+         |SELECT d.doc_id, d.source,
+         |  CAST(coalesce(sc.n_toks, 0) AS BIGINT) AS n_toks,
+         |  round(coalesce(sc.s, 0.0), 6) AS logw
+         |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+         |ORDER BY d.doc_id""") { (s, dir) =>
+      import org.apache.spark.storage.StorageLevel
+      val isTarget = col("source").isin("src0", "src1")
+      val t = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(tokens(col("text"))).as("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val corp = t.groupBy("w").agg(count(lit(1)).as("cc"))
+      val tgt = t.filter(isTarget).groupBy("w").agg(count(lit(1)).as("ct"))
+      val tot = t.agg(
+        sum(when(isTarget, lit(1L)).otherwise(lit(0L))).as("nt"),
+        count(lit(1)).as("nc"),
+        countDistinct(col("w")).as("v"))
+      val lm = corp.join(tgt, Seq("w"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("w"),
+          (log2((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+              (col("nt") + col("v")).cast("double"))
+            - log2((col("cc") + 1).cast("double") /
+                (col("nc") + col("v")).cast("double"))).as("lr"))
+      val sc = t.join(broadcast(lm), "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"), avg(col("lr")).as("s"))
+      docs(s, dir).select(col("doc_id"), col("source"))
+        .join(sc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+          graft.functions.ParityFunctions
+            .duckRound(coalesce(col("s"), lit(0.0)), 6).as("logw"))
+        .orderBy("doc_id")
     }
   )
 }
