@@ -39,13 +39,31 @@ object TokenizerStore {
       .digest(dir.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
-  /** Train `nMerges` BPE merges on `wc` (`word`, `wn` — corpus word
-    * counts, the vocab-sized frame tx38 loops over) and freeze the
-    * ranked merge list as `<name>_merges` (rk, lhs, rhs, n).
-    * Overwrites. `wc` is persisted for the training rounds and
-    * released before return (the tx38 try/finally discipline). */
-  def build(wc: DataFrame, name: String,
-            nMerges: Int = DefaultMerges): Unit = {
+  // ---- Versioning (the VectorStore protocol, verbatim rationale) ----
+  // `<name>_version` is a 1-row pointer (v: long); absent means v=1,
+  // whose merge table lives under the bare `<name>_merges` name (the
+  // pre-versioning layout — existing stores keep working untouched).
+  // Version k>1 lives under `<name>_vk_merges`. Every reader resolves
+  // the pointer FIRST, so a retrain becomes visible exactly when the
+  // 1-row pointer flip commits — serving stays on the old, complete
+  // vocabulary through any crash before the flip.
+
+  private def versionTable(name: String) = s"${name}_version"
+
+  /** Current artifact version (1 when the pointer table is absent). */
+  def currentVersion(spark: SparkSession, name: String): Long =
+    if (!spark.catalog.tableExists(versionTable(name))) 1L
+    else spark.table(versionTable(name)).head.getLong(0)
+
+  /** Table-name prefix of version `v`: bare name for v=1 (legacy
+    * layout), `<name>_v<k>` beyond. */
+  private def prefixOf(name: String, v: Long): String =
+    if (v <= 1L) name else s"${name}_v$v"
+
+  /** Train `nMerges` merges on `wc` and write the ranked merge list at
+    * `prefix`. `wc` is persisted for the training rounds and released
+    * before return (the tx38 try/finally discipline). */
+  private def buildAt(wc: DataFrame, prefix: String, nMerges: Int): Unit = {
     val spark = wc.sparkSession
     import spark.implicits._
     val cached = wc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -55,7 +73,7 @@ object TokenizerStore {
     // metastore but SHARES the warehouse dir — a previous run may have
     // left the managed location behind with no catalog entry, which
     // CTAS refuses to reuse. Drop both the entry and the location.
-    val table = s"${name}_merges"
+    val table = s"${prefix}_merges"
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table)
@@ -66,12 +84,87 @@ object TokenizerStore {
       .write.mode("overwrite").saveAsTable(table)
   }
 
+  /** Train `nMerges` BPE merges on `wc` (`word`, `wn` — corpus word
+    * counts, the vocab-sized frame tx38 loops over) and freeze the
+    * ranked merge list as `<name>_merges` (rk, lhs, rhs, n).
+    * Overwrites, and resets the store to version 1: the pointer is
+    * dropped BEFORE versioned tables, so serving flips to the
+    * freshly-built bare layout first and a crash mid-cleanup never
+    * leaves the pointer naming dropped tables. */
+  def build(wc: DataFrame, name: String,
+            nMerges: Int = DefaultMerges): Unit = {
+    buildAt(wc, name, nMerges)
+    wc.sparkSession.sql(s"DROP TABLE IF EXISTS ${versionTable(name)}")
+    dropVersionsExcept(wc.sparkSession, name, keep = 1L)
+  }
+
+  /** Drift-triggered RETRAIN — the tokenizer side of the drift→rebuild
+    * arc (`VectorStore.rebuild` is the codebook side): train a fresh
+    * merge list on current word counts and install it as a NEW VERSION
+    * behind the atomic 1-row pointer flip. The old vocabulary keeps
+    * serving until the flip commits; a crash anywhere before it leaves
+    * serving on the old, complete merge table (a retried rebuild
+    * overwrites the partial next-version table). Old versions are
+    * dropped only AFTER the flip; a crash in that window leaks tables,
+    * swept by the next rebuild/build. Returns the new version. */
+  def rebuild(wc: DataFrame, name: String,
+              nMerges: Int = DefaultMerges): Long = {
+    val spark = wc.sparkSession
+    import spark.implicits._
+    val next = currentVersion(spark, name) + 1L
+    buildAt(wc, prefixOf(name, next), nMerges)
+    Seq(next).toDF("v").write.mode("overwrite")
+      .saveAsTable(versionTable(name)) // THE swap: one 1-row commit
+    dropVersionsExcept(spark, name, keep = next)
+    next
+  }
+
+  /** [[rebuild]] gated on the KL-drift signal — distribution shift in
+    * the token stream is EXACTLY the signal a learned vocabulary goes
+    * stale on (novel tokens segment to characters under old merges).
+    * Fires when the LATEST committed `DriftMonitor.drifts` row reports
+    * unseen-token mass or KL above the thresholds. */
+  def rebuildIfDrifted(wc: DataFrame, name: String,
+                       driftLedger: String, driftMarkers: String,
+                       maxUnseenFrac: Double = 0.1,
+                       maxKl: Double = 0.5,
+                       nMerges: Int = DefaultMerges): Option[Long] = {
+    val spark = wc.sparkSession
+    val last = graft.streaming.DriftMonitor
+      .drifts(spark, driftLedger, driftMarkers)
+      .orderBy(org.apache.spark.sql.functions.col("batch_id").desc)
+      .limit(1).collect()
+    val drifted = last.headOption.exists { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val unseen = if (n == 0L) 0.0
+        else r.getAs[Long]("n_unseen").toDouble / n
+      unseen > maxUnseenFrac || r.getAs[Double]("kl") > maxKl
+    }
+    if (drifted) Some(rebuild(wc, name, nMerges)) else None
+  }
+
+  /** Drop every artifact version except `keep` (catalog-listed, so
+    * leaked versions from a crashed post-flip cleanup are swept too). */
+  private def dropVersionsExcept(spark: SparkSession, name: String,
+                                 keep: Long): Unit = {
+    val re = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(name) + "_v(\\d+)_merges")
+    spark.catalog.listTables().collect().foreach { t =>
+      val m = re.matcher(t.name)
+      if (m.matches() && m.group(1).toLong != keep)
+        spark.sql(s"DROP TABLE IF EXISTS ${t.name}")
+    }
+    if (keep > 1L) spark.sql(s"DROP TABLE IF EXISTS ${name}_merges")
+  }
+
   /** The FROZEN ranked merge list — the only read path, a bounded
     * driver collect of ≤nMerges rows (BPE apply is defined as merge
     * replay in rank order, so the list must fold into the projection
-    * driver-side, exactly like tx39's in-query list). */
+    * driver-side, exactly like tx39's in-query list). Resolves the
+    * version pointer first — version-atomic like `VectorStore`'s
+    * serving reads. */
   def merges(spark: SparkSession, name: String): Seq[(Int, String, String, Long)] =
-    spark.table(s"${name}_merges")
+    spark.table(s"${prefixOf(name, currentVersion(spark, name))}_merges")
       .orderBy("rk")
       .collect()
       .toSeq
@@ -98,7 +191,9 @@ object TokenizerStore {
   }
 
   /** Stored artifact size — the serve-time driver-collect bound a
-    * deployment monitors (must stay ≤ the trained merge depth). */
+    * deployment monitors (must stay ≤ the trained merge depth).
+    * Pointer-resolved like [[merges]]. */
   def modelRows(spark: SparkSession, name: String): Long =
-    spark.table(s"${name}_merges").count()
+    spark.table(s"${prefixOf(name, currentVersion(spark, name))}_merges")
+      .count()
 }

@@ -114,6 +114,7 @@ class TokenizerMaintenanceSpec extends AnyFunSuite {
       .limit(1)
       .select(col("word"), col("wn"),
         TokenizerStore.segmented(spark, st, col("word")).as("units"),
+        lit(TokenizerStore.currentVersion(spark, st)).as("vocab_v"),
         lit(1L).as("batch_id"))
     val key = "spark.sql.sources.partitionOverwriteMode"
     spark.conf.set(key, "dynamic")
@@ -181,7 +182,7 @@ class TokenizerMaintenanceSpec extends AnyFunSuite {
       .collect().toSeq
 
     // vulnerable instant: staged ledger fully written, live dropped
-    spark.table(wt).select("word", "wn", "units", "batch_id")
+    spark.table(wt).select("word", "wn", "units", "vocab_v", "batch_id")
       .write.mode("overwrite").partitionBy("batch_id").saveAsTable(staging)
     spark.sql(s"DROP TABLE $wt")
 
