@@ -1307,27 +1307,9 @@ object Pipeline {
          |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
          |ORDER BY d.doc_id""") { (s, dir) =>
       import org.apache.spark.storage.StorageLevel
-      val isTarget = col("source").isin("src0", "src1")
-      val t = docs(s, dir)
-        .select(col("doc_id"), col("source"),
-          explode(tokens(col("text"))).as("w"))
+      val t = dsirTokens(docs(s, dir))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val corp = t.groupBy("w").agg(count(lit(1)).as("cc"))
-      val tgt = t.filter(isTarget).groupBy("w").agg(count(lit(1)).as("ct"))
-      val tot = t.agg(
-        sum(when(isTarget, lit(1L)).otherwise(lit(0L))).as("nt"),
-        count(lit(1)).as("nc"),
-        countDistinct(col("w")).as("v"))
-      val lm = corp.join(tgt, Seq("w"), "left")
-        .crossJoin(broadcast(tot))
-        .select(col("w"),
-          (log2((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
-              (col("nt") + col("v")).cast("double"))
-            - log2((col("cc") + 1).cast("double") /
-                (col("nc") + col("v")).cast("double"))).as("lr"))
-      val sc = t.join(broadcast(lm), "w")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_toks"), avg(col("lr")).as("s"))
+      val sc = dsirScored(t, dsirLogRatios(t))
       docs(s, dir).select(col("doc_id"), col("source"))
         .join(sc, Seq("doc_id"), "left")
         .select(col("doc_id"), col("source"),
@@ -1337,4 +1319,49 @@ object Pipeline {
         .orderBy("doc_id")
     }
   )
+
+  // --- pl27's DSIR primitives, the ONE source shared by the query,
+  //     the `ImportanceStore` artifact and the streaming scorer — an
+  //     edit to the smoothing or the ratio formula moves all three. ---
+
+  /** The trusted-domain sources DSIR upsamples toward (the stand-in
+    * for "wiki-quality" domains in the synthetic corpus). */
+  private[graft] val DsirTargetSources = Seq("src0", "src1")
+
+  /** pl27's token stream: one row per (doc, token occurrence), source
+    * carried for the target-domain split. */
+  private[graft] def dsirTokens(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("source"),
+      explode(tokens(col("text"))).as("w"))
+
+  /** The vocab-sized DSIR log2 likelihood-ratio table (w, lr) over a
+    * [[dsirTokens]] stream: add-1-smoothed target vs corpus unigram
+    * LMs on the corpus vocabulary. Collapses the corpus to vocab-sized
+    * frames — the broadcast-safety argument is language saturation
+    * (the tx34/tx40 device); web-scale deployments bound it further
+    * with the pl23 feature-hashing trick. */
+  private[graft] def dsirLogRatios(t: DataFrame): DataFrame = {
+    val isTarget = col("source").isin(DsirTargetSources: _*)
+    val corp = t.groupBy("w").agg(count(lit(1)).as("cc"))
+    val tgt = t.filter(isTarget).groupBy("w").agg(count(lit(1)).as("ct"))
+    val tot = t.agg(
+      sum(when(isTarget, lit(1L)).otherwise(lit(0L))).as("nt"),
+      count(lit(1)).as("nc"),
+      countDistinct(col("w")).as("v"))
+    corp.join(tgt, Seq("w"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("w"),
+        (log2((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+            (col("nt") + col("v")).cast("double"))
+          - log2((col("cc") + 1).cast("double") /
+              (col("nc") + col("v")).cast("double"))).as("lr"))
+  }
+
+  /** Per-doc DSIR score under a ratio table: (doc_id, n_toks, s) with
+    * s = mean lr over the doc's LM-known tokens — one broadcast join +
+    * one doc-keyed aggregation, the corpus side never self-joined. */
+  private[graft] def dsirScored(t: DataFrame, lm: DataFrame): DataFrame =
+    t.join(broadcast(lm), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), avg(col("lr")).as("s"))
 }
