@@ -7,8 +7,12 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Σ-free rolling-hash document fingerprint as a native codegen'd
-  * expression: acc = (acc * 31 + codepoint) mod 1e9+7 over the string's
-  * code points, left to right.
+  * expression: acc = (acc * base + codepoint) mod `mod` over the
+  * string's code points, left to right. Defaults (31, 1e9+7) are the
+  * historical fingerprint; the (131, 998244353) instance provides the
+  * INDEPENDENT second hash the 60-bit SimHash signature needs (two
+  * ~30-bit polynomial hashes over different base/prime pairs — both
+  * trivially reproducible in ANSI SQL for the oracle, unlike xxhash64).
   *
   * Replaces the HOF formulation `aggregate(transform(split(text, "")...))`
   * which materializes one array element PER CHARACTER of the document —
@@ -22,7 +26,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * Identical to the old Spark HOF path on ASCII text (where Spark's
   * `ascii` = code point) and well-defined beyond it.
   */
-case class RollingFingerprint(child: Expression)
+case class RollingFingerprint(child: Expression,
+                              base: Long = 31L,
+                              mod: Long = 1000000007L)
     extends UnaryExpression {
 
   override def dataType: DataType = LongType
@@ -40,7 +46,7 @@ case class RollingFingerprint(child: Expression)
     var i = 0
     while (i < s.length) {
       val cp = s.codePointAt(i)
-      acc = (acc * 31 + cp) % 1000000007L
+      acc = (acc * base + cp) % mod
       i += Character.charCount(cp)
     }
     acc
@@ -58,7 +64,7 @@ case class RollingFingerprint(child: Expression)
          |int $i = 0;
          |while ($i < $str.length()) {
          |  int $cp = $str.codePointAt($i);
-         |  $acc = ($acc * 31L + $cp) % 1000000007L;
+         |  $acc = ($acc * ${base}L + $cp) % ${mod}L;
          |  $i += java.lang.Character.charCount($cp);
          |}
          |${ev.value} = $acc;

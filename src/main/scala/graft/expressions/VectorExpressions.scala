@@ -108,6 +108,9 @@ object VectorExpressions {
         exprs => L2DistanceSquared(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction("graft_fingerprint",
         exprs => RollingFingerprint(exprs(0)), "built-in")
+      // the independent second hash under the 60-bit SimHash signature
+      reg.createOrReplaceTempFunction("graft_fingerprint2",
+        exprs => RollingFingerprint(exprs(0), 131L, 998244353L), "built-in")
       reg.createOrReplaceTempFunction("graft_round",
         exprs => DuckRound(exprs(0),
           exprs(1).eval().asInstanceOf[Int]), "built-in")

@@ -163,6 +163,13 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     call_function("graft_fingerprint", text)
 
+  /** Independent second rolling hash (base 131 mod 998244353) — paired
+    * with [[fingerprint]] to widen hash-derived signatures past one
+    * prime's ~30 bits (the 60-bit SimHash device; both halves stay
+    * ANSI-SQL-reproducible for the oracle, unlike xxhash64). */
+  def fingerprint2(text: Column): Column =
+    call_function("graft_fingerprint2", text)
+
   /** Character n-gram shingles of the normalized text (distinct).
     * The dedup building block: MinHash/Jaccard run over these.
     */

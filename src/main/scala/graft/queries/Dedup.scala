@@ -56,43 +56,67 @@ object Dedup {
       |                 FROM documents GROUP BY md5(text))""".stripMargin
 
   /** SimHash near-dup pairs over any `(doc_id, text)` source frame:
-    * 32-bit weighted-bit signature, byte-banded candidate equi-join
+    * 60-bit weighted-bit signature (two independent ~30-bit rolling
+    * hashes per token), 4×15-bit-banded candidate equi-join
     * (pigeonhole-complete for hamming <= 3), shared by dd04 (exact
-    * survivors) and dd13 (raw all-docs twin). */
+    * survivors) and dd13 (raw all-docs twin).
+    *
+    * WHY 60 bits / 15-bit bands (round-13 scale lesson): the original
+    * 32-bit signature banded by BYTE has only 256 buckets per band, so
+    * candidate volume is ~4·n²/256 — quadratic in corpus size with a
+    * fixed denominator. The exact-copy 10× sweeps never saw it (exact
+    * dedup collapsed the corpus back to 5k uniques); the VARIED 100×
+    * corpus (500k genuinely distinct docs) did: candidate generation
+    * alone exceeded 10⁹ pairs and dd04 ran >300× its steady time.
+    * 15-bit bands give 32768 buckets — 128× fewer candidates at equal
+    * completeness (hamming ≤3 over 4 bands still pigeonholes ≥1 band
+    * equal) — and the Manku et al. WWW'07 production design is exactly
+    * this shape (64-bit signatures, block-permuted band tables).
+    * Still ~n²/32768 asymptotically: at larger corpora, widen the
+    * signature/bands again (the knob is this function) — banding over
+    * a FIXED key space can never be corpus-size-free, unlike dd03's
+    * MinHash bands whose key cardinality grows with content. */
   private def simhashPairs(src: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // Token hash inline per (doc, token) row: fingerprint is a
+    // Token hashes inline per (doc, token) row: fingerprint is a
     // codegen'd single-pass loop over a short token, so hashing at
     // the row site beats the old distinct-vocab + broadcast-join
     // detour (which tokenized the corpus twice — once for the
-    // broadcast build job — and paid a join) at every scale.
+    // broadcast build job — and paid a join) at every scale. Two
+    // independent (base, prime) pairs supply 60 usable signature bits
+    // (each prime is ~2^30) while staying ANSI-SQL-reproducible.
     val th = src
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
-      .select(col("doc_id"), col("cnt"), fingerprint(col("token")).as("h"))
-    // 32 weighted-bit votes folded into ONE aggregation: each bit of
+      .select(col("doc_id"), col("cnt"),
+        fingerprint(col("token")).as("h"),
+        fingerprint2(col("token")).as("h2"))
+    // 60 weighted-bit votes folded into ONE aggregation: each bit of
     // the signature is sign(sum(cnt * ±1)); the Scala loop unrolls the
-    // 32 terms with integer shift amounts, so everything stays in one
-    // codegen'd HashAggregate — no per-bit explode (32× row blowup).
-    // Cost note: compiling this 32-term generated aggregate is ~10s of
-    // one-time janino work (measured cold 12s vs warm 2.6s at sf0.1);
-    // that fixed cost amortizes at scale, the 32× row blowup wouldn't.
-    val simhash = (0 until 32).map { b =>
-      val vote = sum(col("cnt") *
-        (shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1))
+    // terms with integer shift amounts, so everything stays in one
+    // codegen'd HashAggregate — no per-bit explode (60× row blowup).
+    // Cost note: compiling the generated aggregate is one-time janino
+    // work (the tx31/tx32 class, ~10-20s cold); it amortizes at scale,
+    // the row blowup wouldn't.
+    val simhash = (0 until 60).map { b =>
+      val hbit =
+        if (b < 30) shiftright(col("h"), b)
+        else shiftright(col("h2"), b - 30)
+      val vote = sum(col("cnt") * (hbit.bitwiseAND(lit(1L)) * 2 - 1))
       when(vote > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
     // persist: the band self-join would otherwise recompute the whole
     // tokenize→hash→signature chain for each side (one row per doc)
     val sig = th.groupBy("doc_id").agg(simhash.as("simhash"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Band by byte: hamming <= 3 over 4 bytes pigeonholes at least one
-    // byte equal — band equi-join is candidate-complete, never O(n^2).
+    // Band by 15-bit slice: hamming <= 3 over 4 bands pigeonholes at
+    // least one band equal — the equi-join is candidate-complete.
     // hamming computed ONCE (withColumn) for both the filter and the
     // projection, not per operator.
     graft.operators.Banding.candidatePairs(sig, "doc_id",
-      (0 until 4).map(byte =>
-        lit(byte) -> shiftright(col("simhash"), byte * 8).bitwiseAND(lit(255L))),
+      (0 until 4).map(band =>
+        lit(band) ->
+          shiftright(col("simhash"), band * 15).bitwiseAND(lit(32767L))),
       carry = Seq("simhash"))
       .withColumn("hamming",
         bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))).cast("long"))
@@ -116,22 +140,27 @@ object Dedup {
        |th AS (SELECT doc_id, cnt,
        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
        |      list_transform(string_split(token, ''), c -> CAST(ascii(c) AS BIGINT))),
-       |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+       |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(token, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |      (acc, x) -> (acc * 131 + x) % 998244353) AS h2
        |  FROM td),
        |bits AS (
        |  SELECT doc_id, b,
-       |    CASE WHEN sum(cnt * (2 * ((h >> b) & 1) - 1)) > 0 THEN 1 ELSE 0 END AS bit
-       |  FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS b)
+       |    CASE WHEN sum(cnt * (2 * (CASE WHEN b < 30 THEN (h >> b)
+       |                                   ELSE (h2 >> (b - 30)) END & 1) - 1)) > 0
+       |         THEN 1 ELSE 0 END AS bit
+       |  FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS b)
        |  GROUP BY doc_id, b),
        |sig AS (SELECT doc_id, CAST(sum(bit * (1::BIGINT << b)) AS BIGINT) AS simhash
        |        FROM bits GROUP BY doc_id),
        |bands AS (
-       |  SELECT doc_id, simhash, byte, (simhash >> (byte * 8)) & 255 AS key
-       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS byte))
+       |  SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS key
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band))
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
        |FROM bands a JOIN bands b
-       |  ON a.byte = b.byte AND a.key = b.key AND a.doc_id < b.doc_id
+       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        |ORDER BY doc_a, doc_b"""
   }
@@ -715,8 +744,10 @@ object Dedup {
         .orderBy("contained", "container")
     },
 
-    // --- SimHash near-dup: 32-bit signature, banded candidates
-    //     (4 bytes; pigeonhole-complete for hamming <= 3). dd04 is the
+    // --- SimHash near-dup: 60-bit signature, banded candidates
+    //     (4×15-bit bands; pigeonhole-complete for hamming <= 3 — see
+    //     simhashPairs for why the original byte bands were a
+    //     quadratic candidate generator at corpus scale). dd04 is the
     //     SCALE path: signatures are computed over exactSurvivors, so
     //     the enforced exact-dedup-first composition caps pair output
     //     at genuine near-dup structure (a k-copy exact cluster used to

@@ -52,6 +52,40 @@ class BandingSpec extends AnyFunSuite {
       s"pigeonhole violated: missing ${close.diff(out)}")
   }
 
+  test("simhash 15-bit bands (dd04's 60-bit layout): complete for hamming <= 3") {
+    // the round-13 production layout: 60-bit signatures, 4 bands of 15
+    // bits — same pigeonhole argument as bytes (≤3 flips over 4 bands
+    // leave ≥1 band untouched), 128× the bucket space
+    val bases = gen(Gen.listOfN(40, Gen.chooseNum(0L, (1L << 60) - 1)), 13L)
+    val twins = bases.zipWithIndex.map { case (s, i) =>
+      val flips = gen(Gen.listOfN(i % 4, Gen.chooseNum(0, 59)), 2000L + i)
+      flips.foldLeft(s)((acc, b) => acc ^ (1L << b))
+    }
+    val sigs = (bases ++ twins).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val out = Banding.candidatePairs(
+      sigs.toDF("id", "sig"), "id",
+      (0 until 4).map(band =>
+        lit(band) -> shiftright(col("sig"), band * 15).bitwiseAND(lit(32767L))))
+      .as[(Long, Long)].collect().toSet
+
+    val byId = sigs.toMap
+    def sharesBand(a: Long, b: Long): Boolean =
+      (0 until 4).exists(k => ((a >> (k * 15)) & 32767) == ((b >> (k * 15)) & 32767))
+    val expected = (for {
+      i <- sigs.map(_._1); j <- sigs.map(_._1) if i < j
+      if sharesBand(byId(i), byId(j))
+    } yield (i, j)).toSet
+    assert(out == expected, "banding join must emit exactly the band-sharing pairs")
+
+    val close = (for {
+      i <- sigs.map(_._1); j <- sigs.map(_._1) if i < j
+      if java.lang.Long.bitCount(byId(i) ^ byId(j)) <= 3
+    } yield (i, j)).toSet
+    assert(close.nonEmpty, "generator must produce hamming<=3 pairs")
+    assert(close.subsetOf(out),
+      s"pigeonhole violated: missing ${close.diff(out)}")
+  }
+
   test("minhash row bands: candidates are exactly the pairs sharing a band") {
     // 12-value signatures over a small alphabet to force band collisions
     val sigs = gen(
