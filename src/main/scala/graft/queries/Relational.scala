@@ -1228,9 +1228,20 @@ object Relational {
       // execution re-plans the view each iteration — persist it so
       // levels 2..d read the in-memory relation instead of re-scanning
       // parquet. Bounded: it is the dimension table, not the walk.
-      t(s, dir, "customer")
+      //
+      // cteRecursionRowLimit: Spark's runaway-recursion guard counts
+      // TOTAL rows across levels (default 10⁶) — a correctness-
+      // irrelevant safety knob that a 1.5M-customer corpus trips even
+      // though depth stays key-width-bounded (the varied 100x probe
+      // hit it). Scale with the anchor cardinality; the guard keeps
+      // guarding (depth bound ~64 from the key width): at 100 TB this
+      // is a spark-submit conf, set here so the query is
+      // corpus-size-robust out of the box.
+      val dim = t(s, dir, "customer")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        .createOrReplaceTempView("q51_customer")
+      dim.createOrReplaceTempView("q51_customer")
+      s.conf.set("spark.sql.cteRecursionRowLimit",
+        math.max(1000000L, dim.count() * 70L).toString)
       s.sql("""
         WITH RECURSIVE walk(k, cur, depth) AS (
           SELECT c_custkey, c_custkey, 0 FROM q51_customer

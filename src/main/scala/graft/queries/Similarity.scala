@@ -45,8 +45,22 @@ object Similarity {
       s"list_transform(range(0, len($v)), d -> CAST($v[d + 1] AS DOUBLE) * " +
       s"CAST((1 + (${p * 31} + d * 7) % 97) - 49 AS DOUBLE))), (acc, x) -> acc + x)"
 
-  private val SigBits = 16
-  private val BandBytes = 2 // two 8-bit bands over the 16-bit signature
+  /** 60-bit hyperplane signature banded as 5×12 bits (round-13 scale
+    * lesson, the dd04 finding's vector twin): the original 16-bit
+    * signature banded by BYTE had 256 buckets per band, making LSH
+    * candidate volume ~2·n²/256 — quadratic in corpus size with a
+    * fixed denominator. On the varied 100× corpus (200k genuinely
+    * distinct vectors) candidate generation spilled past the disk
+    * (dd07 and sm02 both died SPILL_OUT_OF_MEMORY). 12-bit bands give
+    * 4096 buckets (16×), and FIVE bands raise near-clone recall at the
+    * same time (cos .99: P(band) = .955¹² ≈ .58, miss all five ≈ 1.3%
+    * vs the old two-byte-band ~10%). Still ~n²/4096 asymptotically —
+    * banding over a FIXED key space can never be corpus-size-free
+    * (dd03's MinHash band keys grow with content; these don't), so at
+    * larger corpora widen again: these two constants are the knob. */
+  private val SigBits = 60
+  private val SigBands = 5
+  private val BandBits = 12
   private val NearDupCos = 0.4 // dd07 near-dup threshold (corpus-calibrated)
 
   /** Shared DuckDB CTE chain ending in `scored(vec_a, vec_b, c)` — the
@@ -63,8 +77,8 @@ object Similarity {
        |        $sigTerms AS BIGINT) AS sig
        |  FROM embeddings),
        |bands AS (
-       |  SELECT vec_id, sig, band, (sig >> (band * 8)) & 255 AS key
-       |  FROM sigs CROSS JOIN (SELECT unnest([0, 1]) AS band)),
+       |  SELECT vec_id, sig, band, (sig >> (band * $BandBits)) & ${(1 << BandBits) - 1} AS key
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, $SigBands)) AS band)),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM bands a JOIN bands b
@@ -92,8 +106,9 @@ object Similarity {
       hyperplaneSignature(col("embedding"), SigBits, 64).cast("long").as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = graft.operators.Banding.candidatePairs(sigs, "vec_id",
-      (0 until BandBytes).map(band =>
-        lit(band) -> shiftright(col("sig"), band * 8).bitwiseAND(lit(255L))))
+      (0 until SigBands).map(band =>
+        lit(band) -> shiftright(col("sig"), band * BandBits)
+          .bitwiseAND(lit(((1L << BandBits) - 1)))))
       .withColumnRenamed("vec_id_a", "vec_a")
       .withColumnRenamed("vec_id_b", "vec_b")
     // not persisted: same float-array cache tax as sm01 — two scans
