@@ -1296,6 +1296,56 @@ object Relational {
         .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
     },
 
+    // --- FULL OUTER join: the reconciliation shape (two period
+    //     snapshots of the same key space, rows surviving from either
+    //     side with NULL fill) — the one join type the surface lacked
+    //     as a standalone operator (sm13's RRF uses it internally).
+    //     Both sides pre-aggregate to |customers-with-orders| rows
+    //     BEFORE the join, so the full-outer SMJ joins two
+    //     already-collapsed frames on their natural key — never the
+    //     raw fact table against itself. CASE over side-nullness
+    //     classifies churn (both / first-period-only / second-only):
+    //     the warehouse year-over-year report. ---
+    Q("q53_full_outer",
+      s"""WITH y95 AS (
+        |  SELECT o_custkey AS ck, count(*) AS n95,
+        |    ${moneySumSql("o_totalprice")} AS rev95
+        |  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY o_custkey),
+        |y96 AS (
+        |  SELECT o_custkey AS ck, count(*) AS n96,
+        |    ${moneySumSql("o_totalprice")} AS rev96
+        |  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey)
+        |SELECT coalesce(y95.ck, y96.ck) AS custkey,
+        |  CAST(coalesce(n95, 0) AS BIGINT) AS n95,
+        |  coalesce(rev95, 0.0) AS rev95,
+        |  CAST(coalesce(n96, 0) AS BIGINT) AS n96,
+        |  coalesce(rev96, 0.0) AS rev96,
+        |  CASE WHEN y95.ck IS NULL THEN 'new'
+        |       WHEN y96.ck IS NULL THEN 'churned'
+        |       ELSE 'retained' END AS status
+        |FROM y95 FULL OUTER JOIN y96 ON y95.ck = y96.ck
+        |ORDER BY custkey""") { (s, dir) =>
+      val o = t(s, dir, "orders")
+      def yr(y: Int, n: String, rev: String) =
+        o.filter(year(col("o_orderdate")) === y)
+          .groupBy(col("o_custkey").as("ck"))
+          .agg(count(lit(1)).as(n),
+            moneySum(col("o_totalprice")).as(rev))
+      val y95 = yr(1995, "n95", "rev95")
+      val y96 = yr(1996, "n96", "rev96")
+      y95.join(y96.withColumnRenamed("ck", "ck2"),
+          col("ck") === col("ck2"), "full_outer")
+        .select(coalesce(col("ck"), col("ck2")).as("custkey"),
+          coalesce(col("n95"), lit(0L)).as("n95"),
+          coalesce(col("rev95"), lit(0.0)).as("rev95"),
+          coalesce(col("n96"), lit(0L)).as("n96"),
+          coalesce(col("rev96"), lit(0.0)).as("rev96"),
+          when(col("ck").isNull, "new")
+            .when(col("ck2").isNull, "churned")
+            .otherwise("retained").as("status"))
+        .orderBy("custkey")
+    },
+
     // --- approx_count_distinct: no exact SQL twin → rows-only check;
     //     the exact variant is q13 ---
     Q.noOracle("q23_approx_count_distinct") { (s, dir) =>

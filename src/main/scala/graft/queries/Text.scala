@@ -1732,6 +1732,86 @@ object Text {
       val store = graft.index.TokenizerStore.forCorpus(s, dir)
       bpeUnitReport(wordCounts(s, dir),
         graft.index.TokenizerStore.merges(s, store))
+    },
+
+    // --- Tokenizer FERTILITY by source (units-per-word under the
+    //     tx38-trained vocabulary): the standard tokenizer-quality
+    //     metric — a source whose text fragments into many units per
+    //     word is paying more sequence length for the same content
+    //     (the multilingual-tokenizer-fairness number, Rust et al.
+    //     2021). Scale shape: the per-WORD segmentation runs once on
+    //     the distinct-word frame (vocab-sized, corpus-size-
+    //     independent); per-(source, word) counts collapse the corpus
+    //     in ONE partial-agg pass and join the vocab-sized unit-count
+    //     frame — the corpus is never segmented row by row. Fertility
+    //     is an exact-integer ratio rounded at 6 decimals (the one
+    //     float step, identical IEEE division both engines). ---
+    Q("tx42_bpe_fertility",
+      s"""WITH ${bpeStageCtes(BpeMerges)},
+         |seg AS (
+         |  SELECT word, len(regexp_extract_all(enc, $DuckUnitRe, 1)) AS nu
+         |  FROM s$BpeMerges),
+         |sw AS (
+         |  SELECT source, w AS word, count(*) AS swn
+         |  FROM (SELECT source, unnest($DuckToks) AS w FROM documents)
+         |  GROUP BY source, w)
+         |SELECT source, CAST(sum(swn) AS BIGINT) AS n_words,
+         |  CAST(sum(swn * nu) AS BIGINT) AS n_units,
+         |  round(CAST(sum(swn * nu) AS DOUBLE) / CAST(sum(swn) AS DOUBLE), 6)
+         |    AS fertility
+         |FROM sw JOIN seg USING (word)
+         |GROUP BY source ORDER BY source""") { (s, dir) =>
+      val wc = wordCounts(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val m = bpeTrain(wc, BpeMerges)
+        // vocab-sized: one row per distinct word with its unit count
+        val seg = wc.select(col("word"),
+          size(bpeSegmented(col("word"), m)).as("nu"))
+        val sw = docs(s, dir)
+          .select(col("source"), explode(tokens(col("text"))).as("word"))
+          .groupBy("source", "word").agg(count(lit(1)).as("swn"))
+        sw.join(seg, "word")
+          .groupBy("source")
+          .agg(sum("swn").as("n_words"),
+            sum(col("swn") * col("nu")).as("n_units"),
+            duckRound(sum(col("swn") * col("nu")).cast("double") /
+              sum(col("swn")).cast("double"), 6).as("fertility"))
+          .orderBy("source")
+          // sources-sized report: eager-checkpoint so wc can release
+          // in this scope (tx39's discipline)
+          .localCheckpoint(true)
+      } finally wc.unpersist()
+    },
+
+    // --- PREFIX (wildcard) search from the index artifact: docs
+    //     ranked by total occurrences of any 's…' term — the `s*`
+    //     query of a search surface, served entirely from the saved
+    //     postings (zero corpus scans, PlanSpec-guarded with
+    //     tx18/tx19). Scale honesty: hash bucketing by token cannot
+    //     BUCKET-prune a prefix — what prunes instead is the
+    //     `StartsWith` filter PUSHED into the postings scan, where the
+    //     token-SORTED files give tight per-row-group min/max stats
+    //     (the artifact's sortBy exists for exactly this class of
+    //     range/prefix predicate). Work after the scan is
+    //     |matching postings|, never corpus-sized; top-10 is a
+    //     TakeOrdered, never a global sort. ---
+    Q("tx43_prefix_from_index",
+      s"""WITH td AS (
+         |  SELECT doc_id, token, count(*) AS c
+         |  FROM (SELECT doc_id, unnest($DuckToks) AS token FROM documents)
+         |  WHERE token LIKE 's%'
+         |  GROUP BY doc_id, token)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         |  CAST(sum(c) AS BIGINT) AS n_hits
+         |FROM td GROUP BY doc_id
+         |ORDER BY n_hits DESC, doc_id LIMIT 10""") { (s, dir) =>
+      graft.index.IndexStore.termDoc(s, dir)
+        .filter(col("token").startsWith("s"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"), sum("cnt").as("n_hits"))
+        .orderBy(col("n_hits").desc, col("doc_id"))
+        .limit(10)
     }
   )
 }

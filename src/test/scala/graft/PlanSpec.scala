@@ -130,6 +130,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("tx43: prefix pushed into the postings scan; no corpus scan") {
+    // prefix search can't BUCKET-prune (hash bucketing is exact-key
+    // only) and aggregates by doc_id, so the planner rightly disables
+    // the bucketed read — what must hold instead: (a) the StartsWith
+    // predicate reaches the postings scan as a pushed filter (the
+    // token-sorted files' row-group stats then prune), (b) the raw
+    // corpus is never touched, (c) top-10 is a TakeOrdered, not a
+    // global sort exchange.
+    val p = plan("tx43_prefix_from_index")
+    assert(p.contains("StringStartsWith(token,s)"),
+      s"tx43 prefix predicate not pushed into the scan:\n$p")
+    val scanLocs = "Location:[^\\n]*".r.findAllIn(p).toSeq
+    assert(scanLocs.nonEmpty && !scanLocs.exists(_.contains("documents")),
+      s"tx43 scans the raw corpus: ${scanLocs.mkString("; ")}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"tx43 top-10 must be a TakeOrdered, not a global sort:\n$p")
+  }
+
   test("sm13: lexical side served from the index — zero documents scans") {
     // the hybrid-retrieval twin's lexical side must read the bucketed
     // postings + stats artifacts; the only raw-table scans left are
