@@ -949,6 +949,68 @@ object Dedup {
         |FROM st GROUP BY passage
         |ORDER BY n_docs DESC, passage LIMIT 20""") { (s, dir) =>
       dupPassagesReport(docs(s, dir))
+    },
+
+    // --- MinHash CALIBRATION report (the index-health profile for the
+    //     dd03 family, the sm09 shape for sketches): per banded
+    //     candidate pair, the sketch's own Jaccard ESTIMATE (fraction
+    //     of agreeing signature slots — the estimator whose expectation
+    //     IS the Jaccard, Broder 1997) next to the exact shingle
+    //     Jaccard and the absolute error. This is how an operator
+    //     decides whether NumHashes=12 suffices for its threshold
+    //     BEFORE trusting the sketch at 100 TB (expected |err| ~
+    //     sqrt(j(1-j)/12) ≈ 0.14 at j=0.5 — too wide to SKIP the exact
+    //     verify, which is why dd03 verifies; a deployment wanting
+    //     verify-free banding reads this report and widens NumHashes).
+    //     Scale shape: everything is dd03's machinery (one digest per
+    //     shingle, banded equi-join candidates, exact intersection on
+    //     candidates only) plus one signature-to-signature join on the
+    //     pair keys — per-pair work is 12 integer equality tests. ---
+    Q("dd18_minhash_estimate", {
+      val agree = (0 until NumHashes)
+        .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+        .mkString("\n        |      + ")
+      s"""WITH $minhashScoredCtes,
+        |est AS (
+        |  SELECT s.doc_a, s.doc_b, s.j,
+        |    ($agree) AS n_agree
+        |  FROM scored s
+        |  JOIN sigs sa ON sa.doc_id = s.doc_a
+        |  JOIN sigs sb ON sb.doc_id = s.doc_b)
+        |SELECT doc_a, doc_b,
+        |  CAST(n_agree AS INT) AS n_agree,
+        |  round(CAST(n_agree AS DOUBLE) / $NumHashes, 6) AS est_j,
+        |  round(j, 6) AS exact_j,
+        |  round(abs(CAST(n_agree AS DOUBLE) / $NumHashes - j), 6) AS err
+        |FROM est
+        |ORDER BY doc_a, doc_b"""
+    }) { (s, dir) =>
+      import org.apache.spark.storage.StorageLevel
+      val sh = shingled(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      val sigs = signaturesOf(sh).persist(StorageLevel.MEMORY_AND_DISK)
+      val cand = graft.operators.Banding.candidatePairs(sigs, "doc_id", bandDefs)
+        .withColumnRenamed("doc_id_a", "doc_a")
+        .withColumnRenamed("doc_id_b", "doc_b")
+      val inter = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+          Seq("doc_b", "shingle"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      val nAgree = (0 until NumHashes)
+        .map(i => when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      val estJ = col("n_agree").cast("double") / NumHashes
+      val exactJ = col("inter").cast("double") /
+        (col("sa.sz") + col("sb.sz") - col("inter")).cast("double")
+      inter
+        .join(sigs.as("sa"), col("sa.doc_id") === col("doc_a"))
+        .join(sigs.as("sb"), col("sb.doc_id") === col("doc_b"))
+        .withColumn("n_agree", nAgree)
+        .select(col("doc_a"), col("doc_b"), col("n_agree"),
+          duckRound(estJ, 6).as("est_j"),
+          duckRound(exactJ, 6).as("exact_j"),
+          duckRound(abs(estJ - exactJ), 6).as("err"))
+        .orderBy("doc_a", "doc_b")
     }
   )
 

@@ -30,6 +30,12 @@ object Pipeline {
     * only the oracle silently broke). */
   private val PackBudget = 512L
 
+  /** pl28 shard count. Thousands at cluster scale (per-shard sort
+    * volume = corpus/nShards); 8 keeps the test frames readable.
+    * Declared before `qs` (oracle SQL interpolates at object init —
+    * the PackBudget lesson above). */
+  private val OrderShards = 8
+
   /** The "benchmark" phrase set — stand-in for an eval-set n-gram
     * fingerprint list (at real scale: a broadcast table of millions of
     * n-gram hashes; here literal IN-list constants keep the filter
@@ -1316,6 +1322,101 @@ object Pipeline {
           coalesce(col("n_toks"), lit(0L)).as("n_toks"),
           graft.functions.ParityFunctions
             .duckRound(coalesce(col("s"), lit(0.0)), 6).as("logw"))
+        .orderBy("doc_id")
+    },
+
+    // --- DETERMINISTIC TRAINING ORDER (the last batch step before a
+    //     training run reads the corpus): every doc gets a shard and a
+    //     position inside it, both pure functions of the doc id — so
+    //     any two runs (or a resumed run, or an auditor re-deriving
+    //     "what was example 31,337 of shard 5?") materialize the SAME
+    //     order without coordination. Shard = md5-u32 % nShards;
+    //     in-shard order = the md5 of a second salt (independent of
+    //     the shard coin, so order within a shard is uniform too).
+    //     Scale shape: ONE hash shuffle into shard-keyed partitions and
+    //     one sort per shard — the sort IS the deliverable (an ordering
+    //     cannot cost less), and per-shard volume is corpus/nShards
+    //     with nShards in the thousands at 100 TB (8 here), so no task
+    //     ever sees a corpus-sized sort. row_number (not a global
+    //     offset) keeps positions dense per shard, which is what
+    //     sharded data loaders index by. ---
+    Q("pl28_training_order",
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      % $OrderShards AS shard_id,
+         |    md5('ord' || CAST(doc_id AS VARCHAR)) AS ok
+         |  FROM documents)
+         |SELECT shard_id, CAST(row_number() OVER (
+         |    PARTITION BY shard_id ORDER BY ok, doc_id) AS BIGINT) AS pos,
+         |  doc_id
+         |FROM sh
+         |ORDER BY shard_id, pos""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val id = col("doc_id").cast("string")
+      val sh = docs(s, dir).select(col("doc_id"),
+        pmod(conv(substring(md5(concat(lit("shard"), id)), 1, 8), 16, 10)
+          .cast("long"), lit(OrderShards.toLong)).as("shard_id"),
+        md5(concat(lit("ord"), id)).as("ok"))
+      val w = Window.partitionBy("shard_id").orderBy(col("ok"), col("doc_id"))
+      sh.select(col("shard_id"),
+          row_number().over(w).cast("long").as("pos"), col("doc_id"))
+        .orderBy("shard_id", "pos")
+    },
+
+    // --- FIRST-SEEN N-GRAM NOVELTY (the curriculum / incremental-value
+    //     diagnostic): how much genuinely NEW content does each doc
+    //     add, attributing every distinct corpus 5-gram to the lowest
+    //     doc_id containing it (the ingestion-order "first seen").
+    //     Docs full of already-seen shingles score ~0 (boilerplate,
+    //     near-dups that survived exact dedup); novelty ~1 marks fresh
+    //     material — the ordering signal data-curriculum recipes
+    //     (and dedup post-mortems) read. Scale shape: shingles are
+    //     md5 DIGESTS the moment they exist (32 fixed chars shuffle,
+    //     never n-gram text — the tx32/dd09 discipline); first-seen is
+    //     a digest-keyed min; attribution joins the per-doc distinct
+    //     digest frame back on the digest — every stage is a linear
+    //     digest- or doc-keyed equi-job, nothing pairwise. ---
+    Q("pl29_ngram_novelty",
+      """WITH ng AS (
+        |  SELECT DISTINCT doc_id, md5(ng) AS d
+        |  FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 3),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+        |           tk[i+3] || ' ' || tk[i+4])) AS ng
+        |    FROM (SELECT doc_id,
+        |            list_filter(string_split_regex(lower(text), '\s+'),
+        |                        x -> x <> '') AS tk
+        |          FROM documents))),
+        |fs AS (SELECT d, min(doc_id) AS first_doc FROM ng GROUP BY d),
+        |per AS (
+        |  SELECT ng.doc_id, count(*) AS n_ng,
+        |    sum(CASE WHEN fs.first_doc = ng.doc_id THEN 1 ELSE 0 END) AS n_novel
+        |  FROM ng JOIN fs ON fs.d = ng.d
+        |  GROUP BY ng.doc_id)
+        |SELECT doc_id, CAST(n_ng AS BIGINT) AS n_ng,
+        |  CAST(n_novel AS BIGINT) AS n_novel,
+        |  round(CAST(n_novel AS DOUBLE) / CAST(n_ng AS DOUBLE), 6) AS novelty
+        |FROM per
+        |ORDER BY doc_id""") { (s, dir) =>
+      import org.apache.spark.storage.StorageLevel
+      val ng = docs(s, dir)
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.wordNgramsOf(
+            graft.functions.TextFunctions.tokens(col("text")), 5)).as("ng"))
+        .select(col("doc_id"), md5(col("ng").cast("binary")).as("d"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK) // first-seen agg + attribution join
+      val fs = ng.groupBy("d").agg(min(col("doc_id")).as("first_doc"))
+      ng.join(fs, Seq("d"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_ng"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_ng"), col("n_novel"),
+          graft.functions.ParityFunctions.duckRound(
+            col("n_novel").cast("double") / col("n_ng").cast("double"), 6)
+            .as("novelty"))
         .orderBy("doc_id")
     }
   )

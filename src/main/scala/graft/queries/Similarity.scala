@@ -190,9 +190,17 @@ object Similarity {
     * (`nearestCells`); the candidate join is an EQUI-join on cell id,
     * so the verify work scales with nprobe/cells of the corpus. */
   private def ivfTopK(e: DataFrame, cent: Seq[(Long, Seq[Double])],
-                      nprobe: Int, k: Int): DataFrame = {
+                      nprobe: Int, k: Int,
+                      candFilter: Option[Column] = None): DataFrame = {
+    // candFilter (sm14): a metadata PRE-filter on the candidate corpus
+    // — applied before cell assignment, so disqualified vectors never
+    // enter the cid equi-join and every returned rank ≤ k is a rank
+    // among ELIGIBLE vectors (post-filtering an unfiltered top-k would
+    // silently return < k and lose recall). Probes stay unfiltered: a
+    // query vector needn't satisfy its own predicate.
+    val cand = candFilter.fold(e)(e.filter)
     val assign = nearestCells(
-      e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+      cand.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
       cent, 1)
     // fixed-size probe set — same boundedness argument as sm01
     val probes = e.filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
@@ -1108,6 +1116,29 @@ object Similarity {
       hybridRrfFrom(s, dir, lex0,
         graft.index.IndexStore.docStats(s, dir)
           .select(col("n_docs").as("n")))
+    },
+
+    // --- FILTERED vector search (the metadata-constrained ANN every
+    //     production vector store exposes: "nearest neighbors WHERE
+    //     label in allowed set"). The filter is applied PRE-search —
+    //     candidates are filtered before cell assignment, so the cid
+    //     equi-join only ever sees eligible vectors and every probe
+    //     gets a full k of eligible neighbors; the naive alternative
+    //     (post-filter an unfiltered top-k) returns < k results and
+    //     loses exactly the neighbors the filter was supposed to
+    //     surface. Scale shape: identical to sm03 — the predicate
+    //     composes with the scan (parquet pushdown at the artifact
+    //     tier), assignment stays a shuffle-free projection, and the
+    //     per-probe verify work SHRINKS with filter selectivity. ---
+    Q("sm14_filtered_ann",
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  WHERE vec_id < $IvfCells),
+         |${ivfSearchSql("cent", 5, s"label % 2 = 0")}""") { (s, dir) =>
+      val e = emb(s, dir)
+      val cent = collectCentroids(e.filter(col("vec_id") < IvfCells)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+      ivfTopK(e, cent, IvfNProbe, 5, Some(col("label") % 2 === 0))
     }
   )
 
@@ -1255,7 +1286,8 @@ object Similarity {
 
   /** DuckDB mirror of `ivfTopK` reading centroids from CTE `centCte`
     * (embedded in a WITH chain; Q.apply strips the margins). */
-  private def ivfSearchSql(centCte: String, k: Int): String = {
+  private def ivfSearchSql(centCte: String, k: Int,
+                           candPred: String = "TRUE"): String = {
     val dist = l2SqSql("e.embedding", "c.ce")
     val pdist = l2SqSql("p.pe", "c.ce")
     val cos = cosineSql("p.pe", "v.embedding")
@@ -1264,7 +1296,8 @@ object Similarity {
        |    SELECT e.vec_id, c.cid,
        |      row_number() OVER (PARTITION BY e.vec_id
        |                         ORDER BY $dist, c.cid) AS rn
-       |    FROM embeddings e CROSS JOIN $centCte c)
+       |    FROM (SELECT * FROM embeddings WHERE $candPred) e
+       |    CROSS JOIN $centCte c)
        |  WHERE rn = 1),
        |probes AS (
        |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings

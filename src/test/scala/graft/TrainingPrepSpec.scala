@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-13 training-prep operators: pl28 (deterministic training
+  * order) and pl29 (first-seen n-gram novelty). Both are oracle-checked
+  * by the driver; these specs pin the SEMANTIC invariants a hash can't
+  * name — the order is a dense, total, reproducible assignment, and
+  * novelty attribution partitions the corpus shingle set exactly once.
+  */
+class TrainingPrepSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, dir)
+
+  test("pl28 assigns every doc exactly once") {
+    val out = run("pl28_training_order").cache()
+    try {
+      val nDocs = tables.load(spark, dir, "documents").count()
+      assert(out.count() == nDocs)
+      assert(out.select("doc_id").distinct().count() == nDocs)
+    } finally out.unpersist()
+  }
+
+  test("pl28 positions are dense 1..n within every shard") {
+    val bad = run("pl28_training_order")
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"),
+        countDistinct("pos").as("nd"))
+      .filter(col("mx") =!= col("n") || col("nd") =!= col("n"))
+      .count()
+    assert(bad == 0L, "a shard with a gap or duplicate position")
+  }
+
+  test("pl28 is reproducible run-to-run (a resumed trainer re-derives it)") {
+    val a = run("pl28_training_order").collect().map(_.toSeq)
+    val b = run("pl28_training_order").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("pl29 attributes every distinct corpus 5-gram to exactly one doc") {
+    val out = run("pl29_ngram_novelty").cache()
+    try {
+      val totalNovel = out.agg(sum("n_novel")).head.getLong(0)
+      val distinctNg = tables.load(spark, dir, "documents")
+        .select(explode(graft.functions.TextFunctions.wordNgrams(
+          col("text"), 5)).as("ng"))
+        .select(md5(col("ng").cast("binary")))
+        .distinct().count()
+      assert(totalNovel == distinctNg,
+        s"first-seen attribution must partition the shingle set " +
+          s"($totalNovel attributed vs $distinctNg distinct)")
+    } finally out.unpersist()
+  }
+
+  test("pl29 novelty is a valid fraction and n_novel never exceeds n_ng") {
+    val bad = run("pl29_ngram_novelty")
+      .filter(col("novelty") < 0.0 || col("novelty") > 1.0 ||
+        col("n_novel") > col("n_ng") || col("n_ng") <= 0L)
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("pl29 scores the lowest doc_id as fully novel") {
+    // the min doc_id owns every one of its shingles by definition
+    val first = run("pl29_ngram_novelty").orderBy("doc_id").limit(1).head
+    assert(first.getAs[Long]("n_novel") == first.getAs[Long]("n_ng"))
+    assert(first.getAs[Double]("novelty") == 1.0)
+  }
+}
