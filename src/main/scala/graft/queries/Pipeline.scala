@@ -1400,12 +1400,7 @@ object Pipeline {
         |FROM per
         |ORDER BY doc_id""") { (s, dir) =>
       import org.apache.spark.storage.StorageLevel
-      val ng = docs(s, dir)
-        .select(col("doc_id"),
-          explode(graft.functions.TextFunctions.wordNgramsOf(
-            graft.functions.TextFunctions.tokens(col("text")), 5)).as("ng"))
-        .select(col("doc_id"), md5(col("ng").cast("binary")).as("d"))
-        .distinct()
+      val ng = ngramDigestsOf(docs(s, dir))
         .persist(StorageLevel.MEMORY_AND_DISK) // first-seen agg + attribution join
       val fs = ng.groupBy("d").agg(min(col("doc_id")).as("first_doc"))
       ng.join(fs, Seq("d"))
@@ -1420,6 +1415,17 @@ object Pipeline {
         .orderBy("doc_id")
     }
   )
+
+  /** pl29's shingle frame: one row per (doc_id, DISTINCT 5-gram md5
+    * digest) — the ONE construction shared by the batch novelty query
+    * and the streaming `NoveltyMonitor`, so the stream's per-batch
+    * novel counts stay batch-equal by construction (an edit to the
+    * shingle width or the digest moves both). */
+  private[graft] def ngramDigestsOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+        explode(wordNgramsOf(tokens(col("text")), 5)).as("ng"))
+      .select(col("doc_id"), md5(col("ng").cast("binary")).as("d"))
+      .distinct()
 
   // --- pl27's DSIR primitives, the ONE source shared by the query,
   //     the `ImportanceStore` artifact and the streaming scorer — an
