@@ -36,6 +36,19 @@ object Pipeline {
     * the PackBudget lesson above). */
   private val OrderShards = 8
 
+  /** pl30 replicate count (production uses 100+; the fan-out is ×B
+    * map-side rows, so B trades precision against one scan's width). */
+  private val BootReps = 16
+
+  /** Poisson(1) inverse-CDF thresholds: cumulative e^-1 · Σ 1/k! for
+    * k = 0..6 (tail mass beyond 7 is ~1e-5·u32-granularity). LITERAL
+    * doubles — both engines compare the same constants, so the weight
+    * is a pure function of the md5 coin. */
+  private val PoissonCdf = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119)
+
   /** The "benchmark" phrase set — stand-in for an eval-set n-gram
     * fingerprint list (at real scale: a broadcast table of millions of
     * n-gram hashes; here literal IN-list constants keep the filter
@@ -1413,6 +1426,70 @@ object Pipeline {
             col("n_novel").cast("double") / col("n_ng").cast("double"), 6)
             .as("novelty"))
         .orderBy("doc_id")
+    },
+
+    // --- POISSON BOOTSTRAP (Chamandy et al., "Estimating Uncertainty
+    //     for Massive Data Streams", Google TR 2012 — the one-pass
+    //     resampling scheme for data too big to actually resample):
+    //     classical bootstrap draws n docs WITH replacement per
+    //     replicate — a corpus-sized shuffle per replicate, B of them.
+    //     The Poisson trick replaces the draw with an independent
+    //     per-(doc, replicate) weight ~ Poisson(1); each replicate's
+    //     statistic is then a WEIGHTED aggregate, so all B replicates
+    //     compute in ONE corpus scan with a ×B map-side fan-out and a
+    //     B-group aggregation — the spread across replicate means IS
+    //     the standard error. Determinism (no RNG): the weight comes
+    //     from the pl03/pl15 md5-u32 coin pushed through the
+    //     Poisson(1) inverse CDF as a CASE ladder over literal
+    //     cumulative-probability thresholds — both engines compare the
+    //     same exactly-rounded double against the same literals.
+    //     Replicate sums accumulate EXACT integers (w · n_chars), so
+    //     merge order can't move the rounding boundary (the pl09
+    //     device); only the final mean divides. ---
+    Q("pl30_bootstrap", {
+      val ladder = PoissonCdf.zipWithIndex
+        .map { case (c, k) => s"WHEN u < $c THEN $k" }
+        .mkString("\n        |      ", "\n        |      ", s"\n        |      ELSE ${PoissonCdf.size}")
+      s"""WITH reps AS (SELECT unnest(range(0, $BootReps)) AS b),
+        |coins AS (
+        |  SELECT b, doc_id, n_chars,
+        |    CAST(CAST(concat('0x', substr(md5('boot' || CAST(b AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+        |      / 4294967296.0 AS u
+        |  FROM documents CROSS JOIN reps),
+        |weighted AS (
+        |  SELECT b, doc_id, n_chars,
+        |    CASE $ladder END AS w
+        |  FROM coins)
+        |SELECT b,
+        |  CAST(sum(w) AS BIGINT) AS n_eff,
+        |  CAST(sum(w * n_chars) AS BIGINT) AS sum_chars,
+        |  round(CAST(sum(w * n_chars) AS DOUBLE)
+        |        / CAST(greatest(sum(w), 1) AS BIGINT), 6) AS mean_chars
+        |FROM weighted
+        |GROUP BY b
+        |ORDER BY b"""
+    }) { (s, dir) =>
+      val reps = s.range(0, BootReps).select(col("id").as("b"))
+      val coins = docs(s, dir).select(col("doc_id"), col("n_chars"))
+        .crossJoin(broadcast(reps))
+        .withColumn("u",
+          conv(substring(md5(concat(lit("boot"), col("b").cast("string"),
+            lit(":"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+            .cast("double") / 4294967296.0)
+      val w = PoissonCdf.zipWithIndex.foldRight(
+          lit(PoissonCdf.size): org.apache.spark.sql.Column) {
+        case ((c, k), rest) => when(col("u") < c, lit(k)).otherwise(rest)
+      }
+      coins.withColumn("w", w.cast("long"))
+        .groupBy("b")
+        .agg(sum(col("w")).as("n_eff"),
+          sum(col("w") * col("n_chars")).as("sum_chars"))
+        .select(col("b"), col("n_eff"), col("sum_chars"),
+          graft.functions.ParityFunctions.duckRound(
+            col("sum_chars").cast("double") /
+              greatest(col("n_eff"), lit(1L)).cast("double"), 6)
+            .as("mean_chars"))
+        .orderBy("b")
     }
   )
 

@@ -134,6 +134,24 @@ object Similarity {
 
   private val IvfCells = 8 // fixed coarse centroids (vec_id < 8)
   private val IvfNProbe = 2 // cells searched per probe
+
+  /** Target expected cell occupancy for the operators whose INTERNAL
+    * work is per-cell QUADRATIC (dd12's within-cell pairs, pl25's
+    * cell equi-join candidates): cells = max(8, n / CellTarget) holds
+    * occupancy at ~CellTarget whatever the corpus size, so per-cell
+    * pair volume stays ~C(CellTarget, 2) · cells — LINEAR in n — where
+    * a fixed cell count makes it n²/cells (measured: the varied-100×
+    * corpus at 8 fixed cells would put 25k vectors per cell). At the
+    * test SFs (≤2000 vectors) the formula floors at 8, so every oracle
+    * hash is unchanged — the knob only engages past ~4000 vectors.
+    * The probe-bounded searchers (sm03/04/06/08: verify work =
+    * probes × nprobe × occupancy, linear in occupancy) keep the fixed
+    * 8-cell demo geometry; SURVEY §6b maps their cluster setting. */
+  private val CellTarget = 500L
+  private def adaptiveCells(e: DataFrame): Long =
+    math.max(IvfCells.toLong, e.count() / CellTarget)
+  private val AdaptiveCellsSql =
+    s"(SELECT greatest($IvfCells, count(*) // $CellTarget) FROM embeddings)"
   /** sm07 radius. Declared BEFORE `qs` like every interpolated
     * constant: the oracle SQL captures it at object init (a later
     * declaration interpolates 0 — observed with pl12's budget). */
@@ -839,7 +857,7 @@ object Similarity {
       val cos = cosineSql("ea.embedding", "eb.embedding")
       s"""WITH cent AS (
          |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
-         |  WHERE vec_id < $IvfCells),
+         |  WHERE vec_id < $AdaptiveCellsSql),
          |assign AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT e.vec_id, c.cid,
@@ -865,7 +883,7 @@ object Similarity {
          |ORDER BY a.vec_id"""
     }) { (s, dir) =>
       val e = emb(s, dir)
-      val cent = collectCentroids(e.filter(col("vec_id") < IvfCells)
+      val cent = collectCentroids(e.filter(col("vec_id") < adaptiveCells(e))
         .select(col("vec_id").as("cid"), col("embedding").as("ce")))
       // persist: (vec_id, cid) longs feed both pair sides AND the
       // final report join — without it the corpus-wide argmin
@@ -920,7 +938,7 @@ object Similarity {
       val cos = cosineSql("a.embedding", "b.embedding")
       s"""WITH cent AS (
          |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
-         |  WHERE vec_id < $IvfCells),
+         |  WHERE vec_id < $AdaptiveCellsSql),
          |ca AS (
          |  SELECT vec_id, cid, embedding FROM (
          |    SELECT e.vec_id, c.cid, e.embedding,
@@ -942,7 +960,7 @@ object Similarity {
          |ORDER BY a.vec_id, eval_vec_id"""
     }) { (s, dir) =>
       val e = emb(s, dir)
-      val cent = collectCentroids(e.filter(col("vec_id") < IvfCells)
+      val cent = collectCentroids(e.filter(col("vec_id") < adaptiveCells(e))
         .select(col("vec_id").as("cid"), col("embedding").as("ce")))
       val en = e.select(col("vec_id"), col("embedding"),
         l2Norm(col("embedding")).as("nrm"))

@@ -38,7 +38,8 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     "sm05_pq_topk",           // bounded probe LUT broadcast
     "sm08_sq_topk",           // bounded probe + 64-row stats broadcast
     "sm12_hybrid_rrf",        // 1-row corpus doc-count scalar (tx04 shape)
-    "sm13_hybrid_rrf_from_index") // same scalar, from the stats artifact
+    "sm13_hybrid_rrf_from_index", // same scalar, from the stats artifact
+    "pl30_bootstrap")         // bounded 16-row replicate fan-out frame
 
   test("no query plans a cartesian; nested-loop joins only on whitelist") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
