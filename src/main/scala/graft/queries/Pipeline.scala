@@ -40,6 +40,11 @@ object Pipeline {
     * map-side rows, so B trades precision against one scan's width). */
   private val BootReps = 16
 
+  /** pl31 checksum modulus (dd03's universal-hash prime): keeps every
+    * per-term product under 2^60, exactly representable on both
+    * engines' integer paths. */
+  private val ChecksumP = 1000000007L
+
   /** Poisson(1) inverse-CDF thresholds: cumulative e^-1 · Σ 1/k! for
     * k = 0..6 (tail mass beyond 7 is ~1e-5·u32-granularity). LITERAL
     * doubles — both engines compare the same constants, so the weight
@@ -1365,16 +1370,7 @@ object Pipeline {
          |  doc_id
          |FROM sh
          |ORDER BY shard_id, pos""") { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val id = col("doc_id").cast("string")
-      val sh = docs(s, dir).select(col("doc_id"),
-        pmod(conv(substring(md5(concat(lit("shard"), id)), 1, 8), 16, 10)
-          .cast("long"), lit(OrderShards.toLong)).as("shard_id"),
-        md5(concat(lit("ord"), id)).as("ok"))
-      val w = Window.partitionBy("shard_id").orderBy(col("ok"), col("doc_id"))
-      sh.select(col("shard_id"),
-          row_number().over(w).cast("long").as("pos"), col("doc_id"))
-        .orderBy("shard_id", "pos")
+      trainingOrderOf(docs(s, dir)).orderBy("shard_id", "pos")
     },
 
     // --- FIRST-SEEN N-GRAM NOVELTY (the curriculum / incremental-value
@@ -1490,8 +1486,74 @@ object Pipeline {
               greatest(col("n_eff"), lit(1L)).cast("double"), 6)
             .as("mean_chars"))
         .orderBy("b")
+    },
+
+    // --- SHARD MANIFEST with an ORDER-SENSITIVE checksum (the
+    //     integrity artifact a training run ships next to pl28's
+    //     order): per shard, doc/char counts plus a position-weighted
+    //     content checksum Σ (h(doc) mod P) · (pos mod P) mod P — any
+    //     dropped, substituted OR REORDERED doc changes it, so a
+    //     resumed run (or a different engine) can verify it is reading
+    //     byte-identical data in the identical order. The naive
+    //     order-sensitive digest (md5 over the position-concatenated
+    //     doc digests) needs a shard-length string per shard — GBs at
+    //     100 TB; the weighted mod-sum is ASSOCIATIVE (any partial-agg
+    //     merge order) and constant-size, the checksum analogue of the
+    //     pl09 exact-integer device. Accumulated as decimal(38,0) /
+    //     HUGEINT so no shard size can wrap the sum. ---
+    Q("pl31_order_manifest",
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      % $OrderShards AS shard_id,
+         |    md5('ord' || CAST(doc_id AS VARCHAR)) AS ok
+         |  FROM documents),
+         |ord AS (
+         |  SELECT shard_id, doc_id, row_number() OVER (
+         |    PARTITION BY shard_id ORDER BY ok, doc_id) AS pos
+         |  FROM sh),
+         |d AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+         |  FROM documents)
+         |SELECT shard_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(((h % $ChecksumP) * (pos % $ChecksumP)) % $ChecksumP)
+         |       % $ChecksumP AS BIGINT) AS checksum
+         |FROM ord JOIN d USING (doc_id)
+         |GROUP BY shard_id
+         |ORDER BY shard_id""") { (s, dir) =>
+      val ord = trainingOrderOf(docs(s, dir))
+      val d = docs(s, dir).select(col("doc_id"), col("n_chars"),
+        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("h"))
+      val p = lit(ChecksumP)
+      ord.join(d, Seq("doc_id"))
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          pmod(sum((pmod(col("h"), p) * pmod(col("pos"), p) % p)
+            .cast("decimal(38,0)")), p.cast("decimal(38,0)"))
+            .cast("long").as("checksum"))
+        .orderBy("shard_id")
     }
   )
+
+  /** pl28's order frame — (shard_id, pos, doc_id), positions dense per
+    * shard — the ONE construction shared by the order query and the
+    * pl31 manifest, so the manifest always checksums exactly the order
+    * pl28 materializes. */
+  private[graft] def trainingOrderOf(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val id = col("doc_id").cast("string")
+    val sh = d.select(col("doc_id"),
+      pmod(conv(substring(md5(concat(lit("shard"), id)), 1, 8), 16, 10)
+        .cast("long"), lit(OrderShards.toLong)).as("shard_id"),
+      md5(concat(lit("ord"), id)).as("ok"))
+    val w = Window.partitionBy("shard_id").orderBy(col("ok"), col("doc_id"))
+    sh.select(col("shard_id"),
+      row_number().over(w).cast("long").as("pos"), col("doc_id"))
+  }
 
   /** pl29's shingle frame: one row per (doc_id, DISTINCT 5-gram md5
     * digest) — the ONE construction shared by the batch novelty query

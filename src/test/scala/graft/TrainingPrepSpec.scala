@@ -70,4 +70,37 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(first.getAs[Long]("n_novel") == first.getAs[Long]("n_ng"))
     assert(first.getAs[Double]("novelty") == 1.0)
   }
+
+  test("pl31 manifest covers every shard with pl28's exact doc counts") {
+    val byShard = run("pl28_training_order")
+      .groupBy("shard_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val manifest = run("pl31_order_manifest").collect()
+      .map(r => r.getAs[Long]("shard_id") -> r.getAs[Long]("n_docs")).toMap
+    assert(manifest == byShard)
+  }
+
+  test("pl31 checksum is ORDER-sensitive: swapping two positions changes it") {
+    val P = 1000000007L
+    val rows = run("pl31_order_manifest").collect()
+    // re-derive one shard's checksum from the order frame, then with
+    // the first two positions swapped — same membership, different sum
+    val ord = run("pl28_training_order")
+      .join(tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          conv(substring(md5(col("text")), 1, 15), 16, 10)
+            .cast("long").as("h")), Seq("doc_id"))
+      .filter(col("shard_id") === rows.head.getAs[Long]("shard_id"))
+      .select("pos", "h").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    def sum(terms: Seq[(Long, Long)]): Long =
+      terms.map { case (pos, h) => (h % P) * (pos % P) % P }
+        .foldLeft(0L)((a, t) => (a + t) % P)
+    assert(sum(ord.toSeq) == rows.head.getAs[Long]("checksum"))
+    assert(ord.length >= 2)
+    val swapped = (ord(0)._1 -> ord(1)._2) +: (ord(1)._1 -> ord(0)._2) +:
+      ord.toSeq.drop(2)
+    assert(sum(swapped) != rows.head.getAs[Long]("checksum"),
+      "a reordered shard must fail the manifest check")
+  }
 }
