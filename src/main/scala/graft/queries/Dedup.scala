@@ -1011,6 +1011,56 @@ object Dedup {
           duckRound(exactJ, 6).as("exact_j"),
           duckRound(abs(estJ - exactJ), 6).as("err"))
         .orderBy("doc_a", "doc_b")
+    },
+
+    // --- LEAKAGE-FREE train/eval split: the contamination guard a
+    //     random per-doc split silently lacks — near-duplicates of a
+    //     training doc landing in eval inflate every metric. The split
+    //     unit is the NEAR-DUP COMPONENT, not the doc: each doc's
+    //     group is its dd06 component root (itself if outside the
+    //     graph), and the side is a pure md5 function of the group id
+    //     (mod 10 → ~10% eval), so the whole cluster moves together
+    //     and any auditor re-derives the assignment with no
+    //     coordination (pl28's device). Scale shape: dd06's CC labels
+    //     (banded candidates, O(log) pointer-jump rounds) plus one
+    //     map-side hash — no new shuffle beyond the label join. ---
+    Q("dd19_leakage_free_split",
+      s"""WITH RECURSIVE $minhashScoredCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM scored WHERE j >= 0.4),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT DISTINCT src AS node, src AS r FROM edges
+         |  UNION
+         |  SELECT e.dst AS node, r.r FROM reach r JOIN edges e ON e.src = r.node),
+         |comp AS (SELECT node, CAST(min(r) AS BIGINT) AS root
+         |         FROM reach GROUP BY node),
+         |g AS (
+         |  SELECT d.doc_id, CAST(coalesce(c.root, d.doc_id) AS BIGINT) AS grp
+         |  FROM documents d
+         |  LEFT JOIN comp c ON c.node = d.doc_id)
+         |SELECT doc_id, grp,
+         |  CASE WHEN CAST(concat('0x',
+         |      substr(md5('split' || CAST(grp AS VARCHAR)), 1, 8)) AS BIGINT)
+         |    % 10 = 0 THEN 'eval' ELSE 'train' END AS split
+         |FROM g
+         |ORDER BY doc_id""") { (s, dir) =>
+      import org.apache.spark.storage.StorageLevel
+      val pairs = minhashVerified(s, dir).select("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val labels =
+        graft.operators.ConnectedComponents.minLabel(pairs, MaxCcRounds)
+      docs(s, dir)
+        .join(labels, col("doc_id") === col("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("root"), col("doc_id")).as("grp"))
+        .select(col("doc_id"), col("grp"),
+          when(pmod(conv(substring(md5(concat(lit("split"),
+              col("grp").cast("string"))), 1, 8), 16, 10).cast("long"),
+            lit(10L)) === 0, "eval").otherwise("train").as("split"))
+        .orderBy("doc_id")
     }
   )
 

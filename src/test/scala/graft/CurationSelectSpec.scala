@@ -106,4 +106,30 @@ class CurationSelectSpec extends AnyFunSuite {
     }
     assert(off.isEmpty, s"diverging docs: ${off.take(5)}")
   }
+
+  test("dd19 split covers the corpus exactly once, train the majority side") {
+    val split = run("dd19_leakage_free_split")
+    val n = tables.load(spark, dir, "documents").count()
+    assert(split.count() == n)
+    assert(split.select("doc_id").distinct().count() == n)
+    val bySide = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySide.keySet.subsetOf(Set("train", "eval")))
+    assert(bySide.getOrElse("train", 0L) > bySide.getOrElse("eval", 0L),
+      s"~10% eval draw must leave train the majority: $bySide")
+  }
+
+  test("dd19 never lets a near-dup pair straddle the split (no leakage)") {
+    val side = run("dd19_leakage_free_split").select("doc_id", "split")
+    val pairs = run("dd03_minhash_lsh").select("doc_a", "doc_b")
+    assert(pairs.count() > 0, "fixture must exercise the near-dup graph")
+    val straddling = pairs
+      .join(side.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("split", "sa"), Seq("doc_a"))
+      .join(side.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("split", "sb"), Seq("doc_b"))
+      .filter(col("sa") =!= col("sb"))
+    assert(straddling.count() == 0,
+      "a near-dup pair split across train/eval is eval contamination")
+  }
 }
