@@ -45,6 +45,11 @@ object Pipeline {
     * engines' integer paths. */
   private val ChecksumP = 1000000007L
 
+  /** pl32's expected per-domain cap: small enough that the synthetic
+    * corpus's domains engage the cap at every test SF. (Must precede
+    * `qs` — the oracle SQL interpolates it at object init.) */
+  private val DomainCap = 5L
+
   /** Poisson(1) inverse-CDF thresholds: cumulative e^-1 · Σ 1/k! for
     * k = 0..6 (tail mass beyond 7 is ~1e-5·u32-granularity). LITERAL
     * doubles — both engines compare the same constants, so the weight
@@ -1536,6 +1541,43 @@ object Pipeline {
             .cast("decimal(38,0)")), p.cast("decimal(38,0)"))
             .cast("long").as("checksum"))
         .orderBy("shard_id")
+    },
+
+    // --- DOMAIN DOWNSAMPLING (the C4/RefinedWeb balancing stage that
+    //     pl09 only REPORTS on): over-represented domains are
+    //     rate-capped to ~$DomainCap expected docs each; domains at or
+    //     under the cap pass whole. The keep decision is
+    //     INTEGER-EXACT — keep iff md5-u32(doc) mod cnt < cap, so
+    //     probability cap/cnt per doc with zero float parity risk and
+    //     full pl28-style re-derivability. Scale shape: the per-domain
+    //     count frame is DOMAIN-cardinality (tiny — broadcast into the
+    //     corpus scan) and the decision is pure map-side; the exact-K
+    //     alternative (row_number over a domain-partitioned window)
+    //     would funnel corpus/n_domains rows into single partitions —
+    //     a skew bomb at 100 TB that this shape never builds. ---
+    Q("pl32_domain_downsample",
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    source || '.example-' || lang || '.com' AS domain,
+         |    CAST(concat('0x',
+         |      substr(md5('cap' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      AS h
+         |  FROM documents),
+         |c AS (SELECT domain, count(*) AS cnt FROM u GROUP BY domain)
+         |SELECT u.doc_id, u.domain
+         |FROM u JOIN c ON c.domain = u.domain
+         |WHERE c.cnt <= $DomainCap OR u.h % c.cnt < $DomainCap
+         |ORDER BY doc_id""") { (s, dir) =>
+      val u = docs(s, dir).select(col("doc_id"),
+        concat(col("source"), lit(".example-"), col("lang"), lit(".com"))
+          .as("domain"),
+        conv(substring(md5(concat(lit("cap"), col("doc_id").cast("string"))),
+          1, 8), 16, 10).cast("long").as("h"))
+      val cnt = u.groupBy("domain").agg(count(lit(1)).as("cnt"))
+      u.join(broadcast(cnt), Seq("domain"))
+        .filter(col("cnt") <= DomainCap || pmod(col("h"), col("cnt")) < DomainCap)
+        .select("doc_id", "domain")
+        .orderBy("doc_id")
     }
   )
 

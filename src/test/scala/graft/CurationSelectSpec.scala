@@ -132,4 +132,37 @@ class CurationSelectSpec extends AnyFunSuite {
     assert(straddling.count() == 0,
       "a near-dup pair split across train/eval is eval contamination")
   }
+
+  test("pl32 caps over-represented domains and passes small ones whole") {
+    val corpus = tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        concat(col("source"), lit(".example-"), col("lang"), lit(".com"))
+          .as("domain"))
+    val before = corpus.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = run("pl32_domain_downsample")
+    // kept docs carry their corpus-true domain, each at most once
+    assert(kept.join(corpus, Seq("doc_id", "domain")).count() == kept.count())
+    assert(kept.select("doc_id").distinct().count() == kept.count())
+    val after = kept.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cap = 5L
+    assert(before.exists(_._2 >= 2 * cap), "fixture must have a 2x-cap domain")
+    before.foreach { case (d, n) =>
+      if (n <= cap)
+        assert(after.getOrElse(d, 0L) == n, s"under-cap domain $d must pass whole")
+      else {
+        val k = after.getOrElse(d, 0L)
+        assert(k <= n, s"downsampling can never add docs to $d")
+        // the keep rate is cap/n EXPECTED, so a barely-over-cap domain
+        // may legitimately survive whole; demand reduction only where
+        // chance survival is negligible, and bound the kept count
+        if (n >= 2 * cap)
+          assert(k < n, s"2x-over-cap domain $d ($n docs) must be downsampled")
+        assert(k <= 5 * cap, s"domain $d kept $k docs against expected ~$cap")
+      }
+    }
+    // and the corpus as a whole must have shrunk
+    assert(after.values.sum < before.values.sum)
+  }
 }
