@@ -50,6 +50,10 @@ object Pipeline {
     * `qs` — the oracle SQL interpolates it at object init.) */
   private val DomainCap = 5L
 
+  /** pl33's training-sequence length in tokens (the context-window
+    * size the packer cuts the concatenated shard stream into). */
+  private val SeqTokens = 2048L
+
   /** Poisson(1) inverse-CDF thresholds: cumulative e^-1 · Σ 1/k! for
     * k = 0..6 (tail mass beyond 7 is ~1e-5·u32-granularity). LITERAL
     * doubles — both engines compare the same constants, so the weight
@@ -1578,6 +1582,59 @@ object Pipeline {
         .filter(col("cnt") <= DomainCap || pmod(col("h"), col("cnt")) < DomainCap)
         .select("doc_id", "domain")
         .orderBy("doc_id")
+    },
+
+    // --- SEQUENCE PACKING (concat-then-chunk, the canonical LM
+    //     pretraining prep): docs in pl28's deterministic shard order
+    //     are laid end to end and cut into $SeqTokens-token training
+    //     sequences; each doc's seq_id = tokens-before-it ÷ $SeqTokens,
+    //     a doc-granularity map of the corpus onto fixed-length
+    //     context windows (which sequence each doc starts in, and at
+    //     what offset). All integer arithmetic — the running token
+    //     count is an exact BIGINT prefix sum. Scale shape: ONE
+    //     per-shard window prefix-sum on top of pl28's existing
+    //     shard sort (per-partition volume = corpus/nShards, thousands
+    //     of shards at 100 TB); no new shuffle beyond the n_tok join. ---
+    Q("pl33_sequence_pack",
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      % $OrderShards AS shard_id,
+         |    md5('ord' || CAST(doc_id AS VARCHAR)) AS ok
+         |  FROM documents),
+         |ord AS (
+         |  SELECT shard_id, doc_id, row_number() OVER (
+         |    PARTITION BY shard_id ORDER BY ok, doc_id) AS pos
+         |  FROM sh),
+         |t AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+         |                         x -> x <> '')) AS BIGINT) AS n_tok
+         |  FROM documents)
+         |SELECT o.shard_id, o.pos, o.doc_id, t.n_tok,
+         |  CAST(coalesce(sum(t.n_tok) OVER (
+         |      PARTITION BY o.shard_id ORDER BY o.pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    // $SeqTokens AS BIGINT) AS seq_id,
+         |  CAST(coalesce(sum(t.n_tok) OVER (
+         |      PARTITION BY o.shard_id ORDER BY o.pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    % $SeqTokens AS BIGINT) AS seq_offset
+         |FROM ord o JOIN t ON t.doc_id = o.doc_id
+         |ORDER BY shard_id, pos""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ord = trainingOrderOf(docs(s, dir))
+      val t = docs(s, dir).select(col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tok"))
+      val w = Window.partitionBy("shard_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ord.join(t, Seq("doc_id"))
+        .withColumn("cum", coalesce(sum("n_tok").over(w), lit(0L)))
+        .select(col("shard_id"), col("pos"), col("doc_id"), col("n_tok"),
+          (col("cum") - pmod(col("cum"), lit(SeqTokens)))
+            .divide(lit(SeqTokens)).cast("long").as("seq_id"),
+          pmod(col("cum"), lit(SeqTokens)).as("seq_offset"))
+        .orderBy("shard_id", "pos")
     }
   )
 

@@ -103,4 +103,27 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(sum(swapped) != rows.head.getAs[Long]("checksum"),
       "a reordered shard must fail the manifest check")
   }
+
+  test("pl33 packs each shard's token stream into exact 2048-token windows") {
+    val L = 2048L
+    val packed = run("pl33_sequence_pack").collect()
+      .groupBy(_.getAs[Long]("shard_id"))
+    assert(packed.nonEmpty)
+    packed.foreach { case (shard, rows) =>
+      val ordered = rows.sortBy(_.getAs[Long]("pos"))
+      var cum = 0L
+      ordered.foreach { r =>
+        assert(r.getAs[Long]("seq_id") == cum / L,
+          s"shard $shard pos ${r.getAs[Long]("pos")}: seq_id vs scala prefix sum")
+        assert(r.getAs[Long]("seq_offset") == cum % L,
+          s"shard $shard pos ${r.getAs[Long]("pos")}: seq_offset vs scala prefix sum")
+        cum += r.getAs[Long]("n_tok")
+      }
+    }
+    // every shard starts a fresh window
+    packed.values.foreach { rows =>
+      val first = rows.minBy(_.getAs[Long]("pos"))
+      assert(first.getAs[Long]("seq_id") == 0 && first.getAs[Long]("seq_offset") == 0)
+    }
+  }
 }
