@@ -1635,6 +1635,47 @@ object Pipeline {
             .divide(lit(SeqTokens)).cast("long").as("seq_id"),
           pmod(col("cum"), lit(SeqTokens)).as("seq_offset"))
         .orderBy("shard_id", "pos")
+    },
+
+    // --- CORPUS DATASHEET (the per-(source, lang) data card a
+    //     pipeline publishes next to a release): volume, exact token
+    //     mass, mean length, and exact-duplicate incidence — the
+    //     stratified membership/size/duplication facts an auditor
+    //     checks before the per-doc signals (quality pl23, novelty
+    //     pl29, manifest pl31) even matter. Scale shape: one corpus
+    //     scan into a digest-keyed dup count (dd01's linear shuffle)
+    //     joined back doc-keyed, then a GROUP-cardinality aggregate;
+    //     nothing wider than dd01 itself. ---
+    Q("pl34_corpus_datasheet",
+      """WITH d AS (
+        |  SELECT source, lang, doc_id, n_chars,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |        x -> x <> '')) AS n_tok,
+        |    md5(text) AS dig
+        |  FROM documents),
+        |dc AS (SELECT dig, count(*) AS copies FROM d GROUP BY dig)
+        |SELECT d.source, d.lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(d.n_tok) AS BIGINT) AS total_tokens,
+        |  round(CAST(sum(d.n_chars) AS DOUBLE) / count(*), 4) AS mean_chars,
+        |  CAST(sum(CASE WHEN dc.copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_exact_dup
+        |FROM d JOIN dc ON dc.dig = d.dig
+        |GROUP BY d.source, d.lang
+        |ORDER BY source, lang""") { (s, dir) =>
+      val d = docs(s, dir).select(col("source"), col("lang"), col("doc_id"),
+        col("n_chars"), tokenCount(col("text")).cast("long").as("n_tok"),
+        md5(col("text")).as("dig"))
+      val dc = d.groupBy("dig").agg(count(lit(1)).as("copies"))
+      d.join(dc, Seq("dig"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("total_tokens"),
+          graft.functions.ParityFunctions.duckRound(
+            sum("n_chars").cast("double") /
+              count(lit(1)).cast("double"), 4).as("mean_chars"),
+          sum(when(col("copies") > 1, 1L).otherwise(0L)).as("n_exact_dup"))
+        .orderBy("source", "lang")
     }
   )
 

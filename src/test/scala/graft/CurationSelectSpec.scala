@@ -165,4 +165,22 @@ class CurationSelectSpec extends AnyFunSuite {
     // and the corpus as a whole must have shrunk
     assert(after.values.sum < before.values.sum)
   }
+
+  test("pl34 datasheet reconciles with the corpus and its exact-dup structure") {
+    val ds = run("pl34_corpus_datasheet").collect()
+    val corpus = tables.load(spark, dir, "documents")
+    assert(ds.map(_.getAs[Long]("n_docs")).sum == corpus.count())
+    val tokSum = corpus
+      .agg(sum(graft.functions.TextFunctions.tokenCount(col("text"))
+        .cast("long"))).head.getLong(0)
+    assert(ds.map(_.getAs[Long]("total_tokens")).sum == tokSum)
+    // exact-dup incidence: docs whose full-text digest appears >1 time
+    // (sf0.001 holds no exact copies — the agg is NULL-safe so the
+    // reconciliation still pins n_exact_dup == 0 there; sf0.01/0.1
+    // exercise the dup-rich side through the driver's oracle compare)
+    val dupDocs = corpus.select(md5(col("text")).as("dig"))
+      .groupBy("dig").count().filter(col("count") > 1)
+      .agg(coalesce(sum("count"), lit(0L))).head.getLong(0)
+    assert(ds.map(_.getAs[Long]("n_exact_dup")).sum == dupDocs)
+  }
 }
