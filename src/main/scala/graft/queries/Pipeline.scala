@@ -1533,18 +1533,7 @@ object Pipeline {
          |FROM ord JOIN d USING (doc_id)
          |GROUP BY shard_id
          |ORDER BY shard_id""") { (s, dir) =>
-      val ord = trainingOrderOf(docs(s, dir))
-      val d = docs(s, dir).select(col("doc_id"), col("n_chars"),
-        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("h"))
-      val p = lit(ChecksumP)
-      ord.join(d, Seq("doc_id"))
-        .groupBy("shard_id")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("sum_chars"),
-          pmod(sum((pmod(col("h"), p) * pmod(col("pos"), p) % p)
-            .cast("decimal(38,0)")), p.cast("decimal(38,0)"))
-            .cast("long").as("checksum"))
-        .orderBy("shard_id")
+      orderManifestOf(docs(s, dir)).orderBy("shard_id")
     },
 
     // --- DOMAIN DOWNSAMPLING (the C4/RefinedWeb balancing stage that
@@ -1622,19 +1611,7 @@ object Pipeline {
          |    % $SeqTokens AS BIGINT) AS seq_offset
          |FROM ord o JOIN t ON t.doc_id = o.doc_id
          |ORDER BY shard_id, pos""") { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val ord = trainingOrderOf(docs(s, dir))
-      val t = docs(s, dir).select(col("doc_id"),
-        tokenCount(col("text")).cast("long").as("n_tok"))
-      val w = Window.partitionBy("shard_id").orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      ord.join(t, Seq("doc_id"))
-        .withColumn("cum", coalesce(sum("n_tok").over(w), lit(0L)))
-        .select(col("shard_id"), col("pos"), col("doc_id"), col("n_tok"),
-          (col("cum") - pmod(col("cum"), lit(SeqTokens)))
-            .divide(lit(SeqTokens)).cast("long").as("seq_id"),
-          pmod(col("cum"), lit(SeqTokens)).as("seq_offset"))
-        .orderBy("shard_id", "pos")
+      packedOrderOf(docs(s, dir)).orderBy("shard_id", "pos")
     },
 
     // --- CORPUS DATASHEET (the per-(source, lang) data card a
@@ -1678,6 +1655,43 @@ object Pipeline {
         .orderBy("source", "lang")
     }
   )
+
+  /** pl31's manifest frame — per shard (n_docs, sum_chars, checksum),
+    * unsorted — the ONE construction shared by the manifest query and
+    * `index.OrderStore` (whose stored snapshot must equal a fresh
+    * recomputation bit for bit, or `verify` flags the shard). */
+  private[graft] def orderManifestOf(d: DataFrame): DataFrame = {
+    val ord = trainingOrderOf(d)
+    val dd = d.select(col("doc_id"), col("n_chars"),
+      conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("h"))
+    val p = lit(ChecksumP)
+    ord.join(dd, Seq("doc_id"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        pmod(sum((pmod(col("h"), p) * pmod(col("pos"), p) % p)
+          .cast("decimal(38,0)")), p.cast("decimal(38,0)"))
+          .cast("long").as("checksum"))
+  }
+
+  /** pl33's packed-order frame — per doc (shard_id, pos, doc_id,
+    * n_tok, seq_id, seq_offset), unsorted — shared by the packing
+    * query and `index.OrderStore`, so the frozen artifact always holds
+    * exactly the sequence map pl33 computes. */
+  private[graft] def packedOrderOf(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = trainingOrderOf(d)
+    val t = d.select(col("doc_id"),
+      tokenCount(col("text")).cast("long").as("n_tok"))
+    val w = Window.partitionBy("shard_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ord.join(t, Seq("doc_id"))
+      .withColumn("cum", coalesce(sum("n_tok").over(w), lit(0L)))
+      .select(col("shard_id"), col("pos"), col("doc_id"), col("n_tok"),
+        (col("cum") - pmod(col("cum"), lit(SeqTokens)))
+          .divide(lit(SeqTokens)).cast("long").as("seq_id"),
+        pmod(col("cum"), lit(SeqTokens)).as("seq_offset"))
+  }
 
   /** pl28's order frame — (shard_id, pos, doc_id), positions dense per
     * shard — the ONE construction shared by the order query and the
