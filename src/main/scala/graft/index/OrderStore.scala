@@ -36,6 +36,28 @@ import org.apache.spark.sql.functions._
   */
 object OrderStore {
 
+  // one build per (JVM, corpus dir): repeated serve queries in the
+  // same session reuse the artifact (the IndexStore device)
+  private val built = scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** Collision-resistant per-corpus table tag (IndexStore's rationale:
+    * 32-bit hashCode would let two dirs silently share one table). */
+  private def tag(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Corpus-keyed build-if-absent (the IndexStore pattern): the frozen
+    * order for `dir`'s documents, built on first use in this JVM.
+    * Returns the store name to serve from. */
+  def forCorpus(s: SparkSession, dir: String): String = {
+    val name = s"graft_order_${tag(dir)}"
+    built.getOrElseUpdate(s.sparkContext.applicationId + "/" + name, {
+      build(graft.tables.load(s, dir, "documents"), name)
+    })
+    name
+  }
+
   private def versionTable(name: String) = s"${name}_version"
 
   /** Current artifact version (1 when the pointer table is absent). */

@@ -54,6 +54,37 @@ object Pipeline {
     * size the packer cuts the concatenated shard stream into). */
   private val SeqTokens = 2048L
 
+  /** ONE oracle text for pl33 and its serve-from-store twin pl35 —
+    * the frozen `OrderStore` artifact must answer the exact packing
+    * oracle a fresh computation answers. */
+  private lazy val packOracle =
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |      % $OrderShards AS shard_id,
+       |    md5('ord' || CAST(doc_id AS VARCHAR)) AS ok
+       |  FROM documents),
+       |ord AS (
+       |  SELECT shard_id, doc_id, row_number() OVER (
+       |    PARTITION BY shard_id ORDER BY ok, doc_id) AS pos
+       |  FROM sh),
+       |t AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |                         x -> x <> '')) AS BIGINT) AS n_tok
+       |  FROM documents)
+       |SELECT o.shard_id, o.pos, o.doc_id, t.n_tok,
+       |  CAST(coalesce(sum(t.n_tok) OVER (
+       |      PARTITION BY o.shard_id ORDER BY o.pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    // $SeqTokens AS BIGINT) AS seq_id,
+       |  CAST(coalesce(sum(t.n_tok) OVER (
+       |      PARTITION BY o.shard_id ORDER BY o.pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    % $SeqTokens AS BIGINT) AS seq_offset
+       |FROM ord o JOIN t ON t.doc_id = o.doc_id
+       |ORDER BY shard_id, pos""".stripMargin
+
   /** Poisson(1) inverse-CDF thresholds: cumulative e^-1 · Σ 1/k! for
     * k = 0..6 (tail mass beyond 7 is ~1e-5·u32-granularity). LITERAL
     * doubles — both engines compare the same constants, so the weight
@@ -1584,34 +1615,21 @@ object Pipeline {
     //     per-shard window prefix-sum on top of pl28's existing
     //     shard sort (per-partition volume = corpus/nShards, thousands
     //     of shards at 100 TB); no new shuffle beyond the n_tok join. ---
-    Q("pl33_sequence_pack",
-      s"""WITH sh AS (
-         |  SELECT doc_id,
-         |    CAST(concat('0x', substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-         |      % $OrderShards AS shard_id,
-         |    md5('ord' || CAST(doc_id AS VARCHAR)) AS ok
-         |  FROM documents),
-         |ord AS (
-         |  SELECT shard_id, doc_id, row_number() OVER (
-         |    PARTITION BY shard_id ORDER BY ok, doc_id) AS pos
-         |  FROM sh),
-         |t AS (
-         |  SELECT doc_id,
-         |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
-         |                         x -> x <> '')) AS BIGINT) AS n_tok
-         |  FROM documents)
-         |SELECT o.shard_id, o.pos, o.doc_id, t.n_tok,
-         |  CAST(coalesce(sum(t.n_tok) OVER (
-         |      PARTITION BY o.shard_id ORDER BY o.pos
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |    // $SeqTokens AS BIGINT) AS seq_id,
-         |  CAST(coalesce(sum(t.n_tok) OVER (
-         |      PARTITION BY o.shard_id ORDER BY o.pos
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |    % $SeqTokens AS BIGINT) AS seq_offset
-         |FROM ord o JOIN t ON t.doc_id = o.doc_id
-         |ORDER BY shard_id, pos""") { (s, dir) =>
+    Q("pl33_sequence_pack", packOracle) { (s, dir) =>
       packedOrderOf(docs(s, dir)).orderBy("shard_id", "pos")
+    },
+
+    // --- pl33 SERVED FROM THE FROZEN ARTIFACT (the tx41/sm13
+    //     serve-from-store pattern): the same oracle as pl33, answered
+    //     from `OrderStore`'s shard-partitioned table — the path a
+    //     training run's data loader actually takes. The read is a
+    //     plain scan of the frozen order (no corpus scan, no window,
+    //     no re-sort beyond the output's presentation ORDER BY). ---
+    Q("pl35_pack_from_store", packOracle) { (s, dir) =>
+      val store = graft.index.OrderStore.forCorpus(s, dir)
+      graft.index.OrderStore.order(s, store)
+        .select("shard_id", "pos", "doc_id", "n_tok", "seq_id", "seq_offset")
+        .orderBy("shard_id", "pos")
     },
 
     // --- CORPUS DATASHEET (the per-(source, lang) data card a
