@@ -306,6 +306,15 @@ object Dedup {
   /** The LSH band keys of a signature frame, exploded to one row per
     * (doc_id, band, key) — the join key space of candidate generation
     * (and the storage layout of `DedupStore`'s band table). */
+  /** dd19's side function — grp → 'train'/'eval' by the integer-exact
+    * md5-mod-10 draw (~10% eval). The ONE definition shared by the
+    * batch split and `streaming.SplitAssignment`, so a streamed
+    * assignment always lands where the batch operator would put it. */
+  private[graft] def splitSideOf(grp: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(pmod(conv(substring(md5(concat(lit("split"), grp.cast("string"))),
+      1, 8), 16, 10).cast("long"), lit(10L)) === 0, "eval")
+      .otherwise("train")
+
   def bandKeysOf(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"), explode(array(
       bandDefs.map { case (b, k) =>
@@ -1057,9 +1066,7 @@ object Dedup {
         .select(col("doc_id"),
           coalesce(col("root"), col("doc_id")).as("grp"))
         .select(col("doc_id"), col("grp"),
-          when(pmod(conv(substring(md5(concat(lit("split"),
-              col("grp").cast("string"))), 1, 8), 16, 10).cast("long"),
-            lit(10L)) === 0, "eval").otherwise("train").as("split"))
+          splitSideOf(col("grp")).as("split"))
         .orderBy("doc_id")
     }
   )

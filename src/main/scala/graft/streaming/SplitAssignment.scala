@@ -1,0 +1,226 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.queries.Dedup
+
+/** Streaming train/eval SPLIT ASSIGNER (dd19's serving twin — the 14th
+  * maintainer): a crawl keeps ingesting, and every arriving doc needs
+  * a side AT ARRIVAL — but a random (or even hash-of-id) per-doc draw
+  * silently leaks: the near-duplicate of a doc already serving in
+  * train must never land in eval. Each micro-batch is near-dup-probed
+  * against the band ledger of all PRIOR batches (the `DedupStore`
+  * candidate/verify machinery over batch_id-partitioned tables), and
+  * each batch-level near-dup component either
+  *   - touches NO prior cluster → a fresh group: grp = its min doc_id,
+  *     side = dd19's md5(grp)-mod-10 draw;
+  *   - touches prior clusters ALL on one side → it JOINS them: grp =
+  *     the min linked grp, side INHERITED (frozen — never re-drawn);
+  *   - BRIDGES prior clusters on conflicting sides → 'quarantine':
+  *     the batch operator would merge and silently relabel docs that
+  *     may already have been trained on or evaluated against — a
+  *     production pipeline must surface that as a contamination event
+  *     instead, and frozen assignments never flip.
+  *
+  * Batch-equality contract (spec-pinned): sides come from the SAME
+  * `Dedup.splitSideOf` draw over the SAME candidate/verify pipeline as
+  * dd19, so a whole corpus fed as one batch reproduces dd19 exactly,
+  * and under doc_id-ordered arrival every doc in a never-bridged
+  * component gets dd19's exact (grp, split). Only bridged components
+  * diverge — BY DESIGN, into 'quarantine', never into the wrong side:
+  * every near-dup pair in the ledger either agrees on its side or
+  * touches a quarantined doc (the no-straddle invariant).
+  *
+  * Scale shape: per-batch work is the batch's own shingle pass plus
+  * band-key equi-joins against the stored ledger (probes, not scans —
+  * nothing re-reads prior batches' text), one bounded-round CC over
+  * the batch-internal pairs, and group-cardinality aggregations.
+  *
+  * Delivery: the NoveltyMonitor partition-overwrite protocol
+  * throughout. Every per-batch write (shingles / sigs / bands /
+  * assignments) is MULTI-row, so each lands in its own `batch_id`
+  * partition and a crash-window replay REWRITES the partition with the
+  * full deterministic set — prior state is always read as partitions
+  * `batch_id != this`, so a recompute never sees its own partial rows.
+  * Marker last; committed-only serve. Requires a DURABLE
+  * `checkpointDir` (stable batch ids — the IndexMaintenance contract).
+  */
+object SplitAssignment {
+
+  /** dd03's verify threshold — the near-dup definition shared with the
+    * batch operators. */
+  val Tau = 0.4
+
+  /** Starts the assigner: each micro-batch of `newDocs` (`doc_id`,
+    * `text`) is handed to [[assignBatch]]. */
+  def maintain(newDocs: DataFrame, name: String,
+               checkpointDir: String): StreamingQuery = {
+    require(checkpointDir.nonEmpty,
+      "SplitAssignment.maintain requires a durable checkpointDir: " +
+        "replay-skip markers are only valid against stable batch ids")
+    newDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        assignBatch(batch, batchId, name)
+      }
+      .start()
+  }
+
+  private def splitsTable(name: String) = s"${name}_splits"
+  private def markerTable(name: String) = s"${name}_marker"
+
+  /** Write `part` (already carrying `batch_id` as its LAST column)
+    * into `table`'s own partition — create-or-dynamic-overwrite, the
+    * NoveltyMonitor device. */
+  private def writePartition(part: DataFrame, table: String): Unit = {
+    val spark = part.sparkSession
+    if (!spark.catalog.tableExists(table))
+      part.write.partitionBy("batch_id").saveAsTable(table)
+    else {
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prior = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try part.write.mode("overwrite").insertInto(table)
+      finally prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  private def priorOf(spark: SparkSession, table: String,
+                      batchId: Long): Option[DataFrame] =
+    if (!spark.catalog.tableExists(table)) None
+    else Some(spark.table(table).filter(col("batch_id") =!= batchId))
+
+  /** One micro-batch: ledger partitions (shingles/sigs/bands), the
+    * assignment partition, then the commit marker. */
+  def assignBatch(batch: DataFrame, batchId: Long, name: String): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val committed = spark.catalog.tableExists(markerTable(name)) &&
+      !spark.table(markerTable(name))
+        .filter(col("batch_id") === batchId).isEmpty
+    if (committed) return
+
+    val docsB = batch.select("doc_id", "text")
+    val sh = Dedup.shingleSetOf(docsB).persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = Dedup.signaturesOf(sh).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bands = Dedup.bandKeysOf(sigs)
+      writePartition(sh.withColumn("batch_id", lit(batchId)),
+        s"${name}_shingles")
+      writePartition(sigs.select(col("doc_id"), col("sz"))
+        .withColumn("batch_id", lit(batchId)), s"${name}_sigs")
+      writePartition(bands.withColumn("batch_id", lit(batchId)),
+        s"${name}_bands")
+
+      // candidates: batch vs prior partitions (band-key probe) plus
+      // batch-internal banding — DedupStore.incrementalPairs' shape
+      val candOld = priorOf(spark, s"${name}_bands", batchId)
+        .map { priorBands =>
+          bands.as("n").join(priorBands.as("o"),
+              col("n.band") === col("o.band") && col("n.key") === col("o.key"))
+            .select(col("n.doc_id").as("doc_new"),
+              col("o.doc_id").as("doc_old"))
+            .distinct()
+        }
+      val candNew = graft.operators.Banding
+        .candidatePairs(sigs, "doc_id", Dedup.bandDefs)
+        .withColumnRenamed("doc_id_a", "doc_a")
+        .withColumnRenamed("doc_id_b", "doc_b")
+        .distinct()
+
+      // exact-Jaccard verify on candidates only (shingles of candidate
+      // docs: the batch's own plus the touched prior docs')
+      def verified(cand: DataFrame, aCol: String, bCol: String,
+                   shA: DataFrame, shB: DataFrame, szB: DataFrame) = {
+        val inter = cand
+          .join(shA.select(col("doc_id").as(aCol), col("shingle")), Seq(aCol))
+          .join(shB.select(col("doc_id").as(bCol), col("shingle")),
+            Seq(bCol, "shingle"))
+          .groupBy(aCol, bCol).agg(count(lit(1)).as("inter"))
+        inter
+          .join(sigs.select(col("doc_id").as(aCol), col("sz").as("sza")),
+            Seq(aCol))
+          .join(szB.select(col("doc_id").as(bCol), col("sz").as("szb")),
+            Seq(bCol))
+          .filter(col("inter").cast("double") /
+            (col("sza") + col("szb") - col("inter")).cast("double") >= Tau)
+      }
+      val pairsNew = verified(candNew, "doc_a", "doc_b", sh, sh,
+        sigs.select("doc_id", "sz")).select("doc_a", "doc_b")
+      val pairsOld = candOld.map { c =>
+        val shOld = priorOf(spark, s"${name}_shingles", batchId).get
+        val szOld = priorOf(spark, s"${name}_sigs", batchId).get
+        verified(c, "doc_new", "doc_old", sh, shOld, szOld)
+          .select("doc_new", "doc_old")
+      }
+
+      // batch-internal components; docs outside the batch graph are
+      // their own singleton component
+      val labels = graft.operators.ConnectedComponents
+        .minLabel(pairsNew, maxRounds = 20)
+      val withRoot = docsB.select("doc_id")
+        .join(labels, col("doc_id") === col("node"), "left")
+        .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("root"))
+
+      // links to PRIOR clusters: (root → linked grp, linked side), via
+      // the committed-or-prior split ledger
+      val linkAgg = (pairsOld, priorOf(spark, splitsTable(name), batchId)) match {
+        case (Some(po), Some(ledger)) =>
+          po.join(ledger.select(col("doc_id").as("doc_old"),
+              col("grp").as("old_grp"), col("split").as("old_split")),
+              Seq("doc_old"))
+            .join(withRoot.select(col("doc_id").as("doc_new"), col("root")),
+              Seq("doc_new"))
+            .groupBy("root")
+            .agg(min("old_grp").as("min_old_grp"),
+              countDistinct("old_split").as("n_sides"),
+              min("old_split").as("one_side"))
+        case _ =>
+          spark.range(0).select(col("id").as("root"),
+            lit(null).cast("long").as("min_old_grp"),
+            lit(0L).as("n_sides"), lit(null).cast("string").as("one_side"))
+      }
+
+      // per-component decision: fresh draw / inherit / quarantine.
+      // quarantined components still get the merged grp (the batch
+      // operator's root), so the event names the clusters it bridges.
+      val perRoot = withRoot.select("root").distinct()
+        .join(linkAgg, Seq("root"), "left")
+        .select(col("root"),
+          least(col("root"), coalesce(col("min_old_grp"), col("root")))
+            .as("grp"),
+          when(coalesce(col("n_sides"), lit(0L)) >= 2L, lit("quarantine"))
+            .when(coalesce(col("n_sides"), lit(0L)) === 1L, col("one_side"))
+            .otherwise(Dedup.splitSideOf(least(col("root"),
+              coalesce(col("min_old_grp"), col("root")))))
+            .as("split"))
+
+      val assigned = withRoot.join(perRoot, Seq("root"))
+        .select(col("doc_id"), col("grp"), col("split"))
+        .withColumn("batch_id", lit(batchId))
+      writePartition(assigned, splitsTable(name))
+
+      batch.groupBy().agg(count(lit(1)).as("n_docs"))
+        .withColumn("batch_id", lit(batchId))
+        .select("batch_id", "n_docs")
+        .write.mode("append").saveAsTable(markerTable(name))
+    } finally { sh.unpersist(); sigs.unpersist() }
+  }
+
+  /** Committed assignments only (empty-but-typed before first
+    * commit). */
+  def assignments(spark: SparkSession, name: String): DataFrame = {
+    if (!spark.catalog.tableExists(splitsTable(name)) ||
+        !spark.catalog.tableExists(markerTable(name)))
+      return spark.range(0).select(col("id").as("doc_id"),
+        lit(0L).as("grp"), lit("").as("split"), lit(0L).as("batch_id"))
+    spark.table(splitsTable(name))
+      .join(broadcast(spark.table(markerTable(name)).select("batch_id")),
+        Seq("batch_id"), "left_semi")
+  }
+}
