@@ -118,6 +118,30 @@ class SplitAssignmentSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("no-straddle holds under ARBITRARY (non-id-ordered) arrival too") {
+    reset("sp5")
+    import spark.implicits._
+    // deterministic shuffle: order by md5 of the id — scrambles arrival
+    // completely while staying reproducible
+    val all = corpus().orderBy(md5(col("doc_id").cast("string"))).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val batches = all.grouped((all.length + 3) / 4).toSeq
+    batches.zipWithIndex.foreach { case (b, i) =>
+      SplitAssignment.assignBatch(b.toSeq.toDF("doc_id", "text"), i.toLong, "sp5")
+    }
+    val got = rows("sp5")
+    assert(got.keySet == all.map(_._1).toSet)
+    val pairs = SparkEntry.queries("dd03_minhash_lsh")(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      val (sa, sb) = (got(a)._2, got(b)._2)
+      assert(sa == sb || sa == "quarantine" || sb == "quarantine",
+        s"pair ($a,$b) straddles $sa/$sb under scrambled arrival")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("crash-window replay overwrites a partial partition, never adopts") {
     reset("sp4")
     import spark.implicits._
