@@ -21,6 +21,9 @@ object MultimodalQueries {
 
   private val ChunkBytes = 256
 
+  /** mm06's keyframe stride: keep every 4th chunk (+ the tail). */
+  private val FrameStride = 4
+
   /** mm04 candidate cap: chunks in more payloads than this are
     * boilerplate (pair fan-out C(k,2) in one digest bucket) and are
     * excluded from near-dup candidate generation. */
@@ -218,6 +221,49 @@ object MultimodalQueries {
     Q("mm05_blob_neardup_allpairs",
       blobNeardupOracleSql("SELECT doc_id, text FROM documents")) {
       (s, dir) => blobNeardupPairs(docs(s, dir).select("doc_id", "text"))
+    },
+
+    // --- FRAME SAMPLING (the north-star "frame-sample" transform —
+    //     the 1-fps-of-30-fps device): per payload, keep every
+    //     $FrameStride-th chunk PLUS the final chunk (standard keyframe
+    //     practice: the tail frame captures the end state a pure
+    //     stride misses), renumbered densely as frame_no. A downstream
+    //     featurizer then decodes ~1/$FrameStride of the bytes. The
+    //     within-payload row_number window partitions by doc_id —
+    //     per-partition volume is one payload's chunk count, bounded
+    //     by payload size, never corpus-sized. ---
+    Q("mm06_frame_sample",
+      s"""WITH c AS (
+         |  SELECT doc_id, text,
+         |    CAST(ceil(length(text) / $ChunkBytes.0) AS BIGINT) AS nc,
+         |    unnest(range(0, CAST(ceil(length(text) / $ChunkBytes.0) AS BIGINT))) AS chunk_idx
+         |  FROM documents WHERE length(text) > 0),
+         |s AS (
+         |  SELECT doc_id, chunk_idx,
+         |    md5(substring(text, CAST(chunk_idx * $ChunkBytes + 1 AS INT), $ChunkBytes)) AS frame_md5
+         |  FROM c
+         |  WHERE chunk_idx % $FrameStride = 0 OR chunk_idx = nc - 1)
+         |SELECT doc_id,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY chunk_idx) - 1 AS frame_no,
+         |  chunk_idx, frame_md5
+         |FROM s
+         |ORDER BY doc_id, chunk_idx""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val nc = Multimodal.chunkCount(Multimodal.blobOf(col("text")), ChunkBytes)
+      val w = Window.partitionBy("doc_id").orderBy("chunk_idx")
+      docs(s, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"), nc.as("nc"),
+          explode(sequence(lit(0L), nc - 1)).as("chunk_idx"))
+        .filter(col("chunk_idx") % FrameStride === 0 ||
+          col("chunk_idx") === col("nc") - 1)
+        .select(col("doc_id"),
+          (row_number().over(w) - 1).cast("long").as("frame_no"),
+          col("chunk_idx"),
+          md5(substring(col("text"),
+            (col("chunk_idx") * ChunkBytes + 1).cast("int"), lit(ChunkBytes))
+            .cast("binary")).as("frame_md5"))
+        .orderBy("doc_id", "chunk_idx")
     }
   )
 }

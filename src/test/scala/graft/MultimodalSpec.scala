@@ -67,4 +67,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(md == "5eb63bbbe01eeed093cb22bb8f5acdc3") // md5("hello world")
     assert(ck == 3L) // ceil(11/4)
   }
+
+  test("mm06 frames are a stride+tail subset of mm02's chunks, densely numbered") {
+    val dir = "/root/testdata/sf0.001"
+    val chunks = SparkEntry.queries("mm02_blob_chunks")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    val nChunks = chunks.keys.groupBy(_._1).map { case (d, ks) => d -> ks.size }
+    val frames = SparkEntry.queries("mm06_frame_sample")(spark, dir).collect()
+    assert(frames.nonEmpty)
+    // every sampled frame carries mm02's digest for that chunk
+    frames.foreach { r =>
+      val key = (r.getLong(0), r.getAs[Long]("chunk_idx"))
+      assert(chunks(key) == r.getString(3), s"digest mismatch at $key")
+    }
+    val byDoc = frames.groupBy(_.getLong(0))
+    assert(byDoc.keySet == nChunks.keySet, "every payload must be sampled")
+    byDoc.foreach { case (d, rs) =>
+      val idxs = rs.sortBy(_.getAs[Long]("frame_no")).map(_.getAs[Long]("chunk_idx"))
+      val nc = nChunks(d).toLong
+      val want = ((0L until nc by 4) ++ Seq(nc - 1)).distinct.sorted
+      assert(idxs.toSeq == want, s"doc $d sampled $idxs, expected $want")
+      assert(rs.map(_.getAs[Long]("frame_no")).sorted.toSeq ==
+        (0L until want.length.toLong), s"doc $d frame_no must be dense")
+    }
+  }
 }
