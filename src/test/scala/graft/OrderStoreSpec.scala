@@ -43,6 +43,9 @@ class OrderStoreSpec extends AnyFunSuite {
     val served = OrderStore.serveShard(spark, "ord", shard)
     val plan = served.queryExecution.executedPlan.toString
     assert(!plan.contains("documents"), "serving must not scan the corpus")
+    assert(plan.contains(s"PartitionFilters: [isnotnull(shard_id") &&
+      plan.contains(s"shard_id#") && plan.contains(s" = $shard)"),
+      s"the shard filter must prune at the PARTITION level:\n$plan")
     assert(served.count() ==
       fresh.count(_.getAs[Long]("shard_id") == shard))
     spark.catalog.clearCache()
