@@ -95,6 +95,99 @@ object SplitAssignment {
     if (!spark.catalog.tableExists(table)) None
     else Some(spark.table(table).filter(col("batch_id") =!= batchId))
 
+  // ---- Ledger compaction (closes the per-batch full-ledger scan) ----
+  // The batch_id-partitioned layout the crash protocol needs cannot be
+  // key-bucketed (insertInto does not compose partition overwrite with
+  // bucketBy), so every probe scans all prior partitions. [[compact]]
+  // folds committed partitions into a BUCKETED side table per ledger —
+  // bands by probe key, shingles/sigs by doc_id — and probes read
+  // `compacted ∪ partitions(batch_id > hw)`, where hw is the max
+  // batch_id INSIDE each compact table. That per-table high-water makes
+  // cross-table atomicity unnecessary: a crash that compacts bands at
+  // hw=5 but shingles at hw=3 leaves BOTH probe unions complete and
+  // duplicate-free, each against its own hw. Folded partitions are
+  // dropped best-effort afterwards (they are excluded by the hw filter
+  // either way, so a crash mid-drop only costs storage); replays of
+  // committed batches are marker-level no-ops and never rewrite a
+  // folded partition. Each compact table is stage-then-swapped with
+  // [[recoverStaging]] adoption at every entry point (the
+  // TrendMaintenance protocol).
+
+  private val Compactable: Seq[(String, String)] = Seq(
+    "bands" -> "key", "shingles" -> "doc_id", "sigs" -> "doc_id")
+
+  private def compactTable(name: String, suffix: String) =
+    s"${name}_${suffix}c"
+
+  private def recoverStaging(spark: SparkSession, table: String): Unit = {
+    val staging = table + "_staging"
+    if (!spark.catalog.tableExists(table) &&
+        spark.catalog.tableExists(staging))
+      spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+  }
+
+  private def hwOf(spark: SparkSession, cTable: String): Long =
+    if (!spark.catalog.tableExists(cTable)) -1L
+    else spark.table(cTable).agg(max("batch_id")).head match {
+      case r if r.isNullAt(0) => -1L
+      case r => r.getLong(0)
+    }
+
+  /** A ledger's full prior state for a probe: the compacted side table
+    * (if any) plus live partitions above its high-water mark, minus the
+    * probing batch's own partition. */
+  private def priorCompacted(spark: SparkSession, name: String,
+                             suffix: String, batchId: Long): Option[DataFrame] = {
+    val base = s"${name}_$suffix"
+    val cT = compactTable(name, suffix)
+    recoverStaging(spark, cT)
+    val c = if (spark.catalog.tableExists(cT)) Some(spark.table(cT)) else None
+    val hw = if (c.isDefined) hwOf(spark, cT) else -1L
+    val live = priorOf(spark, base, batchId)
+      .map(_.filter(col("batch_id") > hw))
+    (c, live) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b) => a.orElse(b)
+    }
+  }
+
+  /** Fold one ledger's committed partitions into its bucketed compact
+    * table (exposed for the mixed-high-water spec). */
+  private[graft] def compactOne(spark: SparkSession, name: String,
+                                    suffix: String, bucketCol: String): Unit = {
+    val base = s"${name}_$suffix"
+    val cT = compactTable(name, suffix)
+    recoverStaging(spark, cT)
+    if (!spark.catalog.tableExists(base) ||
+        !spark.catalog.tableExists(markerTable(name))) return
+    val committed = spark.table(markerTable(name)).select("batch_id")
+    val fold = spark.table(base)
+      .join(broadcast(committed), Seq("batch_id"), "left_semi")
+    val merged = if (spark.catalog.tableExists(cT))
+      spark.table(cT).unionByName(fold) else fold
+    val batches = fold.select("batch_id").distinct()
+      .collect().map(_.getLong(0)) // bounded: committed batch count
+    if (batches.isEmpty) return
+    val staging = cT + "_staging"
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    merged.write.mode("overwrite")
+      .bucketBy(8, bucketCol).saveAsTable(staging)
+    spark.sql(s"DROP TABLE IF EXISTS $cT")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $cT")
+    // best-effort cleanup: folded partitions are hw-excluded already
+    batches.foreach { b =>
+      try spark.sql(
+        s"ALTER TABLE $base DROP IF EXISTS PARTITION (batch_id=$b)")
+      catch { case _: Exception => () }
+    }
+  }
+
+  /** Fold all three probe ledgers. Call from a maintenance window; the
+    * assigner stays correct (and crash-safe) at any point before,
+    * during or after. */
+  def compact(spark: SparkSession, name: String): Unit =
+    Compactable.foreach { case (s, k) => compactOne(spark, name, s, k) }
+
   /** One micro-batch: ledger partitions (shingles/sigs/bands), the
     * assignment partition, then the commit marker. */
   def assignBatch(batch: DataFrame, batchId: Long, name: String): Unit = {
@@ -119,7 +212,7 @@ object SplitAssignment {
 
       // candidates: batch vs prior partitions (band-key probe) plus
       // batch-internal banding — DedupStore.incrementalPairs' shape
-      val candOld = priorOf(spark, s"${name}_bands", batchId)
+      val candOld = priorCompacted(spark, name, "bands", batchId)
         .map { priorBands =>
           bands.as("n").join(priorBands.as("o"),
               col("n.band") === col("o.band") && col("n.key") === col("o.key"))
@@ -153,8 +246,8 @@ object SplitAssignment {
       val pairsNew = verified(candNew, "doc_a", "doc_b", sh, sh,
         sigs.select("doc_id", "sz")).select("doc_a", "doc_b")
       val pairsOld = candOld.map { c =>
-        val shOld = priorOf(spark, s"${name}_shingles", batchId).get
-        val szOld = priorOf(spark, s"${name}_sigs", batchId).get
+        val shOld = priorCompacted(spark, name, "shingles", batchId).get
+        val szOld = priorCompacted(spark, name, "sigs", batchId).get
         verified(c, "doc_new", "doc_old", sh, shOld, szOld)
           .select("doc_new", "doc_old")
       }

@@ -19,8 +19,10 @@ class SplitAssignmentSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   private def reset(name: String): Unit =
-    TestWarehouse.reset(spark, s"${name}_shingles", s"${name}_sigs",
-      s"${name}_bands", s"${name}_splits", s"${name}_marker")
+    TestWarehouse.reset(spark,
+      Seq("shingles", "sigs", "bands", "splits", "marker").map(s => s"${name}_$s") ++
+        Seq("bandsc", "shinglesc", "sigsc")
+          .flatMap(s => Seq(s"${name}_$s", s"${name}_${s}_staging")): _*)
 
   private def corpus() = tables.load(spark, dir, "documents")
     .select("doc_id", "text")
@@ -139,6 +141,48 @@ class SplitAssignmentSpec extends AnyFunSuite {
       assert(sa == sb || sa == "quarantine" || sb == "quarantine",
         s"pair ($a,$b) straddles $sa/$sb under scrambled arrival")
     }
+    spark.catalog.clearCache()
+  }
+
+  test("ledger compaction changes nothing the assigner can see") {
+    import spark.implicits._
+    val all = corpus().orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val batches = all.grouped((all.length + 2) / 3).toSeq
+    // twin stores: sp6 compacts between batches (plus a deliberately
+    // MIXED high-water: only the band ledger after batch 0), sp7 never
+    reset("sp6"); reset("sp7")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val df = b.toSeq.toDF("doc_id", "text")
+      SplitAssignment.assignBatch(df, i.toLong, "sp6")
+      if (i == 0) SplitAssignment.compactOne(spark, "sp6", "bands", "key")
+      if (i == 1) SplitAssignment.compact(spark, "sp6")
+      SplitAssignment.assignBatch(df, i.toLong, "sp7")
+    }
+    assert(rows("sp6") == rows("sp7"),
+      "compaction (even mid-stream, even per-table) must be invisible")
+    // folded partitions actually left the partitioned ledger
+    assert(spark.table("sp6_bandsc").count() > 0)
+    spark.catalog.clearCache()
+  }
+
+  test("a crashed compact swap is adopted from staging at the next probe") {
+    import spark.implicits._
+    val all = corpus().orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (b0, b1) = all.splitAt(all.length / 2)
+    reset("sp8"); reset("sp9")
+    SplitAssignment.assignBatch(b0.toSeq.toDF("doc_id", "text"), 0L, "sp8")
+    SplitAssignment.compact(spark, "sp8")
+    // simulate the crash between DROP and RENAME: the compact table is
+    // gone, its fully-written staging twin remains
+    spark.sql("ALTER TABLE sp8_bandsc RENAME TO sp8_bandsc_staging")
+    SplitAssignment.assignBatch(b1.toSeq.toDF("doc_id", "text"), 1L, "sp8")
+    assert(spark.catalog.tableExists("sp8_bandsc"),
+      "the staged compact table must be adopted")
+    SplitAssignment.assignBatch(b0.toSeq.toDF("doc_id", "text"), 0L, "sp9")
+    SplitAssignment.assignBatch(b1.toSeq.toDF("doc_id", "text"), 1L, "sp9")
+    assert(rows("sp8") == rows("sp9"))
     spark.catalog.clearCache()
   }
 
