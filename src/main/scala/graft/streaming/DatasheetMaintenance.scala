@@ -14,23 +14,31 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *     counts (n_docs / n_tok / sum_chars) — serving sums committed
   *     partitions, a GROUP-cardinality aggregation.
   *   - `<name>_digests`: per (batch, full-text md5, source, lang) doc
-  *     counts. Exact-dup incidence is NOT batch-additive — a doc's
-  *     duplicate may arrive five batches later — so the serve path
-  *     re-aggregates the digest ledger globally (digest-cardinality,
-  *     fixed-width rows, no text) and counts docs whose digest totals
-  *     >1 anywhere in the corpus: exactly pl34's `copies > 1`.
+  *     counts — the state per-batch dup DELTAS are computed against.
+  *   - `<name>_dups`: per (batch, source, lang) dup-count DELTA.
+  *     Exact-dup incidence is NOT batch-additive the naive way — a
+  *     doc's duplicate may arrive five batches later — but its
+  *     DERIVATIVE is computable at arrival: a batch bringing m copies
+  *     of a digest with k prior occurrences newly classifies its m
+  *     docs as dups when k + m > 1 and k ≥ 1 ∨ m > 1, and FLIPS the
+  *     one prior holder to dup exactly when k == 1 (attributed to that
+  *     holder's own (source, lang), read from the digest ledger).
+  *     Summing committed deltas reproduces pl34's `copies > 1` count
+  *     without any corpus-cardinality work at serve time.
   *
   * Batch-equality contract (spec-pinned): the served datasheet equals
   * batch pl34 over the union corpus — including duplicates that
-  * STRADDLE batches, the case a per-batch-only dup count silently
-  * undercounts.
+  * STRADDLE batches (the k==1 flip), the case a per-batch-only dup
+  * count silently undercounts.
   *
-  * Scale shape: per-batch work is one scan of the batch (its own
-  * digest + token count); serving reads two committed ledgers — stats
-  * is (batches × groups)-sized, digests is corpus-cardinality but
-  * 32-char-digest-wide (the dd01 shuffle's serve-side analog, ~1/300th
-  * of corpus text bytes) — and nothing ever re-reads prior batches'
-  * text.
+  * Scale shape: per-batch work is one scan of the batch plus a
+  * digest-keyed probe of the ledger for the batch's own digests;
+  * serving reads two (batches × groups)-sized ledgers only — nothing
+  * corpus-sized, and nothing ever re-reads prior batches' text.
+  * [[compact]] folds committed digest partitions into a dig-bucketed
+  * pre-aggregated side table (per-table high-water inside the table,
+  * the SplitAssignment device), so the per-batch probe joins a
+  * bucketed build side instead of scanning all partitions.
   *
   * Delivery: the NoveltyMonitor partition-overwrite protocol — both
   * per-batch writes are MULTI-row and deterministic, each lands in its
@@ -59,7 +67,69 @@ object DatasheetMaintenance {
 
   private def statsTable(name: String) = s"${name}_stats"
   private def digestsTable(name: String) = s"${name}_digests"
+  private def dupsTable(name: String) = s"${name}_dups"
   private def markerTable(name: String) = s"${name}_marker"
+  private def digestsCompact(name: String) = s"${name}_digestsc"
+
+  private def recoverStaging(spark: SparkSession, table: String): Unit = {
+    val staging = table + "_staging"
+    if (!spark.catalog.tableExists(table) &&
+        spark.catalog.tableExists(staging))
+      spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+  }
+
+  /** The digest ledger's full prior state for batch `batchId`: the
+    * pre-aggregated compact table plus live partitions above its
+    * high-water mark, minus the batch's own partition (a crash-window
+    * replay must not count its own earlier partial write). */
+  private def priorDigests(spark: SparkSession, name: String,
+                           batchId: Long): Option[DataFrame] = {
+    val cT = digestsCompact(name)
+    recoverStaging(spark, cT)
+    val c = if (spark.catalog.tableExists(cT)) Some(spark.table(cT)) else None
+    val hw = c.map(_.agg(max("batch_id")).head)
+      .collect { case r if !r.isNullAt(0) => r.getLong(0) }.getOrElse(-1L)
+    val live =
+      if (!spark.catalog.tableExists(digestsTable(name))) None
+      else Some(spark.table(digestsTable(name))
+        .filter(col("batch_id") =!= batchId && col("batch_id") > hw))
+    (c, live) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b) => a.orElse(b)
+    }
+  }
+
+  /** Fold committed digest partitions into the dig-bucketed compact
+    * table: one pre-aggregated row per (dig, source, lang), carrying
+    * the max folded batch_id (the high-water). Stage-then-swap with
+    * [[recoverStaging]] adoption; folded partitions are dropped
+    * best-effort (hw-excluded either way). */
+  def compact(spark: SparkSession, name: String): Unit = {
+    val cT = digestsCompact(name)
+    recoverStaging(spark, cT)
+    if (!spark.catalog.tableExists(digestsTable(name)) ||
+        !spark.catalog.tableExists(markerTable(name))) return
+    val committed = spark.table(markerTable(name)).select("batch_id")
+    val fold = spark.table(digestsTable(name))
+      .join(broadcast(committed), Seq("batch_id"), "left_semi")
+    val merged = (if (spark.catalog.tableExists(cT))
+      spark.table(cT).unionByName(fold) else fold)
+      .groupBy("dig", "source", "lang")
+      .agg(sum("n").as("n"), max("batch_id").as("batch_id"))
+    val batches = fold.select("batch_id").distinct()
+      .collect().map(_.getLong(0)) // bounded: committed batch count
+    if (batches.isEmpty) return
+    val staging = cT + "_staging"
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    merged.write.mode("overwrite").bucketBy(8, "dig").saveAsTable(staging)
+    spark.sql(s"DROP TABLE IF EXISTS $cT")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $cT")
+    batches.foreach { b =>
+      try spark.sql(s"ALTER TABLE ${digestsTable(name)} " +
+        s"DROP IF EXISTS PARTITION (batch_id=$b)")
+      catch { case _: Exception => () }
+    }
+  }
 
   private def writePartition(part: DataFrame, table: String): Unit = {
     val spark = part.sparkSession
@@ -98,10 +168,46 @@ object DatasheetMaintenance {
             sum("n_chars").as("sum_chars"))
           .withColumn("batch_id", lit(batchId)),
         statsTable(name))
-      writePartition(
-        d.groupBy("dig", "source", "lang").agg(count(lit(1)).as("n"))
-          .withColumn("batch_id", lit(batchId)),
+      val bd = d.groupBy("dig", "source", "lang").agg(count(lit(1)).as("n"))
+        .persist()
+      writePartition(bd.withColumn("batch_id", lit(batchId)),
         digestsTable(name))
+
+      // dup-count DELTA for this batch, against prior committed state:
+      //   per digest with k prior occurrences and m batch copies,
+      //   - the m new docs are dups when k ≥ 1 (they join an existing
+      //     holder) or m > 1 (they duplicate each other),
+      //   - the single prior holder FLIPS to dup exactly when k == 1,
+      //     attributed to ITS OWN (source, lang) from the ledger.
+      val priorAgg = priorDigests(spark, name, batchId).map { p =>
+        p.groupBy("dig").agg(sum("n").as("k"),
+          // when k == 1 there is exactly one prior row (n = 1), so the
+          // min-struct IS that row's group
+          min(struct(col("source"), col("lang"))).as("one"))
+      }
+      val mTot = bd.groupBy("dig").agg(sum("n").as("m_tot"))
+      val joined = bd.join(mTot, Seq("dig"))
+        .join(priorAgg.getOrElse(
+          spark.range(0).select(lit("").as("dig"), lit(0L).as("k"),
+            struct(lit("").as("source"), lit("").as("lang")).as("one"))),
+          Seq("dig"), "left")
+        .withColumn("k", coalesce(col("k"), lit(0L)))
+      val newDup = joined
+        .filter(col("k") >= 1 || col("m_tot") > 1)
+        .groupBy("source", "lang").agg(sum("n").as("d_dup"))
+      val flips = joined
+        .filter(col("k") === 1)
+        .select(col("dig"), col("one.source").as("source"),
+          col("one.lang").as("lang"))
+        .distinct() // one flip per digest, whatever m rows the batch has
+        .groupBy("source", "lang").agg(count(lit(1)).as("d_dup"))
+      writePartition(
+        newDup.unionByName(flips)
+          .groupBy("source", "lang").agg(sum("d_dup").as("d_dup"))
+          .withColumn("batch_id", lit(batchId)),
+        dupsTable(name))
+      bd.unpersist()
+
       batch.groupBy().agg(count(lit(1)).as("n_docs"))
         .withColumn("batch_id", lit(batchId))
         .select("batch_id", "n_docs")
@@ -114,6 +220,7 @@ object DatasheetMaintenance {
     * unsorted — callers order. Empty-but-typed before first commit. */
   def datasheet(spark: SparkSession, name: String): DataFrame = {
     if (!spark.catalog.tableExists(statsTable(name)) ||
+        !spark.catalog.tableExists(dupsTable(name)) ||
         !spark.catalog.tableExists(markerTable(name)))
       return spark.range(0).select(lit("").as("source"), lit("").as("lang"),
         lit(0L).as("n_docs"), lit(0L).as("total_tokens"),
@@ -125,12 +232,9 @@ object DatasheetMaintenance {
       .groupBy("source", "lang")
       .agg(sum("n_docs").as("n_docs"), sum("n_tok").as("total_tokens"),
         sum("sum_chars").as("sum_chars"))
-    val dg = spark.table(digestsTable(name))
+    val dup = spark.table(dupsTable(name))
       .join(committed, Seq("batch_id"), "left_semi")
-    val dupDigs = dg.groupBy("dig").agg(sum("n").as("tot"))
-      .filter(col("tot") > 1).select("dig")
-    val dup = dg.join(dupDigs, Seq("dig"))
-      .groupBy("source", "lang").agg(sum("n").as("n_exact_dup"))
+      .groupBy("source", "lang").agg(sum("d_dup").as("n_exact_dup"))
     base.join(dup, Seq("source", "lang"), "left")
       .select(col("source"), col("lang"), col("n_docs"),
         col("total_tokens"),

@@ -16,7 +16,8 @@ class DatasheetMaintenanceSpec extends AnyFunSuite {
 
   private def reset(name: String): Unit =
     TestWarehouse.reset(spark, s"${name}_stats", s"${name}_digests",
-      s"${name}_marker")
+      s"${name}_dups", s"${name}_marker", s"${name}_digestsc",
+      s"${name}_digestsc_staging")
 
   private def served(name: String) =
     DatasheetMaintenance.datasheet(spark, name)
@@ -72,6 +73,33 @@ class DatasheetMaintenanceSpec extends AnyFunSuite {
         i.toLong, "dsf")
     }
     assert(served("dsf") == pl34On(dir))
+    spark.catalog.clearCache()
+  }
+
+  test("digest compaction (incl. crashed swap) is invisible to the card") {
+    import spark.implicits._
+    val all = tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "lang", "n_chars", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getString(4)))
+    val batches = all.grouped((all.length + 2) / 3).toSeq
+    reset("dsc"); reset("dsn")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val df = b.toSeq.toDF("doc_id", "source", "lang", "n_chars", "text")
+      DatasheetMaintenance.datasheetBatch(df, i.toLong, "dsc")
+      if (i == 0) {
+        DatasheetMaintenance.compact(spark, "dsc")
+        // crash between DROP and RENAME: staging left behind, adopted
+        // at the next batch's probe
+        spark.sql("ALTER TABLE dsc_digestsc RENAME TO dsc_digestsc_staging")
+      }
+      if (i == 1) DatasheetMaintenance.compact(spark, "dsc")
+      DatasheetMaintenance.datasheetBatch(df, i.toLong, "dsn")
+    }
+    assert(served("dsc") == served("dsn"))
+    assert(served("dsc") == pl34On(dir))
+    assert(spark.catalog.tableExists("dsc_digestsc"))
     spark.catalog.clearCache()
   }
 
