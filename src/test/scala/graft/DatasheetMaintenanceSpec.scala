@@ -38,13 +38,18 @@ class DatasheetMaintenanceSpec extends AnyFunSuite {
       (3L, "src2", "fr", "un deux trois quatre cinq"),
       (4L, "src1", "en", "alpha beta gamma delta"),
       (5L, "src2", "fr", "six sept huit"),
-      (6L, "src2", "fr", "six sept huit"))
+      (6L, "src2", "fr", "six sept huit"),
+      // cross-GROUP straddle: 3's copy arrives later under src3/de —
+      // the k==1 flip must credit src2/fr (the holder), the new doc
+      // src3/de
+      (7L, "src3", "de", "un deux trois quatre cinq"))
       .map { case (id, s, l, t) => (id, s, l, t.length.toLong, t) }
     val df = rows.toDF("doc_id", "source", "lang", "n_chars", "text")
     val tmp = java.nio.file.Files.createTempDirectory("graft-dsm").toString
     df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
 
-    val batches = Seq(rows.take(2), rows.slice(2, 4), rows.drop(4))
+    val batches = Seq(rows.take(2), rows.slice(2, 4), rows.slice(4, 6),
+      rows.drop(6))
     batches.zipWithIndex.foreach { case (b, i) =>
       DatasheetMaintenance.datasheetBatch(
         b.toDF("doc_id", "source", "lang", "n_chars", "text"), i.toLong, "dsm")
@@ -55,7 +60,9 @@ class DatasheetMaintenanceSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1)) ->
         r.getAs[Long]("n_exact_dup")).toMap
     assert(bySrc(("src1", "en")) == 2L, "cross-batch copies 1/4")
-    assert(bySrc(("src2", "fr")) == 2L, "within-batch copies 5/6")
+    assert(bySrc(("src2", "fr")) == 3L,
+      "within-batch copies 5/6 plus doc 3 flipped by its src3 copy")
+    assert(bySrc(("src3", "de")) == 1L, "the cross-group arriver itself")
     spark.catalog.clearCache()
   }
 
