@@ -72,4 +72,36 @@ object Multimodal {
       }
     }
   }
+
+  /** Resize seam (the spatial twin of mm06's temporal frame sampling):
+    * shrink each payload to at most `outBytes` by box-averaging equal
+    * byte windows — window d of the output is the rounded mean of the
+    * d-th of `outBytes` equal input windows (the byte-level analog of
+    * area-averaging image downscale, deterministic so tests pin it).
+    * Payloads already at or under `outBytes` pass through verbatim.
+    * Same plumbing contract as [[decodeFeatures]]: partition-local,
+    * iterator-streamed, heavy payload shrunk as early as possible —
+    * swap the body for a real image resampler without touching the
+    * signature, batching or schema. */
+  def resize(blobs: Dataset[MediaBlob], outBytes: Int): Dataset[MediaBlob] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.map { b =>
+        val bytes = b.payload
+        val n = bytes.length
+        if (n <= outBytes) b
+        else {
+          val out = Array.tabulate(outBytes) { d =>
+            val from = (d.toLong * n / outBytes).toInt
+            val until = ((d + 1).toLong * n / outBytes).toInt
+            var s = 0L
+            var i = from
+            while (i < until) { s += bytes(i) & 0xff; i += 1 }
+            ((s + (until - from) / 2) / (until - from)).toByte // rounded mean
+          }
+          MediaBlob(b.doc_id, out, b.mime)
+        }
+      }
+    }
+  }
 }

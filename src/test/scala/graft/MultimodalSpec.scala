@@ -68,6 +68,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ck == 3L) // ceil(11/4)
   }
 
+  test("resize: box-averaged downscale, exact bytes; short payloads verbatim") {
+    // 8 bytes → 4: windows of 2, rounded means
+    val in = Array[Byte](0, 10, 20, 30, 100, 101, -1, -1) // -1 = 0xff = 255
+    val out = Multimodal.resize(blobs(Seq((1L, in))), 4).head().payload
+    assert(out.toSeq == Seq[Byte](5, 25, 101 /* (100+101+1)/2=100.5→101 */ ,
+      -1 /* (255+255+1)/2 = 255 → 0xff */))
+    // 10 → 4: uneven windows 2/3/2/3 still cover every byte exactly once
+    val in10 = Array.tabulate(10)(i => (i * 10).toByte)
+    val out10 = Multimodal.resize(blobs(Seq((2L, in10))), 4).head().payload
+    assert(out10.length == 4)
+    assert(out10.toSeq == Seq[Byte](5, 30, 55, 80))
+    // at-or-under passes verbatim
+    val small = Array[Byte](7, 8)
+    assert(Multimodal.resize(blobs(Seq((3L, small))), 4)
+      .head().payload.toSeq == small.toSeq)
+  }
+
   test("mm06 frames are a stride+tail subset of mm02's chunks, densely numbered") {
     val dir = "/root/testdata/sf0.001"
     val chunks = SparkEntry.queries("mm02_blob_chunks")(spark, dir)
