@@ -26,6 +26,9 @@ import graft.queries.Similarity
   * centroid set, candidates come from the pruned code partitions, and
   * the probe side stays full-precision. Nothing at serve time touches
   * the raw embeddings table — plan-guarded in `VectorStoreSpec`.
+  *
+  * An optional fourth table, `<prefix>_tombstones` (vec_id), carries
+  * DELETIONS between compactions — see [[deleteVecs]].
   */
 object VectorStore {
 
@@ -102,6 +105,9 @@ object VectorStore {
   def build(e: DataFrame, name: String): Unit = {
     buildAt(e, name)
     e.sparkSession.sql(s"DROP TABLE IF EXISTS ${versionTable(name)}")
+    // a from-scratch build starts with no deletions: a stale tombstone
+    // set from the store's previous life would silently hide vectors
+    e.sparkSession.sql(s"DROP TABLE IF EXISTS ${name}_tombstones")
     dropVersionsExcept(e.sparkSession, name, keep = 1L)
   }
 
@@ -114,12 +120,18 @@ object VectorStore {
     * rebuild overwrites the partial next-version tables). Old-version
     * tables are dropped only AFTER the flip; a crash in that window
     * leaks tables, swept by [[dropVersionsExcept]] on the next
-    * rebuild/build. Returns the new version number. */
+    * rebuild/build. Deletes SURVIVE the rebuild: the serving version's
+    * tombstones are subtracted from `e` before training — a vector the
+    * caller's raw table still carries (the usual case: deletion
+    * reached the index before the upstream table) can never be
+    * resurrected by a drift-triggered retrain. Returns the new version
+    * number. */
   def rebuild(e: DataFrame, name: String): Long = {
     val spark = e.sparkSession
     import spark.implicits._
+    val live = withoutDeleted(e, servingPrefix(spark, name), "vec_id")
     val next = currentVersion(spark, name) + 1L
-    buildAt(e, prefixOf(name, next))
+    buildAt(live, prefixOf(name, next))
     Seq(next).toDF("v").write.mode("overwrite")
       .saveAsTable(versionTable(name)) // THE swap: one 1-row commit
     dropVersionsExcept(spark, name, keep = next)
@@ -133,14 +145,14 @@ object VectorStore {
                                  keep: Long): Unit = {
     val re = java.util.regex.Pattern.compile(
       java.util.regex.Pattern.quote(name) +
-        "_v(\\d+)_(centroids|stats|codes)")
+        "_v(\\d+)_(centroids|stats|codes|tombstones)")
     spark.catalog.listTables().collect().foreach { t =>
       val m = re.matcher(t.name)
       if (m.matches() && m.group(1).toLong != keep)
         spark.sql(s"DROP TABLE IF EXISTS ${t.name}")
     }
     if (keep > 1L)
-      Seq("centroids", "stats", "codes").foreach(s =>
+      Seq("centroids", "stats", "codes", "tombstones").foreach(s =>
         spark.sql(s"DROP TABLE IF EXISTS ${name}_$s"))
   }
 
@@ -222,6 +234,67 @@ object VectorStore {
                                table: String): Seq[(Long, Seq[Double])] =
     Similarity.collectCentroids(spark.table(table))
 
+  // ---- Deletion -----------------------------------------------------
+  // The IndexMaintenance tombstone protocol, vector-side: a delete
+  // never rewrites the cid-partitioned code table (an O(artifact) job
+  // for an O(1) request — and the GDPR/erasure path must be cheap
+  // enough to run on every request, not batched into rebuilds). Ids
+  // are appended to a per-version tombstone side table; serving
+  // subtracts them with one BROADCAST anti-join before scoring, so the
+  // partition-pruned candidate read keeps its shape and per-probe
+  // verify work SHRINKS. Physical purge rides the existing compaction
+  // rewrite; [[rebuild]] subtracts tombstones from its training frame,
+  // so deletion survives re-quantization too.
+
+  private def tombstoneTable(prefix: String): String = s"${prefix}_tombstones"
+
+  /** Tombstone `vecIds` in the SERVING version of the store — O(ids),
+    * never O(artifact). Idempotent: already-tombstoned ids are
+    * dropped, so a replayed delete request appends nothing. Callers
+    * pass ids that exist in the store; tombstoning an absent id is
+    * harmless (the anti-join never finds it). */
+  def deleteVecs(spark: SparkSession, vecIds: Seq[Long],
+                 name: String): Unit = {
+    import spark.implicits._
+    if (vecIds.nonEmpty) {
+      val t = tombstoneTable(servingPrefix(spark, name))
+      val requested = vecIds.distinct.toDF("vec_id")
+      val fresh =
+        if (spark.catalog.tableExists(t))
+          requested.join(spark.table(t), Seq("vec_id"), "left_anti")
+        else requested
+      if (!fresh.isEmpty) fresh.write.mode("append").saveAsTable(t)
+    }
+  }
+
+  /** Subtract `prefix`'s tombstones from `df` (on `idCol`) via a
+    * broadcast anti-join; pass-through when none exist. The tombstone
+    * set is small by construction — compaction clears it. */
+  private def withoutDeleted(df: DataFrame, prefix: String,
+                             idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val t = tombstoneTable(prefix)
+    if (!spark.catalog.tableExists(t)) df
+    else df.join(
+      broadcast(spark.table(t).select(col("vec_id").as(idCol))),
+      Seq(idCol), "left_anti")
+  }
+
+  /** Physical PURGE of tombstoned codes — called from the compaction
+    * rewrite (`VectorMaintenance.compact`), which is already rewriting
+    * every cell's files: the purge is a free anti-join folded into
+    * that rewrite, never a standalone job. Clearing the tombstone
+    * table afterwards returns serving to a pass-through; a crash
+    * before the clear leaves tombstones anti-joining already-purged
+    * ids — a no-op, cleared by the next compact. */
+  private[graft] def purgedCodes(spark: SparkSession,
+                                 prefix: String): DataFrame =
+    withoutDeleted(spark.table(s"${prefix}_codes"), prefix, "vec_id")
+
+  private[graft] def clearTombstones(spark: SparkSession,
+                                     prefix: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS ${tombstoneTable(prefix)}")
+
   /** Top-k cosine neighbors for `probes` (`probe_id`, `pe`), served
     * ENTIRELY from the artifact: probe cells via a projection against
     * the collected centroids, candidates from the partition-pruned
@@ -245,7 +318,7 @@ object VectorStore {
     val pcells = Similarity.nearestCells(
       probes.select(col("probe_id"), col("pe").as("embedding")),
       "probe_id", "embedding", cent, nprobe)
-    val cand = spark.table(s"${p}_codes")
+    val cand = withoutDeleted(spark.table(s"${p}_codes"), p, "vec_id")
       .join(pcells, Seq("cid"))
       .join(probes, Seq("probe_id"))
       .filter(col("vec_id") =!= col("probe_id"))

@@ -76,13 +76,20 @@ object VectorMaintenance {
     * the swap is `VectorStore.swapCodesFromStaging`'s copy (rename
     * would strand partition locations under the in-memory catalog); a
     * crash mid-swap is healed by `recoverCodesStaging` at every codes
-    * entry point. */
+    * entry point.
+    *
+    * The rewrite also PURGES tombstoned vectors (`VectorStore.deleteVecs`
+    * — the anti-join is free inside a job that rewrites every cell's
+    * files anyway) and clears the tombstone table AFTER the swap, so
+    * serving returns to a pass-through. A crash between swap and clear
+    * leaves tombstones anti-joining already-purged ids — a no-op,
+    * cleared by the next compact. */
   def compact(spark: org.apache.spark.sql.SparkSession,
               storeName: String): Unit = {
     val p = VectorStore.servingPrefix(spark, storeName)
     VectorStore.recoverCodesStaging(spark, p)
     val codes = s"${p}_codes"
-    spark.table(codes)
+    VectorStore.purgedCodes(spark, p)
       .repartition(col("cid")) // all rows of a cell in one task → one file
       .write.mode("overwrite").partitionBy("cid")
       .saveAsTable(codes + "_staging")
@@ -90,6 +97,7 @@ object VectorMaintenance {
     // itself, so the only no-live-table window is inside the copy —
     // exactly the window recoverCodesStaging heals
     VectorStore.swapCodesFromStaging(spark, p)
+    VectorStore.clearTombstones(spark, p)
   }
 
   /** Total ingested vectors according to the marker ledger (0 when no
