@@ -1157,6 +1157,95 @@ object Similarity {
       val cent = collectCentroids(e.filter(col("vec_id") < IvfCells)
         .select(col("vec_id").as("cid"), col("embedding").as("ce")))
       ivfTopK(e, cent, IvfNProbe, 5, Some(col("label") % 2 === 0))
+    },
+
+    // Embedding-integrity AUDIT — the vector-side pl22: every defect
+    // class that silently poisons ANN (a NaN/Inf propagates through
+    // every cosine it touches, a zero vector cosines 0 against
+    // everything, a dimension mismatch breaks the fold, exact
+    // duplicates waste index space and skew recall measurement) is
+    // counted in ONE corpus pass. The scan groups by the embedding
+    // itself — the dup check needs that shuffle anyway, and every
+    // other flag is a per-group projection on the key — so the audit
+    // adds nothing beyond dd01's linear digest-group shape (production
+    // keys the group on xxhash64 of the vector bytes; the array key
+    // here is what both engines hash identically). Defects are
+    // deterministically INJECTED from existing rows (the pl08/tx26
+    // device) so every counter is observable on the clean testdata.
+    Q("sm15_embedding_audit",
+      """WITH inj AS (
+        |  SELECT CAST(900001 AS BIGINT) AS vec_id,
+        |    list_append(embedding[1:len(embedding)-1], CAST('nan' AS FLOAT))
+        |      AS embedding
+        |  FROM embeddings WHERE vec_id = 0
+        |  UNION ALL
+        |  SELECT 900002,
+        |    list_append(embedding[1:len(embedding)-1], CAST('inf' AS FLOAT))
+        |  FROM embeddings WHERE vec_id = 1
+        |  UNION ALL
+        |  SELECT 900003, list_transform(embedding, x -> CAST(0 AS FLOAT))
+        |  FROM embeddings WHERE vec_id = 2
+        |  UNION ALL
+        |  SELECT 900004, embedding[1:len(embedding)-1]
+        |  FROM embeddings WHERE vec_id = 3
+        |  UNION ALL
+        |  SELECT 900005, embedding FROM embeddings WHERE vec_id = 7
+        |  UNION ALL
+        |  SELECT 900006, CAST(NULL AS FLOAT[])),
+        |allv AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id, embedding FROM inj),
+        |grp AS (
+        |  SELECT embedding, count(*) AS c FROM allv GROUP BY embedding)
+        |SELECT
+        |  CAST(sum(c) AS BIGINT) AS n_vecs,
+        |  CAST(count(DISTINCT len(embedding)) AS BIGINT) AS n_dims,
+        |  CAST(min(len(embedding)) AS BIGINT) AS dim_min,
+        |  CAST(max(len(embedding)) AS BIGINT) AS dim_max,
+        |  CAST(sum(CASE WHEN embedding IS NULL THEN c ELSE 0 END) AS BIGINT)
+        |    AS n_null,
+        |  CAST(sum(CASE WHEN len(list_filter(embedding,
+        |      x -> isnan(x) OR isinf(x))) > 0 THEN c ELSE 0 END) AS BIGINT)
+        |    AS n_nonfinite,
+        |  CAST(sum(CASE WHEN embedding IS NOT NULL AND len(list_filter(
+        |      embedding, x -> x <> 0)) = 0 THEN c ELSE 0 END) AS BIGINT)
+        |    AS n_zero_norm,
+        |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+        |    AS n_dup_vecs
+        |FROM grp""") { (s, dir) =>
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      def pick(id: Long) = e.filter(col("vec_id") === id)
+      val headless = slice(col("embedding"), lit(1),
+        size(col("embedding")) - 1)
+      def injected(id: Long, v: Column) =
+        pick(id).select(lit(900000L + (id match {
+          case 0 => 1; case 1 => 2; case 2 => 3; case 3 => 4; case 7 => 5
+        })).as("vec_id"), v.as("embedding"))
+      val inj = injected(0,
+          concat(headless, array(lit(Float.NaN))))
+        .unionByName(injected(1,
+          concat(headless, array(lit(Float.PositiveInfinity)))))
+        .unionByName(injected(2,
+          transform(col("embedding"), _ => lit(0.0f))))
+        .unionByName(injected(3, headless))
+        .unionByName(injected(7, col("embedding")))
+        .unionByName(s.range(1).select(lit(900006L).as("vec_id"),
+          lit(null).cast("array<float>").as("embedding")))
+      val grp = e.unionByName(inj)
+        .groupBy("embedding").agg(count(lit(1)).as("c"))
+      val nonfinite = size(filter(col("embedding"),
+        x => isnan(x) || abs(x) === lit(Float.PositiveInfinity))) > 0
+      val zeroNorm = col("embedding").isNotNull &&
+        size(filter(col("embedding"), x => x =!= lit(0.0f))) === 0
+      grp.agg(
+        sum("c").as("n_vecs"),
+        countDistinct(size(col("embedding"))).as("n_dims"),
+        min(size(col("embedding"))).cast("long").as("dim_min"),
+        max(size(col("embedding"))).cast("long").as("dim_max"),
+        sum(when(col("embedding").isNull, col("c")).otherwise(0L)).as("n_null"),
+        sum(when(nonfinite, col("c")).otherwise(0L)).as("n_nonfinite"),
+        sum(when(zeroNorm, col("c")).otherwise(0L)).as("n_zero_norm"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_dup_vecs"))
     }
   )
 
