@@ -1671,6 +1671,74 @@ object Pipeline {
               count(lit(1)).cast("double"), 4).as("mean_chars"),
           sum(when(col("copies") > 1, 1L).otherwise(0L)).as("n_exact_dup"))
         .orderBy("source", "lang")
+    },
+
+    // --- PSI numeric-feature drift (Population Stability Index — the
+    //     feature-store standard for "has this slice's DISTRIBUTION
+    //     moved off the baseline", tx36's numeric twin): per source,
+    //     PSI of its doc-length histogram against the corpus-wide
+    //     histogram, over FIXED 50-char buckets (production freezes
+    //     the edges with the baseline window — a data-derived edge
+    //     would move under the drift it measures). Buckets the corpus
+    //     occupies but the source doesn't are REPORTED as
+    //     n_missing_buckets, not epsilon-smoothed into the sum (the
+    //     DriftMonitor unseen-mass convention) — every summed term is
+    //     then exactly defined, and 6-dp rounding sits above sum-order
+    //     ULP noise (the tx36/q34 device). Scale shape: one corpus
+    //     scan collapses to (source, bucket) counts — sources×buckets
+    //     rows; every downstream join/agg is that size. ---
+    Q("pl36_psi_drift",
+      """WITH bk AS (
+        |  SELECT source, CAST(floor(n_chars / 50) AS BIGINT) AS bucket
+        |  FROM documents),
+        |sb AS (SELECT source, bucket, count(*) AS c
+        |       FROM bk GROUP BY source, bucket),
+        |s AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s
+        |      FROM sb GROUP BY source),
+        |cb AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS c_b
+        |       FROM sb GROUP BY bucket),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM sb),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets FROM cb)
+        |SELECT sb.source, s.n_s AS n_docs,
+        |  round(sum((CAST(sb.c AS DOUBLE) / s.n_s
+        |             - CAST(cb.c_b AS DOUBLE) / n.n)
+        |    * ln((CAST(sb.c AS DOUBLE) * n.n)
+        |         / (CAST(s.n_s AS DOUBLE) * cb.c_b))), 6) AS psi,
+        |  CAST(nb.n_buckets - count(*) AS BIGINT) AS n_missing_buckets
+        |FROM sb JOIN s USING (source) JOIN cb USING (bucket)
+        |  CROSS JOIN n CROSS JOIN nb
+        |GROUP BY sb.source, s.n_s, nb.n_buckets
+        |ORDER BY sb.source""") { (s, dir) =>
+      import org.apache.spark.storage.StorageLevel
+      // persisted: the (source, bucket) count frame has four consumers
+      // (both marginals, the grand total, the PSI join) — the tx36
+      // cache rationale; the frame is sources×buckets rows at any SF
+      val sb = docs(s, dir)
+        .select(col("source"),
+          floor(col("n_chars") / lit(50)).as("bucket"))
+        .groupBy("source", "bucket").agg(count(lit(1)).as("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val sTot = sb.groupBy("source").agg(sum("c").as("n_s"))
+      val cb = sb.groupBy("bucket").agg(sum("c").as("c_b"))
+      val n = sb.agg(sum("c").as("n"))
+      val nb = cb.agg(count(lit(1)).as("n_buckets"))
+      sb.join(broadcast(sTot), "source")
+        .join(broadcast(cb), "bucket")
+        .crossJoin(broadcast(n))
+        .crossJoin(broadcast(nb))
+        .groupBy(col("source"), col("n_s"), col("n_buckets"))
+        .agg(
+          sum((col("c").cast("double") / col("n_s").cast("double") -
+               col("c_b").cast("double") / col("n").cast("double")) *
+            log((col("c").cast("double") * col("n").cast("double")) /
+                (col("n_s").cast("double") * col("c_b").cast("double"))))
+            .as("psi_raw"),
+          count(lit(1)).as("n_occupied"))
+        .select(col("source"), col("n_s").as("n_docs"),
+          graft.functions.ParityFunctions.duckRound(col("psi_raw"), 6)
+            .as("psi"),
+          (col("n_buckets") - col("n_occupied")).as("n_missing_buckets"))
+        .orderBy("source")
     }
   )
 

@@ -32,6 +32,7 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     "pl23_quality_classifier",// 1-row (n_good, n_bad) class-prior scalar
     "pl24_classifier_topq",   // composes pl23's class-prior scalar
     "tx36_kl_drift",          // 1-row corpus token-total scalar
+    "pl36_psi_drift",         // 1-row corpus-total + bucket-count scalars
     "pl27_importance_resample",// 1-row (nt, nc, v) smoothing-total scalar
     "q52_funnel",             // three 1-row stage-count aggregates
     "sm01_cosine_topk",       // bounded broadcast probes, =!= pairing
