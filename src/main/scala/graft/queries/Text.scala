@@ -1812,6 +1812,71 @@ object Text {
         .agg(count(lit(1)).as("n_terms"), sum("cnt").as("n_hits"))
         .orderBy(col("n_hits").desc, col("doc_id"))
         .limit(10)
+    },
+
+    // --- SCRIPT-MIX detection (the writing-system profile that runs
+    //     BEFORE n-gram lang-id: tx07 assumes the text is in a Latin
+    //     script at all — a Cyrillic spam feed, CJK content routed to
+    //     the wrong pipeline, or mixed-script homoglyph obfuscation
+    //     all need catching first): per-codepoint-class counts via
+    //     count = len − len(class stripped), pure map-side projections
+    //     fused into the scan; output restricted to docs carrying any
+    //     non-Latin script. The ASCII corpus would make every counter
+    //     zero, so non-Latin suffixes are deterministically INJECTED
+    //     on doc_id residue classes (the tx26 device); codepoints are
+    //     spelled chr()/\\u-escaped on both sides — no raw UTF-8
+    //     travels through the oracle dump. ---
+    Q("tx44_script_mix", {
+      val cyrCls = "'['||chr(1072)||'-'||chr(1103)||chr(1105)||']'"
+      val cjkCls = "'['||chr(19968)||'-'||chr(40869)||']'"
+      s"""WITH r AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 37 = 5
+         |         THEN ' '||chr(1084)||chr(1080)||chr(1088) ELSE '' END
+         |    || CASE WHEN doc_id % 41 = 7
+         |         THEN ' '||chr(20013)||chr(25991) ELSE '' END AS t
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    CAST(length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g'))
+         |      AS BIGINT) AS n_latin,
+         |    CAST(length(t) - length(regexp_replace(t, $cyrCls, '', 'g'))
+         |      AS BIGINT) AS n_cyr,
+         |    CAST(length(t) - length(regexp_replace(t, $cjkCls, '', 'g'))
+         |      AS BIGINT) AS n_cjk,
+         |    CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g'))
+         |      AS BIGINT) AS n_digit
+         |  FROM r)
+         |SELECT doc_id, n_latin, n_cyr, n_cjk, n_digit,
+         |  CASE WHEN n_cyr > 0 AND n_cjk > 0 THEN 'mixed'
+         |       WHEN n_cyr > 0 THEN 'cyrillic'
+         |       WHEN n_cjk > 0 THEN 'cjk'
+         |       ELSE 'latin' END AS script
+         |FROM c WHERE n_cyr + n_cjk > 0
+         |ORDER BY doc_id"""
+    }) { (s, dir) =>
+      val t = concat(col("text"),
+        when(col("doc_id") % 37 === 5, lit(" \u043c\u0438\u0440"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 41 === 7, lit(" \u4e2d\u6587"))
+          .otherwise(lit("")))
+      def classCount(cls: String) =
+        (length(col("t")) - length(regexp_replace(col("t"), cls, "")))
+          .cast("long")
+      docs(s, dir)
+        .select(col("doc_id"), t.as("t"))
+        .select(col("doc_id"),
+          classCount("[A-Za-z]").as("n_latin"),
+          classCount("[\u0430-\u044f\u0451]").as("n_cyr"),
+          classCount("[\u4e00-\u9fa5]").as("n_cjk"),
+          classCount("[0-9]").as("n_digit"))
+        .filter(col("n_cyr") + col("n_cjk") > 0)
+        .withColumn("script",
+          when(col("n_cyr") > 0 && col("n_cjk") > 0, "mixed")
+            .when(col("n_cyr") > 0, "cyrillic")
+            .when(col("n_cjk") > 0, "cjk")
+            .otherwise("latin"))
+        .orderBy("doc_id")
     }
   )
 }
