@@ -33,6 +33,28 @@ case class FunnelOut(user_id: Long, view_ts: java.sql.Timestamp,
                      click_ts: java.sql.Timestamp,
                      purchase_ts: java.sql.Timestamp)
 
+/** Left (probe) event for the streaming as-of join. */
+case class AsofLeft(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
+
+/** Right (reference) event for the streaming as-of join. */
+case class AsofRight(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+/** Internal tagged union of the two as-of sides (rights tag 0 sort
+  * before lefts at equal time, the q28 device). */
+case class AsofIn(user_id: Long, ts: java.sql.Timestamp, tag: Int,
+                  event_id: Long, value: Double)
+
+/** As-of join state per user: the single DOMINANT finalized right row
+  * (latestTs < 0 = none yet) plus the in-flux pending events — µs
+  * timestamps; bounded by rate × watermark delay + 1. */
+case class AsofState(latestTs: Long, latestVal: Double,
+                     pendL: List[(Long, Long)], pendR: List[(Long, Double)])
+
+/** One as-of match — emitted exactly once per left event. */
+case class AsofOut(user_id: Long, event_id: Long, event_ts: java.sql.Timestamp,
+                   right_ts: Option[java.sql.Timestamp],
+                   right_value: Option[Double])
+
 /** Structured-Streaming surface over the `events` table — the streaming
   * twin of batch query q22 (Relational.scala). The reference is pure
   * batch (one synchronous job, InvertedIndexer.java:261); this is the
@@ -275,6 +297,109 @@ object EventStreams {
     }
 
     events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fold)
+  }
+
+  /** Stateful stream-stream AS-OF join (the temporal join of every
+    * tick-data / feature-store stack; q28 is its batch twin): each
+    * left event pairs with the LATEST right row of the same user at or
+    * before its event time — or NULL if none exists — emitted exactly
+    * once. No built-in stream-stream join expresses this: "latest
+    * preceding" is an argmax over an unbounded look-BACK, and an
+    * interval join both fans out (every preceding right matches) and
+    * cannot bound that look-back.
+    *
+    * The state contract is what makes it 100 TB-viable: a left event
+    * at t finalizes once the watermark passes t (nothing with ts ≤ t
+    * can still arrive), and of the FINALIZED right rows only the
+    * latest one can ever win a future left's argmax — every earlier
+    * right is dominated and dropped. Per-user state is therefore ONE
+    * compacted right row + the in-flux horizon (events within the
+    * watermark delay), never a history: O(rate × delay + 1) per key,
+    * the same bound as the built-in interval join, despite the
+    * unbounded look-back semantics. The compacted row expires
+    * `idleTtl` after the user's last activity (the funnel tombstone
+    * trade: an event arriving after a full TTL of silence sees no
+    * predecessor).
+    *
+    * Ties: a right AT the left's timestamp matches ("at or before");
+    * among equal-ts rights the largest value wins — both pinned to the
+    * batch formulation in the spec. Timestamps are held in
+    * MICROSECONDS (the funnel rationale).
+    */
+  def asofJoinStateful(lefts: Dataset[AsofLeft], rights: Dataset[AsofRight],
+                       watermarkDelay: String = "2 hours",
+                       idleTtl: String = "30 days"): Dataset[AsofOut] = {
+    import lefts.sparkSession.implicits._
+    val ttlIv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(idleTtl))
+    require(ttlIv.months == 0, "idleTtl must be a fixed-length interval")
+    val ttlMs = ttlIv.days * 86400000L + ttlIv.microseconds / 1000
+
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + t.getNanos / 1000 % 1000
+    def toTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      t
+    }
+
+    // one tagged stream: rights tag 0, lefts tag 1 (the q28 union)
+    val tagged = rights
+      .map(r => AsofIn(r.user_id, r.ts, 0, -1L, r.value))
+      .unionByName(lefts.map(l => AsofIn(l.user_id, l.ts, 1, l.event_id, 0.0)))
+
+    def fold(user: Long, batch: Iterator[AsofIn],
+             state: GroupState[AsofState]): Iterator[AsofOut] = {
+      val prior = state.getOption.getOrElse(AsofState(-1L, 0.0, Nil, Nil))
+      val merged =
+        if (state.hasTimedOut) prior
+        else batch.foldLeft(prior) { (st, e) =>
+          if (e.tag == 0) st.copy(pendR = (micros(e.ts), e.value) :: st.pendR)
+          else st.copy(pendL = (micros(e.ts), e.event_id) :: st.pendL)
+        }
+      val wmUs = state.getCurrentWatermarkMs() * 1000
+      val (finR, pendR) = merged.pendR.partition(_._1 < wmUs)
+      val (finL, pendL) = merged.pendL.partition(_._1 < wmUs)
+      // all rights at or before a finalized left are themselves below
+      // the watermark, so the argmax only ever consults finalized rows
+      val finalized = (if (merged.latestTs >= 0)
+        List((merged.latestTs, merged.latestVal)) else Nil) ::: finR
+      val out = finL.sorted.iterator.map { case (t, id) =>
+        val cand = finalized.filter(_._1 <= t)
+        if (cand.isEmpty) AsofOut(user, id, toTs(t), None, None)
+        else {
+          val (bt, bv) = cand.max // (ts, value) ordering = the tie rule
+          AsofOut(user, id, toTs(t), Some(toTs(bt)), Some(bv))
+        }
+      }.toList
+      // dominance compaction: keep only the latest finalized right
+      val (lt, lv) = if (finalized.isEmpty) (-1L, 0.0) else finalized.max
+      if (pendL.isEmpty && pendR.isEmpty) {
+        if (state.hasTimedOut && finL.isEmpty && finR.isEmpty) {
+          // idle-TTL timeout (TTL timeouts are only armed with nothing
+          // pending, so a genuine one folds nothing): reclaim
+          state.remove()
+          return Iterator.empty
+        }
+        if (lt >= 0) {
+          state.update(AsofState(lt, lv, Nil, Nil))
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttlMs)
+        } else state.remove()
+      } else {
+        state.update(AsofState(lt, lv, pendL, pendR))
+        // pending survivors have ts ≥ wmUs, so ms + 1 is legally ahead
+        state.setTimeoutTimestamp(
+          (pendL.map(_._1) ++ pendR.map(_._1)).min / 1000 + 1)
+      }
+      out.iterator
+    }
+
+    tagged
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
