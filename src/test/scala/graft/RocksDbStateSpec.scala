@@ -151,4 +151,69 @@ class RocksDbStateSpec extends AnyFunSuite {
     } finally spark.conf.set(
       "spark.sql.streaming.stateStore.providerClass", saved)
   }
+
+  test("stateful as-of join is backend-equal on RocksDB state store") {
+    // The as-of state round-trips a compacted (Long, Double) pair plus
+    // two pending lists through the provider, and its hardest scenario
+    // — a left served from the COMPACTED row long after the
+    // contributing rights were dropped — only works if that compaction
+    // survives deserialization across batches. Re-run AsofStreamSpec's
+    // first scenario under RocksDB and pin the HashMap-provider
+    // answers.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{AsofLeft, AsofRight, EventStreams}
+    val saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-rocks-asof-ckpt").toString
+      val ls = MemoryStream[AsofLeft]
+      val rs = MemoryStream[AsofRight]
+      val q = EventStreams.asofJoinStateful(ls.toDS(), rs.toDS(),
+          watermarkDelay = "10 minutes")
+        .writeStream.format("memory").queryName("rocks_asof_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try {
+        ls.addData(AsofLeft(1L, ts("2024-01-01 10:15:00"), 102L),
+          AsofLeft(1L, ts("2024-01-01 09:50:00"), 101L))
+        rs.addData(AsofRight(1L, ts("2024-01-01 10:00:00"), 1.0))
+        q.processAllAvailable()
+        ls.addData(AsofLeft(1L, ts("2024-01-01 10:45:00"), 103L))
+        rs.addData(AsofRight(1L, ts("2024-01-01 10:10:00"), 5.0),
+          AsofRight(1L, ts("2024-01-01 10:30:00"), 2.0))
+        q.processAllAvailable()
+        rs.addData(AsofRight(999L, ts("2024-01-02 12:00:00"), 0.0))
+        q.processAllAvailable()
+        rs.addData(AsofRight(999L, ts("2024-01-02 12:01:00"), 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val got = spark.table("rocks_asof_out")
+        .filter(col("user_id") < 999)
+        .orderBy("event_id")
+        .as[(Long, Long, java.sql.Timestamp,
+             Option[java.sql.Timestamp], Option[Double])](
+          org.apache.spark.sql.Encoders.product)
+        .collect().toSeq
+      assert(got == Seq(
+        (1L, 101L, ts("2024-01-01 09:50:00"), None, None),
+        (1L, 102L, ts("2024-01-01 10:15:00"),
+          Some(ts("2024-01-01 10:10:00")), Some(5.0)),
+        (1L, 103L, ts("2024-01-01 10:45:00"),
+          Some(ts("2024-01-01 10:30:00")), Some(2.0))),
+        s"RocksDB-backed as-of diverged from the HashMap-provider answers: $got")
+
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      val stateFiles = walk(new java.io.File(ckpt, "state")).map(_.getName)
+      assert(stateFiles.exists(n =>
+          n.endsWith(".zip") || n.endsWith(".changelog") || n.contains("rocksdb")),
+        s"no RocksDB state artifacts under $ckpt/state: $stateFiles")
+    } finally spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass", saved)
+  }
 }
