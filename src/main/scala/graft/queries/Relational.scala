@@ -1354,6 +1354,43 @@ object Relational {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
+    },
+
+    // --- VARIANT semi-structured access (new in Spark 4): the payload
+    //     is parsed ONCE into the binary variant encoding, then every
+    //     field access is a typed O(fields) probe — where q19's
+    //     get_json_object re-parses the JSON STRING per extraction
+    //     (k extractions = k parses at 100 TB). Nested JSON is
+    //     synthesized deterministically around the corpus `props`
+    //     column so the nested path and the absent-path NULL semantics
+    //     (try_variant_get) are both observable; DuckDB's oracle reads
+    //     the same synthesized strings with its native JSON probes. ---
+    Q("q54_variant",
+      """WITH r AS (
+        |  SELECT event_type,
+        |    '{"p": ' || props || ', "u": ' || CAST(user_id AS VARCHAR) || '}'
+        |      AS j
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(j, '$.p.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(j, '$.u') AS BIGINT))
+        |    AS BIGINT) AS sum_u,
+        |  CAST(sum(CASE WHEN json_extract_string(j, '$.missing') IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+        |FROM r GROUP BY event_type
+        |ORDER BY event_type""") { (s, dir) =>
+      val j = concat(lit("{\"p\": "), col("props"),
+        lit(", \"u\": "), col("user_id").cast("string"), lit("}"))
+      t(s, dir, "events")
+        .select(col("event_type"), parse_json(j).as("v"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(variant_get(col("v"), "$.p.k", "long")).as("sum_k"),
+          sum(variant_get(col("v"), "$.u", "long")).as("sum_u"),
+          sum(when(try_variant_get(col("v"), "$.missing", "long").isNull,
+            1L).otherwise(0L)).as("n_missing"))
+        .orderBy("event_type")
     }
   )
 }
