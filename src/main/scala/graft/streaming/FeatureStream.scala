@@ -16,6 +16,11 @@ case class FeatureOut(user_id: Long, ts: java.sql.Timestamp, n_prior: Long,
                       sum_prior: Double, last_value: Option[Double],
                       us_since_last: Option[Long])
 
+/** One user's offline-computed state at the backfill cutover — the
+  * keyed row shape `onlineFeaturesFrom` seeds serving state with. */
+case class FeatureSnapshot(user_id: Long, n: Long, total: Double,
+                           lastTsUs: Long, lastVal: Double)
+
 /** Online per-event feature extraction on `transformWithState` (the
   * arbitrary-stateful-processing v2 API, new in Spark 4) — the SERVING
   * half of a feature store: the offline half joins historical features
@@ -53,36 +58,60 @@ case class FeatureOut(user_id: Long, ts: java.sql.Timestamp, n_prior: Long,
   */
 object FeatureStream {
 
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000 + t.getNanos / 1000 % 1000
+
+  /** State handle wiring shared by both processors. */
+  private def openState(h: StatefulProcessorHandle,
+                        ttl: Option[java.time.Duration]): ValueState[FeatureAgg] =
+    h.getValueState[FeatureAgg]("agg", Encoders.product[FeatureAgg],
+      ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+
+  /** The serving fold shared by both processors: emit each event's
+    * features BEFORE folding it in — strictly-prior, zero leakage. */
+  private def foldRows(agg: ValueState[FeatureAgg], user: Long,
+                       rows: Iterator[FeatureEvent]): Iterator[FeatureOut] = {
+    val sorted = rows.toList.sortBy(e => (micros(e.ts), e.value))
+    val out = List.newBuilder[FeatureOut]
+    var st = if (agg.exists()) agg.get() else FeatureAgg(0L, 0.0, -1L, 0.0)
+    for (e <- sorted) {
+      val t = micros(e.ts)
+      out += FeatureOut(user, e.ts, st.n, st.total,
+        if (st.n == 0L) None else Some(st.lastVal),
+        if (st.n == 0L) None else Some(t - st.lastTsUs))
+      st = FeatureAgg(st.n + 1L, st.total + e.value, t, e.value)
+    }
+    agg.update(st)
+    out.result().iterator
+  }
+
   /** The processor: one ValueState[FeatureAgg] per user, TTL-expired
     * by the store itself after `ttl` of no writes (when set). */
   private class OnlineFeatureProcessor(ttl: Option[java.time.Duration])
       extends StatefulProcessor[Long, FeatureEvent, FeatureOut] {
     @transient private var agg: ValueState[FeatureAgg] = _
-
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      agg = getHandle.getValueState[FeatureAgg]("agg",
-        Encoders.product[FeatureAgg],
-        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
-
-    private def micros(t: java.sql.Timestamp): Long =
-      t.getTime * 1000 + t.getNanos / 1000 % 1000
-
+      agg = openState(getHandle, ttl)
     override def handleInputRows(user: Long, rows: Iterator[FeatureEvent],
-                                 tv: TimerValues): Iterator[FeatureOut] = {
-      val sorted = rows.toList.sortBy(e => (micros(e.ts), e.value))
-      val out = List.newBuilder[FeatureOut]
-      var st = if (agg.exists()) agg.get() else FeatureAgg(0L, 0.0, -1L, 0.0)
-      for (e <- sorted) {
-        val t = micros(e.ts)
-        // emit BEFORE folding: strictly-prior features, zero leakage
-        out += FeatureOut(user, e.ts, st.n, st.total,
-          if (st.n == 0L) None else Some(st.lastVal),
-          if (st.n == 0L) None else Some(t - st.lastTsUs))
-        st = FeatureAgg(st.n + 1L, st.total + e.value, t, e.value)
-      }
-      agg.update(st)
-      out.result().iterator
-    }
+                                 tv: TimerValues): Iterator[FeatureOut] =
+      foldRows(agg, user, rows)
+  }
+
+  /** Backfill variant: identical serving fold, but the per-user state
+    * is SEEDED from an offline snapshot before the first micro-batch
+    * (`handleInitialState` runs once per backfilled key). */
+  private class BackfilledFeatureProcessor(ttl: Option[java.time.Duration])
+      extends StatefulProcessorWithInitialState[
+        Long, FeatureEvent, FeatureOut, FeatureAgg] {
+    @transient private var agg: ValueState[FeatureAgg] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      agg = openState(getHandle, ttl)
+    override def handleInitialState(user: Long, snapshot: FeatureAgg,
+                                    tv: TimerValues): Unit =
+      agg.update(snapshot)
+    override def handleInputRows(user: Long, rows: Iterator[FeatureEvent],
+                                 tv: TimerValues): Iterator[FeatureOut] =
+      foldRows(agg, user, rows)
   }
 
   /** Per-event point-in-time features for a stream of `FeatureEvent`s.
@@ -98,5 +127,29 @@ object FeatureStream {
       .transformWithState(new OnlineFeatureProcessor(ttl),
         if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
         OutputMode.Append())
+  }
+
+  /** [[onlineFeatures]] warm-started from an OFFLINE backfill — the
+    * standard feature-store bootstrap: the batch side computes each
+    * user's running aggregate over history once (no need to replay
+    * months of events through the stream), the online side continues
+    * from exactly that state. Snapshot contract: `backfill` must hold
+    * the state the serving fold would have reached at the cutover —
+    * i.e. fold history in (ts, value) order (the caller owns that; a
+    * partial-agg batch sum can differ in the last ULP from the
+    * sequential fold, which matters only if bit-continuity with a
+    * history replay is asserted, as the spec does). */
+  def onlineFeaturesFrom(events: Dataset[FeatureEvent],
+                         backfill: Dataset[FeatureSnapshot],
+                         ttl: Option[java.time.Duration] = None)
+      : Dataset[FeatureOut] = {
+    import events.sparkSession.implicits._
+    val initial = backfill.groupByKey(_.user_id)
+      .mapValues(s => FeatureAgg(s.n, s.total, s.lastTsUs, s.lastVal))
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new BackfilledFeatureProcessor(ttl),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append(), initial)
   }
 }

@@ -93,6 +93,55 @@ class FeatureStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("offline backfill warm-start continues bit-exactly where history replay would") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{FeatureOut, FeatureSnapshot}
+    withRocks {
+      val events = tables.load(spark, "/root/testdata/sf0.001", "events")
+        .filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[FeatureEvent].collect().toSeq
+        .sortBy(e => (e.ts.getTime, e.value))
+      val cut = events(events.size / 2).ts.getTime
+      val (history, live) = events.partition(_.ts.getTime < cut)
+      assert(history.nonEmpty && live.nonEmpty)
+
+      // offline snapshot = the serving fold over history, computed in
+      // plain Scala in (ts, value) order — the snapshot contract
+      def us(t: java.sql.Timestamp) = t.getTime * 1000 + t.getNanos / 1000 % 1000
+      val snap = history.groupBy(_.user_id).map { case (u, es) =>
+        val s = es.sortBy(e => (us(e.ts), e.value))
+        FeatureSnapshot(u, s.size.toLong, s.map(_.value).foldLeft(0.0)(_ + _),
+          us(s.last.ts), s.last.value)
+      }.toSeq
+
+      def run(name: String, feed: Seq[Seq[FeatureEvent]],
+              backfill: Option[Seq[FeatureSnapshot]]): Seq[FeatureOut] = {
+        val stream = MemoryStream[FeatureEvent]
+        val ds = backfill match {
+          case Some(b) => graft.streaming.FeatureStream
+            .onlineFeaturesFrom(stream.toDS(), b.toDS())
+          case None => graft.streaming.FeatureStream
+            .onlineFeatures(stream.toDS())
+        }
+        val q = ds.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try feed.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+        finally q.stop()
+        spark.table(name).as[FeatureOut].collect().toSeq
+      }
+
+      // cold path: replay history then live; warm path: backfill + live
+      val cold = run("feat_cold", Seq(history, live), None)
+        .filter(o => o.ts.getTime >= cut)
+      val warm = run("feat_warm", Seq(live), Some(snap))
+      assert(warm.size == live.size)
+      assert(warm.toSet == cold.toSet,
+        "backfilled serving must continue exactly where replay would")
+    }
+  }
+
   test("cross-batch state: later batches see earlier batches' folds exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
