@@ -1391,6 +1391,51 @@ object Relational {
           sum(when(try_variant_get(col("v"), "$.missing", "long").isNull,
             1L).otherwise(0L)).as("n_missing"))
         .orderBy("event_type")
+    },
+
+    // Discrete percentiles (percentile_disc / WITHIN GROUP — the
+    // SQL:2008 inverse-distribution aggregate q48's percentile_cont
+    // family lacks): returns an ACTUAL group element (smallest value
+    // whose cume_dist ≥ fraction), so unlike the interpolated family
+    // there is no arithmetic at all to diverge cross-engine — the only
+    // parity surface is the index rule itself, which this query pins
+    // at three fractions over every o_orderpriority group size. median()
+    // rides along as the dedicated 0.5-interpolation surface (exact on
+    // integer cents: .0/.5 fractions are IEEE-exact). Same plan shape
+    // as q48: one ObjectHashAggregate pass, percentile buffers a
+    // value→count map per group (value-cardinality-bounded, not
+    // row-bounded).
+    Q("q55_percentile_disc",
+      """SELECT o_orderpriority,
+        |  count(*) AS n,
+        |  round(CAST(quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT),
+        |    0.25) AS DOUBLE) / 100.0, 2) AS p25_disc,
+        |  round(CAST(quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT),
+        |    0.50) AS DOUBLE) / 100.0, 2) AS p50_disc,
+        |  round(CAST(quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT),
+        |    0.75) AS DOUBLE) / 100.0, 2) AS p75_disc,
+        |  round(CAST(median(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    AS DOUBLE) / 100.0, 4) AS p50_cont
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""") { (s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)")
+            .as("d25"),
+          expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY cents)")
+            .as("d50"),
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)")
+            .as("d75"),
+          median(col("cents")).as("m"))
+        .select(col("o_orderpriority"), col("n"),
+          duckRound(col("d25").cast("double") / 100.0, 2).as("p25_disc"),
+          duckRound(col("d50").cast("double") / 100.0, 2).as("p50_disc"),
+          duckRound(col("d75").cast("double") / 100.0, 2).as("p75_disc"),
+          duckRound(col("m") / 100.0, 4).as("p50_cont"))
+        .orderBy("o_orderpriority")
     }
   )
 }

@@ -162,6 +162,10 @@ object Similarity {
     * before `qs` (oracle SQL interpolates at object init). */
   private val HybridTerms = Seq("table", "window", "stream")
   private val HybridK = 50
+  // sm16 two-stage rerank: prefix width of the stage-1 coarse score and
+  // the per-probe shortlist the exact stage-2 rerank re-scores
+  private val PrefixDims = 16
+  private val RerankShortlist = 50
 
   /** Shuffle-free coarse-quantizer assignment: each vector's `keep`
     * nearest centroids, computed as a per-row PROJECTION over the
@@ -1246,6 +1250,107 @@ object Similarity {
         sum(when(nonfinite, col("c")).otherwise(0L)).as("n_nonfinite"),
         sum(when(zeroNorm, col("c")).otherwise(0L)).as("n_zero_norm"),
         sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_dup_vecs"))
+    },
+
+    // Two-stage TRUNCATED-DIMENSION rerank (the Matryoshka/MRL serving
+    // pattern — Kusupati et al. 2022): stage 1 scores every candidate
+    // on only the first 16 of 64 dimensions, stage 2 reranks the
+    // per-probe shortlist with the exact full-dimension cosine. Why
+    // this is a distinct rung of the ladder (vs sm03's cell pruning or
+    // sm08's quantization): the coarse representation is a PREFIX of
+    // the same vector, so at 100 TB the stage-1 scan reads a ¼-width
+    // column (stored as its own column, column-pruned at the scan —
+    // here a `slice` projection over the one test column) and the
+    // full-precision vectors are fetched for only |probes|×50 rows.
+    // Plan shape: both probe frames broadcast (bounded, the sm01
+    // argument); the stage-1 window is WindowGroupLimit-guarded so
+    // only ≤ 50 rows per probe per partition reach the rank shuffle;
+    // the stage-2 fetch is a BROADCAST semi-fetch of the ≤ 1000-row
+    // shortlist into a second corpus scan — no shuffle anywhere.
+    // Exactness: the output carries prefix_rank next to rank, so the
+    // result itself exhibits the reorderings the rerank performed
+    // (prefix_rank ≠ rank rows are the stage-1 mistakes stage 2
+    // fixed). Cosines are the sm01 bit-identical convention on both
+    // stages; the shortlist cut at rank 50 compares bit-identical
+    // prefix cosines, so the candidate sets agree exactly.
+    Q("sm16_prefix_rerank", {
+      val pcos = cosineSql("p.qp", "c.pfx")
+      val cos = cosineSql("q.pe", "f.embedding")
+      s"""WITH c AS (
+         |  SELECT vec_id, embedding[1:$PrefixDims] AS pfx FROM embeddings),
+         |p AS (SELECT vec_id AS probe_id, pfx AS qp FROM c
+         |      WHERE vec_id % 25 = 0 AND vec_id < 500),
+         |s1 AS (
+         |  SELECT p.probe_id, c.vec_id, $pcos AS pcos
+         |  FROM p JOIN c ON c.vec_id <> p.probe_id),
+         |short AS (
+         |  SELECT probe_id, vec_id, prank FROM (
+         |    SELECT probe_id, vec_id,
+         |      row_number() OVER (PARTITION BY probe_id
+         |                         ORDER BY pcos DESC, vec_id) AS prank
+         |    FROM s1)
+         |  WHERE prank <= $RerankShortlist),
+         |q AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+         |      WHERE vec_id % 25 = 0 AND vec_id < 500),
+         |rer AS (
+         |  SELECT sh.probe_id, sh.vec_id AS neighbor_id, sh.prank,
+         |    $cos AS cosine
+         |  FROM short sh
+         |  JOIN embeddings f ON f.vec_id = sh.vec_id
+         |  JOIN q ON q.probe_id = sh.probe_id)
+         |SELECT probe_id, neighbor_id, CAST(rank AS INT) AS rank,
+         |  CAST(prank AS INT) AS prefix_rank, round(cosine, 6) AS cosine
+         |FROM (
+         |  SELECT probe_id, neighbor_id, prank, cosine,
+         |    row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM rer)
+         |WHERE rank <= 10
+         |ORDER BY probe_id, rank"""
+    }) { (s, dir) =>
+      val e = emb(s, dir)
+      // stage 1: only the 16-float prefix travels through the scored
+      // frame — norms once per side (sm01 pattern)
+      val pfx = e.select(col("vec_id"),
+          slice(col("embedding"), 1, PrefixDims).as("pfx"))
+        .withColumn("pn", l2Norm(col("pfx")))
+      val probes1 = pfx
+        .filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
+        .select(col("vec_id").as("probe_id"), col("pfx").as("qp"),
+          col("pn").as("qn"))
+      val n1 = col("qn") * col("pn")
+      val s1 = pfx.join(broadcast(probes1), col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          when(n1 === 0.0, lit(0.0))
+            .otherwise(dot(col("qp"), col("pfx")) / n1).as("pcos"))
+      val w1 = Window.partitionBy("probe_id")
+        .orderBy(col("pcos").desc, col("vec_id"))
+      val shortlist = s1.withColumn("prank", row_number().over(w1))
+        .filter(col("prank") <= RerankShortlist)
+        .select("probe_id", "vec_id", "prank")
+      // stage 2: broadcast the ≤ |probes|×50-row shortlist into a
+      // second corpus scan (the id fetch), exact full-dim rerank
+      val full = e.select(col("vec_id"), col("embedding"),
+        l2Norm(col("embedding")).as("nrm"))
+      val probes2 = full
+        .filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("nrm").as("pnrm"))
+      val n2 = col("pnrm") * col("nrm")
+      val rer = full.join(broadcast(shortlist), Seq("vec_id"))
+        .join(broadcast(probes2), Seq("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          col("prank"),
+          when(n2 === 0.0, lit(0.0))
+            .otherwise(dot(col("pe"), col("embedding")) / n2).as("cosine"))
+      val w2 = Window.partitionBy("probe_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      rer.withColumn("rank", row_number().over(w2))
+        .filter(col("rank") <= 10)
+        .select(col("probe_id"), col("neighbor_id"), col("rank"),
+          col("prank").as("prefix_rank"),
+          duckRound(col("cosine"), 6).as("cosine"))
+        .orderBy("probe_id", "rank")
     }
   )
 

@@ -91,4 +91,42 @@ class AnnRecallSpec extends AnyFunSuite {
       "probe_id", "neighbor_id"), exact)
     assert(sq >= 0.90, s"sm08 int8 quantization should be near-exact: $sq")
   }
+
+  test("sm16 prefix-rerank recall@10 dominates prefix-only retrieval") {
+    val exact = topSets(
+      SparkEntry.queries("sm01_cosine_topk")(spark, dir),
+      "probe_id", "neighbor_id")
+    val rer = recall(topSets(
+      SparkEntry.queries("sm16_prefix_rerank")(spark, dir),
+      "probe_id", "neighbor_id"), exact)
+    // prefix-only baseline: top-10 by the 16-dim cosine, NO rerank —
+    // what serving the truncated representation alone would return
+    val e = tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), slice(col("embedding"), 1, 16).as("pfx"))
+    val probes = e.filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
+      .select(col("vec_id").as("probe_id"), col("pfx").as("qp"))
+    val w = Window.partitionBy("probe_id").orderBy(col("c").desc, col("vec_id"))
+    val pfx = recall(topSets(
+      e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("c", VectorFunctions.cosine(col("qp"), col("pfx")))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10),
+      "probe_id", "vec_id"), exact)
+    info(s"sm16 recall $rer, prefix-only $pfx")
+    // STRUCTURAL guarantee, not a statistical one: sm16 returns every
+    // exact-top-10 member that survives its 50-shortlist (the 10 best
+    // true cosines of the shortlist include all exact members in it),
+    // and the prefix-only top-10 is a SUBSET of that shortlist — so
+    // rerank recall can never be below prefix-only recall.
+    assert(rer >= pfx - 1e-9,
+      s"rerank recall $rer fell below its own stage-1 baseline $pfx")
+    // deterministic values today: rerank 0.415, prefix-only 0.13 — on
+    // UNIFORM synthetic vectors a 16-dim prefix carries only 1/4 of
+    // the (i.i.d.) signal, the worst case for truncation; Matryoshka-
+    // trained real embeddings concentrate most of the cosine in the
+    // prefix by construction, which is when this serving pattern earns
+    // its 4× scan cut. The 3.2× lift over prefix-only is the rerank
+    // stage's contribution and is what regression-pins here.
+    assert(rer >= 0.38, s"sm16 recall regressed: $rer")
+  }
 }

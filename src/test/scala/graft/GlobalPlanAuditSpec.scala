@@ -36,6 +36,7 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     "pl27_importance_resample",// 1-row (nt, nc, v) smoothing-total scalar
     "q52_funnel",             // three 1-row stage-count aggregates
     "sm01_cosine_topk",       // bounded broadcast probes, =!= pairing
+    "sm16_prefix_rerank",     // same bounded probes, stage-1 =!= pairing
     "sm05_pq_topk",           // bounded probe LUT broadcast
     "sm08_sq_topk",           // bounded probe + 64-row stats broadcast
     "sm12_hybrid_rrf",        // 1-row corpus doc-count scalar (tx04 shape)

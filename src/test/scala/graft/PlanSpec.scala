@@ -260,6 +260,20 @@ class PlanSpec extends AnyFunSuite {
       s"sm01 probes must broadcast:\n$p")
   }
 
+  test("sm16: shortlist cut in WindowGroupLimit; fetch joins broadcast") {
+    val p = plan("sm16_prefix_rerank")
+    // stage-1 scores |probes| × corpus rows: the rank-≤50 filter must
+    // reach WindowGroupLimit so only ≤50 rows per probe per partition
+    // hit the rank shuffle
+    assert(p.contains("WindowGroupLimit"),
+      s"sm16 shortlist cut not pushed into WindowGroupLimit:\n$p")
+    // stage-2 re-reads the corpus only to FETCH the ≤ probes×50
+    // shortlisted vectors: both the shortlist and the probe frame are
+    // bounded, so nothing may shuffle the corpus
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"sm16 stage-2 fetch must broadcast, not shuffle the corpus:\n$p")
+  }
+
   test("sm07: range search joins on cell id, no ranking window") {
     val p = plan("sm07_range_search")
     assert(!p.contains("CartesianProduct") &&
