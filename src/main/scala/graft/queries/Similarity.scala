@@ -162,10 +162,34 @@ object Similarity {
     * before `qs` (oracle SQL interpolates at object init). */
   private val HybridTerms = Seq("table", "window", "stream")
   private val HybridK = 50
-  // sm16 two-stage rerank: prefix width of the stage-1 coarse score and
-  // the per-probe shortlist the exact stage-2 rerank re-scores
+  // sm16/sm17 two-stage reranks: width of sm16's stage-1 prefix score
+  // and the per-probe shortlist the exact stage-2 rerank re-scores
   private val PrefixDims = 16
   private val RerankShortlist = 50
+
+  /** Shared DuckDB CTE chain ending in `dq(vec_id, deq)` — the
+    * scalar-quantized-then-dequantized corpus (sm08's codebook math,
+    * one text so sm08 and sm17 can never drift). */
+  private def sqDeqCtes: String =
+    """x AS (
+      |  SELECT vec_id, unnest(embedding) AS xi,
+      |    unnest(range(1, len(embedding) + 1)) AS pos
+      |  FROM embeddings),
+      |st AS (
+      |  SELECT pos, min(CAST(xi AS DOUBLE)) AS mn, max(CAST(xi AS DOUBLE)) AS mx
+      |  FROM x GROUP BY pos),
+      |sta AS (SELECT list(mn ORDER BY pos) AS mns,
+      |               list(mx ORDER BY pos) AS mxs FROM st),
+      |dq AS (
+      |  SELECT vec_id,
+      |    list_transform(range(1, len(embedding) + 1), d ->
+      |      CASE WHEN sta.mxs[d] = sta.mns[d] THEN sta.mns[d]
+      |           ELSE sta.mns[d]
+      |             + (CAST(CAST(floor((CAST(embedding[d] AS DOUBLE) - sta.mns[d])
+      |                 / (sta.mxs[d] - sta.mns[d]) * 255.0 + 0.5) AS BIGINT) AS DOUBLE)
+      |                / 255.0) * (sta.mxs[d] - sta.mns[d])
+      |      END) AS deq
+      |  FROM embeddings, sta)"""
 
   /** Shuffle-free coarse-quantizer assignment: each vector's `keep`
     * nearest centroids, computed as a per-row PROJECTION over the
@@ -724,25 +748,7 @@ object Similarity {
     //     shortest-decimal-repr divergence DuckRound exists for. ---
     Q("sm08_sq_topk", {
       val cos = cosineSql("p.pe", "d.deq")
-      s"""WITH x AS (
-         |  SELECT vec_id, unnest(embedding) AS xi,
-         |    unnest(range(1, len(embedding) + 1)) AS pos
-         |  FROM embeddings),
-         |st AS (
-         |  SELECT pos, min(CAST(xi AS DOUBLE)) AS mn, max(CAST(xi AS DOUBLE)) AS mx
-         |  FROM x GROUP BY pos),
-         |sta AS (SELECT list(mn ORDER BY pos) AS mns,
-         |               list(mx ORDER BY pos) AS mxs FROM st),
-         |dq AS (
-         |  SELECT vec_id,
-         |    list_transform(range(1, len(embedding) + 1), d ->
-         |      CASE WHEN sta.mxs[d] = sta.mns[d] THEN sta.mns[d]
-         |           ELSE sta.mns[d]
-         |             + (CAST(CAST(floor((CAST(embedding[d] AS DOUBLE) - sta.mns[d])
-         |                 / (sta.mxs[d] - sta.mns[d]) * 255.0 + 0.5) AS BIGINT) AS DOUBLE)
-         |                / 255.0) * (sta.mxs[d] - sta.mns[d])
-         |      END) AS deq
-         |  FROM embeddings, sta),
+      s"""WITH $sqDeqCtes,
          |p AS (SELECT vec_id AS probe_id, embedding AS pe
          |      FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 500),
          |scored AS (
@@ -1349,6 +1355,98 @@ object Similarity {
         .filter(col("rank") <= 10)
         .select(col("probe_id"), col("neighbor_id"), col("rank"),
           col("prank").as("prefix_rank"),
+          duckRound(col("cosine"), 6).as("cosine"))
+        .orderBy("probe_id", "rank")
+    },
+
+    // QUANTIZED-shortlist + exact REFINE (the "SQ + refine" serving
+    // composition every production vector store runs — sm16's rerank
+    // stage over sm08's compressed representation instead of a
+    // dimension prefix): stage 1 scores the whole corpus against the
+    // int8-dequantized codes — at 100 TB that scan reads the 4×-
+    // compressed code column, which is the memory-residency win SQ
+    // exists for — stage 2 fetches full-precision vectors for only
+    // the per-probe 50-shortlist and re-scores exactly. The refine
+    // stage buys back the quantization error: recall@10 is pinned ≥
+    // sm08's in `AnnRecallSpec` (structural dominance — sm08's top-10
+    // is a subset of the shortlist) and measures near-exact. Plan
+    // shape identical to sm16: bounded probe broadcasts, Window-
+    // GroupLimit shortlist cut, broadcast semi-fetch, zero corpus
+    // shuffles.
+    Q("sm17_sq_rerank", {
+      val qcos = cosineSql("p.pe", "d.deq")
+      val cos = cosineSql("q.pe", "f.embedding")
+      s"""WITH $sqDeqCtes,
+         |p AS (SELECT vec_id AS probe_id, embedding AS pe
+         |      FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 500),
+         |s1 AS (
+         |  SELECT p.probe_id, d.vec_id, $qcos AS qcos
+         |  FROM p JOIN dq d ON d.vec_id <> p.probe_id),
+         |short AS (
+         |  SELECT probe_id, vec_id, qrank FROM (
+         |    SELECT probe_id, vec_id,
+         |      row_number() OVER (PARTITION BY probe_id
+         |                         ORDER BY qcos DESC, vec_id) AS qrank
+         |    FROM s1)
+         |  WHERE qrank <= $RerankShortlist),
+         |q AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+         |      WHERE vec_id % 25 = 0 AND vec_id < 500),
+         |rer AS (
+         |  SELECT sh.probe_id, sh.vec_id AS neighbor_id, sh.qrank,
+         |    $cos AS cosine
+         |  FROM short sh
+         |  JOIN embeddings f ON f.vec_id = sh.vec_id
+         |  JOIN q ON q.probe_id = sh.probe_id)
+         |SELECT probe_id, neighbor_id, CAST(rank AS INT) AS rank,
+         |  CAST(qrank AS INT) AS sq_rank, round(cosine, 6) AS cosine
+         |FROM (
+         |  SELECT probe_id, neighbor_id, qrank, cosine,
+         |    row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM rer)
+         |WHERE rank <= 10
+         |ORDER BY probe_id, rank"""
+    }) { (s, dir) =>
+      val e = emb(s, dir)
+      // stage 1: sm08's codebook chain — quantize+dequantize inline
+      // (a serving deployment reads the persisted codes instead:
+      // graft.index.VectorStore)
+      val stRow = sqStatsRow(e, "embedding")
+      val deq = e.crossJoin(broadcast(stRow))
+        .select(col("vec_id"),
+          sqDequantize(
+            sqQuantize(col("embedding"), col("mns"), col("mxs")),
+            col("mns"), col("mxs")).as("deq"))
+      val probes = e.filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val s1 = deq.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          cosine(col("pe"), col("deq")).as("qcos"))
+      val w1 = Window.partitionBy("probe_id")
+        .orderBy(col("qcos").desc, col("vec_id"))
+      val shortlist = s1.withColumn("qrank", row_number().over(w1))
+        .filter(col("qrank") <= RerankShortlist)
+        .select("probe_id", "vec_id", "qrank")
+      // stage 2: exact rerank of the fetched shortlist (sm16 pattern)
+      val full = e.select(col("vec_id"), col("embedding"),
+        l2Norm(col("embedding")).as("nrm"))
+      val probes2 = full
+        .filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("nrm").as("pnrm"))
+      val n2 = col("pnrm") * col("nrm")
+      val rer = full.join(broadcast(shortlist), Seq("vec_id"))
+        .join(broadcast(probes2), Seq("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          col("qrank"),
+          when(n2 === 0.0, lit(0.0))
+            .otherwise(dot(col("pe"), col("embedding")) / n2).as("cosine"))
+      val w2 = Window.partitionBy("probe_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      rer.withColumn("rank", row_number().over(w2))
+        .filter(col("rank") <= 10)
+        .select(col("probe_id"), col("neighbor_id"), col("rank"),
+          col("qrank").as("sq_rank"),
           duckRound(col("cosine"), 6).as("cosine"))
         .orderBy("probe_id", "rank")
     }

@@ -90,6 +90,18 @@ class AnnRecallSpec extends AnyFunSuite {
       SparkEntry.queries("sm08_sq_topk")(spark, dir),
       "probe_id", "neighbor_id"), exact)
     assert(sq >= 0.90, s"sm08 int8 quantization should be near-exact: $sq")
+
+    // SQ + refine (sm17): the exact rerank of sm08's 50-shortlist buys
+    // back the quantization error. Dominance is STRUCTURAL (sm08's
+    // top-10 ⊆ the shortlist, and the rerank returns every exact-top-10
+    // member the shortlist contains), the floor pins today's value.
+    val ref = recall(topSets(
+      SparkEntry.queries("sm17_sq_rerank")(spark, dir),
+      "probe_id", "neighbor_id"), exact)
+    info(s"sm17 recall $ref, sm08 $sq")
+    assert(ref >= sq - 1e-9,
+      s"refine recall $ref fell below its own quantized baseline $sq")
+    assert(ref >= 0.95, s"sm17 refine should be near-exact: $ref")
   }
 
   test("sm16 prefix-rerank recall@10 dominates prefix-only retrieval") {
