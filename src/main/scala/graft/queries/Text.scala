@@ -1877,6 +1877,70 @@ object Text {
             .when(col("n_cjk") > 0, "cjk")
             .otherwise("latin"))
         .orderBy("doc_id")
+    },
+
+    // --- READABILITY scoring (Flesch reading-ease + Flesch–Kincaid
+    //     grade — the classic words/sentence × syllables/word quality
+    //     family, the curation companion to tx08's stopword/length
+    //     heuristics): syllables via the standard vowel-group-run
+    //     heuristic (maximal [aeiouy]+ runs; runs never cross the
+    //     space between words, so one whole-text regexp count equals
+    //     the per-word sum with no explode). The corpus carries no
+    //     sentence punctuation, so sentence boundaries use a
+    //     deterministic device (the tx26/tx44 convention): determiner
+    //     tokens 'the'/'a' terminate a sentence, +1 for the tail —
+    //     per-doc variation comes from real token frequencies and
+    //     both engines count the same rule. Entirely map-side: one
+    //     corpus scan, three in-row counts, zero pre-sort shuffles
+    //     (the pl26 shape). The band classifies on the ROUNDED score,
+    //     so the 60/30 cutpoints compare identical doubles. ---
+    Q("tx45_readability",
+      s"""WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len($DuckToks) AS BIGINT) AS n_words,
+        |    CAST(len(list_filter($DuckToks, t -> t IN ('the', 'a')))
+        |      + 1 AS BIGINT) AS n_sent,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS n_syll
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_words, n_sent, n_syll,
+        |    round(206.835
+        |      - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))
+        |      - 84.6 * (CAST(n_syll AS DOUBLE)
+        |                / CAST(greatest(n_words, 1) AS DOUBLE)), 4) AS flesch,
+        |    round(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))
+        |      + 11.8 * (CAST(n_syll AS DOUBLE)
+        |                / CAST(greatest(n_words, 1) AS DOUBLE))
+        |      - 15.59, 4) AS grade
+        |  FROM c)
+        |SELECT doc_id, n_words, n_sent, n_syll, flesch, grade,
+        |  CASE WHEN flesch >= 60 THEN 'easy'
+        |       WHEN flesch >= 30 THEN 'medium' ELSE 'hard' END AS band
+        |FROM r ORDER BY doc_id""") { (s, dir) =>
+      val counted = docs(s, dir)
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"),
+          size(col("tk")).cast("long").as("n_words"),
+          (size(filter(col("tk"), t => t === "the" || t === "a")) + 1)
+            .cast("long").as("n_sent"),
+          size(regexp_extract_all(lower(col("text")),
+            lit("[aeiouy]+"), lit(0))).cast("long").as("n_syll"))
+      val wps = col("n_words").cast("double") / col("n_sent").cast("double")
+      val spw = col("n_syll").cast("double") /
+        greatest(col("n_words"), lit(1L)).cast("double")
+      counted
+        .withColumn("flesch", duckRound(
+          lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 4))
+        .withColumn("grade", duckRound(
+          lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 4))
+        .withColumn("band",
+          when(col("flesch") >= 60, "easy")
+            .when(col("flesch") >= 30, "medium")
+            .otherwise("hard"))
+        .select("doc_id", "n_words", "n_sent", "n_syll",
+          "flesch", "grade", "band")
+        .orderBy("doc_id")
     }
   )
 }

@@ -179,9 +179,11 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("pl02/pl03: corpus actions are pure projections (one sort exchange)") {
-    // decontamination and hash-splitting must never shuffle the corpus;
-    // their single exchange is the report's final range sort
-    for (q <- Seq("pl02_decontaminate", "pl03_hash_split")) {
+    // decontamination, hash-splitting and readability scoring must
+    // never shuffle the corpus; their single exchange is the report's
+    // final range sort
+    for (q <- Seq("pl02_decontaminate", "pl03_hash_split",
+        "tx45_readability")) {
       val p = plan(q)
       assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 1,
         s"$q gained a shuffle beyond the output sort:\n$p")
