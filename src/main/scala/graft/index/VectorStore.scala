@@ -39,6 +39,57 @@ object VectorStore {
   val NProbe = 2
   val TopK = 10
 
+  /** Per-testdata-dir store for registry queries (sm18), built on
+    * first use in this JVM — the IndexStore.termDocTable convention:
+    * the warehouse persists across JVMs while testdata regenerates,
+    * so a fresh JVM always rebuilds rather than trusting a leftover
+    * artifact. */
+  private val builtByApp =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+  def storeFor(s: SparkSession, dir: String): String = {
+    val name = "graft_vecstore_" + dir.replaceAll("[^A-Za-z0-9]+", "_")
+    builtByApp.getOrElseUpdate(s.sparkContext.applicationId + "/" + name, {
+      clearOrphanLocations(s, name)
+      build(graft.tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")), name)
+    })
+    name
+  }
+
+  /** Each JVM gets a fresh metastore but SHARES the warehouse dir
+    * (the `IndexStore.replaceTable` hazard): a previous JVM's store
+    * leaves managed locations behind with no catalog entry, which
+    * `saveAsTable` refuses to reuse even in overwrite mode. Sweep any
+    * `<name>_*` directory the CURRENT catalog doesn't know; known
+    * tables are left alone — overwrite handles those. */
+  private def clearOrphanLocations(s: SparkSession, name: String): Unit = {
+    val wh = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh))
+      fs.listStatus(wh).foreach { st =>
+        val t = st.getPath.getName
+        if (t.startsWith(name + "_") && !s.catalog.tableExists(t))
+          fs.delete(st.getPath, true)
+      }
+  }
+
+  /** Same hazard, one table: before CREATING `table` via saveAsTable,
+    * drop a leftover managed location the current catalog doesn't
+    * know (a crashed previous JVM's write). Known tables are left
+    * alone — overwrite mode handles those. Every table-creation site
+    * in the store calls this, so a crash can never wedge the NEXT
+    * build the way it wedged the round-13 spec runs. */
+  private[graft] def clearOrphanLocation(s: SparkSession,
+                                         table: String): Unit =
+    if (!s.catalog.tableExists(table)) {
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val p = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+
   /** Assignment + quantization of a vector frame against a codebook:
     * `(vec_id, cid, code)`. The SQ expression trees live in
     * `VectorFunctions` (shared with sm08); `sqQuantize` CLAMPS at the
@@ -81,10 +132,16 @@ object VectorStore {
   private[graft] def servingPrefix(spark: SparkSession, name: String): String =
     prefixOf(name, currentVersion(spark, name))
 
-  /** Write the three artifact tables under `prefix`. */
+  /** Write the four artifact tables under `prefix`. The `_raw` table
+    * carries the full-precision vectors cid-PARTITIONED like the
+    * codes: it lives on disk (codes are the memory-resident scan),
+    * and exists for [[serveTopKRefined]]'s exact-rerank fetch — which
+    * therefore reads only the probed cells' raw partitions. */
   private def buildAt(e: DataFrame, prefix: String): Unit = {
     val spark = e.sparkSession
     graft.expressions.VectorExpressions.ensureRegistered(spark)
+    Seq("centroids", "stats", "codes", "raw")
+      .foreach(t => clearOrphanLocation(spark, s"${prefix}_$t"))
     e.filter(col("vec_id") < Cells)
       .select(col("vec_id").as("cid"),
         col("embedding").cast("array<double>").as("ce"))
@@ -95,7 +152,21 @@ object VectorStore {
     codesOf(e, spark.table(s"${prefix}_stats"), cent)
       .write.mode("overwrite").partitionBy("cid")
       .saveAsTable(s"${prefix}_codes")
+    rawOf(e, cent)
+      .write.mode("overwrite").partitionBy("cid")
+      .saveAsTable(s"${prefix}_raw")
   }
+
+  /** `(vec_id, vec: array<double>, cid)` — the full-precision side of
+    * the artifact, assigned under the same centroids as the codes so
+    * the two tables' partitions always align. */
+  private def rawOf(e: DataFrame,
+                    cent: Seq[(Long, Seq[Double])]): DataFrame =
+    Similarity.nearestCells(
+        e.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", cent, 1, carry = Seq("embedding"))
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("vec"), col("cid"))
 
   /** Build the artifact from an `(vec_id, embedding)` frame. Resets
     * the store to version 1: the pointer is dropped BEFORE any
@@ -132,6 +203,7 @@ object VectorStore {
     val live = withoutDeleted(e, servingPrefix(spark, name), "vec_id")
     val next = currentVersion(spark, name) + 1L
     buildAt(live, prefixOf(name, next))
+    clearOrphanLocation(spark, versionTable(name))
     Seq(next).toDF("v").write.mode("overwrite")
       .saveAsTable(versionTable(name)) // THE swap: one 1-row commit
     dropVersionsExcept(spark, name, keep = next)
@@ -145,14 +217,14 @@ object VectorStore {
                                  keep: Long): Unit = {
     val re = java.util.regex.Pattern.compile(
       java.util.regex.Pattern.quote(name) +
-        "_v(\\d+)_(centroids|stats|codes|tombstones)")
+        "_v(\\d+)_(centroids|stats|codes|raw|tombstones)")
     spark.catalog.listTables().collect().foreach { t =>
       val m = re.matcher(t.name)
       if (m.matches() && m.group(1).toLong != keep)
         spark.sql(s"DROP TABLE IF EXISTS ${t.name}")
     }
     if (keep > 1L)
-      Seq("centroids", "stats", "codes", "tombstones").foreach(s =>
+      Seq("centroids", "stats", "codes", "raw", "tombstones").foreach(s =>
         spark.sql(s"DROP TABLE IF EXISTS ${name}_$s"))
   }
 
@@ -197,6 +269,14 @@ object VectorStore {
       .select(col("vec_id"), col("code"), col("cid"))
       .write.mode("append").partitionBy("cid")
       .saveAsTable(s"${p}_codes")
+    // raw side rides along (legacy codes-only stores skip it — they
+    // predate the refine surface and refuse in serveTopKRefined)
+    if (spark.catalog.tableExists(s"${p}_raw")) {
+      recoverPartitionedStaging(spark, s"${p}_raw")
+      rawOf(newVecs, cent)
+        .write.mode("append").partitionBy("cid")
+        .saveAsTable(s"${p}_raw")
+    }
   }
 
   /** Install a fully-written staged codes table as the live one and
@@ -210,25 +290,34 @@ object VectorStore {
     * but before the staging drop leaves both, the live one wins and
     * the next compact overwrites the leftover. */
   private[graft] def swapCodesFromStaging(spark: SparkSession,
-                                          prefix: String): Unit = {
-    val codes = s"${prefix}_codes"
-    spark.table(codes + "_staging")
-      .repartition(col("cid"))
-      .write.mode("overwrite").partitionBy("cid").saveAsTable(codes)
-    spark.sql(s"DROP TABLE IF EXISTS ${codes}_staging")
-  }
+                                          prefix: String): Unit =
+    swapPartitionedFromStaging(spark, s"${prefix}_codes")
 
   /** Crash recovery for the codes stage-then-swap: no live codes table
     * but a complete staged one means the swap died mid-copy — re-run
     * it. Called by every entry point that reads or writes the codes
     * table. */
   private[graft] def recoverCodesStaging(spark: SparkSession,
-                                         prefix: String): Unit = {
-    val codes = s"${prefix}_codes"
-    if (!spark.catalog.tableExists(codes) &&
-        spark.catalog.tableExists(codes + "_staging"))
-      swapCodesFromStaging(spark, prefix)
+                                         prefix: String): Unit =
+    recoverPartitionedStaging(spark, s"${prefix}_codes")
+
+  /** Install a fully-written staged cid-partitioned table as the live
+    * one (codes or raw) — by COPY, not rename (see
+    * [[swapCodesFromStaging]]'s rationale on the in-memory catalog's
+    * partition-location pitfall). */
+  private[graft] def swapPartitionedFromStaging(spark: SparkSession,
+                                                table: String): Unit = {
+    spark.table(table + "_staging")
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").saveAsTable(table)
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_staging")
   }
+
+  private[graft] def recoverPartitionedStaging(spark: SparkSession,
+                                               table: String): Unit =
+    if (!spark.catalog.tableExists(table) &&
+        spark.catalog.tableExists(table + "_staging"))
+      swapPartitionedFromStaging(spark, table)
 
   private def collectCentroids(spark: SparkSession,
                                table: String): Seq[(Long, Seq[Double])] =
@@ -263,7 +352,10 @@ object VectorStore {
         if (spark.catalog.tableExists(t))
           requested.join(spark.table(t), Seq("vec_id"), "left_anti")
         else requested
-      if (!fresh.isEmpty) fresh.write.mode("append").saveAsTable(t)
+      if (!fresh.isEmpty) {
+        clearOrphanLocation(spark, t) // append CREATES on first delete
+        fresh.write.mode("append").saveAsTable(t)
+      }
     }
   }
 
@@ -290,6 +382,14 @@ object VectorStore {
   private[graft] def purgedCodes(spark: SparkSession,
                                  prefix: String): DataFrame =
     withoutDeleted(spark.table(s"${prefix}_codes"), prefix, "vec_id")
+
+  /** Raw-side purge for the compaction rewrite. The raw table is where
+    * the erasure path MATTERS most: codes are lossy 8-bit projections,
+    * but `_raw` carries the actual embedding — compaction must rewrite
+    * it minus tombstones or the deleted payload survives on disk. */
+  private[graft] def purgedRaw(spark: SparkSession,
+                               prefix: String): DataFrame =
+    withoutDeleted(spark.table(s"${prefix}_raw"), prefix, "vec_id")
 
   private[graft] def clearTombstones(spark: SparkSession,
                                      prefix: String): Unit =
@@ -334,6 +434,63 @@ object VectorStore {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("probe_id", "neighbor_id", "rank", "cosine")
+      .orderBy("probe_id", "rank")
+  }
+
+  /** [[serveTopK]] plus an exact REFINE stage — the sm17 "SQ + refine"
+    * composition served from the ARTIFACT: the quantized scan ranks a
+    * per-probe `shortlist` from the partition-pruned codes, then the
+    * full-precision vectors for only those ≤ |probes|×shortlist rows
+    * are fetched from the cid-partitioned `_raw` table (broadcast
+    * semi-fetch — the bounded shortlist broadcasts into the raw scan,
+    * never the reverse) and re-scored exactly. Output adds `qrank`
+    * (the quantized rank) next to `rank`, so the result exhibits the
+    * reorderings the refine performed. Tombstones are subtracted at
+    * stage 1, so a deleted vector is neither scored nor fetched.
+    * Refuses a codes-only legacy store loudly: serving a refine
+    * surface without raw vectors would silently degrade to quantized
+    * ranks. */
+  def serveTopKRefined(probes: DataFrame, name: String,
+                       nprobe: Int = NProbe, shortlist: Int = 50,
+                       k: Int = TopK): DataFrame = {
+    val spark = probes.sparkSession
+    graft.expressions.VectorExpressions.ensureRegistered(spark)
+    val p = servingPrefix(spark, name)
+    recoverCodesStaging(spark, p)
+    recoverPartitionedStaging(spark, s"${p}_raw")
+    require(spark.catalog.tableExists(s"${p}_raw"),
+      s"store '$name' has no raw-vector table (built before the refine " +
+        "surface): rebuild it to serve refined top-k")
+    val cent = collectCentroids(spark, s"${p}_centroids")
+    val pcells = Similarity.nearestCells(
+      probes.select(col("probe_id"), col("pe").as("embedding")),
+      "probe_id", "embedding", cent, nprobe)
+    val cand = withoutDeleted(spark.table(s"${p}_codes"), p, "vec_id")
+      .join(pcells, Seq("cid"))
+      .join(probes, Seq("probe_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .crossJoin(broadcast(spark.table(s"${p}_stats")))
+    val qscored = cand
+      .select(col("probe_id"), col("cid"), col("vec_id"),
+        VectorFunctions.cosine(col("pe"),
+          VectorFunctions.sqDequantize(col("code"), col("mns"), col("mxs")))
+          .as("qcos"))
+    val wq = Window.partitionBy("probe_id")
+      .orderBy(col("qcos").desc, col("vec_id"))
+    val short = qscored.withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= shortlist)
+      .select("probe_id", "cid", "vec_id", "qrank")
+    val refined = spark.table(s"${p}_raw")
+      .join(broadcast(short), Seq("cid", "vec_id"))
+      .join(probes, Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        col("qrank"),
+        VectorFunctions.cosine(col("pe"), col("vec")).as("cosine"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    refined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "rank", "qrank", "cosine")
       .orderBy("probe_id", "rank")
   }
 }

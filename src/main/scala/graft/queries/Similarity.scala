@@ -1449,6 +1449,200 @@ object Similarity {
           col("qrank").as("sq_rank"),
           duckRound(col("cosine"), 6).as("cosine"))
         .orderBy("probe_id", "rank")
+    },
+
+    // sm17 SERVED FROM THE ARTIFACT (the tx19/sm13 build-once/serve-
+    // many contract, vector-side): `VectorStore.serveTopKRefined` —
+    // IVF cell pruning over the cid-PARTITIONED int8 code table, a
+    // 50-shortlist on the dequantized cosine, then the exact rerank
+    // against the store's own cid-partitioned `_raw` table (broadcast
+    // semi-fetch of the bounded shortlist). The plan touches ONLY
+    // artifact tables — `VectorRefineSpec` additionally proves the
+    // whole path bit-equal to an independent pure-Scala
+    // implementation and that the raw side honors deletes through
+    // compaction. Differs from sm17 exactly as sm06 differs from
+    // sm05: candidates come from the probed cells, not a full scan —
+    // the oracle composes the same IVF assignment on top of sm17's
+    // quantize/refine chain.
+    Q("sm18_refined_from_store", {
+      val qcos = cosineSql("p.pe", "d.deq")
+      val cos = cosineSql("q.pe", "f.embedding")
+      val dist = l2SqSql("e.embedding", "c.ce")
+      val pdist = l2SqSql("p.pe", "c.ce")
+      s"""WITH $sqDeqCtes,
+         |cent AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  WHERE vec_id < ${graft.index.VectorStore.Cells}),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |                         ORDER BY $dist, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |p AS (SELECT vec_id AS probe_id, embedding AS pe
+         |      FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 500),
+         |pcells AS (
+         |  SELECT probe_id, cid FROM (
+         |    SELECT p.probe_id, c.cid,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |                         ORDER BY $pdist, c.cid) AS rn
+         |    FROM p CROSS JOIN cent c)
+         |  WHERE rn <= ${graft.index.VectorStore.NProbe}),
+         |qscored AS (
+         |  SELECT p.probe_id, d.vec_id, $qcos AS qcos
+         |  FROM p
+         |  JOIN pcells pc ON pc.probe_id = p.probe_id
+         |  JOIN assign a ON a.cid = pc.cid
+         |  JOIN dq d ON d.vec_id = a.vec_id AND d.vec_id <> p.probe_id),
+         |short AS (
+         |  SELECT probe_id, vec_id, qrank FROM (
+         |    SELECT probe_id, vec_id,
+         |      row_number() OVER (PARTITION BY probe_id
+         |                         ORDER BY qcos DESC, vec_id) AS qrank
+         |    FROM qscored)
+         |  WHERE qrank <= $RerankShortlist),
+         |q AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+         |      WHERE vec_id % 25 = 0 AND vec_id < 500),
+         |rer AS (
+         |  SELECT sh.probe_id, sh.vec_id AS neighbor_id, sh.qrank,
+         |    $cos AS cosine
+         |  FROM short sh
+         |  JOIN embeddings f ON f.vec_id = sh.vec_id
+         |  JOIN q ON q.probe_id = sh.probe_id)
+         |SELECT probe_id, neighbor_id, CAST(rank AS INT) AS rank,
+         |  CAST(qrank AS INT) AS sq_rank, round(cosine, 6) AS cosine
+         |FROM (
+         |  SELECT probe_id, neighbor_id, qrank, cosine,
+         |    row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM rer)
+         |WHERE rank <= 10
+         |ORDER BY probe_id, rank"""
+    }) { (s, dir) =>
+      val store = graft.index.VectorStore.storeFor(s, dir)
+      val probes = emb(s, dir)
+        .filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      graft.index.VectorStore
+        .serveTopKRefined(probes, store, shortlist = RerankShortlist)
+        .select(col("probe_id"), col("neighbor_id"), col("rank"),
+          col("qrank").as("sq_rank"),
+          duckRound(col("cosine"), 6).as("cosine"))
+        .orderBy("probe_id", "rank")
+    },
+
+    // --- sm19: ANN serving-quality EVAL as a query — per-probe
+    //     recall@10 of the IVF-pruned path (sm03's exact
+    //     configuration) against the brute-force exact baseline
+    //     (sm01's). The metric every ANN deployment watches ships here
+    //     as a first-class operator instead of test-only plumbing
+    //     (`AnnRecallSpec` pins FLOORS at build time; this measures the
+    //     actual per-probe value on the serving corpus, which is what
+    //     a recall dashboard ingests). Cost shape: the exact side is
+    //     the sm01 boundedness argument (≤20 broadcast probes × one
+    //     corpus scan — offline eval at sampled probes, not a serving
+    //     path), the approx side is the partition-pruned IVF search
+    //     itself; the intersection join carries ≤ probes×10 rows.
+    //     Denominator = the probe's exact-neighbor count (= 10 unless
+    //     the corpus has fewer candidates), so the metric stays defined
+    //     at any SF. Rank boundaries are deterministic cross-engine:
+    //     both sides order by the UNROUNDED cosine (bit-identical
+    //     left-fold doubles) then neighbor_id. ---
+    Q("sm19_ivf_recall", {
+      val dist = l2SqSql("e.embedding", "c.ce")
+      val pdist = l2SqSql("p.pe", "c.ce")
+      val icos = cosineSql("p.pe", "v.embedding")
+      val xcos = cosineSql("p.pe", "x.embedding")
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  WHERE vec_id < $IvfCells),
+         |probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+         |  WHERE vec_id % 25 = 0 AND vec_id < 500),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |                         ORDER BY $dist, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |pcells AS (
+         |  SELECT probe_id, cid FROM (
+         |    SELECT p.probe_id, c.cid,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |                         ORDER BY $pdist, c.cid) AS rn
+         |    FROM probes p CROSS JOIN cent c)
+         |  WHERE rn <= $IvfNProbe),
+         |iscored AS (
+         |  SELECT p.probe_id, v.vec_id AS neighbor_id, $icos AS cosine
+         |  FROM probes p
+         |  JOIN pcells pc ON pc.probe_id = p.probe_id
+         |  JOIN assign a ON a.cid = pc.cid
+         |  JOIN embeddings v ON v.vec_id = a.vec_id AND v.vec_id <> p.probe_id),
+         |ivf AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT probe_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY probe_id
+         |                         ORDER BY cosine DESC, neighbor_id) AS rank
+         |    FROM iscored)
+         |  WHERE rank <= 10),
+         |xscored AS (
+         |  SELECT p.probe_id, x.vec_id AS neighbor_id, $xcos AS cosine
+         |  FROM probes p JOIN embeddings x ON x.vec_id <> p.probe_id),
+         |exact AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT probe_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY probe_id
+         |                         ORDER BY cosine DESC, neighbor_id) AS rank
+         |    FROM xscored)
+         |  WHERE rank <= 10),
+         |nx AS (SELECT probe_id, count(*) AS n FROM exact GROUP BY probe_id),
+         |hits AS (
+         |  SELECT x.probe_id, count(*) AS hits
+         |  FROM exact x JOIN ivf i
+         |    ON i.probe_id = x.probe_id AND i.neighbor_id = x.neighbor_id
+         |  GROUP BY x.probe_id)
+         |SELECT p.probe_id,
+         |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+         |  round(CAST(coalesce(h.hits, 0) AS DOUBLE) / nx.n, 4) AS recall
+         |FROM probes p
+         |JOIN nx ON nx.probe_id = p.probe_id
+         |LEFT JOIN hits h ON h.probe_id = p.probe_id
+         |ORDER BY p.probe_id"""
+    }) { (s, dir) =>
+      val e = emb(s, dir)
+      val cent = collectCentroids(e.filter(col("vec_id") < IvfCells)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+      val ivf = ivfTopK(e, cent, IvfNProbe, 10)
+        .select("probe_id", "neighbor_id")
+      // exact baseline — the sm01 path at the same probe set
+      val en = e.select(col("vec_id"), col("embedding"),
+        l2Norm(col("embedding")).as("nrm"))
+      val probes = en.filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("nrm").as("pnrm"))
+      val n = col("pnrm") * col("nrm")
+      val scored = en.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          when(n === 0.0, lit(0.0))
+            .otherwise(dot(col("pe"), col("embedding")) / n).as("cosine"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      val exact = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("probe_id", "neighbor_id")
+      val nx = exact.groupBy("probe_id").agg(count(lit(1)).as("n"))
+      val hits = exact.join(ivf, Seq("probe_id", "neighbor_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as("hits"))
+      probes.select("probe_id")
+        .join(nx, Seq("probe_id"))
+        .join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          duckRound(coalesce(col("hits"), lit(0L)).cast("double") / col("n"), 4)
+            .as("recall"))
+        .orderBy("probe_id")
     }
   )
 

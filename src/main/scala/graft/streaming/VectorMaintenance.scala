@@ -47,6 +47,7 @@ object VectorMaintenance {
     if (!committed) {
       VectorStore.append(batch.select(col("vec_id"), col("embedding")),
         storeName)
+      VectorStore.clearOrphanLocation(spark, markerTable)
       batch.groupBy()
         .agg(count(lit(1)).as("n_vecs"))
         .withColumn("batch_id", lit(batchId))
@@ -89,6 +90,7 @@ object VectorMaintenance {
     val p = VectorStore.servingPrefix(spark, storeName)
     VectorStore.recoverCodesStaging(spark, p)
     val codes = s"${p}_codes"
+    VectorStore.clearOrphanLocation(spark, codes + "_staging")
     VectorStore.purgedCodes(spark, p)
       .repartition(col("cid")) // all rows of a cell in one task → one file
       .write.mode("overwrite").partitionBy("cid")
@@ -97,6 +99,22 @@ object VectorMaintenance {
     // itself, so the only no-live-table window is inside the copy —
     // exactly the window recoverCodesStaging heals
     VectorStore.swapCodesFromStaging(spark, p)
+    // the raw-vector side gets the same rewrite — small-file fold AND
+    // the erasure path's physical purge (the raw table is where the
+    // deleted payload actually lives; codes are lossy projections).
+    // Tombstones are cleared only after BOTH swaps: a crash between
+    // them leaves tombstones anti-joining the already-purged codes (a
+    // no-op) while still hiding the not-yet-purged raw rows.
+    val raw = s"${p}_raw"
+    if (spark.catalog.tableExists(raw)) {
+      VectorStore.recoverPartitionedStaging(spark, raw)
+      VectorStore.clearOrphanLocation(spark, raw + "_staging")
+      VectorStore.purgedRaw(spark, p)
+        .repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid")
+        .saveAsTable(raw + "_staging")
+      VectorStore.swapPartitionedFromStaging(spark, raw)
+    }
     VectorStore.clearTombstones(spark, p)
   }
 

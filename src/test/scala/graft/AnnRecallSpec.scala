@@ -141,4 +141,56 @@ class AnnRecallSpec extends AnyFunSuite {
     // stage's contribution and is what regression-pins here.
     assert(rer >= 0.38, s"sm16 recall regressed: $rer")
   }
+
+  test("sm19 per-probe recall == independent pure-Scala IVF-vs-exact math") {
+    // The EVAL QUERY (sm19) must report exactly what this spec's own
+    // from-scratch implementation measures: centroid assignment, probe
+    // cells, both top-10s and the intersection are all recomputed here
+    // in plain Scala loops with the engine's operation order (per-
+    // element float→double products, left-to-right folds), touching
+    // none of the query's code paths.
+    val vecs = tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cosD(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b))
+      if (n == 0.0) 0.0 else dotD(a, b) / n
+    }
+    def l2sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    val cent = vecs.filter(_._1 < 8).toSeq.sortBy(_._1)
+    def nearestCells(v: Array[Double], n: Int): Seq[Long] =
+      cent.map { case (cid, ce) => (l2sq(v, ce), cid) }
+        .sortBy(identity).take(n).map(_._2)
+    val assign = vecs.map { case (id, v) => id -> nearestCells(v, 1).head }
+    val probes = vecs.keys.filter(id => id % 25 == 0 && id < 500).toSeq.sorted
+    def top10(probe: Long, cands: Iterable[Long]): Set[Long] =
+      cands.filter(_ != probe).toSeq
+        .map(id => (-cosD(vecs(probe), vecs(id)), id))
+        .sortBy(identity).take(10).map(_._2).toSet
+    val expected = probes.map { p =>
+      val cells = nearestCells(vecs(p), 2).toSet
+      val ivf = top10(p, vecs.keys.filter(id => cells(assign(id))))
+      val exact = top10(p, vecs.keys)
+      p -> (ivf.intersect(exact).size.toLong, exact.size)
+    }.toMap
+    val got = SparkEntry.queries("sm19_ivf_recall")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == expected.keySet, "probe sets differ")
+    expected.foreach { case (p, (hits, n)) =>
+      val (gh, gr) = got(p)
+      assert(gh == hits, s"probe $p: query hits $gh != independent $hits")
+      val want = BigDecimal(hits.toDouble / n)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(gr - want) < 5e-5,
+        s"probe $p: query recall $gr != independent $want")
+    }
+  }
 }

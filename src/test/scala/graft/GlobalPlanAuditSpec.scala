@@ -40,6 +40,8 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     "sm05_pq_topk",           // bounded probe LUT broadcast
     "sm08_sq_topk",           // bounded probe + 64-row stats broadcast
     "sm17_sq_rerank",         // same bounded probes, stage-1 =!= pairing
+    "sm18_refined_from_store",// 1-row SQ-stats broadcast (serve path)
+    "sm19_ivf_recall",        // exact-baseline side = sm01's bounded probes
     "sm12_hybrid_rrf",        // 1-row corpus doc-count scalar (tx04 shape)
     "sm13_hybrid_rrf_from_index", // same scalar, from the stats artifact
     "pl30_bootstrap")         // bounded 16-row replicate fan-out frame
