@@ -1941,6 +1941,111 @@ object Text {
         .select("doc_id", "n_words", "n_sent", "n_syll",
           "flesch", "grade", "band")
         .orderBy("doc_id")
+    },
+
+    // --- HEAPS'-LAW vocabulary-growth fit (V = k·Nᵝ, Heaps 1978 —
+    //     the corpus statistic that predicts how a tokenizer's
+    //     vocabulary grows with corpus size, i.e. how tx38's merge
+    //     table will scale before anyone trains it): each document
+    //     contributes one (log tokens, log types) point, the power law
+    //     is fit by least squares in log-log space with the q44
+    //     regression aggregates. 100 TB shape: the type count is
+    //     `array_distinct` WITHIN the row (no explode, no shuffle —
+    //     per-doc dedup is map-side), and the fit itself is a 6-moment
+    //     partial aggregate, so the whole query is one corpus scan
+    //     collapsing to a single row. Rounding at 4 is the q44
+    //     convention for cross-engine regression-moment parity. ---
+    Q("tx46_heaps_fit",
+      s"""WITH d AS (
+         |  SELECT CAST(len($DuckToks) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_distinct($DuckToks)) AS BIGINT) AS n_types
+         |  FROM documents),
+         |pts AS (
+         |  SELECT ln(CAST(n_tokens AS DOUBLE)) AS lx,
+         |         ln(CAST(n_types AS DOUBLE)) AS ly
+         |  FROM d WHERE n_tokens >= 2)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(regr_slope(ly, lx), 4) AS beta,
+         |  round(exp(regr_intercept(ly, lx)), 4) AS k,
+         |  round(regr_r2(ly, lx), 4) AS r2
+         |FROM pts""") { (s, dir) =>
+      docs(s, dir)
+        .select(tokens(col("text")).as("tk"))
+        .select(size(col("tk")).cast("long").as("n_tokens"),
+          size(array_distinct(col("tk"))).cast("long").as("n_types"))
+        .filter(col("n_tokens") >= 2)
+        .select(log(col("n_tokens").cast("double")).as("lx"),
+          log(col("n_types").cast("double")).as("ly"))
+        .agg(count(lit(1)).as("n_docs"),
+          duckRound(regr_slope(col("ly"), col("lx")), 4).as("beta"),
+          duckRound(exp(regr_intercept(col("ly"), col("lx"))), 4).as("k"),
+          duckRound(regr_r2(col("ly"), col("lx")), 4).as("r2"))
+    },
+
+    // --- CODE-vs-PROSE detection (the pretraining-corpus routing
+    //     filter: code goes to a code mixture, prose to text — every
+    //     open corpus pipeline carries one; cf. the rule families in
+    //     Gopher/RefinedWeb appendix filters): symbol density (`;{}()=`
+    //     per 100 chars) plus code-keyword token hits, combined into a
+    //     score classified on the ROUNDED value (the tx45 band
+    //     convention, so the cutpoint compares identical doubles).
+    //     The synthetic corpus carries no real code, so — the
+    //     tx44/sm15 observability convention — a deterministic code
+    //     snippet is injected for doc_id % 37 = 3, making both
+    //     branches of the classifier observable on clean testdata.
+    //     Entirely map-side: one scan, in-row char/keyword counts,
+    //     zero pre-sort shuffles. ---
+    Q("tx47_code_detect",
+      s"""WITH r AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 37 = 3
+         |         THEN ' int x = 0; if (x > 1) { return y(x); }'
+         |         ELSE '' END AS t
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    CAST(length(t) AS BIGINT) AS n_chars,
+         |    CAST(length(t) - length(regexp_replace(t, '[;{}()=]', '', 'g'))
+         |      AS BIGINT) AS n_sym,
+         |    CAST(len(list_filter(
+         |        list_filter(string_split_regex(lower(t), '\\s+'), w -> w <> ''),
+         |        w -> w IN ('int', 'if', 'return', 'for', 'while', 'def')))
+         |      AS BIGINT) AS n_kw
+         |  FROM r),
+         |sc AS (
+         |  SELECT doc_id, n_chars, n_sym, n_kw,
+         |    round(100.0 * CAST(n_sym AS DOUBLE)
+         |            / CAST(greatest(n_chars, 1) AS DOUBLE)
+         |          + 5.0 * CAST(n_kw AS DOUBLE)
+         |            / CAST(greatest(n_chars, 1) AS DOUBLE) * 100.0, 4)
+         |      AS code_score
+         |  FROM c)
+         |SELECT doc_id, n_chars, n_sym, n_kw, code_score,
+         |  CASE WHEN code_score >= 2.0 THEN 'code' ELSE 'prose' END AS kind
+         |FROM sc ORDER BY doc_id""") { (s, dir) =>
+      val kw = Seq("int", "if", "return", "for", "while", "def")
+      val t = concat(col("text"),
+        when(col("doc_id") % 37 === 3,
+          lit(" int x = 0; if (x > 1) { return y(x); }"))
+          .otherwise(lit("")))
+      val counted = docs(s, dir)
+        .select(col("doc_id"), t.as("t"))
+        .select(col("doc_id"),
+          length(col("t")).cast("long").as("n_chars"),
+          (length(col("t")) -
+            length(regexp_replace(col("t"), "[;{}()=]", "")))
+            .cast("long").as("n_sym"),
+          size(filter(tokens(col("t")),
+            w => w.isInCollection(kw))).cast("long").as("n_kw"))
+      val dchars = greatest(col("n_chars"), lit(1L)).cast("double")
+      counted
+        .withColumn("code_score", duckRound(
+          lit(100.0) * col("n_sym").cast("double") / dchars +
+            lit(5.0) * col("n_kw").cast("double") / dchars * lit(100.0), 4))
+        .withColumn("kind",
+          when(col("code_score") >= 2.0, "code").otherwise("prose"))
+        .select("doc_id", "n_chars", "n_sym", "n_kw", "code_score", "kind")
+        .orderBy("doc_id")
     }
   )
 }
