@@ -1,0 +1,190 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.index.VectorStore
+import graft.streaming.RecallMonitor
+
+/** Streaming ANN serving-quality monitor: per-batch recall@K of the
+  * quantized serving path vs exact scores from the raw artifact
+  * matches an independent pure-Scala computation; a healthy feed stays
+  * above the alarm floor while a codebook-stale (drifted) feed dips
+  * below it within one batch; replay is a no-op; the crash window
+  * adopts the orphan row; a codes-only legacy store refuses loudly.
+  */
+class RecallMonitorSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def reset(name: String, extra: String*): Unit =
+    TestWarehouse.reset(spark,
+      Seq("centroids", "stats", "codes", "raw", "tombstones", "version")
+        .map(t => s"${name}_$t") ++ extra: _*)
+
+  private def corpus() = tables.load(spark, dir, "embeddings")
+    .select(col("vec_id"), col("embedding"))
+
+  private def loadVecs(): Map[Long, Array[Double]] = corpus()
+    .select(col("vec_id"), col("embedding").cast("array<double>"))
+    .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+
+  // ---- independent reference implementation (pure Scala, the
+  //      VectorRefineSpec conventions: engine operation order) ----
+  private def l2sq(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+    acc
+  }
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+    if (n == 0.0) 0.0 else dot(a, b) / n
+  }
+
+  /** (mean, min, perProbe) recall of the quantized+pruned serve vs
+    * exact over the stored vectors, for the monitor's capped lowest-id
+    * probe sample of `batchIds` — no Spark plans at all. */
+  private def refRecall(vecs: Map[Long, Array[Double]],
+                        batchIds: Seq[Long]): (Double, Double, Map[Long, Double]) = {
+    val cents = vecs.filter(_._1 < VectorStore.Cells).toSeq.sortBy(_._1)
+    val dim = vecs.head._2.length
+    val mns = (0 until dim).map(d => vecs.values.map(_(d)).min).toArray
+    val mxs = (0 until dim).map(d => vecs.values.map(_(d)).max).toArray
+    def deq(v: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { d =>
+        if (mxs(d) == mns(d)) mns(d)
+        else {
+          val raw = (v(d) - mns(d)) / (mxs(d) - mns(d)) * 255.0
+          val code = math.min(255.0, math.max(0.0, math.floor(raw + 0.5)))
+          mns(d) + (code / 255.0) * (mxs(d) - mns(d))
+        }
+      }
+    def cellsOf(v: Array[Double], keep: Int): Seq[Long] =
+      cents.map { case (cid, ce) => (l2sq(v, ce), cid) }
+        .sorted.take(keep).map(_._2)
+    val assign = vecs.map { case (id, v) => id -> cellsOf(v, 1).head }
+    val probes = batchIds.sorted.take(RecallMonitor.ProbeCap)
+    val per = probes.map { p =>
+      val pe = vecs(p)
+      val pc = cellsOf(pe, VectorStore.NProbe).toSet
+      val approx = vecs.toSeq
+        .filter { case (id, _) => id != p && pc.contains(assign(id)) }
+        .map { case (id, v) => (id, cosine(pe, deq(v))) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(RecallMonitor.K).map(_._1).toSet
+      val exact = vecs.toSeq
+        .filter { case (id, _) => id != p }
+        .map { case (id, v) => (id, cosine(pe, v)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(RecallMonitor.K).map(_._1).toSet
+      p -> approx.intersect(exact).size.toDouble / exact.size
+    }.toMap
+    (per.values.sum / per.size, per.values.min, per)
+  }
+
+  test("streamed per-batch recall == independent math; replay/crash safe") {
+    import spark.implicits._
+    reset("rm", "rm_ledger", "rm_marker")
+    VectorStore.build(corpus(), "rm")
+    val vecs = loadVecs()
+
+    val batch1 = vecs.keys.filter(_ % 3 == 0).toSeq.sorted.take(20)
+    val batch2 = vecs.keys.filter(_ % 3 == 1).toSeq.sorted.take(20)
+
+    val stream = MemoryStream[(Long, Array[Double])](spark)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-rm-ckpt").toString
+    val q = RecallMonitor.maintain(
+      stream.toDF().toDF("vec_id", "embedding"), "rm", "rm_ledger",
+      "rm_marker", ckpt)
+    try {
+      stream.addData(batch1.map(id => (id, vecs(id))))
+      q.processAllAvailable()
+      stream.addData(batch2.map(id => (id, vecs(id))))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val served = RecallMonitor.recalls(spark, "rm_ledger", "rm_marker")
+      .orderBy("batch_id").collect()
+    assert(served.length == 2)
+    Seq(batch1, batch2).zip(served).foreach { case (ids, row) =>
+      val (mean, mn, per) = refRecall(vecs, ids)
+      assert(row.getLong(row.fieldIndex("n_probes")) == per.size)
+      assert(math.abs(row.getDouble(row.fieldIndex("mean_recall")) - mean) < 1e-6,
+        s"mean ${row.getDouble(row.fieldIndex("mean_recall"))} != $mean")
+      assert(math.abs(row.getDouble(row.fieldIndex("min_recall")) - mn) < 1e-6)
+      // healthy feed: probes from the build corpus itself sit far
+      // above the alarm floor (SQ near-exact; loss ≈ cell pruning)
+      assert(!row.getBoolean(row.fieldIndex("alarm")),
+        s"healthy batch alarmed at mean $mean")
+    }
+
+    // replay of a committed batch id is a no-op
+    val before = spark.table("rm_ledger").count()
+    RecallMonitor.recallBatch(
+      batch1.map(id => (id, vecs(id))).toDF("vec_id", "embedding"),
+      0L, "rm", "rm_ledger", "rm_marker")
+    assert(spark.table("rm_ledger").count() == before)
+
+    // crash window: ledger row landed, marker write died — replay
+    // adopts the orphan row instead of duplicating it
+    val crash = batch2.take(5).map(id => (id, vecs(id)))
+      .toDF("vec_id", "embedding")
+    RecallMonitor.recallRow(crash, "rm")
+      .withColumn("batch_id", lit(77L))
+      .select("batch_id", "n_probes", "mean_recall", "min_recall", "alarm")
+      .write.mode("append").saveAsTable("rm_ledger")
+    val orphaned = spark.table("rm_ledger").count()
+    assert(RecallMonitor.recalls(spark, "rm_ledger", "rm_marker")
+      .filter(col("batch_id") === 77L).count() == 0L,
+      "uncommitted orphan row must not serve")
+    RecallMonitor.recallBatch(crash, 77L, "rm", "rm_ledger", "rm_marker")
+    assert(spark.table("rm_ledger").count() == orphaned,
+      "crash-window replay duplicated the recall row")
+    assert(RecallMonitor.recalls(spark, "rm_ledger", "rm_marker")
+      .filter(col("batch_id") === 77L).count() == 1L)
+    spark.catalog.clearCache()
+  }
+
+  test("codebook-stale feed alarms within one batch") {
+    import spark.implicits._
+    reset("rs", "rs_ledger", "rs_marker")
+    VectorStore.build(corpus(), "rs")
+    val vecs = loadVecs()
+    // drift: the same vectors shifted far outside the frozen SQ range
+    // — their codes CLAMP at the range edge, so quantized scores
+    // collapse onto one corner and the shortlist degenerates to id
+    // order while exact cosine still separates them
+    val drifted = vecs.toSeq.sortBy(_._1).take(100)
+      .map { case (id, v) => (id + 100000L, v.map(_ + 10.0)) }
+    VectorStore.append(drifted.toDF("vec_id", "embedding"), "rs")
+
+    val probeIds = drifted.map(_._1).take(RecallMonitor.ProbeCap)
+    val row = RecallMonitor.recallRow(
+      drifted.filter(d => probeIds.contains(d._1))
+        .toDF("vec_id", "embedding"), "rs").collect().head
+    val mean = row.getDouble(row.fieldIndex("mean_recall"))
+    assert(row.getBoolean(row.fieldIndex("alarm")),
+      s"stale-codebook feed did not alarm: mean recall $mean")
+    assert(mean < RecallMonitor.AlarmFloor)
+    spark.catalog.clearCache()
+  }
+
+  test("codes-only legacy store refuses the recall surface") {
+    import spark.implicits._
+    reset("rl")
+    VectorStore.build(corpus(), "rl")
+    spark.sql("DROP TABLE IF EXISTS rl_raw")
+    val probes = Seq((0L, loadVecs()(0L))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      RecallMonitor.recallRow(probes, "rl").collect()
+    }
+    assert(e.getMessage.contains("no raw-vector table"))
+    spark.catalog.clearCache()
+  }
+}
