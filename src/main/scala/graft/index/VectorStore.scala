@@ -250,6 +250,28 @@ object VectorStore {
     if (drifted) Some(rebuild(e, name)) else None
   }
 
+  /** [[rebuild]] gated on the serving-quality signal — the OUTPUT half
+    * of the drift→rebuild arc ([[rebuildIfDrifted]] watches the INPUT
+    * distribution): fire when the LATEST committed
+    * [[graft.streaming.RecallMonitor]] row raised its alarm, i.e. the
+    * quantized serving path measurably lost the arriving probes (a
+    * stale codebook clamps drifted vectors onto the range corner long
+    * before any input histogram names a cause). The retrain runs on
+    * `e` — the CURRENT vector population, drift included — so the new
+    * codebook's per-dim range spans what serving actually faces.
+    * Returns the new version when it fired. */
+  def rebuildIfRecallLow(e: DataFrame, name: String,
+                         recallLedger: String,
+                         recallMarkers: String): Option[Long] = {
+    val spark = e.sparkSession
+    val last = graft.streaming.RecallMonitor
+      .recalls(spark, recallLedger, recallMarkers)
+      .orderBy(col("batch_id").desc).limit(1).collect()
+    if (last.headOption.exists(_.getAs[Boolean]("alarm")))
+      Some(rebuild(e, name))
+    else None
+  }
+
   /** Ingest new vectors into a built store: assign + quantize with the
     * STORED centroids and codebook (never retrained per batch — the
     * IndexMaintenance append contract: unique vec_ids, and the

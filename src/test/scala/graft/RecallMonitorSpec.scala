@@ -175,6 +175,60 @@ class RecallMonitorSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("alarm-gated rebuild retrains the codebook; recall recovers") {
+    import spark.implicits._
+    reset("rr", "rr_ledger", "rr_marker")
+    TestWarehouse.reset(spark,
+      (2 to 3).flatMap(v =>
+        Seq("centroids", "stats", "codes", "raw", "tombstones")
+          .map(t => s"rr_v${v}_$t")): _*)
+    VectorStore.build(corpus(), "rr")
+    val vecs = loadVecs()
+
+    // a healthy committed row must NOT fire the gate
+    val healthy = vecs.keys.toSeq.sorted.take(20)
+    RecallMonitor.recallBatch(
+      healthy.map(id => (id, vecs(id))).toDF("vec_id", "embedding"),
+      0L, "rr", "rr_ledger", "rr_marker")
+    assert(VectorStore.rebuildIfRecallLow(corpus(), "rr",
+      "rr_ledger", "rr_marker").isEmpty,
+      "healthy recall row must not trigger a rebuild")
+    assert(VectorStore.currentVersion(spark, "rr") == 1L)
+
+    // drifted ingest clamps against the frozen codebook; the monitor
+    // commits an alarm row on the drifted probes
+    val drifted = vecs.toSeq.sortBy(_._1).take(100)
+      .map { case (id, v) => (id + 100000L, v.map(_ + 10.0)) }
+    VectorStore.append(drifted.toDF("vec_id", "embedding"), "rr")
+    val probeFrame = drifted.take(RecallMonitor.ProbeCap)
+      .toDF("vec_id", "embedding")
+    RecallMonitor.recallBatch(probeFrame, 1L, "rr", "rr_ledger", "rr_marker")
+    val alarmRow = RecallMonitor.recalls(spark, "rr_ledger", "rr_marker")
+      .filter(col("batch_id") === 1L).collect().head
+    assert(alarmRow.getBoolean(alarmRow.fieldIndex("alarm")),
+      "test premise: drifted feed must alarm")
+    val staleMean = alarmRow.getDouble(alarmRow.fieldIndex("mean_recall"))
+
+    // the gate fires on the committed alarm; the retrain runs on the
+    // CURRENT population so the new per-dim range spans the drift
+    val current = corpus().unionByName(drifted.toDF("vec_id", "embedding"))
+    val fired = VectorStore.rebuildIfRecallLow(current, "rr",
+      "rr_ledger", "rr_marker")
+    assert(fired.contains(2L), s"alarmed ledger must trigger rebuild: $fired")
+    assert(VectorStore.currentVersion(spark, "rr") == 2L)
+
+    // the same probes against the rebuilt store: codes separate again,
+    // recall recovers above the floor (and strictly above the stale
+    // measurement — the rebuild must have bought something)
+    val row = RecallMonitor.recallRow(probeFrame, "rr").collect().head
+    val recovered = row.getDouble(row.fieldIndex("mean_recall"))
+    assert(!row.getBoolean(row.fieldIndex("alarm")),
+      s"rebuilt store still alarms: mean $recovered")
+    assert(recovered > staleMean,
+      s"rebuild did not improve recall: $staleMean -> $recovered")
+    spark.catalog.clearCache()
+  }
+
   test("codes-only legacy store refuses the recall surface") {
     import spark.implicits._
     reset("rl")
