@@ -1068,6 +1068,61 @@ object Dedup {
         .select(col("doc_id"), col("grp"),
           splitSideOf(col("grp")).as("split"))
         .orderBy("doc_id")
+    },
+
+    // --- CHUNK-DEDUP REWRITE (the C4/CCNet line-dedup move — remove
+    //     duplicated spans but KEEP the document; dd09 only REPORTS
+    //     shared fractions, this emits the cleaned corpus): every
+    //     non-overlapping ChunkTokens-token chunk keeps its GLOBALLY
+    //     FIRST occurrence (min (doc_id, idx) over the chunk text),
+    //     later occurrences are dropped, and each doc is REASSEMBLED
+    //     from its surviving chunks in position order plus the
+    //     sub-chunk tail (never deduped — it is not chunk-aligned).
+    //     Output text is the normalized token stream (the dd09
+    //     tokenize), so the rewrite composes with every downstream
+    //     tokenizing stage. Cost shape at 100 TB: one tokenize scan,
+    //     one LINEAR chunk-content shuffle (the dd14 class), one
+    //     doc_id reassembly shuffle — no pair materialization
+    //     anywhere, and keep-first is an AGGREGATION (min(struct)
+    //     partial-aggregates map-side), deliberately not a row_number
+    //     window: a boilerplate chunk repeated across millions of docs
+    //     would put every instance in ONE sorted window partition,
+    //     while the agg costs one row per map partition. The oracle
+    //     hardcodes chunk width 10 = ChunkTokens (the dd09 oracle
+    //     convention — the val initializes after this list). ---
+    Q("dd20_dedup_rewrite",
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, u.idx AS idx, u.chunk AS chunk FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(0, len(tk) // 10),
+        |        i -> {'idx': i, 'chunk': array_to_string(
+        |          tk[i * 10 + 1 : (i + 1) * 10], ' ')})) AS u
+        |    FROM tk)),
+        |kept AS (
+        |  SELECT doc_id, idx, chunk FROM (
+        |    SELECT doc_id, idx, chunk,
+        |      row_number() OVER (PARTITION BY chunk
+        |                         ORDER BY doc_id, idx) AS rn
+        |    FROM c)
+        |  WHERE rn = 1),
+        |ka AS (
+        |  SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+        |    string_agg(chunk, ' ' ORDER BY idx) AS kept_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(len(t.tk) // 10 AS INT) AS n_chunks,
+        |  coalesce(ka.n_kept, 0) AS n_kept,
+        |  concat_ws(' ', nullif(ka.kept_text, ''),
+        |    nullif(array_to_string(
+        |      t.tk[len(t.tk) // 10 * 10 + 1:], ' '), ''))
+        |    AS clean_text
+        |FROM tk t LEFT JOIN ka ON ka.doc_id = t.doc_id
+        |ORDER BY t.doc_id""") { (s, dir) =>
+      dedupRewriteOf(docs(s, dir))
     }
   )
 
@@ -1227,6 +1282,45 @@ object Dedup {
           i => md5(array_join(
             slice(col("tk"), i * ChunkTokens + 1, lit(ChunkTokens)), " ")
             .cast("binary")))).as("ch"))
+  }
+
+  /** The dd20 rewrite as a reusable operator over any `(doc_id, text)`
+    * frame: global keep-first chunk dedup with in-order document
+    * reassembly (surviving chunks by position, then the sub-chunk
+    * tail). Keep-first is min(struct(doc_id, idx)) per chunk text — an
+    * aggregation with map-side partials, immune to the boilerplate-
+    * chunk skew a PARTITION BY chunk window would concentrate. */
+  def dedupRewriteOf(documents: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val tk = documents
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nChunks = (size(col("tk")) / lit(ChunkTokens)).cast("int")
+    val cc = tk.filter(size(col("tk")) >= ChunkTokens)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1), i =>
+          array_join(slice(col("tk"), i * ChunkTokens + 1,
+            lit(ChunkTokens)), " "))))
+      .toDF("doc_id", "idx", "chunk")
+    val kept = cc.groupBy("chunk")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+      .select(col("f.doc_id").as("doc_id"), col("f.idx").as("idx"),
+        col("chunk"))
+    val ka = kept.groupBy("doc_id").agg(
+      count(lit(1)).cast("int").as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("idx"), col("chunk")))),
+        s => s.getField("chunk")), " ").as("kept_text"))
+    tk.select(col("doc_id"), nChunks.as("n_chunks"),
+        array_join(slice(col("tk"), nChunks * lit(ChunkTokens) + 1,
+          size(col("tk")) - nChunks * lit(ChunkTokens)), " ").as("tail"))
+      .join(ka, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        concat_ws(" ",
+          when(col("kept_text") =!= "", col("kept_text")),
+          when(col("tail") =!= "", col("tail"))).as("clean_text"))
+      .orderBy("doc_id")
   }
 
   /** The dd09 report as a reusable operator over any `(doc_id, text)`
