@@ -1739,6 +1739,81 @@ object Pipeline {
             .as("psi"),
           (col("n_buckets") - col("n_occupied")).as("n_missing_buckets"))
         .orderBy("source")
+    },
+
+    // --- PER-EVAL-ITEM n-gram DIRTINESS (the GPT-3 appendix-C report,
+    //     the third contamination angle: pl01 reports TRAINING docs
+    //     carrying benchmark n-grams, pl14 finds fuzzy doc-level
+    //     matches — this scores each EVAL item by the fraction of its
+    //     distinct 5-grams found anywhere in the train side, the
+    //     number a decontamination writeup actually publishes; any
+    //     collision marks the item dirty, exactly the published rule,
+    //     with 5-grams standing in for the paper's 13 on the short
+    //     synthetic docs). Eval set = the doc_id % 5 = 0 slice (pl14's
+    //     convention). Scale shape: the collided set is EVAL-BOUNDED —
+    //     the corpus-width train n-gram stream is semi-joined against
+    //     the broadcast eval n-gram set map-side (the
+    //     ContaminationMonitor direction), never the reverse, and
+    //     everything downstream is eval-sized. Counts are over
+    //     DISTINCT per-doc n-grams (deterministic and
+    //     repeat-insensitive). ---
+    Q("pl37_eval_dirtiness",
+      s"""WITH tk AS (SELECT doc_id, $DuckToks AS tk FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(tk) - 3),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS ngram
+         |  FROM tk),
+         |ev AS (SELECT DISTINCT doc_id, ngram FROM g WHERE doc_id % 5 = 0),
+         |tr AS (SELECT DISTINCT ngram FROM g WHERE doc_id % 5 <> 0),
+         |hit AS (
+         |  SELECT ev.doc_id, CAST(count(*) AS BIGINT) AS n_dirty
+         |  FROM ev JOIN tr ON tr.ngram = ev.ngram
+         |  GROUP BY ev.doc_id),
+         |base AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+         |  FROM ev GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  coalesce(b.n_grams, 0) AS n_grams,
+         |  coalesce(h.n_dirty, 0) AS n_dirty,
+         |  round(CAST(coalesce(h.n_dirty, 0) AS DOUBLE)
+         |    / CAST(greatest(coalesce(b.n_grams, 0), 1) AS DOUBLE), 6)
+         |    AS dirty_frac,
+         |  CASE WHEN coalesce(h.n_dirty, 0) > 0 THEN 'dirty'
+         |       ELSE 'clean' END AS status
+         |FROM tk t
+         |LEFT JOIN base b ON b.doc_id = t.doc_id
+         |LEFT JOIN hit h ON h.doc_id = t.doc_id
+         |WHERE t.doc_id % 5 = 0
+         |ORDER BY t.doc_id""") { (s, dir) =>
+      val tk = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+      val g = tk.select(col("doc_id"),
+        explode(wordNgramsOf(col("tk"), 5)).as("ngram"))
+      val isEval = col("doc_id") % 5 === 0
+      val ev = g.filter(isEval).distinct()
+      val evSet = ev.select("ngram").distinct()
+      // collided set: corpus-width train stream filtered map-side by
+      // the broadcast eval n-grams, THEN distinct'd — eval-bounded
+      val collided = g.filter(!isEval).join(broadcast(evSet), "ngram")
+        .select("ngram").distinct()
+      val hit = ev.join(broadcast(collided), "ngram")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dirty"))
+      val base = ev.groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_grams"))
+      tk.filter(isEval).select("doc_id")
+        .join(base, Seq("doc_id"), "left")
+        .join(hit, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_dirty"), lit(0L)).as("n_dirty"),
+          graft.functions.ParityFunctions.duckRound(
+            coalesce(col("n_dirty"), lit(0L)).cast("double") /
+              greatest(coalesce(col("n_grams"), lit(0L)), lit(1L))
+                .cast("double"), 6).as("dirty_frac"),
+          when(coalesce(col("n_dirty"), lit(0L)) > 0, "dirty")
+            .otherwise("clean").as("status"))
+        .orderBy("doc_id")
     }
   )
 
