@@ -311,10 +311,16 @@ object Similarity {
   /** Per-subspace shuffle-free argmin encoding (the nearestCells
     * pattern): one `code$m` column per subspace. */
   private def pqCodeCols(cents: Seq[(Long, Seq[Double])]): Seq[Column] =
+    pqCodeColsOn(col("embedding"), cents)
+
+  /** [[pqCodeCols]] over an arbitrary vector column — sm20 encodes
+    * RESIDUALS, not raw embeddings, through the same argmin. */
+  private def pqCodeColsOn(vec: Column,
+                           cents: Seq[(Long, Seq[Double])]): Seq[Column] =
     (0 until PqM).map { m =>
       val cands = array(cents.map { case (cid, ce) =>
         struct(
-          l2DistanceSq(slice(col("embedding"), m * PqSub + 1, PqSub),
+          l2DistanceSq(slice(vec, m * PqSub + 1, PqSub),
             typedlit(pqCentSlice(ce, m))).as("d"),
           lit(cid).as("cid"))
       }: _*)
@@ -1643,6 +1649,153 @@ object Similarity {
           duckRound(coalesce(col("hits"), lit(0L)).cast("double") / col("n"), 4)
             .as("recall"))
         .orderBy("probe_id")
+    },
+
+    // --- IVF-PQ with RESIDUAL encoding (the FAISS production default
+    //     sm06 simplifies away: codes quantize r = x − q1(x), the
+    //     vector MINUS its coarse centroid, not x itself — residual
+    //     norms are much smaller than raw norms, so the same 8
+    //     sub-centroids quantize a tighter ball and the same byte
+    //     budget reconstructs finer; Jégou et al. 2011 §IV.C). The LUT
+    //     becomes per-(probe, CELL): the probe's residual differs in
+    //     every probed cell, so the table carries probes × nprobe × M
+    //     × K entries — still probe-bounded, still broadcast. Cost
+    //     shape is EXACTLY sm06's otherwise: shuffle-free residual +
+    //     code projections, cell equi-join candidates, no corpus
+    //     self-join. Residual sub-codebook seeded from the residuals
+    //     of vec_id 8..15 (the first 8 NON-centroid vectors — the
+    //     centroids' own residuals are zero). ---
+    Q("sm20_ivfpq_residual", {
+      val dist = l2SqSql("e.embedding", "c.ce")
+      val pdist = l2SqSql("p.pe", "c.ce")
+      val codeDist = l2SqSql("list_slice(r.rv, s.m*8 + 1, s.m*8 + 8)", "s.cs")
+      val lutDist = l2SqSql("list_slice(pr.pr, s.m*8 + 1, s.m*8 + 8)", "s.cs")
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+         |  FROM embeddings WHERE vec_id < 8),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |                         ORDER BY $dist, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |resid AS (
+         |  SELECT e.vec_id, a.cid,
+         |    list_transform(range(1, len(e.embedding) + 1),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) - c.ce[i]) AS rv
+         |  FROM embeddings e
+         |  JOIN assign a ON a.vec_id = e.vec_id
+         |  JOIN cent c ON c.cid = a.cid),
+         |rcent AS (
+         |  SELECT vec_id - 8 AS rid, rv AS rc FROM resid
+         |  WHERE vec_id >= 8 AND vec_id < 16),
+         |rsub AS (
+         |  SELECT rid, m, list_slice(rc, m*8 + 1, m*8 + 8) AS cs
+         |  FROM rcent CROSS JOIN (SELECT unnest(range(0, 8)) AS m)),
+         |codes AS (
+         |  SELECT vec_id, cid, m, rid AS code FROM (
+         |    SELECT r.vec_id, r.cid, s.m, s.rid,
+         |      row_number() OVER (PARTITION BY r.vec_id, s.m
+         |                         ORDER BY $codeDist, s.rid) AS rn
+         |    FROM resid r CROSS JOIN rsub s)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+         |  WHERE vec_id % 25 = 0 AND vec_id < 500),
+         |pcells AS (
+         |  SELECT probe_id, cid FROM (
+         |    SELECT p.probe_id, c.cid,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |                         ORDER BY $pdist, c.cid) AS rn
+         |    FROM probes p CROSS JOIN cent c)
+         |  WHERE rn <= $IvfNProbe),
+         |pres AS (
+         |  SELECT pc.probe_id, pc.cid,
+         |    list_transform(range(1, len(p.pe) + 1),
+         |      i -> CAST(p.pe[i] AS DOUBLE) - c.ce[i]) AS pr
+         |  FROM pcells pc
+         |  JOIN probes p ON p.probe_id = pc.probe_id
+         |  JOIN cent c ON c.cid = pc.cid),
+         |lut AS (
+         |  SELECT pr.probe_id, pr.cid, s.m, s.rid, $lutDist AS d
+         |  FROM pres pr CROSS JOIN rsub s),
+         |joined AS (
+         |  SELECT pc.probe_id, cd.vec_id, cd.m, l.d
+         |  FROM pcells pc
+         |  JOIN codes cd ON cd.cid = pc.cid AND cd.vec_id <> pc.probe_id
+         |  JOIN lut l ON l.probe_id = pc.probe_id AND l.cid = pc.cid
+         |            AND l.m = cd.m AND l.rid = cd.code),
+         |scored AS (
+         |  SELECT probe_id, vec_id, round($pqTotalSql, 6) AS adist
+         |  FROM joined GROUP BY probe_id, vec_id)
+         |SELECT probe_id, vec_id AS neighbor_id,
+         |  CAST(rank AS BIGINT) AS rank, adist
+         |FROM (
+         |  SELECT probe_id, vec_id, adist,
+         |    row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY adist, vec_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10
+         |ORDER BY probe_id, rank"""
+    }) { (s, dir) =>
+      import s.implicits._
+      val e = emb(s, dir)
+      val cents = collectCentroids(e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+      val centMap = map(cents.flatMap { case (cid, ce) =>
+        Seq(lit(cid), typedlit(ce)) }: _*)
+      // residual projection: shuffle-free (centroids are literals)
+      val resid = nearestCells(
+          e.select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", cents, 1, carry = Seq("embedding"))
+        .withColumn("rv", zip_with(
+          col("embedding").cast("array<double>"),
+          element_at(centMap, col("cid")),
+          (x, c) => x - c))
+      // residual sub-codebook: driver-computed residuals of vecs 8..15
+      // under the SAME argmin/fold order as the engine projections
+      val seedRows = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+        .sortBy(_._1)
+      val rcents: Seq[(Long, Seq[Double])] = seedRows.map { case (id, v) =>
+        val cid = cents.map { case (c, ce) => (l2sqRef(v, ce), c) }.min._2
+        val ce = cents.find(_._1 == cid).get._2
+        (id - 8, v.zip(ce).map { case (x, c) => x - c })
+      }
+      val coded = resid.select(
+        col("vec_id") +: col("cid") +: pqCodeColsOn(col("rv"), rcents): _*)
+      val probeRows = e
+        .filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
+        .select(col("vec_id").cast("long"),
+          col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+        .sortBy(_._1)
+      // per-(probe, cell) LUT: the probe residual differs per cell
+      val plut = probeRows.flatMap { case (pid, pv) =>
+        cents.map { case (c, ce) => (l2sqRef(pv, ce), c) }
+          .sorted.take(IvfNProbe).map(_._2).map { cid =>
+            val ce = cents.find(_._1 == cid).get._2
+            val pr = pv.zip(ce).map { case (x, c) => x - c }
+            (pid, cid, (0 until PqM).map(m =>
+              rcents.map { case (_, rc) =>
+                l2sqRef(pr.slice(m * PqSub, (m + 1) * PqSub),
+                  pqCentSlice(rc, m))
+              }))
+          }
+      }.toDF("probe_id", "cid", "lut")
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("adist"), col("vec_id"))
+      plut.select("probe_id", "cid").join(coded, Seq("cid"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .join(broadcast(plut), Seq("probe_id", "cid"))
+        .withColumn("adist", duckRound(pqScore, 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          col("rank").cast("long").as("rank"), col("adist"))
+        .orderBy("probe_id", "rank")
     }
   )
 

@@ -76,6 +76,20 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(ivfpq >= 0.05, s"sm06 recall collapsed: $ivfpq")
     assert(ivfpq <= pq + 1e-9,
       s"sm06 ($ivfpq) cannot out-recall the full ADC scan ($pq)")
+
+    // Residual IVF-PQ (sm20): same byte budget, same cell pruning,
+    // codes on r = x − q1(x). On UNIFORM synthetic vectors the
+    // residual advantage is structurally invisible — with no cluster
+    // structure ‖r‖ is barely tighter than ‖x‖, so residual and raw
+    // codebooks quantize equally coarse balls (measured today: 0.105
+    // vs sm06's 0.110 — same class, noise apart; on clustered real
+    // corpora residual PQ is the documented production winner). Pin:
+    // same PQ class (far above random ~0.02), floor under today.
+    val respq = recall(topSets(
+      SparkEntry.queries("sm20_ivfpq_residual")(spark, dir),
+      "probe_id", "neighbor_id"), exact)
+    info(s"sm20 residual recall $respq, sm06 raw $ivfpq")
+    assert(respq >= 0.08, s"sm20 recall collapsed: $respq")
   }
 
   test("SQ (int8) recall@10 is near-exact — far above every PQ variant") {
