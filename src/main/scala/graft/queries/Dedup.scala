@@ -1295,17 +1295,35 @@ object Dedup {
     val tk = documents
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val cc = chunkInstancesOf(tk)
+    val kept = cc.groupBy("chunk")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+      .select(col("f.doc_id").as("doc_id"), col("f.idx").as("idx"),
+        col("chunk"))
+    reassembleClean(tk, kept).orderBy("doc_id")
+  }
+
+  /** Positioned chunk instances `(doc_id, idx, chunk)` — shared by
+    * dd20 and the streaming rewriter so the two chunk identically by
+    * construction. */
+  private[graft] def chunkInstancesOf(tk: DataFrame): DataFrame = {
     val nChunks = (size(col("tk")) / lit(ChunkTokens)).cast("int")
-    val cc = tk.filter(size(col("tk")) >= ChunkTokens)
+    tk.filter(size(col("tk")) >= ChunkTokens)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), nChunks - 1), i =>
           array_join(slice(col("tk"), i * ChunkTokens + 1,
             lit(ChunkTokens)), " "))))
       .toDF("doc_id", "idx", "chunk")
-    val kept = cc.groupBy("chunk")
-      .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
-      .select(col("f.doc_id").as("doc_id"), col("f.idx").as("idx"),
-        col("chunk"))
+  }
+
+  /** Per-doc reassembly from surviving chunk instances: kept chunks in
+    * position order, then the sub-chunk tail. `kept` =
+    * `(doc_id, idx, chunk)`; output `(doc_id, n_chunks, n_kept,
+    * clean_text)` — the dd20 schema, shared with the streaming
+    * rewriter. */
+  private[graft] def reassembleClean(tk: DataFrame,
+                                     kept: DataFrame): DataFrame = {
+    val nChunks = (size(col("tk")) / lit(ChunkTokens)).cast("int")
     val ka = kept.groupBy("doc_id").agg(
       count(lit(1)).cast("int").as("n_kept"),
       array_join(transform(
@@ -1320,7 +1338,6 @@ object Dedup {
         concat_ws(" ",
           when(col("kept_text") =!= "", col("kept_text")),
           when(col("tail") =!= "", col("tail"))).as("clean_text"))
-      .orderBy("doc_id")
   }
 
   /** The dd09 report as a reusable operator over any `(doc_id, text)`

@@ -1,0 +1,131 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming dedup-REWRITE (dd20's serving twin — the 19th maintainer,
+  * and the first that emits a CLEANED CORPUS instead of a report or a
+  * ledger alone): every arriving document is rewritten at the door —
+  * chunks already owned by ANY earlier committed batch drop, chunks
+  * first seen in this batch keep exactly their first instance (min
+  * (doc_id, idx), dd20's rule) — and the surviving text is reassembled
+  * in position order plus the never-deduped sub-chunk tail. The global
+  * first-occurrence set lives in a digest ledger (md5 of the chunk
+  * text — the repo-wide collision-free-digest convention; raw chunk
+  * text never crosses a batch boundary), so per-batch work is the
+  * batch's own chunking plus one anti-join against a fixed-width
+  * digest column — nothing re-reads past batches' text.
+  *
+  * Equality contract (spec-pinned): when batches arrive in ascending
+  * doc_id order, the streamed clean corpus equals the one-shot batch
+  * `Dedup.dedupRewriteOf` bit-for-bit — both sides chunk via
+  * `Dedup.chunkInstancesOf` and reassemble via
+  * `Dedup.reassembleClean`, so they can only diverge on WHO owns a
+  * chunk, and ascending arrival makes stream ownership = global
+  * min (doc_id, idx).
+  *
+  * Delivery: the SubstringDedup protocol. Cleaned rows AND ledger rows
+  * are batch_id-partitioned and written with dynamic partition
+  * overwrite, so the crash window (either table's partition visible —
+  * possibly partially — marker missing) overwrites with the full
+  * deterministic row-set on replay; the rewrite reads ledger
+  * partitions with `batch_id < current` only, so a batch can never see
+  * its own crashed leftovers as "prior". Marker last; committed-only
+  * serve. Requires a DURABLE checkpointDir (stable batch ids).
+  */
+object RewriteDedup {
+
+  /** Starts the rewriter: each micro-batch of `newDocs`
+    * (`doc_id`, `text`) lands as cleaned rows in `outTable` and new
+    * first-occurrence digests in `ledgerTable`. */
+  def maintain(newDocs: DataFrame, outTable: String, ledgerTable: String,
+               markerTable: String, checkpointDir: String): StreamingQuery = {
+    require(checkpointDir.nonEmpty,
+      "RewriteDedup.maintain requires a durable checkpointDir: " +
+        "replay-skip markers are only valid against stable batch ids")
+    newDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        rewriteBatch(batch, batchId, outTable, ledgerTable, markerTable)
+      }
+      .start()
+  }
+
+  /** One micro-batch: rewrite against the prior ledger, land cleaned
+    * rows + new digests (both partition-overwritten), marker last. */
+  def rewriteBatch(batch: DataFrame, batchId: Long, outTable: String,
+                   ledgerTable: String, markerTable: String): Unit = {
+    val spark = batch.sparkSession
+    graft.expressions.VectorExpressions.ensureRegistered(spark)
+    val committed = spark.catalog.tableExists(markerTable) &&
+      !spark.table(markerTable).filter(col("batch_id") === batchId).isEmpty
+    if (committed) return
+    val tk = batch
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cc = graft.queries.Dedup.chunkInstancesOf(tk)
+        .withColumn("ch", md5(col("chunk").cast("binary")))
+      // prior owners: committed partitions only — batch_id < current
+      // excludes this batch's own crashed leftovers by construction
+      val prior =
+        if (spark.catalog.tableExists(ledgerTable))
+          spark.table(ledgerTable)
+            .filter(col("batch_id") < batchId).select("ch")
+        else spark.range(0).select(lit("").as("ch")).limit(0)
+      val fresh = cc.join(prior, Seq("ch"), "left_anti")
+      // batch-internal keep-first: the dd20 aggregation (min(struct)
+      // partial-aggregates map-side — no boilerplate-chunk window skew)
+      val first = fresh.groupBy("ch")
+        .agg(min(struct(col("doc_id"), col("idx"), col("chunk"))).as("f"))
+      val kept = first.select(col("f.doc_id").as("doc_id"),
+        col("f.idx").as("idx"), col("f.chunk").as("chunk"))
+      val cleaned = graft.queries.Dedup.reassembleClean(tk, kept)
+        .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+          col("clean_text"), lit(batchId).as("batch_id"))
+      overwritePartition(cleaned, outTable)
+      overwritePartition(
+        first.select(col("ch"), lit(batchId).as("batch_id")), ledgerTable)
+      batch.groupBy().agg(count(lit(1)).as("n_docs"))
+        .withColumn("batch_id", lit(batchId))
+        .select("batch_id", "n_docs")
+        .write.mode("append").saveAsTable(markerTable)
+    } finally tk.unpersist()
+  }
+
+  /** batch_id-partitioned dynamic overwrite (the SubstringDedup write
+    * path): first batch creates the layout, later batches replace
+    * exactly their own partition — a crashed partial partition is
+    * overwritten whole on replay. */
+  private def overwritePartition(rows: DataFrame, table: String): Unit = {
+    val spark = rows.sparkSession
+    if (!spark.catalog.tableExists(table))
+      rows.write.partitionBy("batch_id").saveAsTable(table)
+    else {
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prior = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try rows.write.mode("overwrite").insertInto(table)
+      finally prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
+  /** Committed cleaned rows only (empty-but-typed before any commit). */
+  def cleaned(spark: SparkSession, outTable: String,
+              markerTable: String): DataFrame = {
+    if (!spark.catalog.tableExists(outTable) ||
+        !spark.catalog.tableExists(markerTable))
+      return spark.range(0).select(col("id").as("doc_id"),
+        lit(0).as("n_chunks"), lit(0).as("n_kept"),
+        lit("").as("clean_text"), lit(0L).as("batch_id"))
+    spark.table(outTable)
+      .join(broadcast(spark.table(markerTable).select("batch_id")),
+        Seq("batch_id"), "left_semi")
+  }
+}
