@@ -167,6 +167,10 @@ object Similarity {
   private val PrefixDims = 16
   private val RerankShortlist = 50
 
+  // sm21 diversity suppression: a shortlist member too close (cosine)
+  // to any BETTER-ranked member is dropped before the final top-k
+  private[graft] val DiversityTau = 0.4
+
   /** Shared DuckDB CTE chain ending in `dq(vec_id, deq)` — the
     * scalar-quantized-then-dequantized corpus (sm08's codebook math,
     * one text so sm08 and sm17 can never drift). */
@@ -1795,6 +1799,104 @@ object Similarity {
         .filter(col("rank") <= 10)
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
           col("rank").cast("long").as("rank"), col("adist"))
+        .orderBy("probe_id", "rank")
+    },
+
+    // --- DIVERSITY-filtered top-k (result near-dup suppression — the
+    //     rerank every RAG stack runs so the 10 slots aren't 10 copies
+    //     of one passage): a shortlist member whose cosine to any
+    //     BETTER-ranked member is ≥ τ drops before the final top-k.
+    //     This is the ONE-SHOT dominance relaxation of greedy MMR
+    //     (Carbonell & Goldstein 1998), chosen deliberately: a
+    //     suppressed member here still suppresses others (greedy
+    //     wouldn't let it), which over-suppresses slightly but makes
+    //     the operator pure SET ALGEBRA — shortlist self-join +
+    //     anti-join — instead of a k-step sequential loop no engine
+    //     parallelizes. Cost shape: the sm01 scored scan, then
+    //     everything is SHORTLIST-bounded — the pair join carries ≤
+    //     probes × 50 × 50 rows at ANY corpus size. `short_rank`
+    //     travels next to `rank` so the output exhibits exactly which
+    //     slots diversity re-opened. ---
+    Q("sm21_diverse_topk", {
+      val cos = cosineSql("p.pe", "e.embedding")
+      val pairCos = cosineSql("ea.embedding", "eb.embedding")
+      s"""WITH p AS (
+         |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+         |  WHERE vec_id % 25 = 0 AND vec_id < 500),
+         |scored AS (
+         |  SELECT p.probe_id, e.vec_id, $cos AS cosine
+         |  FROM p JOIN embeddings e ON e.vec_id <> p.probe_id),
+         |short AS (
+         |  SELECT probe_id, vec_id, cosine, srank FROM (
+         |    SELECT probe_id, vec_id, cosine,
+         |      row_number() OVER (PARTITION BY probe_id
+         |                         ORDER BY cosine DESC, vec_id) AS srank
+         |    FROM scored)
+         |  WHERE srank <= $RerankShortlist),
+         |sup AS (
+         |  SELECT DISTINCT a.probe_id, a.vec_id
+         |  FROM short a
+         |  JOIN short b ON b.probe_id = a.probe_id AND b.srank < a.srank
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |  WHERE $pairCos >= $DiversityTau),
+         |surv AS (
+         |  SELECT s.probe_id, s.vec_id, s.cosine, s.srank
+         |  FROM short s
+         |  WHERE NOT EXISTS (SELECT 1 FROM sup
+         |                    WHERE sup.probe_id = s.probe_id
+         |                      AND sup.vec_id = s.vec_id))
+         |SELECT probe_id, vec_id AS neighbor_id, CAST(rank AS INT) AS rank,
+         |  CAST(srank AS INT) AS short_rank, round(cosine, 6) AS cosine
+         |FROM (
+         |  SELECT probe_id, vec_id, cosine, srank,
+         |    row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY srank) AS rank
+         |  FROM surv)
+         |WHERE rank <= 10
+         |ORDER BY probe_id, rank"""
+    }) { (s, dir) =>
+      val e = emb(s, dir)
+      val en = e.select(col("vec_id"), col("embedding"),
+        l2Norm(col("embedding")).as("nrm"))
+      val probes = en
+        .filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("nrm").as("pnrm"))
+      val n = col("pnrm") * col("nrm")
+      val scored = en.join(broadcast(probes),
+          col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"), col("embedding"),
+          col("nrm"),
+          when(n === 0.0, lit(0.0))
+            .otherwise(dot(col("pe"), col("embedding")) / n).as("cosine"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cosine").desc, col("vec_id"))
+      // shortlist persists: it feeds both sides of the pair join AND
+      // the survivor anti-join (callers own the cache lifecycle)
+      val short = scored.withColumn("srank", row_number().over(w))
+        .filter(col("srank") <= RerankShortlist)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val a = short.select(col("probe_id"), col("vec_id"),
+        col("srank"), col("embedding").as("a_vec"), col("nrm").as("a_nrm"))
+      val b = short.select(col("probe_id"),
+        col("srank").as("b_rank"), col("embedding").as("b_vec"),
+        col("nrm").as("b_nrm"))
+      val pn = col("a_nrm") * col("b_nrm")
+      val sup = a.join(b, Seq("probe_id"))
+        .filter(col("b_rank") < col("srank"))
+        .filter(when(pn === 0.0, lit(0.0))
+          .otherwise(dot(col("a_vec"), col("b_vec")) / pn)
+          >= DiversityTau)
+        .select("probe_id", "vec_id").distinct()
+      val w2 = Window.partitionBy("probe_id").orderBy("srank")
+      short.join(sup, Seq("probe_id", "vec_id"), "left_anti")
+        .withColumn("rank", row_number().over(w2))
+        .filter(col("rank") <= 10)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          col("rank").cast("int").as("rank"),
+          col("srank").cast("int").as("short_rank"),
+          duckRound(col("cosine"), 6).as("cosine"))
         .orderBy("probe_id", "rank")
     }
   )

@@ -156,6 +156,42 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(rer >= 0.38, s"sm16 recall regressed: $rer")
   }
 
+  test("sm21 diverse top-k: returned set is pairwise under tau; slots reopened") {
+    // The operator's guarantee: ANY two returned neighbors of one probe
+    // have pairwise cosine < tau (one of them is the better-shortlist-
+    // ranked; had the pair crossed tau, the worse one would have been
+    // suppressed). Verified against from-scratch cosine math on the
+    // raw vectors, plus the premise that suppression visibly reopened
+    // at least one slot (rank != short_rank somewhere) — without it
+    // this test would pass on a plain top-k.
+    val vecs = tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cosD(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b))
+      if (n == 0.0) 0.0 else dotD(a, b) / n
+    }
+    val out = SparkEntry.queries("sm21_diverse_topk")(spark, dir)
+      .select("probe_id", "neighbor_id", "rank", "short_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(out.nonEmpty)
+    assert(out.exists { case (_, _, rank, srank) => rank != srank },
+      "premise: suppression should visibly reopen some slot")
+    out.groupBy(_._1).foreach { case (p, rows) =>
+      val ids = rows.map(_._2)
+      for (i <- ids.indices; j <- (i + 1) until ids.length) {
+        val c = cosD(vecs(ids(i)), vecs(ids(j)))
+        assert(c < graft.queries.Similarity.DiversityTau,
+          s"probe $p returned a non-diverse pair ${ids(i)}/${ids(j)}: $c")
+      }
+    }
+    spark.catalog.clearCache()
+  }
+
   test("sm19 per-probe recall == independent pure-Scala IVF-vs-exact math") {
     // The EVAL QUERY (sm19) must report exactly what this spec's own
     // from-scratch implementation measures: centroid assignment, probe

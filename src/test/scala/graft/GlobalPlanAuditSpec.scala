@@ -42,6 +42,7 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     "sm17_sq_rerank",         // same bounded probes, stage-1 =!= pairing
     "sm18_refined_from_store",// 1-row SQ-stats broadcast (serve path)
     "sm19_ivf_recall",        // exact-baseline side = sm01's bounded probes
+    "sm21_diverse_topk",      // sm01's bounded probes; pairs shortlist-bounded
     "sm12_hybrid_rrf",        // 1-row corpus doc-count scalar (tx04 shape)
     "sm13_hybrid_rrf_from_index", // same scalar, from the stats artifact
     "pl30_bootstrap")         // bounded 16-row replicate fan-out frame
