@@ -170,6 +170,13 @@ object TextFunctions {
   def fingerprint2(text: Column): Column =
     call_function("graft_fingerprint2", text)
 
+  /** Jaro-Winkler similarity of two strings — the codegen'd
+    * `graft.expressions.JaroWinkler`, semantics pinned to DuckDB's
+    * `jaro_winkler_similarity` (which is therefore its own oracle):
+    * boost only past jaro 0.7, prefix capped at 4, zero-match → 0.0. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    call_function("graft_jaro_winkler", a, b)
+
   /** Character n-gram shingles of the normalized text (distinct).
     * The dedup building block: MinHash/Jaccard run over these.
     */

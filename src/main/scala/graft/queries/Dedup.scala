@@ -1123,6 +1123,59 @@ object Dedup {
         |FROM tk t LEFT JOIN ka ON ka.doc_id = t.doc_id
         |ORDER BY t.doc_id""") { (s, dir) =>
       dedupRewriteOf(docs(s, dir))
+    },
+
+    // --- BEST-MATCH entity resolution under Jaro-Winkler (dd11's
+    //     production upgrade: Levenshtein ranks by raw edit count,
+    //     which mis-ranks the prefix-matching name pairs record
+    //     linkage cares about — Winkler 1990's prefix boost exists for
+    //     exactly that): same last-token blocking as dd11 (candidates
+    //     are an EQUI-join, never a cross join), each name scored
+    //     against its block peers by the native codegen'd
+    //     `graft.expressions.JaroWinkler` (semantics pinned to
+    //     DuckDB's `jaro_winkler_similarity`, which is therefore its
+    //     own oracle), and assigned its single best match — argmax per
+    //     name over (jw DESC, candidate). Both engines filter AND rank
+    //     on the round-6 value so a cross-engine ULP difference in the
+    //     double arithmetic can never flip the threshold or a
+    //     near-tie (ties at 6dp break on the candidate name). ---
+    Q("dd21_best_match",
+      """WITH names AS (
+        |  SELECT p_name FROM part GROUP BY p_name),
+        |cand AS (
+        |  SELECT a.p_name AS name, b.p_name AS cand,
+        |    round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+        |  FROM names a JOIN names b
+        |    ON string_split(a.p_name, ' ')[-1] = string_split(b.p_name, ' ')[-1]
+        |   AND a.p_name <> b.p_name),
+        |hits AS (SELECT name, cand, jw FROM cand WHERE jw >= 0.85)
+        |SELECT name, cand AS best_match, jw FROM (
+        |  SELECT name, cand, jw,
+        |    row_number() OVER (PARTITION BY name
+        |                       ORDER BY jw DESC, cand) AS rn
+        |  FROM hits)
+        |WHERE rn = 1
+        |ORDER BY name""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      // persist: both self-join sides read the same distinct-names
+      // aggregation (the dd11 convention)
+      val names = tables.load(s, dir, "part")
+        .groupBy("p_name").agg(count(lit(1)).as("n_parts"))
+        .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val a = names.select(col("p_name").as("name"), col("blk"))
+      val b = names.select(col("p_name").as("cand"), col("blk"))
+      val hits = a.join(b, Seq("blk"))
+        .filter(col("name") =!= col("cand"))
+        .withColumn("jw", duckRound(
+          jaroWinkler(col("name"), col("cand")), 6))
+        .filter(col("jw") >= 0.85)
+      val w = Window.partitionBy("name")
+        .orderBy(col("jw").desc, col("cand"))
+      hits.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("name"), col("cand").as("best_match"), col("jw"))
+        .orderBy("name")
     }
   )
 
