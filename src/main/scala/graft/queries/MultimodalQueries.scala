@@ -264,6 +264,70 @@ object MultimodalQueries {
             (col("chunk_idx") * ChunkBytes + 1).cast("int"), lit(ChunkBytes))
             .cast("binary")).as("frame_md5"))
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // --- BLOB integrity AUDIT (sm15's binary twin — the gate a media
+    //     corpus passes BEFORE any decode job burns GPU-hours on
+    //     corrupt payloads): every blob classified in one map-side
+    //     pass against its carried envelope — magic bytes vs the head,
+    //     declared length vs actual, carried checksum vs computed —
+    //     with deterministic precedence empty > bad_magic > truncated
+    //     > checksum_mismatch > ok (an empty payload fails every later
+    //     probe; report the root cause, not the cascade). Defects are
+    //     injected from doc_id residue classes (the sm15/tx44 device)
+    //     so every counter is observable on clean testdata: %41=5
+    //     drops the magic prefix, %43=7 over-declares the length,
+    //     %47=9 corrupts the carried digest, %53=11 empties the
+    //     payload. One corpus scan collapsing to ≤5 rows. ---
+    Q("mm07_blob_integrity", {
+      val payload =
+        s"""CASE WHEN doc_id % 53 = 11 THEN ''
+           |     WHEN doc_id % 41 = 5 THEN text
+           |     ELSE 'MAGI' || text END""".stripMargin.replace("\n", " ")
+      s"""WITH r AS (
+         |  SELECT doc_id, $payload AS payload,
+         |    octet_length(CAST(($payload) AS BLOB))
+         |      + CASE WHEN doc_id % 43 = 7 THEN 100 ELSE 0 END AS declared_len,
+         |    CASE WHEN doc_id % 47 = 9 THEN md5(($payload) || 'x')
+         |         ELSE md5($payload) END AS carried_md5
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    CASE
+         |      WHEN octet_length(CAST(payload AS BLOB)) = 0 THEN 'empty'
+         |      WHEN substring(payload, 1, 4) <> 'MAGI' THEN 'bad_magic'
+         |      WHEN declared_len <> octet_length(CAST(payload AS BLOB))
+         |        THEN 'truncated'
+         |      WHEN carried_md5 <> md5(payload) THEN 'checksum_mismatch'
+         |      ELSE 'ok' END AS status
+         |  FROM r)
+         |SELECT status, CAST(count(*) AS BIGINT) AS n_blobs
+         |FROM c GROUP BY status ORDER BY status"""
+    }) { (s, dir) =>
+      val payload = when(col("doc_id") % 53 === 11, lit(""))
+        .when(col("doc_id") % 41 === 5, col("text"))
+        .otherwise(concat(lit("MAGI"), col("text")))
+      val r = docs(s, dir).select(col("doc_id"), payload.as("payload"))
+        .select(col("doc_id"), col("payload"),
+          (Multimodal.byteLength(Multimodal.blobOf(col("payload"))) +
+            when(col("doc_id") % 43 === 7, 100L).otherwise(0L))
+            .as("declared_len"),
+          when(col("doc_id") % 47 === 9,
+            md5(concat(col("payload"), lit("x")).cast("binary")))
+            .otherwise(md5(col("payload").cast("binary")))
+            .as("carried_md5"))
+      r.select(col("doc_id"),
+          when(Multimodal.byteLength(Multimodal.blobOf(col("payload"))) === 0,
+            "empty")
+            .when(substring(col("payload"), 1, 4) =!= "MAGI", "bad_magic")
+            .when(col("declared_len") =!=
+              Multimodal.byteLength(Multimodal.blobOf(col("payload"))),
+              "truncated")
+            .when(col("carried_md5") =!= md5(col("payload").cast("binary")),
+              "checksum_mismatch")
+            .otherwise("ok").as("status"))
+        .groupBy("status").agg(count(lit(1)).as("n_blobs"))
+        .orderBy("status")
     }
   )
 }
