@@ -35,7 +35,11 @@ object VectorStore {
   /** Fixed coarse quantizer: the vectors with vec_id < Cells (the sm03
     * convention — deterministic, and at build time any trained
     * centroid set can be dropped in instead). */
-  val Cells = 8
+  val Cells = 8 // build-time DEFAULT only: every serve/append path
+  // derives the actual cell count from the artifact's own centroids
+  // table, so a store built at another `cells` (clusters want
+  // hundreds — SURVEY §6b) is SELF-DESCRIBING and no consumer can
+  // mismatch it
   val NProbe = 2
   val TopK = 10
 
@@ -137,12 +141,13 @@ object VectorStore {
     * codes: it lives on disk (codes are the memory-resident scan),
     * and exists for [[serveTopKRefined]]'s exact-rerank fetch — which
     * therefore reads only the probed cells' raw partitions. */
-  private def buildAt(e: DataFrame, prefix: String): Unit = {
+  private def buildAt(e: DataFrame, prefix: String,
+                      cells: Int = Cells): Unit = {
     val spark = e.sparkSession
     graft.expressions.VectorExpressions.ensureRegistered(spark)
     Seq("centroids", "stats", "codes", "raw")
       .foreach(t => clearOrphanLocation(spark, s"${prefix}_$t"))
-    e.filter(col("vec_id") < Cells)
+    e.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cid"),
         col("embedding").cast("array<double>").as("ce"))
       .write.mode("overwrite").saveAsTable(s"${prefix}_centroids")
@@ -173,8 +178,8 @@ object VectorStore {
     * versioned tables, so serving flips to the freshly-built bare
     * layout first and a crash mid-cleanup never leaves the pointer
     * naming dropped tables. */
-  def build(e: DataFrame, name: String): Unit = {
-    buildAt(e, name)
+  def build(e: DataFrame, name: String, cells: Int = Cells): Unit = {
+    buildAt(e, name, cells)
     e.sparkSession.sql(s"DROP TABLE IF EXISTS ${versionTable(name)}")
     // a from-scratch build starts with no deletions: a stale tombstone
     // set from the store's previous life would silently hide vectors
@@ -197,12 +202,12 @@ object VectorStore {
     * reached the index before the upstream table) can never be
     * resurrected by a drift-triggered retrain. Returns the new version
     * number. */
-  def rebuild(e: DataFrame, name: String): Long = {
+  def rebuild(e: DataFrame, name: String, cells: Int = Cells): Long = {
     val spark = e.sparkSession
     import spark.implicits._
     val live = withoutDeleted(e, servingPrefix(spark, name), "vec_id")
     val next = currentVersion(spark, name) + 1L
-    buildAt(live, prefixOf(name, next))
+    buildAt(live, prefixOf(name, next), cells)
     clearOrphanLocation(spark, versionTable(name))
     Seq(next).toDF("v").write.mode("overwrite")
       .saveAsTable(versionTable(name)) // THE swap: one 1-row commit

@@ -53,33 +53,46 @@ object RecallMonitor {
     * feed collapses toward random (K/n). */
   val AlarmFloor = 0.2
 
-  /** Starts the monitor: one recall row per micro-batch of `newProbes`
-    * (`vec_id`, `embedding`) into `ledgerTable`. */
+  /** Starts the monitor: one recall row per SCORED micro-batch of
+    * `newProbes` (`vec_id`, `embedding`) into `ledgerTable`.
+    *
+    * `scoreEvery`: eval cadence — the ground-truth side is a full
+    * raw-artifact scan per scored batch (an eval job riding the
+    * micro-batch cadence), so large artifacts score every Nth batch:
+    * batches with `batchId % scoreEvery != 0` commit their marker but
+    * write no recall row. Cadence is keyed on the STABLE batch id, so
+    * replays skip and score identically. */
   def maintain(newProbes: DataFrame, storeName: String, ledgerTable: String,
-               markerTable: String, checkpointDir: String): StreamingQuery = {
+               markerTable: String, checkpointDir: String,
+               scoreEvery: Int = 1): StreamingQuery = {
     require(checkpointDir.nonEmpty,
       "RecallMonitor.maintain requires a durable checkpointDir: " +
         "replay-skip markers are only valid against stable batch ids")
+    require(scoreEvery >= 1, s"scoreEvery must be >= 1, got $scoreEvery")
     newProbes.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        recallBatch(batch, batchId, storeName, ledgerTable, markerTable)
+        recallBatch(batch, batchId, storeName, ledgerTable, markerTable,
+          scoreEvery)
       }
       .start()
   }
 
-  /** One micro-batch: recall row vs the serving artifact, then the
-    * commit marker. Replay-safe; crash window closed by adoption. */
+  /** One micro-batch: recall row vs the serving artifact (when this
+    * batch is on the scoring cadence), then the commit marker.
+    * Replay-safe; crash window closed by adoption. */
   def recallBatch(batch: DataFrame, batchId: Long, storeName: String,
-                  ledgerTable: String, markerTable: String): Unit = {
+                  ledgerTable: String, markerTable: String,
+                  scoreEvery: Int = 1): Unit = {
     val spark = batch.sparkSession
     val committed = spark.catalog.tableExists(markerTable) &&
       !spark.table(markerTable).filter(col("batch_id") === batchId).isEmpty
     if (!committed) {
-      val orphaned = spark.catalog.tableExists(ledgerTable) &&
+      val scored = batchId % scoreEvery == 0
+      val orphaned = scored && spark.catalog.tableExists(ledgerTable) &&
         !spark.table(ledgerTable).filter(col("batch_id") === batchId).isEmpty
-      if (!orphaned) {
+      if (scored && !orphaned) {
         VectorStore.clearOrphanLocation(spark, ledgerTable)
         recallRow(batch, storeName)
           .withColumn("batch_id", lit(batchId))

@@ -175,6 +175,32 @@ class RecallMonitorSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("scoreEvery cadence: off-cadence batches commit without scoring") {
+    import spark.implicits._
+    reset("rc", "rc_ledger", "rc_marker")
+    VectorStore.build(corpus(), "rc")
+    val vecs = loadVecs()
+    val ids = vecs.keys.toSeq.sorted.take(10)
+    def frame(off: Int) = ids.map(id => (id, vecs(id)))
+      .toDF("vec_id", "embedding")
+    // every-2nd cadence: batch 0 scores, batch 1 commits unscored,
+    // batch 2 scores
+    (0L to 2L).foreach(b => RecallMonitor.recallBatch(frame(b.toInt), b,
+      "rc", "rc_ledger", "rc_marker", scoreEvery = 2))
+    val scored = RecallMonitor.recalls(spark, "rc_ledger", "rc_marker")
+      .select("batch_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(scored == Seq(0L, 2L),
+      s"every-2nd cadence must score batches 0 and 2 only: $scored")
+    assert(spark.table("rc_marker").count() == 3L,
+      "every batch must commit its marker, scored or not")
+    // replay of the unscored batch stays a no-op — no late scoring
+    RecallMonitor.recallBatch(frame(1), 1L, "rc", "rc_ledger", "rc_marker",
+      scoreEvery = 2)
+    assert(spark.table("rc_ledger").count() == 2L &&
+      spark.table("rc_marker").count() == 3L)
+    spark.catalog.clearCache()
+  }
+
   test("alarm-gated rebuild retrains the codebook; recall recovers") {
     import spark.implicits._
     reset("rr", "rr_ledger", "rr_marker")

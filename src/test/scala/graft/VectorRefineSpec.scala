@@ -50,8 +50,9 @@ class VectorRefineSpec extends AnyFunSuite {
   /** (probe, neighbor, rank, qrank, cosine) of the full refined path,
     * computed with no Spark plans at all. */
   private def refRefined(vecs: Map[Long, Array[Double]],
-                         probeIds: Seq[Long]): Set[(Long, Long, Int, Int, Double)] = {
-    val cents = vecs.filter(_._1 < VectorStore.Cells).toSeq.sortBy(_._1)
+                         probeIds: Seq[Long],
+                         cells: Int = VectorStore.Cells): Set[(Long, Long, Int, Int, Double)] = {
+    val cents = vecs.filter(_._1 < cells).toSeq.sortBy(_._1)
     val dim = vecs.head._2.length
     val mns = (0 until dim).map(d => vecs.values.map(_(d)).min).toArray
     val mxs = (0 until dim).map(d => vecs.values.map(_(d)).max).toArray
@@ -108,6 +109,27 @@ class VectorRefineSpec extends AnyFunSuite {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert("Location:[^\\n]*embeddings".r.findAllIn(p).isEmpty,
       s"refined serve plan scans the corpus:\n$p")
+  }
+
+  test("non-default cell count is self-describing: serve derives it from the artifact") {
+    import spark.implicits._
+    reset("vc16")
+    // clusters run hundreds of cells (SURVEY §6b); the store records
+    // the count in its own centroids table, so no consumer carries a
+    // matching parameter — build at 16, serve with ZERO extra args
+    VectorStore.build(corpus(), "vc16", cells = 16)
+    assert(spark.table("vc16_centroids").count() == 16L)
+    val vecs = loadVecs()
+    val probeIds = vecs.keys.filter(id => id % 50 == 0 && id < 400).toSeq.sorted
+    val probes = probeIds.map(p => (p, vecs(p))).toDF("probe_id", "pe")
+    val got = VectorStore.serveTopKRefined(probes, "vc16",
+        shortlist = Shortlist).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getDouble(4))).toSet
+    val expected = refRefined(vecs, probeIds, cells = 16)
+    assert(expected.nonEmpty && got == expected,
+      "16-cell store must serve exactly the 16-cell reference math")
+    spark.catalog.clearCache()
   }
 
   test("deletes: hidden from refined serve; compact purges the raw payload") {
