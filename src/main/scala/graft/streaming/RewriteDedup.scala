@@ -69,13 +69,11 @@ object RewriteDedup {
     try {
       val cc = graft.queries.Dedup.chunkInstancesOf(tk)
         .withColumn("ch", md5(col("chunk").cast("binary")))
-      // prior owners: committed partitions only — batch_id < current
-      // excludes this batch's own crashed leftovers by construction
-      val prior =
-        if (spark.catalog.tableExists(ledgerTable))
-          spark.table(ledgerTable)
-            .filter(col("batch_id") < batchId).select("ch")
-        else spark.range(0).select(lit("").as("ch")).limit(0)
+      // prior owners: the bucketed compact table (all folded batches
+      // committed by construction) plus live committed partitions
+      // above its high-water — batch_id < current excludes this
+      // batch's own crashed leftovers by construction
+      val prior = priorOwners(spark, ledgerTable, batchId)
       val fresh = cc.join(prior, Seq("ch"), "left_anti")
       // batch-internal keep-first: the dd20 aggregation (min(struct)
       // partial-aggregates map-side — no boilerplate-chunk window skew)
@@ -94,6 +92,83 @@ object RewriteDedup {
         .select("batch_id", "n_docs")
         .write.mode("append").saveAsTable(markerTable)
     } finally tk.unpersist()
+  }
+
+  // ---- Ledger compaction (the SplitAssignment.compact move) --------
+  // The ownership probe anti-joins each batch against ALL prior ledger
+  // rows; with batch_id partitioning alone that scan grows with batch
+  // count. [[compact]] folds committed partitions into a ch-BUCKETED
+  // side table `<ledger>c`; probes read `compacted ∪ partitions
+  // (batch_id > hw)` where hw = max batch_id inside the compact table,
+  // so a crash at any point leaves the union complete and duplicate-
+  // free. Stage-then-swap with [[recoverStaging]] adoption at every
+  // entry point; folded partitions dropped best-effort (hw-excluded
+  // either way).
+
+  private def compactTable(ledgerTable: String) = ledgerTable + "c"
+
+  private def recoverStaging(spark: SparkSession, table: String): Unit = {
+    val staging = table + "_staging"
+    if (!spark.catalog.tableExists(table) &&
+        spark.catalog.tableExists(staging))
+      spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+  }
+
+  private def hwOf(spark: SparkSession, cT: String): Long =
+    if (!spark.catalog.tableExists(cT)) -1L
+    else spark.table(cT).agg(max("batch_id")).head match {
+      case r if r.isNullAt(0) => -1L
+      case r => r.getLong(0)
+    }
+
+  /** All chunk digests owned BEFORE `batchId`: compact ∪ live above
+    * the high-water, minus this batch's own (possibly crashed) rows. */
+  private def priorOwners(spark: SparkSession, ledgerTable: String,
+                          batchId: Long): DataFrame = {
+    val cT = compactTable(ledgerTable)
+    recoverStaging(spark, cT)
+    val c = if (spark.catalog.tableExists(cT))
+      Some(spark.table(cT).select("ch")) else None
+    val hw = if (c.isDefined) hwOf(spark, cT) else -1L
+    val live = if (spark.catalog.tableExists(ledgerTable))
+      Some(spark.table(ledgerTable)
+        .filter(col("batch_id") > hw && col("batch_id") < batchId)
+        .select("ch"))
+    else None
+    (c, live) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (a, b) => a.orElse(b)
+        .getOrElse(spark.range(0).select(lit("").as("ch")).limit(0))
+    }
+  }
+
+  /** Fold committed ledger partitions into the ch-bucketed compact
+    * table. Call from a maintenance window; the rewriter stays correct
+    * (and crash-safe) at any point before, during or after. */
+  def compact(spark: SparkSession, ledgerTable: String,
+              markerTable: String): Unit = {
+    val cT = compactTable(ledgerTable)
+    recoverStaging(spark, cT)
+    if (!spark.catalog.tableExists(ledgerTable) ||
+        !spark.catalog.tableExists(markerTable)) return
+    val committed = spark.table(markerTable).select("batch_id")
+    val fold = spark.table(ledgerTable)
+      .join(broadcast(committed), Seq("batch_id"), "left_semi")
+    val merged = if (spark.catalog.tableExists(cT))
+      spark.table(cT).unionByName(fold) else fold
+    val batches = fold.select("batch_id").distinct()
+      .collect().map(_.getLong(0)) // bounded: committed batch count
+    if (batches.isEmpty) return
+    val staging = cT + "_staging"
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    merged.write.mode("overwrite").bucketBy(8, "ch").saveAsTable(staging)
+    spark.sql(s"DROP TABLE IF EXISTS $cT")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $cT")
+    batches.foreach { b =>
+      try spark.sql(
+        s"ALTER TABLE $ledgerTable DROP IF EXISTS PARTITION (batch_id=$b)")
+      catch { case _: Exception => () }
+    }
   }
 
   /** batch_id-partitioned dynamic overwrite (the SubstringDedup write

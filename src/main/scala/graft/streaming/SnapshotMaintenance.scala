@@ -18,10 +18,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Scale: the ledger carries (batches × active-users-per-batch) rows —
   * per-batch work is one partial-aggregable groupBy of the batch
-  * itself; serving never re-reads raw events. The
-  * `SplitAssignment.compact` move (fold committed partitions into a
-  * user-bucketed side table behind a high-water mark) applies here
-  * verbatim when batch count grows; the ledger IS that shape.
+  * itself; serving never re-reads raw events. When batch count grows,
+  * [[compact]] folds committed partitions into a user-bucketed side
+  * table holding ONE row per user behind a high-water mark (the
+  * `SplitAssignment.compact` move) — latest-wins is associative, so
+  * the folded rows re-enter the serve fold losslessly.
   *
   * Delivery: the SubstringDedup protocol — the summary partition is
   * batch_id-partitioned and dynamic-overwritten so a crashed partial
@@ -71,27 +72,107 @@ object SnapshotMaintenance {
       .write.mode("append").saveAsTable(markerTable)
   }
 
-  /** The served latest-row view over committed ledger rows — pl11's
-    * exact schema `(user_id, last_type, last_value, last_ts,
-    * n_events)`. Argmax of per-batch argmaxes under the SAME
+  /** The served latest-row view — pl11's exact schema `(user_id,
+    * last_type, last_value, last_ts, n_events)` — over the compact
+    * table (one folded row per user; all folded batches committed by
+    * construction) plus committed live partitions above its
+    * high-water. Argmax of per-batch argmaxes under the SAME
     * (ts, event_id) order = the global argmax. */
   def snapshot(spark: SparkSession, ledgerTable: String,
                markerTable: String): DataFrame = {
-    if (!spark.catalog.tableExists(ledgerTable) ||
-        !spark.catalog.tableExists(markerTable))
-      return spark.range(0).select(col("id").as("user_id"),
-        lit("").as("last_type"), lit(0.0).as("last_value"),
-        lit(null).cast("timestamp").as("last_ts"), lit(0L).as("n_events"))
-    val committed = spark.table(ledgerTable)
-      .join(broadcast(spark.table(markerTable).select("batch_id")),
-        Seq("batch_id"), "left_semi")
-    val ord = struct(col("last_ts"), col("last_event_id"))
-    committed.groupBy("user_id").agg(
-        max_by(col("last_type"), ord).as("last_type"),
-        max_by(col("last_value"), ord).as("last_value"),
-        max(col("last_ts")).as("last_ts"),
-        sum(col("n_events")).as("n_events"))
+    val cT = compactTable(ledgerTable)
+    recoverStaging(spark, cT)
+    val c = if (spark.catalog.tableExists(cT))
+      Some(spark.table(cT)) else None
+    val hw = if (c.isDefined) hwOf(spark, cT) else -1L
+    val live = if (spark.catalog.tableExists(ledgerTable) &&
+        spark.catalog.tableExists(markerTable))
+      Some(spark.table(ledgerTable)
+        .filter(col("batch_id") > hw)
+        .join(broadcast(spark.table(markerTable).select("batch_id")),
+          Seq("batch_id"), "left_semi"))
+    else None
+    val rows = (c, live) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (a, b) => a.orElse(b).getOrElse(
+        return spark.range(0).select(col("id").as("user_id"),
+          lit("").as("last_type"), lit(0.0).as("last_value"),
+          lit(null).cast("timestamp").as("last_ts"),
+          lit(0L).as("n_events")))
+    }
+    foldLatest(rows)
       .select("user_id", "last_type", "last_value", "last_ts", "n_events")
+  }
+
+  /** The latest-wins fold shared by serving and compaction — one use
+    * of the argmax so the two can never disagree. Keeps
+    * `last_event_id` (the tie-break key) and `batch_id` (max — the
+    * compact table's high-water) so folded rows re-enter the fold. */
+  private def foldLatest(rows: DataFrame): DataFrame = {
+    val ord = struct(col("last_ts"), col("last_event_id"))
+    rows.groupBy("user_id").agg(
+      max_by(col("last_type"), ord).as("last_type"),
+      max_by(col("last_value"), ord).as("last_value"),
+      max(col("last_ts")).as("last_ts"),
+      max_by(col("last_event_id"), ord).as("last_event_id"),
+      sum(col("n_events")).as("n_events"),
+      max(col("batch_id")).as("batch_id"))
+  }
+
+  // ---- Ledger compaction (the SplitAssignment.compact move) --------
+  // The ledger grows one row per (user, batch); serving re-aggregates
+  // it whole. [[compact]] folds committed partitions into a user-
+  // bucketed table `<ledger>c` holding ONE row per user (latest-wins
+  // is associative, so folded rows re-enter the serve fold losslessly)
+  // with batch_id = the max folded batch (the high-water). Stage-then-
+  // swap + adoption at every entry point; folded partitions dropped
+  // best-effort (hw-excluded either way).
+
+  private def compactTable(ledgerTable: String) = ledgerTable + "c"
+
+  private def recoverStaging(spark: SparkSession, table: String): Unit = {
+    val staging = table + "_staging"
+    if (!spark.catalog.tableExists(table) &&
+        spark.catalog.tableExists(staging))
+      spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+  }
+
+  private def hwOf(spark: SparkSession, cT: String): Long =
+    spark.table(cT).agg(max("batch_id")).head match {
+      case r if r.isNullAt(0) => -1L
+      case r => r.getLong(0)
+    }
+
+  /** Fold committed ledger partitions into the user-bucketed compact
+    * table. Call from a maintenance window; serving stays correct (and
+    * crash-safe) at any point before, during or after. */
+  def compact(spark: SparkSession, ledgerTable: String,
+              markerTable: String): Unit = {
+    val cT = compactTable(ledgerTable)
+    recoverStaging(spark, cT)
+    if (!spark.catalog.tableExists(ledgerTable) ||
+        !spark.catalog.tableExists(markerTable)) return
+    val committed = spark.table(markerTable).select("batch_id")
+    val fold = spark.table(ledgerTable)
+      .join(broadcast(committed), Seq("batch_id"), "left_semi")
+    val merged = if (spark.catalog.tableExists(cT))
+      spark.table(cT).unionByName(fold) else fold
+    val batches = fold.select("batch_id").distinct()
+      .collect().map(_.getLong(0)) // bounded: committed batch count
+    if (batches.isEmpty) return
+    val staging = cT + "_staging"
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    foldLatest(merged)
+      .select("user_id", "last_type", "last_value", "last_ts",
+        "last_event_id", "n_events", "batch_id")
+      .write.mode("overwrite").bucketBy(8, "user_id").saveAsTable(staging)
+    spark.sql(s"DROP TABLE IF EXISTS $cT")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $cT")
+    batches.foreach { b =>
+      try spark.sql(
+        s"ALTER TABLE $ledgerTable DROP IF EXISTS PARTITION (batch_id=$b)")
+      catch { case _: Exception => () }
+    }
   }
 
   /** batch_id-partitioned dynamic overwrite (the SubstringDedup write

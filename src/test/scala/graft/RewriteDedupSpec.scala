@@ -57,6 +57,48 @@ class RewriteDedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("ledger compaction: ownership survives the fold and a crashed swap") {
+    import spark.implicits._
+    reset("rz_out", "rz_ledger", "rz_ledgerc", "rz_ledgerc_staging",
+      "rz_marker")
+    val s1 = "the quick brown fox jumps over the lazy dog today"
+    val s2 = "pack my box with five dozen fresh liquor jugs now"
+    val s3 = "how vexingly quick daft zebras jump at dusk tonight friends"
+    RewriteDedup.rewriteBatch(Seq((1L, s1)).toDF("doc_id", "text"),
+      0L, "rz_out", "rz_ledger", "rz_marker")
+    RewriteDedup.rewriteBatch(Seq((11L, s2)).toDF("doc_id", "text"),
+      1L, "rz_out", "rz_ledger", "rz_marker")
+
+    RewriteDedup.compact(spark, "rz_ledger", "rz_marker")
+    assert(spark.catalog.tableExists("rz_ledgerc"))
+    assert(spark.table("rz_ledgerc").count() == 2L)
+    // folded partitions dropped best-effort — the probe must not need them
+    assert(spark.table("rz_ledger").count() == 0L,
+      "folded ledger partitions should be dropped")
+
+    // ownership survives the fold: a batch-0 chunk still drops
+    RewriteDedup.rewriteBatch(Seq((21L, s"$s1 $s3")).toDF("doc_id", "text"),
+      2L, "rz_out", "rz_ledger", "rz_marker")
+    val doc21 = RewriteDedup.cleaned(spark, "rz_out", "rz_marker")
+      .filter(col("doc_id") === 21L).collect().head
+    assert(doc21.getAs[String]("clean_text") == s3,
+      s"compacted ownership lost: $doc21")
+
+    // crashed swap: staging present, live compact gone — the next
+    // probe adopts it and batch-1 ownership still holds
+    spark.sql("ALTER TABLE rz_ledgerc RENAME TO rz_ledgerc_staging")
+    RewriteDedup.rewriteBatch(Seq((31L, s2)).toDF("doc_id", "text"),
+      3L, "rz_out", "rz_ledger", "rz_marker")
+    assert(spark.catalog.tableExists("rz_ledgerc") &&
+      !spark.catalog.tableExists("rz_ledgerc_staging"),
+      "staged compact table not adopted")
+    val doc31 = RewriteDedup.cleaned(spark, "rz_out", "rz_marker")
+      .filter(col("doc_id") === 31L).collect().head
+    assert(doc31.getAs[String]("clean_text") == "",
+      s"ownership lost across the crashed swap: $doc31")
+    spark.catalog.clearCache()
+  }
+
   test("cross-batch ownership, replay no-op, crash-window overwrite") {
     import spark.implicits._
     reset("rx_out", "rx_ledger", "rx_marker")

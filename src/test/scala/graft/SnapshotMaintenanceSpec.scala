@@ -33,7 +33,8 @@ class SnapshotMaintenanceSpec extends AnyFunSuite {
 
   test("served snapshot == batch pl11 under time-interleaved arrival") {
     import spark.implicits._
-    TestWarehouse.reset(spark, "sn_ledger", "sn_marker")
+    TestWarehouse.reset(spark, "sn_ledger", "sn_ledgerc",
+      "sn_ledgerc_staging", "sn_marker")
     val rows = eventRows()
     // event_id % 3 split: every batch spans the full time range, so
     // this exercises order-independence, not just incremental append
@@ -58,6 +59,37 @@ class SnapshotMaintenanceSpec extends AnyFunSuite {
     // never one row per EVENT
     assert(spark.table("sn_ledger").count() <
       spark.table("sn_ledger").select("user_id").distinct().count() * 3 + 1)
+
+    // compaction folds to ONE row per user; serving is unchanged
+    val users = spark.table("sn_ledger")
+      .select("user_id").distinct().count()
+    SnapshotMaintenance.compact(spark, "sn_ledger", "sn_marker")
+    assert(spark.table("sn_ledgerc").count() == users,
+      "compact table must hold exactly one row per user")
+    assert(spark.table("sn_ledger").count() == 0L,
+      "folded ledger partitions should be dropped")
+    assert(served() == expected,
+      "serving changed across the ledger compaction")
+
+    // a post-compact batch with a FRESHER event still wins, against
+    // the folded state and across a crashed compact swap
+    val u = expected.head._1
+    val newer = (900001L, u,
+      new java.sql.Timestamp(expected.head._4.getTime + 3600L * 1000),
+      "post_compact", 42.0)
+    spark.sql("ALTER TABLE sn_ledgerc RENAME TO sn_ledgerc_staging")
+    SnapshotMaintenance.applyBatch(
+      Seq(newer).toDF("event_id", "user_id", "ts", "event_type", "value"),
+      100L, "sn_ledger", "sn_marker")
+    val row = SnapshotMaintenance.snapshot(spark, "sn_ledger", "sn_marker")
+      .filter(col("user_id") === u).collect().head
+    assert(spark.catalog.tableExists("sn_ledgerc") &&
+      !spark.catalog.tableExists("sn_ledgerc_staging"),
+      "staged compact table not adopted")
+    assert(row.getAs[String]("last_type") == "post_compact" &&
+      row.getAs[Long]("n_events") ==
+        expected.find(_._1 == u).get._5 + 1L,
+      s"post-compact update lost: $row")
     spark.catalog.clearCache()
   }
 
