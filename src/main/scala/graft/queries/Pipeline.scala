@@ -1757,6 +1757,63 @@ object Pipeline {
     //     everything downstream is eval-sized. Counts are over
     //     DISTINCT per-doc n-grams (deterministic and
     //     repeat-insensitive). ---
+    Q("pl38_token_budget", {
+      val B = 100000L
+      s"""WITH t AS (
+         |  SELECT source, CAST(len($DuckToks) AS BIGINT) AS n
+         |  FROM documents),
+         |s AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens
+         |      FROM t GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM s),
+         |f AS (
+         |  SELECT source, n_tokens,
+         |    CAST(($B * n_tokens) // total AS BIGINT) AS fl,
+         |    CAST(($B * n_tokens) % total AS BIGINT) AS rem
+         |  FROM s CROSS JOIN tot),
+         |k AS (SELECT CAST($B - sum(fl) AS BIGINT) AS k FROM f),
+         |rk AS (
+         |  SELECT source, n_tokens, fl, rem,
+         |    row_number() OVER (ORDER BY rem DESC, source) AS rn
+         |  FROM f)
+         |SELECT rk.source, rk.n_tokens, rk.rem,
+         |  CAST(rk.fl + CASE WHEN rk.rn <= k.k THEN 1 ELSE 0 END AS BIGINT)
+         |    AS quota
+         |FROM rk CROSS JOIN k
+         |ORDER BY rk.source"""
+    }) { (s, dir) =>
+      // --- TOKEN-BUDGET apportionment (the planning step every data
+      //     mixture runs before sampling: split a global training-token
+      //     budget across sources so the integer quotas sum EXACTLY to
+      //     the budget): Hamilton largest-remainder — quota = floor of
+      //     the proportional share, then the k = B − Σfloor sources
+      //     with the largest remainders get one extra. ENTIRELY
+      //     INTEGER arithmetic ((B·n) div total, (B·n) mod total), so
+      //     the apportionment cannot flip between engines on a float
+      //     ULP the way a sqrt-temperature weighting could — the
+      //     flattened variant plugs pl15's rates into the same frame
+      //     downstream. Cost: one corpus scan collapsing to
+      //     sources-sized frames; the remainder ranking is a global
+      //     window over ≤|sources| rows. ---
+      import org.apache.spark.sql.expressions.Window
+      val B = 100000L
+      val t = docs(s, dir).select(col("source"),
+        size(tokens(col("text"))).cast("long").as("n"))
+      val srcTok = t.groupBy("source").agg(sum("n").as("n_tokens"))
+      val tot = srcTok.agg(sum("n_tokens").as("total"))
+      val f = srcTok.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens"),
+          expr(s"($B * n_tokens) div total").as("fl"),
+          ((lit(B) * col("n_tokens")) % col("total")).as("rem"))
+      val k = f.agg((lit(B) - sum("fl")).as("k"))
+      val w = Window.orderBy(col("rem").desc, col("source"))
+      f.withColumn("rn", row_number().over(w))
+        .crossJoin(broadcast(k))
+        .select(col("source"), col("n_tokens"), col("rem"),
+          (col("fl") + when(col("rn") <= col("k"), 1L).otherwise(0L))
+            .as("quota"))
+        .orderBy("source")
+    },
+
     Q("pl37_eval_dirtiness",
       s"""WITH tk AS (SELECT doc_id, $DuckToks AS tk FROM documents),
          |g AS (

@@ -45,7 +45,8 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     "sm21_diverse_topk",      // sm01's bounded probes; pairs shortlist-bounded
     "sm12_hybrid_rrf",        // 1-row corpus doc-count scalar (tx04 shape)
     "sm13_hybrid_rrf_from_index", // same scalar, from the stats artifact
-    "pl30_bootstrap")         // bounded 16-row replicate fan-out frame
+    "pl30_bootstrap",         // bounded 16-row replicate fan-out frame
+    "pl38_token_budget")      // 1-row total + 1-row top-up-count scalars
 
   test("no query plans a cartesian; nested-loop joins only on whitelist") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
@@ -81,7 +82,10 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     import org.apache.spark.sql.catalyst.expressions.aggregate.{Partial, PartialMerge}
 
-    val fullRowAllowed = Set("pl07_dataset_card")
+    //   pl38_token_budget — the global remainder-ranking window runs
+    //   over the per-SOURCE aggregate (≤ |sources| rows — group
+    //   cardinality, never corpus rows), the same class as pl07.
+    val fullRowAllowed = Set("pl07_dataset_card", "pl38_token_budget")
 
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     val tripped = scala.collection.mutable.Set[String]()
