@@ -1436,6 +1436,60 @@ object Relational {
           duckRound(col("d75").cast("double") / 100.0, 2).as("p75_disc"),
           duckRound(col("m") / 100.0, 4).as("p50_cont"))
         .orderBy("o_orderpriority")
+    },
+
+    // --- WINSORIZATION (percentile clipping — the standard numeric-
+    //     feature cleaning step: clamp a value column to its per-group
+    //     [p05, p95] so heavy-tail outliers stop dominating means and
+    //     gradients): inherently TWO-PASS — pass 1 computes the
+    //     boundaries (one exact-percentile aggregate per group, the
+    //     q48 single-agg buffer note applies), pass 2 re-scans with the
+    //     groups-sized boundary frame BROADCAST and clamps map-side
+    //     into a partial aggregate. Parity: percentiles run over
+    //     integer CENTS (the q48 device), so the interpolated boundary
+    //     is the same double in both engines and a clamp decision can
+    //     never flip; the means are round-4 displays. Reports n_lo/n_hi
+    //     (clipped counts) next to the before/after means so the
+    //     operator's effect is visible. ---
+    Q("q56_winsorize",
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT l_returnflag,
+        |    CAST(quantile_cont(v, 0.05) AS DOUBLE) AS lo,
+        |    CAST(quantile_cont(v, 0.95) AS DOUBLE) AS hi
+        |  FROM c GROUP BY l_returnflag)
+        |SELECT c.l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN CAST(c.v AS DOUBLE) < b.lo
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        |  CAST(sum(CASE WHEN CAST(c.v AS DOUBLE) > b.hi
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+        |  round(avg(CAST(c.v AS DOUBLE)) / 100.0, 4) AS mean_raw,
+        |  round(avg(greatest(b.lo, least(b.hi, CAST(c.v AS DOUBLE))))
+        |        / 100.0, 4) AS mean_winsor
+        |FROM c JOIN b ON b.l_returnflag = c.l_returnflag
+        |GROUP BY c.l_returnflag
+        |ORDER BY c.l_returnflag""") { (s, dir) =>
+      val c = t(s, dir, "lineitem").select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("v"))
+      val b = c.groupBy("l_returnflag")
+        .agg(percentile(col("v"), array(lit(0.05), lit(0.95))).as("ps"))
+        .select(col("l_returnflag"),
+          element_at(col("ps"), 1).as("lo"),
+          element_at(col("ps"), 2).as("hi"))
+      val vd = col("v").cast("double")
+      c.join(broadcast(b), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(vd < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+          sum(when(vd > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+          duckRound(avg(vd) / 100.0, 4).as("mean_raw"),
+          duckRound(avg(greatest(col("lo"), least(col("hi"), vd))) / 100.0, 4)
+            .as("mean_winsor"))
+        .orderBy("l_returnflag")
     }
   )
 }
