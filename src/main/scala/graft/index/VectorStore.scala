@@ -32,16 +32,41 @@ import graft.queries.Similarity
   */
 object VectorStore {
 
-  /** Fixed coarse quantizer: the vectors with vec_id < Cells (the sm03
-    * convention — deterministic, and at build time any trained
-    * centroid set can be dropped in instead). */
-  val Cells = 8 // build-time DEFAULT only: every serve/append path
-  // derives the actual cell count from the artifact's own centroids
-  // table, so a store built at another `cells` (clusters want
+  /** Coarse-quantizer floor: the vectors with vec_id < cells seed the
+    * cell set (the sm03 convention — deterministic, and at build time
+    * any trained centroid set can be dropped in instead). */
+  val Cells = 8 // FLOOR of the adaptive default; every serve/append
+  // path derives the actual cell count from the artifact's own
+  // centroids table, so a store built at any `cells` (clusters want
   // hundreds — SURVEY §6b) is SELF-DESCRIBING and no consumer can
   // mismatch it
   val NProbe = 2
   val TopK = 10
+
+  /** Target expected cell occupancy — `Similarity.adaptiveCells`'
+    * rule (`Similarity.scala:151`), now the store's DEFAULT build
+    * geometry: cells = max(Cells, n / CellTarget) holds occupancy at
+    * ~CellTarget whatever the corpus, so per-probe verify work
+    * (probes × nprobe × occupancy) stays bounded as the corpus grows
+    * instead of scaling with n/8. At the test SFs (≤ 2000 vectors)
+    * the formula floors at Cells, so every serve oracle is
+    * unchanged — the knob engages past ~4000 vectors. */
+  val CellTarget = 500L
+
+  /** Sentinel `cells` value: resolve adaptively from the build frame. */
+  val AdaptiveCells = 0
+
+  private def resolveCells(e: DataFrame, cells: Int): Int =
+    if (cells > 0) cells
+    else math.max(Cells.toLong, e.count() / CellTarget).toInt
+
+  /** The SERVING artifact's cell count — read from its own centroids
+    * table (the self-describing contract). None when no store exists. */
+  def servingCells(spark: SparkSession, name: String): Option[Int] = {
+    val t = s"${servingPrefix(spark, name)}_centroids"
+    if (spark.catalog.tableExists(t)) Some(spark.table(t).count().toInt)
+    else None
+  }
 
   /** Per-testdata-dir store for registry queries (sm18), built on
     * first use in this JVM — the IndexStore.termDocTable convention:
@@ -141,8 +166,7 @@ object VectorStore {
     * codes: it lives on disk (codes are the memory-resident scan),
     * and exists for [[serveTopKRefined]]'s exact-rerank fetch — which
     * therefore reads only the probed cells' raw partitions. */
-  private def buildAt(e: DataFrame, prefix: String,
-                      cells: Int = Cells): Unit = {
+  private def buildAt(e: DataFrame, prefix: String, cells: Int): Unit = {
     val spark = e.sparkSession
     graft.expressions.VectorExpressions.ensureRegistered(spark)
     Seq("centroids", "stats", "codes", "raw")
@@ -151,7 +175,11 @@ object VectorStore {
       .select(col("vec_id").as("cid"),
         col("embedding").cast("array<double>").as("ce"))
       .write.mode("overwrite").saveAsTable(s"${prefix}_centroids")
+    // the stats row records the BUILD geometry next to the codebook:
+    // consumers cross-check it against the centroids table and refuse
+    // a store whose two tables disagree (a torn build)
     VectorFunctions.sqStatsRow(e, "embedding")
+      .withColumn("cells", lit(cells.toLong))
       .write.mode("overwrite").saveAsTable(s"${prefix}_stats")
     val cent = collectCentroids(spark, s"${prefix}_centroids")
     codesOf(e, spark.table(s"${prefix}_stats"), cent)
@@ -178,8 +206,8 @@ object VectorStore {
     * versioned tables, so serving flips to the freshly-built bare
     * layout first and a crash mid-cleanup never leaves the pointer
     * naming dropped tables. */
-  def build(e: DataFrame, name: String, cells: Int = Cells): Unit = {
-    buildAt(e, name, cells)
+  def build(e: DataFrame, name: String, cells: Int = AdaptiveCells): Unit = {
+    buildAt(e, name, resolveCells(e, cells))
     e.sparkSession.sql(s"DROP TABLE IF EXISTS ${versionTable(name)}")
     // a from-scratch build starts with no deletions: a stale tombstone
     // set from the store's previous life would silently hide vectors
@@ -202,12 +230,12 @@ object VectorStore {
     * reached the index before the upstream table) can never be
     * resurrected by a drift-triggered retrain. Returns the new version
     * number. */
-  def rebuild(e: DataFrame, name: String, cells: Int = Cells): Long = {
+  def rebuild(e: DataFrame, name: String, cells: Int = AdaptiveCells): Long = {
     val spark = e.sparkSession
     import spark.implicits._
     val live = withoutDeleted(e, servingPrefix(spark, name), "vec_id")
     val next = currentVersion(spark, name) + 1L
-    buildAt(live, prefixOf(name, next), cells)
+    buildAt(live, prefixOf(name, next), resolveCells(live, cells))
     clearOrphanLocation(spark, versionTable(name))
     Seq(next).toDF("v").write.mode("overwrite")
       .saveAsTable(versionTable(name)) // THE swap: one 1-row commit
@@ -252,7 +280,19 @@ object VectorStore {
         else r.getAs[Long]("n_unseen").toDouble / n
       unseen > maxUnseenFrac || r.getAs[Double]("kl") > maxKl
     }
-    if (drifted) Some(rebuild(e, name)) else None
+    if (drifted) Some(rebuildPreservingGeometry(e, name)) else None
+  }
+
+  /** The gated-rebuild geometry contract: an alarm-triggered retrain
+    * keeps the SERVING artifact's cell count (a store deliberately
+    * built at hundreds of cells must not silently shrink to the
+    * adaptive default), but never drops BELOW the adaptive rule for
+    * the current corpus — drift usually means growth, and occupancy
+    * is the thing the cell count exists to bound. */
+  private def rebuildPreservingGeometry(e: DataFrame, name: String): Long = {
+    val spark = e.sparkSession
+    val keep = servingCells(spark, name).getOrElse(Cells)
+    rebuild(e, name, math.max(keep, resolveCells(e, AdaptiveCells)))
   }
 
   /** [[rebuild]] gated on the serving-quality signal — the OUTPUT half
@@ -273,7 +313,7 @@ object VectorStore {
       .recalls(spark, recallLedger, recallMarkers)
       .orderBy(col("batch_id").desc).limit(1).collect()
     if (last.headOption.exists(_.getAs[Boolean]("alarm")))
-      Some(rebuild(e, name))
+      Some(rebuildPreservingGeometry(e, name))
     else None
   }
 
@@ -292,6 +332,7 @@ object VectorStore {
     val p = servingPrefix(spark, name)
     recoverCodesStaging(spark, p)
     val cent = collectCentroids(spark, s"${p}_centroids")
+    checkGeometry(spark, p, cent.size)
     codesOf(newVecs, spark.table(s"${p}_stats"), cent)
       .select(col("vec_id"), col("code"), col("cid"))
       .write.mode("append").partitionBy("cid")
@@ -349,6 +390,25 @@ object VectorStore {
   private def collectCentroids(spark: SparkSession,
                                table: String): Seq[(Long, Seq[Double])] =
     Similarity.collectCentroids(spark.table(table))
+
+  /** Cross-check the artifact's two geometry records — the centroids
+    * table (what serving derives the cell set from) and the stats
+    * row's recorded build `cells` (absent on pre-geometry stores,
+    * where the check passes vacuously) — and refuse a store whose
+    * records disagree: that is a torn build, and silently serving it
+    * would score candidates against the wrong coarse quantizer. */
+  private def checkGeometry(spark: SparkSession, prefix: String,
+                            nCentroids: Int): Unit = {
+    val st = s"${prefix}_stats"
+    if (spark.catalog.tableExists(st) &&
+        spark.table(st).columns.contains("cells")) {
+      val recorded = spark.table(st).select("cells").head.getLong(0)
+      require(recorded == nCentroids.toLong,
+        s"store '$prefix' geometry mismatch: stats row records " +
+          s"$recorded cells but the centroids table has $nCentroids — " +
+          "torn build; rebuild the store")
+    }
+  }
 
   // ---- Deletion -----------------------------------------------------
   // The IndexMaintenance tombstone protocol, vector-side: a delete
@@ -442,6 +502,7 @@ object VectorStore {
     val p = servingPrefix(spark, name) // pointer first: version-atomic
     recoverCodesStaging(spark, p)
     val cent = collectCentroids(spark, s"${p}_centroids")
+    checkGeometry(spark, p, cent.size)
     val pcells = Similarity.nearestCells(
       probes.select(col("probe_id"), col("pe").as("embedding")),
       "probe_id", "embedding", cent, nprobe)
@@ -449,7 +510,8 @@ object VectorStore {
       .join(pcells, Seq("cid"))
       .join(probes, Seq("probe_id"))
       .filter(col("vec_id") =!= col("probe_id"))
-      .crossJoin(broadcast(spark.table(s"${p}_stats")))
+      .crossJoin(broadcast(spark.table(s"${p}_stats")
+        .select("mns", "mxs")))
     val scored = cand
       .select(col("probe_id"), col("pe"), col("vec_id"),
         VectorFunctions.sqDequantize(col("code"), col("mns"), col("mxs"))
@@ -489,6 +551,7 @@ object VectorStore {
       s"store '$name' has no raw-vector table (built before the refine " +
         "surface): rebuild it to serve refined top-k")
     val cent = collectCentroids(spark, s"${p}_centroids")
+    checkGeometry(spark, p, cent.size)
     val pcells = Similarity.nearestCells(
       probes.select(col("probe_id"), col("pe").as("embedding")),
       "probe_id", "embedding", cent, nprobe)
@@ -496,7 +559,8 @@ object VectorStore {
       .join(pcells, Seq("cid"))
       .join(probes, Seq("probe_id"))
       .filter(col("vec_id") =!= col("probe_id"))
-      .crossJoin(broadcast(spark.table(s"${p}_stats")))
+      .crossJoin(broadcast(spark.table(s"${p}_stats")
+        .select("mns", "mxs")))
     val qscored = cand
       .select(col("probe_id"), col("cid"), col("vec_id"),
         VectorFunctions.cosine(col("pe"),

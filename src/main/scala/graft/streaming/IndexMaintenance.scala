@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -8,36 +8,51 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * missing half of build-once/serve-many: the corpus keeps growing,
   * and re-tokenizing 100 TB to refresh the index is exactly what the
   * artifact exists to avoid. New documents only ever ADD postings
-  * (doc ids are unique), so maintenance is an APPEND into the saved
-  * bucketed table: each micro-batch tokenizes just its own documents
-  * and writes them with the SAME bucketing spec, so every serving
-  * plan keeps its zero-exchange bucketed-scan property while the
-  * index grows.
+  * (doc ids are unique), so maintenance is an append — but appending
+  * STRAIGHT into the bucketed table had the one crash window no other
+  * maintainer kept: a crash after a partial bucketed append and before
+  * the commit marker left half a batch's postings looking exactly like
+  * data, and the replay appended the whole batch again (undetectable
+  * duplication — a bucketed table cannot be partition-overwritten).
+  *
+  * The fix is the protocol every other maintainer already uses, with
+  * the bucketed table demoted to a COMPACTION product:
+  *
+  *   - `appendBatch` writes each micro-batch's postings to a
+  *     batch_id-PARTITIONED staging ledger (`<table>_ledger`) with
+  *     dynamic partition overwrite — a crashed partial partition is
+  *     replaced whole on replay — then writes the marker. No crash
+  *     point duplicates or loses postings.
+  *   - Serving ([[postings]]) reads the bucketed compact table UNION
+  *     the committed ledger tail above the compact table's high-water
+  *     mark. The tail is small by construction (compaction cadence);
+  *     the compact part keeps its zero-exchange bucketed property.
+  *   - [[compact]] folds committed tail partitions into the bucketed
+  *     table inside the existing crash-safe stage-then-swap, records
+  *     the new high-water as a TABLE PROPERTY of the staged table
+  *     (the rename carries it, so the hw commits atomically WITH the
+  *     fold), and drops folded partitions after the swap — a crash
+  *     between swap and drops leaves ≤hw partitions that serving and
+  *     the next fold both exclude, and the next compact re-drops.
   *
   * Corpus stats are maintained as an append-only ledger of per-batch
-  * (batch_id, n_docs) increments — `docCount` sums it. Appending a
-  * one-row delta is cheaper and safer than overwriting a shared
-  * one-row table from inside a micro-batch.
-  *
-  * Delivery: the stats-ledger row doubles as the batch's COMMIT
-  * MARKER, written after the postings — `appendBatch` skips any batch
-  * whose marker already exists, so a replayed micro-batch (restart
-  * after the marker landed) is a no-op. The remaining window — crash
-  * AFTER a partial postings append but BEFORE the marker — duplicates
-  * postings on replay; closing it needs a transactional table format
-  * under the same seam (this is exactly the boundary such formats
-  * exist for). Per-file compaction of the many small bucket appends
-  * is the standard operational counterpart (rewrite N appended file
-  * sets into one, same bucket spec).
+  * (batch_id, n_docs) increments — `docCount` sums it. The stats row
+  * doubles as the batch's COMMIT MARKER, written after the postings —
+  * `appendBatch` skips any batch whose marker already exists.
   */
 object IndexMaintenance {
 
-  /** Default bucket count for the postings table — the IndexStore
-    * test-SF sizing. Appends MUST match the bucket count the table was
-    * built with; `saveAsTable(append)` enforces it loudly on mismatch,
-    * so a deployment that built at hundreds of buckets (SURVEY §6b)
-    * passes its count here. */
+  /** Default bucket count for the compact postings table — the
+    * IndexStore test-SF sizing; a deployment that built at hundreds of
+    * buckets (SURVEY §6b) passes its count to [[compact]]. */
   val DefaultBuckets = 8
+
+  /** Table property on the compact table recording the max folded
+    * ledger batch id — the serve/fold boundary. Set on the STAGED
+    * table before the swap, so it can never disagree with the rows. */
+  private val HwProp = "graft.folded.hw"
+
+  private def ledgerTable(termDocTable: String) = termDocTable + "_ledger"
 
   /** Starts the maintenance query: each micro-batch of `newDocs`
     * (`doc_id`, `text`) is handed to `appendBatch`.
@@ -48,38 +63,37 @@ object IndexMaintenance {
     * a temp checkpoint restarts ids at 0 and old markers would silently
     * swallow new batches. */
   def maintain(newDocs: DataFrame, termDocTable: String,
-               statsTable: String, checkpointDir: String,
-               buckets: Int = DefaultBuckets): StreamingQuery =
+               statsTable: String, checkpointDir: String): StreamingQuery =
     newDocs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendBatch(batch, batchId, termDocTable, statsTable, buckets)
+        appendBatch(batch, batchId, termDocTable, statsTable)
       }
       .start()
 
-  /** One micro-batch: tokenize into positional postings, append to
-    * the bucketed table, then write the (batch_id, n_docs) commit
-    * marker. Replay-safe: a batch whose marker exists is skipped.
-    */
+  /** One micro-batch: tokenize into positional postings, overwrite
+    * this batch's LEDGER partition (replay-safe: a crashed partial
+    * partition is replaced whole), then write the (batch_id, n_docs)
+    * commit marker. A batch whose marker exists is skipped — so every
+    * crash point either replays into an overwrite or skips. */
   def appendBatch(batch: DataFrame, batchId: Long,
-                  termDocTable: String, statsTable: String,
-                  buckets: Int = DefaultBuckets): Unit = {
+                  termDocTable: String, statsTable: String): Unit = {
     val spark = batch.sparkSession
     // the batch may be the session's first graft work (no tables.load
     // ran): the tokenizer below resolves from the session registry
     graft.expressions.VectorExpressions.ensureRegistered(spark)
     // a crashed compact swap may have left the postings under the
-    // staging name; adopt BEFORE the append or this batch would start
-    // a fresh table and strand the staged artifact forever
+    // staging name; adopt BEFORE the append so serving never finds a
+    // ledger tail with no base to union
     recoverStaging(spark, termDocTable)
     val committed = spark.catalog.tableExists(statsTable) &&
       !spark.table(statsTable).filter(col("batch_id") === batchId).isEmpty
     if (!committed) {
-      graft.queries.Text.termDocPositionalOf(batch)
-        .write.mode("append")
-        .bucketBy(buckets, "token").sortBy("token")
-        .saveAsTable(termDocTable)
+      overwritePartition(
+        graft.queries.Text.termDocPositionalOf(batch)
+          .withColumn("batch_id", lit(batchId)),
+        ledgerTable(termDocTable))
       batch.groupBy()
         .agg(count(lit(1)).as("n_docs"))
         .withColumn("batch_id", lit(batchId))
@@ -89,8 +103,7 @@ object IndexMaintenance {
   }
 
   /** Total corpus size from the stats ledger. */
-  def docCount(spark: org.apache.spark.sql.SparkSession,
-               statsTable: String): Long =
+  def docCount(spark: SparkSession, statsTable: String): Long =
     spark.table(statsTable)
       .agg(coalesce(sum("n_docs"), lit(0L))).head.getLong(0)
 
@@ -104,7 +117,7 @@ object IndexMaintenance {
     * Caller contract: ids should belong to the indexed corpus (the
     * ledger trusts them; tombstoning a never-indexed id would skew N).
     */
-  def deleteDocs(spark: org.apache.spark.sql.SparkSession,
+  def deleteDocs(spark: SparkSession,
                  docIds: Seq[Long], tombstoneTable: String,
                  statsTable: String): Unit = {
     import spark.implicits._
@@ -140,62 +153,119 @@ object IndexMaintenance {
   }
 
   /** The maintained postings as a DataFrame — the serve-side entry
-    * point, healing a crashed compact swap first (the serving read
-    * must never find "no table" while a complete staged artifact
-    * sits one rename away). */
-  def postings(spark: org.apache.spark.sql.SparkSession,
-               termDocTable: String): DataFrame = {
+    * point, healing a crashed compact swap first. Bucketed compact
+    * table UNION the committed ledger tail above the compact table's
+    * high-water: the tail is the postings appended since the last
+    * compaction (small by cadence), the compact part keeps its
+    * zero-exchange property, and the high-water filter makes a
+    * crashed compact's leftover ≤hw partitions invisible. */
+  def postings(spark: SparkSession, termDocTable: String,
+               statsTable: String): DataFrame = {
     recoverStaging(spark, termDocTable)
-    spark.table(termDocTable)
+    val base = if (spark.catalog.tableExists(termDocTable))
+      Some(spark.table(termDocTable)) else None
+    val tail = committedTail(spark, termDocTable, statsTable)
+      .map(_.drop("batch_id"))
+    (base, tail) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (a, b) => a.orElse(b).getOrElse(
+        spark.range(0).select(col("id").as("doc_id"),
+          lit("").as("token"), lit(0L).as("cnt"),
+          lit(null).cast("array<int>").as("positions")))
+    }
   }
 
-  /** Compaction — the operational counterpart of append-only
-    * maintenance: every micro-batch adds one file set per bucket, and
-    * a thousand appends mean a thousand small files per bucket scan.
-    * Rewrites the table as ONE file set with the SAME bucket spec
-    * (serving plans keep their zero-exchange property).
-    */
-  def compact(spark: org.apache.spark.sql.SparkSession,
-              termDocTable: String): Unit =
-    compact(spark, termDocTable, tombstoneTable = None)
+  /** Committed ledger partitions above the compact table's high-water
+    * (None when no ledger exists). Keeps `batch_id` — [[postings]]
+    * drops it, [[compact]] folds by it. */
+  private def committedTail(spark: SparkSession, termDocTable: String,
+                            statsTable: String): Option[DataFrame] = {
+    val lt = ledgerTable(termDocTable)
+    if (!spark.catalog.tableExists(lt) ||
+        !spark.catalog.tableExists(statsTable)) None
+    else Some(spark.table(lt)
+      .filter(col("batch_id") > hwOf(spark, termDocTable))
+      .join(broadcast(spark.table(statsTable).select("batch_id")),
+        Seq("batch_id"), "left_semi"))
+  }
 
-  /** Compaction that also PURGES tombstoned documents: the rewrite
-    * anti-joins the tombstones (physically dropping their postings)
-    * and then clears the tombstone table, returning `withoutDeleted`
-    * to a pass-through. The ledger is untouched — it was already
-    * decremented at delete time, and purging changes only where the
-    * deletion is represented, not the live count.
+  /** Max folded ledger batch id recorded on the compact table (-1
+    * when absent — nothing folded yet). */
+  private def hwOf(spark: SparkSession, termDocTable: String): Long =
+    if (!spark.catalog.tableExists(termDocTable)) -1L
+    else spark.sql(s"SHOW TBLPROPERTIES $termDocTable")
+      .collect().find(_.getString(0) == HwProp)
+      .map(_.getString(1).toLong).getOrElse(-1L)
+
+  /** Compaction — the operational counterpart of append-only
+    * maintenance, and (with `statsTable`) the fold that moves the
+    * committed ledger tail into the bucketed table. Rewrites the
+    * table as ONE file set with the SAME bucket spec, so serving
+    * plans keep their zero-exchange property on the compact part and
+    * the tail resets to empty. With `tombstoneTable` it also PURGES
+    * tombstoned documents (anti-join folded into the rewrite) and
+    * clears the tombstone table afterwards.
     *
     * CONTRACT: run in a maintenance window with the maintainer stopped
     * (SURVEY §6b). Crash-safe via stage-then-swap (the TrendMaintenance
-    * protocol — this replaced a localCheckpoint→DROP→rewrite sequence
-    * whose crash window PERMANENTLY lost the whole postings artifact,
-    * since localCheckpoint blocks die with the JVM): the compacted
-    * postings are fully written under `<table>_staging` — read straight
-    * from the live files, no artifact-sized memory pin — before the one
-    * vulnerable step (drop + rename). A crash before the drop leaves
-    * the live table untouched; a crash between drop and rename is
-    * healed by [[recoverStaging]] at every entry point. The bucket spec
-    * travels with the staged table's metadata, so the swap preserves
-    * the zero-exchange serving property (spec-pinned). Tombstones are
-    * cleared only AFTER the swap: a crash before that leaves them
-    * anti-joining already-purged ids — a no-op, cleared next compact. */
-  def compact(spark: org.apache.spark.sql.SparkSession,
-              termDocTable: String, tombstoneTable: Option[String],
+    * protocol): the compacted postings are fully written under
+    * `<table>_staging` — with the new high-water recorded as a table
+    * property BEFORE the swap, so fold-state and rows commit together —
+    * then drop + rename. A crash before the drop leaves the live table
+    * untouched; between drop and rename, [[recoverStaging]] adopts the
+    * staged table (property included) at every entry point; after the
+    * rename but before the partition drops, the leftover ≤hw ledger
+    * partitions are already excluded by every reader and re-dropped by
+    * the next compact. Tombstones are cleared only AFTER the swap: a
+    * crash before that leaves them anti-joining already-purged ids —
+    * a no-op, cleared next compact. */
+  def compact(spark: SparkSession, termDocTable: String,
+              statsTable: Option[String] = None,
+              tombstoneTable: Option[String] = None,
               buckets: Int = DefaultBuckets): Unit = {
     recoverStaging(spark, termDocTable)
-    if (!spark.catalog.tableExists(termDocTable)) return
-    val live = tombstoneTable
-      .map(t => withoutDeleted(spark.table(termDocTable), t))
-      .getOrElse(spark.table(termDocTable))
-    val staging = termDocTable + "_staging"
-    live.repartition(col("token"))
-      .write.mode("overwrite")
-      .bucketBy(buckets, "token").sortBy("token")
-      .saveAsTable(staging)
-    spark.sql(s"DROP TABLE IF EXISTS $termDocTable")
-    spark.sql(s"ALTER TABLE $staging RENAME TO $termDocTable")
-    tombstoneTable.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val lt = ledgerTable(termDocTable)
+    val hw = hwOf(spark, termDocTable)
+    val base = if (spark.catalog.tableExists(termDocTable))
+      Some(spark.table(termDocTable)) else None
+    val tail = statsTable.flatMap(committedTail(spark, termDocTable, _))
+    val foldIds = tail.map(_.select("batch_id").distinct()
+      .collect().map(_.getLong(0)).toSeq).getOrElse(Nil) // bounded
+    val staleIds = statsTable match { // crashed-prior-compact leftovers
+      case Some(st) if spark.catalog.tableExists(lt) &&
+          spark.catalog.tableExists(st) =>
+        spark.table(lt).select("batch_id").distinct()
+          .filter(col("batch_id") <= hw)
+          .join(broadcast(spark.table(st).select("batch_id")),
+            Seq("batch_id"), "left_semi")
+          .collect().map(_.getLong(0)).toSeq
+      case _ => Nil
+    }
+    val merged = (base, tail.map(_.drop("batch_id"))) match {
+      case (Some(a), Some(b)) if foldIds.nonEmpty => Some(a.unionByName(b))
+      case (None, Some(b)) if foldIds.nonEmpty => Some(b)
+      case (a, _) => a
+    }
+    merged.foreach { m =>
+      val live = tombstoneTable
+        .map(t => withoutDeleted(m, t)).getOrElse(m)
+      val staging = termDocTable + "_staging"
+      live.repartition(col("token"))
+        .write.mode("overwrite")
+        .bucketBy(buckets, "token").sortBy("token")
+        .saveAsTable(staging)
+      val newHw = (hw +: foldIds).max
+      spark.sql(
+        s"ALTER TABLE $staging SET TBLPROPERTIES ('$HwProp'='$newHw')")
+      spark.sql(s"DROP TABLE IF EXISTS $termDocTable")
+      spark.sql(s"ALTER TABLE $staging RENAME TO $termDocTable")
+      tombstoneTable.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+    (foldIds ++ staleIds).foreach { b =>
+      try spark.sql(
+        s"ALTER TABLE $lt DROP IF EXISTS PARTITION (batch_id=$b)")
+      catch { case _: Exception => () }
+    }
   }
 
   /** Crash recovery for [[compact]]'s stage-then-swap: a crash between
@@ -203,13 +273,34 @@ object IndexMaintenance {
     * staged one — adopt it. (RENAME is sound here because the postings
     * table is bucketed but NOT partitioned: the in-memory catalog's
     * rename pitfall is stale per-PARTITION locations, and the bucket
-    * spec lives in table metadata, which the rename carries.) Called by
-    * every entry point that reads or writes the postings table. */
-  private def recoverStaging(spark: org.apache.spark.sql.SparkSession,
+    * spec — like the high-water property — lives in table metadata,
+    * which the rename carries.) Called by every entry point that reads
+    * or writes the postings table. */
+  private def recoverStaging(spark: SparkSession,
                              termDocTable: String): Unit = {
     val staging = termDocTable + "_staging"
     if (!spark.catalog.tableExists(termDocTable) &&
         spark.catalog.tableExists(staging))
       spark.sql(s"ALTER TABLE $staging RENAME TO $termDocTable")
+  }
+
+  /** batch_id-partitioned dynamic overwrite (the SubstringDedup write
+    * path): first batch creates the layout, later batches replace
+    * exactly their own partition — a crashed partial partition is
+    * overwritten whole on replay. */
+  private def overwritePartition(rows: DataFrame, table: String): Unit = {
+    val spark = rows.sparkSession
+    if (!spark.catalog.tableExists(table))
+      rows.write.partitionBy("batch_id").saveAsTable(table)
+    else {
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prior = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try rows.write.mode("overwrite").insertInto(table)
+      finally prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
   }
 }

@@ -144,27 +144,40 @@ object RewriteDedup {
 
   /** Fold committed ledger partitions into the ch-bucketed compact
     * table. Call from a maintenance window; the rewriter stays correct
-    * (and crash-safe) at any point before, during or after. */
+    * (and crash-safe) at any point before, during or after. The fold
+    * takes only partitions ABOVE the compact table's high-water —
+    * mirroring the probe-side filter — so a crash between the
+    * staging→live rename and the partition drops cannot re-fold
+    * already-folded digests into duplicate compact rows; leftover ≤hw
+    * partitions are re-dropped here instead. */
   def compact(spark: SparkSession, ledgerTable: String,
               markerTable: String): Unit = {
     val cT = compactTable(ledgerTable)
     recoverStaging(spark, cT)
     if (!spark.catalog.tableExists(ledgerTable) ||
         !spark.catalog.tableExists(markerTable)) return
+    val hw = hwOf(spark, cT)
     val committed = spark.table(markerTable).select("batch_id")
     val fold = spark.table(ledgerTable)
+      .filter(col("batch_id") > hw)
       .join(broadcast(committed), Seq("batch_id"), "left_semi")
     val merged = if (spark.catalog.tableExists(cT))
       spark.table(cT).unionByName(fold) else fold
     val batches = fold.select("batch_id").distinct()
       .collect().map(_.getLong(0)) // bounded: committed batch count
-    if (batches.isEmpty) return
-    val staging = cT + "_staging"
-    spark.sql(s"DROP TABLE IF EXISTS $staging")
-    merged.write.mode("overwrite").bucketBy(8, "ch").saveAsTable(staging)
-    spark.sql(s"DROP TABLE IF EXISTS $cT")
-    spark.sql(s"ALTER TABLE $staging RENAME TO $cT")
-    batches.foreach { b =>
+    val stale = spark.table(ledgerTable).select("batch_id").distinct()
+      .filter(col("batch_id") <= hw)
+      .join(broadcast(committed), Seq("batch_id"), "left_semi")
+      .collect().map(_.getLong(0)) // crashed-prior-compact leftovers
+    if (batches.isEmpty && stale.isEmpty) return
+    if (batches.nonEmpty) {
+      val staging = cT + "_staging"
+      spark.sql(s"DROP TABLE IF EXISTS $staging")
+      merged.write.mode("overwrite").bucketBy(8, "ch").saveAsTable(staging)
+      spark.sql(s"DROP TABLE IF EXISTS $cT")
+      spark.sql(s"ALTER TABLE $staging RENAME TO $cT")
+    }
+    (batches ++ stale).foreach { b =>
       try spark.sql(
         s"ALTER TABLE $ledgerTable DROP IF EXISTS PARTITION (batch_id=$b)")
       catch { case _: Exception => () }

@@ -145,30 +145,45 @@ object SnapshotMaintenance {
 
   /** Fold committed ledger partitions into the user-bucketed compact
     * table. Call from a maintenance window; serving stays correct (and
-    * crash-safe) at any point before, during or after. */
+    * crash-safe) at any point before, during or after. The fold takes
+    * only partitions ABOVE the compact table's high-water — mirroring
+    * the serve-side filter — so a crash between the staging→live
+    * rename and the partition drops (or a swallowed DROP failure)
+    * cannot re-fold already-folded batches and double-count
+    * `n_events`; the leftover ≤hw partitions are re-dropped here. */
   def compact(spark: SparkSession, ledgerTable: String,
               markerTable: String): Unit = {
     val cT = compactTable(ledgerTable)
     recoverStaging(spark, cT)
     if (!spark.catalog.tableExists(ledgerTable) ||
         !spark.catalog.tableExists(markerTable)) return
+    val hw = if (spark.catalog.tableExists(cT)) hwOf(spark, cT) else -1L
     val committed = spark.table(markerTable).select("batch_id")
     val fold = spark.table(ledgerTable)
+      .filter(col("batch_id") > hw)
       .join(broadcast(committed), Seq("batch_id"), "left_semi")
     val merged = if (spark.catalog.tableExists(cT))
       spark.table(cT).unionByName(fold) else fold
     val batches = fold.select("batch_id").distinct()
       .collect().map(_.getLong(0)) // bounded: committed batch count
-    if (batches.isEmpty) return
-    val staging = cT + "_staging"
-    spark.sql(s"DROP TABLE IF EXISTS $staging")
-    foldLatest(merged)
-      .select("user_id", "last_type", "last_value", "last_ts",
-        "last_event_id", "n_events", "batch_id")
-      .write.mode("overwrite").bucketBy(8, "user_id").saveAsTable(staging)
-    spark.sql(s"DROP TABLE IF EXISTS $cT")
-    spark.sql(s"ALTER TABLE $staging RENAME TO $cT")
-    batches.foreach { b =>
+    // Stale committed partitions ≤ hw = drops a crashed prior compact
+    // never completed; already excluded from serve AND this fold.
+    val stale = spark.table(ledgerTable).select("batch_id").distinct()
+      .filter(col("batch_id") <= hw)
+      .join(broadcast(committed), Seq("batch_id"), "left_semi")
+      .collect().map(_.getLong(0))
+    if (batches.isEmpty && stale.isEmpty) return
+    if (batches.nonEmpty) {
+      val staging = cT + "_staging"
+      spark.sql(s"DROP TABLE IF EXISTS $staging")
+      foldLatest(merged)
+        .select("user_id", "last_type", "last_value", "last_ts",
+          "last_event_id", "n_events", "batch_id")
+        .write.mode("overwrite").bucketBy(8, "user_id").saveAsTable(staging)
+      spark.sql(s"DROP TABLE IF EXISTS $cT")
+      spark.sql(s"ALTER TABLE $staging RENAME TO $cT")
+    }
+    (batches ++ stale).foreach { b =>
       try spark.sql(
         s"ALTER TABLE $ledgerTable DROP IF EXISTS PARTITION (batch_id=$b)")
       catch { case _: Exception => () }

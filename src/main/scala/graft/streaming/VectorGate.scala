@@ -103,6 +103,10 @@ object VectorGate {
       val quarantine = classified.filter(col("defect").isNotNull)
         .select(col("vec_id"), col("embedding"), col("defect"),
           lit(batchId).as("batch_id")) // partition column last
+      // shared-warehouse orphan-location guard (the VectorMaintenance/
+      // RecallMonitor convention): a leftover managed directory from a
+      // previous JVM must not wedge the first-batch creates below
+      VectorStore.clearOrphanLocation(spark, quarantineTable)
       if (!spark.catalog.tableExists(quarantineTable))
         quarantine.write.partitionBy("batch_id").saveAsTable(quarantineTable)
       else {
@@ -124,6 +128,7 @@ object VectorGate {
         !spark.table(reportTable).filter(col("batch_id") === batchId).isEmpty
       if (!orphaned) {
         import spark.implicits._
+        VectorStore.clearOrphanLocation(spark, reportTable)
         Seq((batchId, byDefect.values.sum, byDefect("ok"),
             byDefect("null_vec"), byDefect("bad_dim"),
             byDefect("nonfinite"), byDefect("zero_norm")))
@@ -132,6 +137,7 @@ object VectorGate {
           .write.mode("append").saveAsTable(reportTable)
       }
 
+      VectorStore.clearOrphanLocation(spark, markerTable)
       classified.groupBy().agg(count(lit(1)).as("n_in"))
         .withColumn("batch_id", lit(batchId))
         .select("batch_id", "n_in")
