@@ -1346,13 +1346,31 @@ object Relational {
         .orderBy("custkey")
     },
 
-    // --- approx_count_distinct: no exact SQL twin → rows-only check;
+    // --- approx_count_distinct with its ERROR BOUND verified in-band:
+    //     the raw HLL++ estimate has no cross-engine value oracle
+    //     (Spark's and DuckDB's sketches disagree by design), but the
+    //     operator's CONTRACT is checkable — the estimate must land
+    //     within a small relative error of the exact distinct count
+    //     (3× the default 5% rsd here, generous headroom over the
+    //     probabilistic bound on fixed test data). The query emits the
+    //     exact count (oracle-able) plus the attestation boolean, so
+    //     the hash check fails exactly when the sketch breaks its
+    //     bound. Raw estimates stay pinned by ApproxCountDistinctSpec;
     //     the exact variant is q13 ---
-    Q.noOracle("q23_approx_count_distinct") { (s, dir) =>
+    Q("q23_approx_count_distinct",
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+        |  TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""") { (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("l_partkey")).as("n_exact"),
+          approx_count_distinct(col("l_partkey")).as("approx"))
+        .select(col("l_returnflag"), col("n"), col("n_exact"),
+          (abs(col("approx") - col("n_exact")).cast("double") <=
+            col("n_exact") * lit(0.15)).as("approx_ok"))
         .orderBy("l_returnflag")
     },
 

@@ -974,17 +974,45 @@ object Text {
     // --- Heavy hitters via a Misra–Gries typed Aggregator: an O(k)
     //     MERGEABLE sketch per partition, merged in O(k) — frequent
     //     tokens over 100 TB without shuffling the (token, count)
-    //     stream. Sketch contents are encounter-order-dependent, so no
-    //     cross-engine oracle (rows-only check, like q23's HLL); the
-    //     n/(k+1) error bounds are pinned by HeavyHittersSpec. ---
-    Q.noOracle("tx20_heavy_hitters") { (s, dir) =>
+    //     stream. Sketch CONTENTS are encounter-order-dependent (no
+    //     cross-engine value oracle exists for the raw estimates), but
+    //     the Misra–Gries GUARANTEE is deterministic: every token with
+    //     true count > n/(k+1) is in the sketch, with
+    //     true − n/(k+1) ≤ est ≤ true. So the query emits the exact
+    //     heavy hitters (oracle-able) with two booleans attesting the
+    //     sketch honored both halves of the guarantee — a hash-green
+    //     check that fails exactly when the sketch breaks its bound.
+    //     Raw top-k estimates stay pinned by HeavyHittersSpec. ---
+    Q("tx20_heavy_hitters",
+      s"""WITH tk AS (SELECT doc_id, $DuckToks AS tk FROM documents),
+         |t AS (SELECT unnest(tk) AS token FROM tk),
+         |c AS (SELECT token, count(*) AS cnt_exact FROM t GROUP BY token),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM t)
+         |SELECT token, CAST(cnt_exact AS BIGINT) AS cnt_exact,
+         |  TRUE AS in_sketch, TRUE AS est_ok
+         |FROM c, n
+         |WHERE cnt_exact > n_total / 21.0
+         |ORDER BY cnt_exact DESC, token""") { (s, dir) =>
       import s.implicits._
-      val sketch = tokenStream(s, dir)
+      val toks = tokenStream(s, dir).select(col("token"))
+      val sketch = toks
         .select(col("token").as[String])
         .select(new graft.operators.HeavyHitters(20).toColumn.name("sketch"))
-      sketch.select(explode(col("sketch")).as("e"))
-        .select(col("e.item").as("token"), col("e.est").as("est_count"))
-        .orderBy(col("est_count").desc, col("token"))
+        .select(explode(col("sketch")).as("e"))
+        .select(col("e.item").as("token"), col("e.est").as("est"))
+      val tot = toks.groupBy()
+        .agg(count(lit(1)).cast("double").as("n_total"))
+      val slack = col("n_total") / lit(21.0) // n/(k+1), k = 20
+      toks.groupBy("token").agg(count(lit(1)).as("cnt_exact"))
+        .crossJoin(broadcast(tot))
+        .filter(col("cnt_exact") > slack)
+        .join(sketch, Seq("token"), "left")
+        .select(col("token"), col("cnt_exact"),
+          col("est").isNotNull.as("in_sketch"),
+          (col("est").isNotNull && col("est") <= col("cnt_exact") &&
+            col("est").cast("double") >= col("cnt_exact") - slack)
+            .as("est_ok"))
+        .orderBy(col("cnt_exact").desc, col("token"))
     },
 
     // --- Bigram language-model fluency score: train MLE bigram
