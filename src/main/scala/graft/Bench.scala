@@ -71,6 +71,49 @@ object Bench {
     (merged.toMap, newPending.toMap)
   }
 
+  // ---- Regression detection (round-13 gap): steady is a lifetime
+  // MIN-fold, so a query that genuinely got slower keeps its stale min
+  // forever and shows up only as a perpetual "contended" label —
+  // indistinguishable from machine load. The counterpart signal is the
+  // MEDIAN of the last RecentKeep low-load observations (sections
+  // "<sf>#r1".."#rK" of the history file, newest first): a slowdown
+  // that reproduces across separate low-load runs is a regression;
+  // a burst cannot move the median of three runs taken minutes-to-
+  // rounds apart. An intentional regression (a deliberately slower,
+  // more correct plan) is healed by editing the query's steady entry
+  // in tools/bench_steady.json — the alarm is the prompt to do so.
+
+  private[graft] val RecentKeep = 3
+  private[graft] val RegressFactor = 1.5
+
+  /** Rotate `observed` into the recent-run window, newest first. */
+  private[graft] def foldRecent(recent: Seq[Map[String, Double]],
+                                observed: Map[String, Double])
+      : Seq[Map[String, Double]] =
+    (observed +: recent).take(RecentKeep)
+
+  private[graft] def medianOf(vals: Seq[Double]): Double = {
+    val s = vals.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  /** Queries whose recent-low-load median sits RegressFactor above
+    * their steady min (and >0.5s over — sub-second jitter is not a
+    * regression). Requires a FULL window: with fewer than RecentKeep
+    * observations the signal stays quiet rather than alarming off a
+    * fresh history. */
+  private[graft] def regressedOf(steady: Map[String, Double],
+                                 recent: Seq[Map[String, Double]])
+      : Seq[String] =
+    steady.keys.toSeq.sorted.filter { n =>
+      val vals = recent.flatMap(_.get(n))
+      vals.size >= RecentKeep && {
+        val m = medianOf(vals)
+        m > RegressFactor * steady(n) && m - steady(n) > 0.5
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     // sampled before ANYTHING runs: the warmup pass alone drives 1-min
     // loadavg past the steady-history gate (observed 0.02 -> 3.06 by
@@ -237,6 +280,11 @@ object Bench {
     // kept in the same file under a "<sf>#pending" section
     val pendingKey = sfShort + "#pending"
     val pending = allSteady.getOrElse(pendingKey, Map.empty)
+    // recent low-load observations (newest first) — the regression
+    // window; sections "<sf>#r1".."#rK" of the same file
+    def recentKey(i: Int) = s"$sfShort#r$i"
+    val recent = (1 to RecentKeep)
+      .flatMap(i => allSteady.get(recentKey(i))).toSeq
     val contended = perQuery.collect {
       case (n, v, true) if steady.get(n).exists(s => v > 2.0 * s && v - s > 0.5) => n
     }
@@ -248,15 +296,30 @@ object Bench {
     // bootstraps. What matters is that the machine was quiet when the
     // run STARTED; the min-of-passes rule absorbs mid-run bursts.
     val lowLoad = loadBefore >= 0 && loadBefore < 1.5
+    val observed = perQuery.collect { case (n, v, true) => n -> v }.toMap
+    // the regression window only advances on low-load runs (a contended
+    // run's timings would poison all three median slots at once)
+    val recentNow = if (lowLoad) foldRecent(recent, observed) else recent
+    val steadyNow =
+      if (lowLoad) foldSteady(steady, pending, observed)._1 else steady
+    val regressed = regressedOf(steadyNow, recentNow)
+    if (regressed.nonEmpty)
+      System.err.println("[bench] REGRESSED (recent-median > " +
+        s"${RegressFactor}x steady): ${regressed.mkString(", ")} — real " +
+        "slowdowns reproduce across low-load runs; fix the plan or " +
+        "re-baseline the query's steady entry in tools/bench_steady.json")
     if (lowLoad) {
-      val observed = perQuery.collect { case (n, v, true) => n -> v }.toMap
       val (mergedMap, pendingMap) = foldSteady(steady, pending, observed)
       val withMerged = allSteady + (sfShort -> mergedMap)
       val newPending = pendingMap
       val withPending =
         if (newPending.isEmpty) withMerged - pendingKey
         else withMerged + (pendingKey -> newPending)
-      val sections = withPending.toSeq.sortBy(_._1)
+      val withRecent = recentNow.zipWithIndex.foldLeft(
+        (1 to RecentKeep).foldLeft(withPending)((m, i) => m - recentKey(i))) {
+        case (m, (obs, i)) => m + (recentKey(i + 1) -> obs)
+      }
+      val sections = withRecent.toSeq.sortBy(_._1)
       val body = sections.map { case (sec, qs) =>
         "\"" + sec + "\":" + qs.toSeq.sorted
           .map { case (n, v) => "\"" + n + "\":" + v }
@@ -273,28 +336,31 @@ object Bench {
     }
     // The driver keeps only the LAST 2000 chars of stdout and parses the
     // final JSON line out of that tail; sbt appends its own ~90-char
-    // "[success]" trailer after us. A full-name, full-precision queries
-    // map is ~2.4 KB and can never fit — every prior round's
-    // BENCH_r{N}.json came back "parsed": null because of exactly this.
-    // So stdout gets ONE compact line: keys are the unique id prefixes
-    // ("q16", "tx05", ...; falling back to the full name on a collision)
-    // and values are rounded to 10 ms — ~1.1 KB, with headroom for the
-    // query count to keep growing. Full names + nanosecond precision go
-    // to stderr for humans reading the raw log.
-    // strip trailing zeros ("0.30"→"0.3", "2.00"→"2"): at 130+ queries
-    // the compact line brushes the driver's 2000-char tail cap
+    // "[success]" trailer after us. At 186 queries even the compact
+    // prefix-keyed map overflowed that tail — BENCH_r13 came back
+    // "parsed": null because the LINE'S OWN HEAD (`{"metric":...`) was
+    // truncated away. So stdout's "queries" map now carries only the
+    // TopQueries slowest entries plus a "rest" rollup of everything
+    // else and an "nq" count — bounded ~1 KB whatever the registry
+    // grows to. Full names + full precision go to stderr and
+    // target/bench_last.json.
     def fmt(v: Double): String = {
       val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       else s
     }
+    val TopQueries = 40
     val prefixes = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }
     val collided = prefixes.groupBy(_._2).collect { case (p, g) if g.size > 1 => p }.toSet
-    val qs = results.map { case (full, v) =>
+    val bySlowest = results.sortBy(-_._2)
+    val restSum = bySlowest.drop(TopQueries).map(_._2).sum
+    val qs = (bySlowest.take(TopQueries).map { case (full, v) =>
       val pre = full.takeWhile(_ != '_')
       val key = if (collided(pre)) full else pre
       "\"" + key + "\":" + fmt(v)
-    }.mkString("{", ",", "}")
+    } ++ (if (results.size > TopQueries)
+            Seq("\"rest\":" + fmt(restSum)) else Nil))
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val buildErr = indexBuildError
       .map(m => ",\"index_build_error\":\"" +
@@ -325,15 +391,19 @@ object Bench {
       else failedQueries.map(n => "\"" + preOf(n) + "\"")
         .mkString(""","failed":[""", ",", "]")
     val retimedProv = if (retimed.isEmpty) "" else s""","retimed":${retimed.size}"""
-    val prov = s""","load":[${fmt(loadBefore)},${fmt(loadAfter)}],"passes":[${fmt(passTotals._1)},${fmt(passTotals._2)}]$steadyProv$failedProv$retimedProv"""
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfShort"$prov$buildErr}"""
+    val regressedProv =
+      if (regressed.isEmpty) ""
+      else regressed.map(n => "\"" + preOf(n) + "\"")
+        .mkString(""","regressed":[""", ",", "]")
+    val prov = s""","load":[${fmt(loadBefore)},${fmt(loadAfter)}],"passes":[${fmt(passTotals._1)},${fmt(passTotals._2)}]$steadyProv$failedProv$retimedProv$regressedProv"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"queries":$qs,"sf":"$sfShort"$prov$buildErr}"""
     // Durability: the driver's log-tail capture has truncated the stdout
     // line in past rounds (BENCH_r04 lost 17 of 77 queries), so the
     // full-name full-precision record also lands on disk where the next
     // round can diff against it.
     val fullContended = failedQueries.map(n => "\"" + n + "\"")
       .mkString("[", ",", "]")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir","load":[$loadBefore,$loadAfter],"passes":[${passTotals._1},${passTotals._2}],"steady":$steadyTotal,"contended":${contended.map(n => "\"" + n + "\"").mkString("[", ",", "]")},"failed":$fullContended,"retimed":${retimed.size}$buildErr}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir","load":[$loadBefore,$loadAfter],"passes":[${passTotals._1},${passTotals._2}],"steady":$steadyTotal,"contended":${contended.map(n => "\"" + n + "\"").mkString("[", ",", "]")},"failed":$fullContended,"retimed":${retimed.size},"regressed":${regressed.map(n => "\"" + n + "\"").mkString("[", ",", "]")}$buildErr}"""
     try {
       val out = java.nio.file.Paths.get("target", "bench_last.json")
       java.nio.file.Files.createDirectories(out.getParent)

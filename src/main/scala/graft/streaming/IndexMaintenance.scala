@@ -103,9 +103,16 @@ object IndexMaintenance {
   }
 
   /** Total corpus size from the stats ledger. */
-  def docCount(spark: SparkSession, statsTable: String): Long =
+  def docCount(spark: SparkSession, statsTable: String): Long = {
+    refresh(spark, statsTable)
     spark.table(statsTable)
       .agg(coalesce(sum("n_docs"), lit(0L))).head.getLong(0)
+  }
+
+  private def refresh(spark: SparkSession, t: String): Unit =
+    if (spark.catalog.tableExists(t))
+      try spark.catalog.refreshTable(t)
+      catch { case _: Exception => () }
 
   /** Document DELETION — the other half of maintenance. A delete never
     * rewrites the bucketed postings (that would be an O(index) job for
@@ -161,6 +168,13 @@ object IndexMaintenance {
     * crashed compact's leftover ≤hw partitions invisible. */
   def postings(spark: SparkSession, termDocTable: String,
                statsTable: String): DataFrame = {
+    // the maintainer writes through a CLONED session (foreachBatch);
+    // its refresh does not invalidate THIS session's cached file
+    // listings, so a serve call that planned against these tables
+    // before the latest batch would read stale listings and miss
+    // committed rows — refresh before reading
+    Seq(termDocTable, ledgerTable(termDocTable), statsTable)
+      .foreach(refresh(spark, _))
     recoverStaging(spark, termDocTable)
     val base = if (spark.catalog.tableExists(termDocTable))
       Some(spark.table(termDocTable)) else None

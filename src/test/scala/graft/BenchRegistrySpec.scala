@@ -93,3 +93,64 @@ class BenchSteadySpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(m == Map("old" -> 3.0, "new" -> 0.7) && pend.isEmpty)
   }
 }
+
+/** Executable contract for the regression window (Bench.regressedOf /
+  * foldRecent): the steady min can only ratchet down, so a genuine
+  * slowdown used to surface only as a perpetual "contended" label —
+  * indistinguishable from machine load. The recent-median rule must
+  * label a REPRODUCED slowdown regressed while staying quiet on a
+  * one-run burst, a fresh history, and sub-second jitter.
+  */
+class BenchRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private val steady = Map("q" -> 2.0, "r" -> 1.0)
+
+  test("a slowdown reproduced across the full window labels regressed") {
+    // q genuinely went 2.0s -> 4.0s: three consecutive low-load runs
+    // all see ~4s; r stays at its steady speed
+    val recent = Seq(
+      Map("q" -> 4.1, "r" -> 1.0),
+      Map("q" -> 3.9, "r" -> 1.1),
+      Map("q" -> 4.0, "r" -> 0.9))
+    assert(Bench.regressedOf(steady, recent) == Seq("q"),
+      "a reproduced slowdown must be labeled regressed, not contended")
+  }
+
+  test("a one-run burst cannot move the median: not regressed") {
+    val recent = Seq(
+      Map("q" -> 9.0), // the burst
+      Map("q" -> 2.1),
+      Map("q" -> 2.0))
+    assert(Bench.regressedOf(steady, recent).isEmpty,
+      "a single contended run must not alarm")
+  }
+
+  test("fewer than a full window of observations stays quiet") {
+    val recent = Seq(Map("q" -> 9.0), Map("q" -> 9.0))
+    assert(Bench.regressedOf(steady, recent).isEmpty,
+      "a fresh history must not alarm before the window fills")
+  }
+
+  test("sub-second absolute jitter is not a regression") {
+    // 1.0s -> 1.4s median is >1.5x? no; but 0.3s -> 0.7s IS >1.5x while
+    // only 0.4s over — the absolute floor keeps it quiet
+    val tiny = Map("s" -> 0.3)
+    val recent = Seq(Map("s" -> 0.7), Map("s" -> 0.7), Map("s" -> 0.7))
+    assert(Bench.regressedOf(tiny, recent).isEmpty,
+      "sub-second jitter must not alarm")
+  }
+
+  test("foldRecent rotates newest-first and bounds the window") {
+    val r0 = Seq.empty[Map[String, Double]]
+    val r1 = Bench.foldRecent(r0, Map("q" -> 1.0))
+    val r2 = Bench.foldRecent(r1, Map("q" -> 2.0))
+    val r3 = Bench.foldRecent(r2, Map("q" -> 3.0))
+    val r4 = Bench.foldRecent(r3, Map("q" -> 4.0))
+    assert(r4.map(_("q")) == Seq(4.0, 3.0, 2.0),
+      "window must keep the newest RecentKeep observations, newest first")
+  }
+
+  test("median is the middle of odd, mean-of-middles of even") {
+    assert(Bench.medianOf(Seq(3.0, 1.0, 2.0)) == 2.0)
+    assert(Bench.medianOf(Seq(4.0, 1.0)) == 2.5)
+  }
+}
