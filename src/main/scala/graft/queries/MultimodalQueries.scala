@@ -328,6 +328,86 @@ object MultimodalQueries {
             .otherwise("ok").as("status"))
         .groupBy("status").agg(count(lit(1)).as("n_blobs"))
         .orderBy("status")
+    },
+
+    // --- mm08: CROSS-MODAL retrieval — blob→text top-k served from
+    //     the ANN artifact. mm01-mm07 treat blobs as bytes and never
+    //     join the embeddings table; this closes the loop: every
+    //     distinct blob payload (exact-survivor per content digest —
+    //     the mm04/dd01 identity convention) links to its embedding
+    //     row through the digest→doc→vec id-space join, and its
+    //     nearest TEXT neighbors come from `VectorStore.serveTopK`
+    //     (sm18's build-once path: partition-pruned code cells +
+    //     asymmetric SQ cosine). The candidate set never scans the
+    //     embeddings table — the only raw reads are the bounded probe
+    //     derivation (plan-guarded in PlanSpec). ---
+    Q("mm08_crossmodal_topk", {
+      val qcos = Similarity.cosineSql("p.pe", "d.deq")
+      val dist = Similarity.l2SqSql("e.embedding", "c.ce")
+      val pdist = Similarity.l2SqSql("p.pe", "c.ce")
+      s"""WITH ${Similarity.sqDeqCtes},
+         |cent AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  WHERE vec_id < ${graft.index.VectorStore.Cells}),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |                         ORDER BY $dist, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |surv AS (SELECT md5(text) AS blob_digest,
+         |                CAST(min(doc_id) AS BIGINT) AS probe_id
+         |         FROM documents GROUP BY md5(text)),
+         |p AS (SELECT s.blob_digest, s.probe_id, e.embedding AS pe
+         |      FROM surv s JOIN embeddings e ON e.vec_id = s.probe_id
+         |      WHERE s.probe_id % 25 = 0),
+         |pcells AS (
+         |  SELECT probe_id, cid FROM (
+         |    SELECT p.probe_id, c.cid,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |                         ORDER BY $pdist, c.cid) AS rn
+         |    FROM p CROSS JOIN cent c)
+         |  WHERE rn <= ${graft.index.VectorStore.NProbe}),
+         |scored AS (
+         |  SELECT p.blob_digest, p.probe_id, d.vec_id, $qcos AS cosine
+         |  FROM p
+         |  JOIN pcells pc ON pc.probe_id = p.probe_id
+         |  JOIN assign a ON a.cid = pc.cid
+         |  JOIN dq d ON d.vec_id = a.vec_id AND d.vec_id <> p.probe_id)
+         |SELECT blob_digest, probe_id, neighbor_id,
+         |  CAST(rank AS INT) AS rank, round(cosine, 6) AS cosine
+         |FROM (
+         |  SELECT blob_digest, probe_id, vec_id AS neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= ${graft.index.VectorStore.TopK}
+         |ORDER BY probe_id, rank"""
+    }) { (s, dir) =>
+      val store = graft.index.VectorStore.storeFor(s, dir)
+      val surv = docs(s, dir)
+        .groupBy(md5(col("text").cast("binary")).as("blob_digest"))
+        .agg(min(col("doc_id")).as("probe_id"))
+        .filter(col("probe_id") % 25 === 0)
+      // persisted: serveTopK consumes the probe set twice (cells +
+      // candidate join) and the digest join-back a third time — without
+      // this, the documents digest-groupBy and the embeddings probe
+      // fetch re-scan per consumer (caller owns the cache lifecycle,
+      // the Q.scala contract)
+      val probes = surv.join(
+        tables.load(s, dir, "embeddings")
+          .select(col("vec_id").as("probe_id"), col("embedding").as("pe")),
+        Seq("probe_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.index.VectorStore
+        .serveTopK(probes.select("probe_id", "pe"), store)
+        .join(probes.select("probe_id", "blob_digest"), Seq("probe_id"))
+        .select(col("blob_digest"), col("probe_id"), col("neighbor_id"),
+          col("rank"),
+          graft.functions.ParityFunctions.duckRound(col("cosine"), 6)
+            .as("cosine"))
+        .orderBy("probe_id", "rank")
     }
   )
 }

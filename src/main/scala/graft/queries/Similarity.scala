@@ -35,7 +35,7 @@ object Similarity {
       s"list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
       s"(acc, x) -> acc + x)"
 
-  private def cosineSql(a: String, b: String): String =
+  private[queries] def cosineSql(a: String, b: String): String =
     s"CASE WHEN sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}) = 0 THEN 0.0 " +
       s"ELSE ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END"
 
@@ -126,7 +126,7 @@ object Similarity {
   }
 
   /** DuckDB mirror of VectorFunctions.l2DistanceSq. */
-  private def l2SqSql(a: String, b: String): String =
+  private[queries] def l2SqSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
       s"list_transform(range(1, len($a) + 1), i -> " +
       s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), " +
@@ -174,7 +174,7 @@ object Similarity {
   /** Shared DuckDB CTE chain ending in `dq(vec_id, deq)` — the
     * scalar-quantized-then-dequantized corpus (sm08's codebook math,
     * one text so sm08 and sm17 can never drift). */
-  private def sqDeqCtes: String =
+  private[queries] def sqDeqCtes: String =
     """x AS (
       |  SELECT vec_id, unnest(embedding) AS xi,
       |    unnest(range(1, len(embedding) + 1)) AS pos

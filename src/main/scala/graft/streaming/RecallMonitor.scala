@@ -53,22 +53,46 @@ object RecallMonitor {
     * feed collapses toward random (K/n). */
   val AlarmFloor = 0.2
 
+  /** Sentinel `scoreEvery`: pick the cadence from the serving
+    * artifact's size — every batch while the store is small, every
+    * [[AutoEvery]]-th once its code count passes [[AutoSizeRows]]
+    * (the ground-truth side is a full raw-artifact scan per scored
+    * batch, so per-batch scoring of a large store turns the monitor
+    * into the dominant load). The size check is one codes-table count
+    * (parquet footer metadata, no data scan). Appends only GROW the
+    * store, so the cadence can only coarsen over time — a replay that
+    * resolves a coarser cadence than the original run at worst skips
+    * scoring a batch whose orphan recall row then rides in under its
+    * marker (the row is still the correct recall of that batch). */
+  val AutoCadence = 0
+  val AutoSizeRows = 100000L
+  val AutoEvery = 8
+
+  private def resolveCadence(spark: SparkSession, storeName: String,
+                             scoreEvery: Int): Int =
+    if (scoreEvery > 0) scoreEvery
+    else {
+      val t = s"${VectorStore.servingPrefix(spark, storeName)}_codes"
+      val n = if (spark.catalog.tableExists(t)) spark.table(t).count()
+              else 0L
+      if (n > AutoSizeRows) AutoEvery else 1
+    }
+
   /** Starts the monitor: one recall row per SCORED micro-batch of
     * `newProbes` (`vec_id`, `embedding`) into `ledgerTable`.
     *
-    * `scoreEvery`: eval cadence — the ground-truth side is a full
-    * raw-artifact scan per scored batch (an eval job riding the
-    * micro-batch cadence), so large artifacts score every Nth batch:
-    * batches with `batchId % scoreEvery != 0` commit their marker but
-    * write no recall row. Cadence is keyed on the STABLE batch id, so
-    * replays skip and score identically. */
+    * `scoreEvery`: eval cadence — batches with
+    * `batchId % scoreEvery != 0` commit their marker but write no
+    * recall row. Cadence is keyed on the STABLE batch id, so replays
+    * skip and score identically. Defaults to [[AutoCadence]]: resolved
+    * from the serving artifact's size per batch (see above). */
   def maintain(newProbes: DataFrame, storeName: String, ledgerTable: String,
                markerTable: String, checkpointDir: String,
-               scoreEvery: Int = 1): StreamingQuery = {
+               scoreEvery: Int = AutoCadence): StreamingQuery = {
     require(checkpointDir.nonEmpty,
       "RecallMonitor.maintain requires a durable checkpointDir: " +
         "replay-skip markers are only valid against stable batch ids")
-    require(scoreEvery >= 1, s"scoreEvery must be >= 1, got $scoreEvery")
+    require(scoreEvery >= 0, s"scoreEvery must be >= 0, got $scoreEvery")
     newProbes.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -84,12 +108,12 @@ object RecallMonitor {
     * Replay-safe; crash window closed by adoption. */
   def recallBatch(batch: DataFrame, batchId: Long, storeName: String,
                   ledgerTable: String, markerTable: String,
-                  scoreEvery: Int = 1): Unit = {
+                  scoreEvery: Int = AutoCadence): Unit = {
     val spark = batch.sparkSession
     val committed = spark.catalog.tableExists(markerTable) &&
       !spark.table(markerTable).filter(col("batch_id") === batchId).isEmpty
     if (!committed) {
-      val scored = batchId % scoreEvery == 0
+      val scored = batchId % resolveCadence(spark, storeName, scoreEvery) == 0
       val orphaned = scored && spark.catalog.tableExists(ledgerTable) &&
         !spark.table(ledgerTable).filter(col("batch_id") === batchId).isEmpty
       if (scored && !orphaned) {

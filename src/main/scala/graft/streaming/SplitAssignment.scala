@@ -152,7 +152,13 @@ object SplitAssignment {
   }
 
   /** Fold one ledger's committed partitions into its bucketed compact
-    * table (exposed for the mixed-high-water spec). */
+    * table (exposed for the mixed-high-water spec). The fold takes
+    * only partitions ABOVE the compact table's high-water — mirroring
+    * the probe-side filter — so a crash between the staging→live
+    * rename and the partition drops cannot re-fold already-folded
+    * rows (duplicated shingles would inflate every later
+    * intersection count); leftover ≤hw partitions are re-dropped
+    * here instead. */
   private[graft] def compactOne(spark: SparkSession, name: String,
                                     suffix: String, bucketCol: String): Unit = {
     val base = s"${name}_$suffix"
@@ -160,22 +166,30 @@ object SplitAssignment {
     recoverStaging(spark, cT)
     if (!spark.catalog.tableExists(base) ||
         !spark.catalog.tableExists(markerTable(name))) return
+    val hw = hwOf(spark, cT)
     val committed = spark.table(markerTable(name)).select("batch_id")
     val fold = spark.table(base)
+      .filter(col("batch_id") > hw)
       .join(broadcast(committed), Seq("batch_id"), "left_semi")
     val merged = if (spark.catalog.tableExists(cT))
       spark.table(cT).unionByName(fold) else fold
     val batches = fold.select("batch_id").distinct()
       .collect().map(_.getLong(0)) // bounded: committed batch count
-    if (batches.isEmpty) return
-    val staging = cT + "_staging"
-    spark.sql(s"DROP TABLE IF EXISTS $staging")
-    merged.write.mode("overwrite")
-      .bucketBy(8, bucketCol).saveAsTable(staging)
-    spark.sql(s"DROP TABLE IF EXISTS $cT")
-    spark.sql(s"ALTER TABLE $staging RENAME TO $cT")
+    val stale = spark.table(base).select("batch_id").distinct()
+      .filter(col("batch_id") <= hw)
+      .join(broadcast(committed), Seq("batch_id"), "left_semi")
+      .collect().map(_.getLong(0)) // crashed-prior-compact leftovers
+    if (batches.isEmpty && stale.isEmpty) return
+    if (batches.nonEmpty) {
+      val staging = cT + "_staging"
+      spark.sql(s"DROP TABLE IF EXISTS $staging")
+      merged.write.mode("overwrite")
+        .bucketBy(8, bucketCol).saveAsTable(staging)
+      spark.sql(s"DROP TABLE IF EXISTS $cT")
+      spark.sql(s"ALTER TABLE $staging RENAME TO $cT")
+    }
     // best-effort cleanup: folded partitions are hw-excluded already
-    batches.foreach { b =>
+    (batches ++ stale).foreach { b =>
       try spark.sql(
         s"ALTER TABLE $base DROP IF EXISTS PARTITION (batch_id=$b)")
       catch { case _: Exception => () }
@@ -188,15 +202,47 @@ object SplitAssignment {
   def compact(spark: SparkSession, name: String): Unit =
     Compactable.foreach { case (s, k) => compactOne(spark, name, s, k) }
 
+  /** Auto-fold trigger: once a ledger's committed live tail exceeds
+    * this many partitions, [[assignBatch]] folds it before probing —
+    * the probe read stays `compacted ∪ small tail` instead of
+    * degrading to an every-partition scan as batches accumulate. Safe
+    * inline: the assigner is the ledgers' only writer, foreachBatch
+    * runs serially, and the probe union is hw-correct at any point of
+    * a crashed fold. */
+  val AutoCompactParts = 8
+
+  private def tailParts(spark: SparkSession, name: String,
+                        suffix: String): Int = {
+    val base = s"${name}_$suffix"
+    if (!spark.catalog.tableExists(base) ||
+        !spark.catalog.tableExists(markerTable(name))) 0
+    else {
+      val hw = hwOf(spark, compactTable(name, suffix))
+      spark.table(base).select("batch_id").distinct()
+        .filter(col("batch_id") > hw)
+        .join(broadcast(spark.table(markerTable(name)).select("batch_id")),
+          Seq("batch_id"), "left_semi")
+        .count().toInt
+    }
+  }
+
   /** One micro-batch: ledger partitions (shingles/sigs/bands), the
-    * assignment partition, then the commit marker. */
-  def assignBatch(batch: DataFrame, batchId: Long, name: String): Unit = {
+    * assignment partition, then the commit marker. `autoCompactParts`
+    * bounds the probe tail: any ledger whose committed tail exceeds
+    * it is folded before this batch probes (see [[AutoCompactParts]];
+    * pass `Int.MaxValue` to disable). */
+  def assignBatch(batch: DataFrame, batchId: Long, name: String,
+                  autoCompactParts: Int = AutoCompactParts): Unit = {
     val spark = batch.sparkSession
     import org.apache.spark.storage.StorageLevel
     val committed = spark.catalog.tableExists(markerTable(name)) &&
       !spark.table(markerTable(name))
         .filter(col("batch_id") === batchId).isEmpty
     if (committed) return
+    Compactable.foreach { case (sfx, k) =>
+      if (tailParts(spark, name, sfx) > autoCompactParts)
+        compactOne(spark, name, sfx, k)
+    }
 
     val docsB = batch.select("doc_id", "text")
     val sh = Dedup.shingleSetOf(docsB).persist(StorageLevel.MEMORY_AND_DISK)

@@ -148,6 +148,22 @@ class PlanSpec extends AnyFunSuite {
       s"tx43 top-10 must be a TakeOrdered, not a global sort:\n$p")
   }
 
+  test("mm08: candidates from the vector store — one probe-side embeddings scan") {
+    // cross-modal serve: the CANDIDATE set must come from the ANN
+    // artifact's cid-partitioned code table, never a raw embeddings
+    // scan — the only embeddings read is the bounded probe fetch, and
+    // documents appears only for the probe digest derivation
+    val p = plan("mm08_crossmodal_topk")
+    val scanLocs = "Location:[^\\n]*".r.findAllIn(p).toSeq
+    assert(scanLocs.nonEmpty, s"mm08 plan has no scan Location lines:\n$p")
+    assert(scanLocs.exists(_.contains("graft_vecstore")),
+      s"mm08 candidates must come from the store artifact: " +
+        scanLocs.mkString("; "))
+    assert(scanLocs.count(_.contains("embeddings.parquet")) == 1,
+      s"mm08 must scan raw embeddings exactly once (the probe fetch): " +
+        scanLocs.mkString("; "))
+  }
+
   test("sm13: lexical side served from the index — zero documents scans") {
     // the hybrid-retrieval twin's lexical side must read the bucketed
     // postings + stats artifacts; the only raw-table scans left are

@@ -201,6 +201,47 @@ class RecallMonitorSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("auto cadence: small store scores every batch, large every Nth") {
+    import spark.implicits._
+    // small store (500 vecs, far under AutoSizeRows): the AutoCadence
+    // default resolves to 1 — every batch writes a recall row
+    reset("ras", "ras_ledger", "ras_marker")
+    VectorStore.build(corpus(), "ras")
+    val vecs = loadVecs()
+    val ids = vecs.keys.toSeq.sorted.take(8)
+    def frame() = ids.map(id => (id, vecs(id))).toDF("vec_id", "embedding")
+    (0L to 1L).foreach(b =>
+      RecallMonitor.recallBatch(frame(), b, "ras", "ras_ledger", "ras_marker"))
+    assert(RecallMonitor.recalls(spark, "ras_ledger", "ras_marker")
+      .count() == 2L, "small store must score every batch under auto")
+    assert(spark.table("ras_marker").count() == 2L)
+
+    // large store (past AutoSizeRows codes): auto resolves to
+    // AutoEvery — off-cadence batches commit their marker unscored,
+    // the AutoEvery-th scores. Ledger semantics identical to an
+    // explicit scoreEvery = AutoEvery run.
+    reset("ral", "ral_ledger", "ral_marker")
+    val big = spark.range(RecallMonitor.AutoSizeRows + 1)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(3)),
+          d => sin(col("id") * lit(0.7) + d.cast("double") * lit(1.3)))
+          .as("embedding"))
+    VectorStore.build(big, "ral", cells = 16) // explicit: keep the test fast
+    val bids = (0L until 8L).toSeq
+    def bframe() = bids.map(id => (id,
+        Array.tabulate(4)(d => math.sin(id * 0.7 + d * 1.3))))
+      .toDF("vec_id", "embedding")
+    Seq(0L, 1L, RecallMonitor.AutoEvery.toLong).foreach(b =>
+      RecallMonitor.recallBatch(bframe(), b, "ral", "ral_ledger", "ral_marker"))
+    val scored = RecallMonitor.recalls(spark, "ral_ledger", "ral_marker")
+      .select("batch_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(scored == Seq(0L, RecallMonitor.AutoEvery.toLong),
+      s"large store must score only on the AutoEvery cadence: $scored")
+    assert(spark.table("ral_marker").count() == 3L,
+      "off-cadence batches must still commit markers")
+    spark.catalog.clearCache()
+  }
+
   test("alarm-gated rebuild retrains the codebook; recall recovers") {
     import spark.implicits._
     reset("rr", "rr_ledger", "rr_marker")

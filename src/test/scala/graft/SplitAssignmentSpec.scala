@@ -166,6 +166,35 @@ class SplitAssignmentSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("auto-fold cadence bounds the probe tail; assignments unchanged") {
+    import spark.implicits._
+    val all = corpus().orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val batches = all.grouped((all.length + 3) / 4).toSeq
+    // twin stores: spa folds automatically once any ledger tail
+    // exceeds ONE committed partition; spb never folds
+    reset("spa"); reset("spb")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val df = b.toSeq.toDF("doc_id", "text")
+      SplitAssignment.assignBatch(df, i.toLong, "spa", autoCompactParts = 1)
+      SplitAssignment.assignBatch(df, i.toLong, "spb",
+        autoCompactParts = Int.MaxValue)
+    }
+    assert(rows("spa") == rows("spb"),
+      "auto-folding mid-stream must be invisible to assignments")
+    // the fold actually fired: compact tables exist and the live tail
+    // is bounded by the threshold+1 (the batch that tripped it plus
+    // the one written after the fold)
+    assert(spark.catalog.tableExists("spa_bandsc"),
+      "auto-fold never created the bands compact table")
+    val tail = spark.table("spa_bands").select("batch_id").distinct().count()
+    assert(tail <= 2, s"auto-fold left an unbounded tail ($tail partitions)")
+    // the never-folding twin kept every partition live (the contrast)
+    assert(spark.table("spb_bands").select("batch_id").distinct()
+      .count() == batches.size.toLong)
+    spark.catalog.clearCache()
+  }
+
   test("a crashed compact swap is adopted from staging at the next probe") {
     import spark.implicits._
     val all = corpus().orderBy("doc_id").collect()
