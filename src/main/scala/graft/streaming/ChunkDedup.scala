@@ -78,9 +78,11 @@ object ChunkDedup {
     * distinct-doc increments per digest. Empty-but-typed when no batch
     * has committed yet. */
   def chunkFrequency(spark: SparkSession, chunkTable: String): DataFrame =
+    { Freshness.refresh(spark, chunkTable)
     if (!spark.catalog.tableExists(chunkTable))
       spark.range(0).select(lit("").as("ch"), lit(0L).as("nd")).limit(0)
     else spark.table(chunkTable).groupBy("ch").agg(sum("nd").as("nd"))
+    }
 
   /** Serve-time report for `documents` (`doc_id`, `text`) against the
     * MAINTAINED ledger — same schema as the batch report

@@ -110,6 +110,7 @@ object ContaminationMonitor {
   /** Committed contamination rows only (empty when nothing committed). */
   def contamination(spark: SparkSession, ledgerTable: String,
                     markerTable: String): DataFrame = {
+    Freshness.refresh(spark, ledgerTable, markerTable)
     if (!spark.catalog.tableExists(ledgerTable) ||
         !spark.catalog.tableExists(markerTable))
       return spark.range(0)

@@ -219,6 +219,7 @@ object DatasheetMaintenance {
     * (source, lang, n_docs, total_tokens, mean_chars, n_exact_dup),
     * unsorted — callers order. Empty-but-typed before first commit. */
   def datasheet(spark: SparkSession, name: String): DataFrame = {
+    Freshness.refresh(spark, statsTable(name), dupsTable(name), markerTable(name))
     if (!spark.catalog.tableExists(statsTable(name)) ||
         !spark.catalog.tableExists(dupsTable(name)) ||
         !spark.catalog.tableExists(markerTable(name)))

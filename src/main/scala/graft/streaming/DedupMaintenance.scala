@@ -84,8 +84,10 @@ object DedupMaintenance {
     * jaccard) — the union of every committed batch's increments.
     * Empty-but-typed before the first commit. */
   def allPairs(spark: SparkSession, pairsTable: String): DataFrame =
+    { Freshness.refresh(spark, pairsTable)
     if (!spark.catalog.tableExists(pairsTable))
       spark.range(0).select(lit(0L).as("doc_a"), lit(0L).as("doc_b"),
         lit(0.0).as("jaccard")).limit(0)
     else spark.table(pairsTable).select("doc_a", "doc_b", "jaccard")
+  }
 }

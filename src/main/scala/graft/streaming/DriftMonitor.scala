@@ -118,6 +118,7 @@ object DriftMonitor {
   /** Committed drift rows only (empty when nothing has committed). */
   def drifts(spark: SparkSession, ledgerTable: String,
              markerTable: String): DataFrame = {
+    Freshness.refresh(spark, ledgerTable, markerTable)
     if (!spark.catalog.tableExists(ledgerTable) ||
         !spark.catalog.tableExists(markerTable))
       return spark.range(0)

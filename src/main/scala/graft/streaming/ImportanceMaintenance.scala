@@ -102,6 +102,7 @@ object ImportanceMaintenance {
     * its marker never surfaces the orphan batch. */
   def weights(spark: org.apache.spark.sql.SparkSession, weightsTable: String,
               markerTable: String): DataFrame = {
+    Freshness.refresh(spark, weightsTable, markerTable)
     recoverStaging(spark, weightsTable)
     if (!spark.catalog.tableExists(weightsTable) ||
         !spark.catalog.tableExists(markerTable))

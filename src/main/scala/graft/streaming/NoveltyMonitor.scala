@@ -127,6 +127,7 @@ object NoveltyMonitor {
     * committed yet). */
   def noveltyRows(spark: SparkSession, reportTable: String,
                   markerTable: String): DataFrame = {
+    Freshness.refresh(spark, reportTable, markerTable)
     if (!spark.catalog.tableExists(reportTable) ||
         !spark.catalog.tableExists(markerTable))
       return spark.range(0)

@@ -126,6 +126,7 @@ object PerplexityMonitor {
   /** Committed quality rows only (empty when nothing has committed). */
   def xents(spark: SparkSession, ledgerTable: String,
             markerTable: String): DataFrame = {
+    Freshness.refresh(spark, ledgerTable, markerTable)
     if (!spark.catalog.tableExists(ledgerTable) ||
         !spark.catalog.tableExists(markerTable))
       return spark.range(0)

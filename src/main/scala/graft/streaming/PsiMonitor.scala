@@ -130,6 +130,7 @@ object PsiMonitor {
   /** Committed PSI rows only (empty when nothing has committed). */
   def psis(spark: SparkSession, ledgerTable: String,
            markerTable: String): DataFrame = {
+    Freshness.refresh(spark, ledgerTable, markerTable)
     if (!spark.catalog.tableExists(ledgerTable) ||
         !spark.catalog.tableExists(markerTable))
       return spark.range(0)

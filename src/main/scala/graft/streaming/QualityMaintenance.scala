@@ -114,6 +114,7 @@ object QualityMaintenance {
     * its marker never surfaces the orphan batch. */
   def scores(spark: org.apache.spark.sql.SparkSession, scoresTable: String,
              markerTable: String): DataFrame = {
+    Freshness.refresh(spark, scoresTable, markerTable)
     recoverStaging(spark, scoresTable)
     if (!spark.catalog.tableExists(scoresTable) ||
         !spark.catalog.tableExists(markerTable))

@@ -185,6 +185,7 @@ object RecallMonitor {
   /** Committed recall rows only (empty when nothing has committed). */
   def recalls(spark: SparkSession, ledgerTable: String,
               markerTable: String): DataFrame = {
+    Freshness.refresh(spark, ledgerTable, markerTable)
     if (!spark.catalog.tableExists(ledgerTable) ||
         !spark.catalog.tableExists(markerTable))
       return spark.range(0)

@@ -207,6 +207,7 @@ object RewriteDedup {
   /** Committed cleaned rows only (empty-but-typed before any commit). */
   def cleaned(spark: SparkSession, outTable: String,
               markerTable: String): DataFrame = {
+    Freshness.refresh(spark, outTable, markerTable)
     if (!spark.catalog.tableExists(outTable) ||
         !spark.catalog.tableExists(markerTable))
       return spark.range(0).select(col("id").as("doc_id"),

@@ -80,6 +80,7 @@ object SnapshotMaintenance {
     * (ts, event_id) order = the global argmax. */
   def snapshot(spark: SparkSession, ledgerTable: String,
                markerTable: String): DataFrame = {
+    Freshness.refresh(spark, ledgerTable, markerTable, compactTable(ledgerTable))
     val cT = compactTable(ledgerTable)
     recoverStaging(spark, cT)
     val c = if (spark.catalog.tableExists(cT))

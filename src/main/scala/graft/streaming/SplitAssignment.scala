@@ -354,6 +354,7 @@ object SplitAssignment {
   /** Committed assignments only (empty-but-typed before first
     * commit). */
   def assignments(spark: SparkSession, name: String): DataFrame = {
+    Freshness.refresh(spark, splitsTable(name), markerTable(name))
     if (!spark.catalog.tableExists(splitsTable(name)) ||
         !spark.catalog.tableExists(markerTable(name)))
       return spark.range(0).select(col("id").as("doc_id"),

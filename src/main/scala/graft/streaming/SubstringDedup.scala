@@ -168,6 +168,7 @@ object SubstringDedup {
     * serving is identical before and after [[compact]]). Empty-but-
     * typed when no batch has committed yet. */
   def windowFrequency(spark: SparkSession, windowTable: String): DataFrame = {
+    Freshness.refresh(spark, windowTable)
     recoverStaging(spark, windowTable)
     if (!spark.catalog.tableExists(windowTable))
       spark.range(0).select(lit("").as("ch"), lit(0L).as("nd")).limit(0)

@@ -117,6 +117,7 @@ object TokenizerMaintenance {
     * first commit; a crash-window orphan batch never surfaces. */
   def unitReport(spark: SparkSession, wcTable: String,
                  markerTable: String): DataFrame = {
+    Freshness.refresh(spark, wcTable, markerTable)
     recoverStaging(spark, wcTable)
     if (!spark.catalog.tableExists(wcTable) ||
         !spark.catalog.tableExists(markerTable))

@@ -122,6 +122,7 @@ object TrendMaintenance {
     * batch order doesn't affect the guarantees (mergeable summaries). */
   def heavyHitters(spark: SparkSession, sketchTable: String,
                    markerTable: String, k: Int): Seq[HHEntry] = {
+    Freshness.refresh(spark, sketchTable, markerTable)
     recoverStaging(spark, sketchTable)
     if (!spark.catalog.tableExists(sketchTable) ||
         !spark.catalog.tableExists(markerTable)) return Nil
@@ -195,9 +196,11 @@ object TrendMaintenance {
   /** Total stream length Σ n_tokens across committed batches — the n
     * in the n/(k+1) error bound a consumer should quote. */
   def streamLength(spark: SparkSession, markerTable: String): Long =
+    { Freshness.refresh(spark, markerTable)
     if (!spark.catalog.tableExists(markerTable)) 0L
     // coalesce: a crash during the first marker append can leave the
     // table existing but EMPTY, where sum() is NULL (getLong would NPE)
     else spark.table(markerTable)
       .agg(coalesce(sum("n_tokens"), lit(0L))).head().getLong(0)
+  }
 }

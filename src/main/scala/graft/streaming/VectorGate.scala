@@ -148,6 +148,7 @@ object VectorGate {
   /** Committed audit rows only (empty-but-typed before any commit). */
   def gateReports(spark: SparkSession, reportTable: String,
                   markerTable: String): DataFrame = {
+    Freshness.refresh(spark, reportTable, markerTable)
     if (!spark.catalog.tableExists(reportTable) ||
         !spark.catalog.tableExists(markerTable))
       return spark.range(0).select(col("id").as("batch_id"),
@@ -162,6 +163,7 @@ object VectorGate {
   /** Committed quarantined vectors only — the operator review queue. */
   def quarantined(spark: SparkSession, quarantineTable: String,
                   markerTable: String): DataFrame = {
+    Freshness.refresh(spark, quarantineTable, markerTable)
     if (!spark.catalog.tableExists(quarantineTable) ||
         !spark.catalog.tableExists(markerTable))
       return spark.range(0).select(col("id").as("vec_id"),

@@ -122,9 +122,11 @@ object VectorMaintenance {
     * batch has committed yet). */
   def vecCount(spark: org.apache.spark.sql.SparkSession,
                markerTable: String): Long =
+    { Freshness.refresh(spark, markerTable)
     if (!spark.catalog.tableExists(markerTable)) 0L
     else spark.table(markerTable).agg(sum("n_vecs")).collect()(0) match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
     }
+  }
 }
