@@ -1508,6 +1508,49 @@ object Relational {
           duckRound(avg(greatest(col("lo"), least(col("hi"), vd))) / 100.0, 4)
             .as("mean_winsor"))
         .orderBy("l_returnflag")
+    },
+
+    // --- approx_percentile (GK/KLL-family sketch) with its RANK-ERROR
+    //     guarantee verified in-band — the third sketch after q23's
+    //     HLL and tx20's Misra–Gries to get this treatment: the
+    //     returned value is implementation-defined, but the contract
+    //     — |rank(returned) − q·n| ≤ n/accuracy — is checkable with
+    //     one extra rank-counting pass (a 3-row broadcast back onto
+    //     the scan, then strictly-below / at-or-below counts bracket
+    //     the target rank; +1 absorbs the boundary tie). Exact
+    //     per-group counts carry the hash; the booleans attest the
+    //     sketch held its bound. ---
+    Q("q57_percentile_approx",
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  TRUE AS p50_ok, TRUE AS p90_ok
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""") { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+      val ag = li.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"),
+        expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("ap90"))
+      val err = col("n").cast("double") / 1000.0 + 1.0
+      li.join(broadcast(ag), Seq("l_returnflag"))
+        .groupBy("l_returnflag")
+        .agg(first(col("n")).as("n"),
+          sum(when(col("l_extendedprice") < col("ap50"), 1L)
+            .otherwise(0L)).as("lt50"),
+          sum(when(col("l_extendedprice") <= col("ap50"), 1L)
+            .otherwise(0L)).as("le50"),
+          sum(when(col("l_extendedprice") < col("ap90"), 1L)
+            .otherwise(0L)).as("lt90"),
+          sum(when(col("l_extendedprice") <= col("ap90"), 1L)
+            .otherwise(0L)).as("le90"))
+        .select(col("l_returnflag"), col("n"),
+          (col("lt50").cast("double") <= col("n") * 0.5 + err &&
+            col("le50").cast("double") >= col("n") * 0.5 - err)
+            .as("p50_ok"),
+          (col("lt90").cast("double") <= col("n") * 0.9 + err &&
+            col("le90").cast("double") >= col("n") * 0.9 - err)
+            .as("p90_ok"))
+        .orderBy("l_returnflag")
     }
   )
 }

@@ -32,6 +32,7 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     "pl23_quality_classifier",// 1-row (n_good, n_bad) class-prior scalar
     "pl24_classifier_topq",   // composes pl23's class-prior scalar
     "tx36_kl_drift",          // 1-row corpus token-total scalar
+    "tx20_heavy_hitters",     // 1-row token-total scalar (MG bound check)
     "pl36_psi_drift",         // 1-row corpus-total + bucket-count scalars
     "pl27_importance_resample",// 1-row (nt, nc, v) smoothing-total scalar
     "q52_funnel",             // three 1-row stage-count aggregates
@@ -42,6 +43,7 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     "sm17_sq_rerank",         // same bounded probes, stage-1 =!= pairing
     "sm18_refined_from_store",// 1-row SQ-stats broadcast (serve path)
     "sm19_ivf_recall",        // exact-baseline side = sm01's bounded probes
+    "mm08_crossmodal_topk",   // serveTopK's bounded probe broadcast (sm18 shape)
     "sm21_diverse_topk",      // sm01's bounded probes; pairs shortlist-bounded
     "sm12_hybrid_rrf",        // 1-row corpus doc-count scalar (tx04 shape)
     "sm13_hybrid_rrf_from_index", // same scalar, from the stats artifact
