@@ -55,6 +55,21 @@ object Dedup {
       |WHERE doc_id IN (SELECT CAST(min(doc_id) AS BIGINT)
       |                 FROM documents GROUP BY md5(text))""".stripMargin
 
+  /** DuckDB twin of [[graft.functions.TextFunctions.tokens]] for the
+    * interpolated oracles (the non-interpolated ones inline it).
+    * Defined ABOVE `queries` — the oracle strings interpolate it at
+    * object init. */
+  private val DuckToksDedup =
+    """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+
+  /** CDC geometry (dd22): cut after token i iff md5-u32 of the
+    * [[CdcWindow]]-gram ending at i ≡ 0 (mod [[CdcDivisor]]) —
+    * expected chunk length = CdcDivisor tokens. Shared by the query,
+    * its oracle and the spec; a drift between them breaks the
+    * cross-engine digest match. */
+  val CdcWindow = 3
+  val CdcDivisor = 8
+
   /** SimHash near-dup pairs over any `(doc_id, text)` source frame:
     * 60-bit weighted-bit signature (two independent ~30-bit rolling
     * hashes per token), 4×15-bit-banded candidate equi-join
@@ -1176,6 +1191,64 @@ object Dedup {
         .filter(col("rn") === 1)
         .select(col("name"), col("cand").as("best_match"), col("jw"))
         .orderBy("name")
+    },
+
+    // --- CONTENT-DEFINED chunking (CDC, the rsync/LBFS/gear-hash
+    //     move): dd09 cuts every 10 tokens from offset 0, so ONE
+    //     inserted token at the head shifts every downstream chunk
+    //     boundary and a copied paragraph stops matching — the classic
+    //     boundary-shift failure of fixed-offset chunking. CDC cuts
+    //     where the CONTENT says to: after token i iff the hash of the
+    //     3-gram ending at i lands in a 1-in-8 bucket. A cut decision
+    //     depends only on its own 3-token window, so an insertion
+    //     perturbs at most the windows that overlap it — every chunk
+    //     past the next surviving boundary re-aligns bit-for-bit
+    //     (`CdcChunkSpec` pins exactly this against dd09's total
+    //     alignment loss). Expected chunk length = CdcDivisor tokens;
+    //     no min/max clamp — clamps make the cut decision sequential
+    //     (stateful) and this formulation keeps it a pure per-position
+    //     projection both engines evaluate identically. Same scale
+    //     shape as dd09: chunking is map-side HOFs, the shuffle key is
+    //     the chunk md5, report = shared-chunk (≥2 distinct docs)
+    //     fraction per doc. ---
+    Q("dd22_cdc_chunks",
+      s"""WITH tk AS (
+        |  SELECT doc_id, $DuckToksDedup AS tk FROM documents),
+        |ct AS (
+        |  SELECT doc_id, tk,
+        |    list_filter(range(3, len(tk)),
+        |      i -> CAST(concat('0x', substr(md5(tk[i-2] || ' ' || tk[i-1]
+        |             || ' ' || tk[i]), 1, 8)) AS BIGINT) % $CdcDivisor = 0)
+        |      AS cuts
+        |  FROM tk),
+        |bs AS (
+        |  SELECT doc_id, tk,
+        |    list_concat(list_concat([CAST(0 AS BIGINT)], cuts),
+        |      [CAST(len(tk) AS BIGINT)]) AS bounds
+        |  FROM ct WHERE len(tk) >= 1),
+        |cc AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(bounds)),
+        |      k -> md5(array_to_string(tk[bounds[k] + 1 : bounds[k + 1]],
+        |        ' ')))) AS ch
+        |  FROM bs),
+        |d AS (SELECT ch, count(DISTINCT doc_id) AS nd FROM cc GROUP BY ch),
+        |agg AS (
+        |  SELECT cc.doc_id,
+        |    CAST(sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS INT)
+        |      AS n_shared
+        |  FROM cc JOIN d USING (ch) GROUP BY cc.doc_id)
+        |SELECT c.doc_id,
+        |  CAST(CASE WHEN len(c.tk) = 0 THEN 0
+        |            ELSE len(c.cuts) + 1 END AS INT) AS n_chunks,
+        |  coalesce(a.n_shared, 0) AS n_shared,
+        |  round(CAST(coalesce(a.n_shared, 0) AS DOUBLE)
+        |    / CAST(greatest(CASE WHEN len(c.tk) = 0 THEN 0
+        |                         ELSE len(c.cuts) + 1 END, 1) AS DOUBLE), 6)
+        |    AS shared_frac
+        |FROM ct c LEFT JOIN agg a USING (doc_id)
+        |ORDER BY c.doc_id""") { (s, dir) =>
+      cdcReportOf(docs(s, dir))
     }
   )
 
@@ -1183,6 +1256,66 @@ object Dedup {
     * (`graft.streaming.ChunkDedup`) — the two must chunk identically
     * or the batch-equality contract breaks. */
   val ChunkTokens = 10
+
+  /** Content-defined cut positions (1-based, ascending) of a token
+    * array: every i in [CdcWindow, len-1] whose trailing 3-gram hash
+    * lands in the 1-in-CdcDivisor bucket. Never cuts after the last
+    * token, so the tail chunk is always non-empty. */
+  private def cdcCuts(tk: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.Column
+    val cond = (i: Column) =>
+      conv(substring(md5(concat_ws(" ",
+        element_at(tk, i - 2), element_at(tk, i - 1), element_at(tk, i))),
+        1, 8), 16, 10).cast("long") % CdcDivisor === 0
+    // sequence(3, sz-1) would infer a NEGATIVE step on docs shorter
+    // than 4 tokens (the substringWindowDigestsOf lesson) — guard them
+    // to the empty cut list (single whole-doc chunk)
+    when(size(tk) >= CdcWindow + 1,
+      filter(sequence(lit(CdcWindow), size(tk) - 1), cond))
+      .otherwise(array().cast("array<int>"))
+  }
+
+  /** One row per content-defined chunk of a `(doc_id, tk)` frame:
+    * (doc_id, ch) with ch = md5 of the space-joined chunk tokens.
+    * Docs with empty token arrays emit nothing — callers rejoin. */
+  def cdcChunkDigestsOf(tk: DataFrame): DataFrame =
+    tk.filter(size(col("tk")) >= 1)
+      .withColumn("bounds",
+        concat(array(lit(0)), cdcCuts(col("tk")), array(size(col("tk")))))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("bounds")) - 1), k =>
+          md5(concat_ws(" ", slice(col("tk"),
+            element_at(col("bounds"), k) + 1,
+            element_at(col("bounds"), k + 1) -
+              element_at(col("bounds"), k)))))).as("ch"))
+
+  /** The dd22 report as a reusable operator over any `(doc_id, text)`
+    * frame — dd09's report shape (n_chunks / n_shared / shared_frac)
+    * over content-defined chunks. */
+  def cdcReportOf(documents: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // persisted: tk feeds the chunk stream AND the per-doc chunk-count
+    // join back (the chunkReportOf rationale)
+    val tk = documents
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cc = cdcChunkDigestsOf(tk)
+    val d = cc.groupBy("ch").agg(countDistinct(col("doc_id")).as("nd"))
+    val perDoc = cc.join(d, "ch")
+      .groupBy("doc_id")
+      .agg(sum(when(col("nd") >= 2, 1).otherwise(0)).cast("int").as("n_shared"))
+    tk.select(col("doc_id"),
+        when(size(col("tk")) === 0, lit(0))
+          .otherwise(size(cdcCuts(col("tk"))) + 1)
+          .cast("int").as("n_chunks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_shared"), lit(0)).as("n_shared"),
+        duckRound(coalesce(col("n_shared"), lit(0)).cast("double") /
+          greatest(col("n_chunks"), lit(1)).cast("double"), 6)
+          .as("shared_frac"))
+      .orderBy("doc_id")
+  }
 
   /** Shared front half of dd14/dd15: tokenized corpus plus maximal
     * duplicated spans, one row per (doc_id, island) with 0-based token
