@@ -1551,6 +1551,75 @@ object Relational {
             col("le90").cast("double") >= col("n") * 0.9 - err)
             .as("p90_ok"))
         .orderBy("l_returnflag")
+    },
+
+    // --- ROBUST per-group outlier detection via MAD (median absolute
+    //     deviation): mean±k·stddev (q34's moments) is itself dragged
+    //     by the outliers it is supposed to flag; median±3·MAD is the
+    //     standard robust alternative quality pipelines use on
+    //     heavy-tailed size/price/length columns. Inherently THREE
+    //     corpus passes (median → MAD needs the median → count needs
+    //     both) over a persisted 2-column frame — the q56 multi-pass
+    //     class, with group-cardinality medians broadcast between
+    //     passes. Cross-engine exactness by the q48 device: medians
+    //     run on integer CENTS (interpolation at 0.5 is (a+b)/2 —
+    //     exact for longs), deviations are doubled into integers
+    //     (|2c − 2·med| absorbs med's .5 grain), so med/MAD/threshold
+    //     are all dyadic-exact and the >3·MAD comparison can never
+    //     ULP-flip between engines. ---
+    Q("q58_mad_outliers",
+      """WITH x AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(quantile_cont(c, 0.5) AS DOUBLE) AS med
+        |  FROM x GROUP BY l_returnflag),
+        |d AS (
+        |  SELECT x.l_returnflag, x.c,
+        |    abs(2 * x.c - CAST(2 * m.med AS BIGINT)) AS dev2
+        |  FROM x JOIN m USING (l_returnflag)),
+        |md AS (
+        |  SELECT l_returnflag, CAST(quantile_cont(dev2, 0.5) AS DOUBLE) AS mad2
+        |  FROM d GROUP BY l_returnflag)
+        |SELECT d.l_returnflag, m.n,
+        |  round(m.med / 100.0, 4) AS med_price,
+        |  round(md.mad2 / 200.0, 4) AS mad_price,
+        |  CAST(sum(CASE WHEN CAST(d.dev2 AS DOUBLE) > 3.0 * md.mad2
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(CAST(sum(CASE WHEN CAST(d.dev2 AS DOUBLE) > 3.0 * md.mad2
+        |           THEN 1 ELSE 0 END) AS DOUBLE) / CAST(m.n AS DOUBLE), 6)
+        |    AS outlier_frac
+        |FROM d JOIN m USING (l_returnflag) JOIN md USING (l_returnflag)
+        |GROUP BY d.l_returnflag, m.n, m.med, md.mad2
+        |ORDER BY d.l_returnflag""") { (s, dir) =>
+      import org.apache.spark.storage.StorageLevel
+      // persisted: the 2-column cents frame feeds all three passes —
+      // without it lineitem is scanned and cent-cast three times
+      val x = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val m = x.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"), percentile(col("c"), lit(0.5)).as("med"))
+      val d = x.join(broadcast(m), Seq("l_returnflag"))
+        .withColumn("dev2",
+          abs(col("c") * 2 - (col("med") * 2).cast("long")))
+      val md = d.groupBy("l_returnflag")
+        .agg(percentile(col("dev2"), lit(0.5)).as("mad2"))
+      d.join(broadcast(md), Seq("l_returnflag"))
+        .groupBy("l_returnflag")
+        .agg(first(col("n")).as("n"),
+          duckRound(first(col("med")) / 100.0, 4).as("med_price"),
+          duckRound(first(col("mad2")) / 200.0, 4).as("mad_price"),
+          sum(when(col("dev2").cast("double") > col("mad2") * 3.0, 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .select(col("l_returnflag"), col("n"), col("med_price"),
+          col("mad_price"), col("n_outliers"),
+          duckRound(col("n_outliers").cast("double") /
+            col("n").cast("double"), 6).as("outlier_frac"))
+        .orderBy("l_returnflag")
     }
   )
 }
