@@ -1275,6 +1275,13 @@ object Dedup {
       .otherwise(array().cast("array<int>"))
   }
 
+  /** Content-defined chunk count of a `tk` token-array column —
+    * #cuts + 1, 0 for empty docs. Shared by the batch report and the
+    * streaming ledger's serve join (the ChunkTokens contract). */
+  def cdcChunkCountCol: org.apache.spark.sql.Column =
+    when(size(col("tk")) === 0, lit(0))
+      .otherwise(size(cdcCuts(col("tk"))) + 1).cast("int")
+
   /** One row per content-defined chunk of a `(doc_id, tk)` frame:
     * (doc_id, ch) with ch = md5 of the space-joined chunk tokens.
     * Docs with empty token arrays emit nothing — callers rejoin. */
@@ -1304,10 +1311,7 @@ object Dedup {
     val perDoc = cc.join(d, "ch")
       .groupBy("doc_id")
       .agg(sum(when(col("nd") >= 2, 1).otherwise(0)).cast("int").as("n_shared"))
-    tk.select(col("doc_id"),
-        when(size(col("tk")) === 0, lit(0))
-          .otherwise(size(cdcCuts(col("tk"))) + 1)
-          .cast("int").as("n_chunks"))
+    tk.select(col("doc_id"), cdcChunkCountCol.as("n_chunks"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chunks"),
         coalesce(col("n_shared"), lit(0)).as("n_shared"),

@@ -81,4 +81,76 @@ class ChunkDedupSpec extends AnyFunSuite {
     assert(r.map(x => x.getLong(0) -> x.getInt(2)).toMap ==
       Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 0, 5L -> 0))
   }
+
+  // longer docs for the CDC scheme (cuts fire ~1-in-8 positions, so
+  // CDC sharing needs multi-chunk docs); doc 13 embeds doc 11's tail
+  private val cdcBase = (0 until 120).map(i => s"w$i")
+  private val cdcCorpus = Seq(
+    (11L, cdcBase.mkString(" ")),
+    (12L, ((0 until 40).map(i => s"x$i") ++ cdcBase.drop(60)).mkString(" ")),
+    (13L, "tiny"))
+
+  test("streamed CDC ledger report equals the one-shot dd22 report") {
+    import spark.implicits._
+    val ct = "cdc_ledger"
+    val mt = "cdc_marker"
+    reset(ct, mt)
+    val docsDf = cdcCorpus.toDF("doc_id", "text")
+    cdcCorpus.zipWithIndex.foreach { case (d, i) =>
+      ChunkDedup.appendBatchCdc(Seq(d).toDF("doc_id", "text"), i.toLong, ct, mt)
+    }
+    val streamed = ChunkDedup.sharedCdcReport(docsDf, ct).collect().toSeq
+    val batch = graft.queries.Dedup.cdcReportOf(docsDf).collect().toSeq
+    assert(streamed == batch)
+    // non-trivial premise: the embedded tail must actually share
+    assert(streamed.count(_.getInt(2) > 0) >= 2,
+      s"CDC corpus produced no sharing: $streamed")
+  }
+
+  test("crash window: a partial partition is overwritten whole on replay") {
+    import spark.implicits._
+    val ct = "cdc_ledger_crash"
+    val mt = "cdc_marker_crash"
+    reset(ct, mt)
+    ChunkDedup.appendBatchCdc(
+      cdcCorpus.take(1).toDF("doc_id", "text"), 0L, ct, mt)
+    // simulate a crash AFTER a partial batch-1 append, BEFORE its
+    // marker: half of batch 1's rows land in its partition
+    val partial = graft.queries.Dedup.cdcChunkDigestsOf(
+        cdcCorpus.slice(1, 2).toDF("doc_id", "text")
+          .select($"doc_id",
+            graft.functions.TextFunctions.tokens($"text").as("tk")))
+      .groupBy("ch")
+      .agg(org.apache.spark.sql.functions.countDistinct($"doc_id").as("nd"))
+      .limit(2)
+      .select($"ch", $"nd", org.apache.spark.sql.functions.lit(1L).as("batch_id"))
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    spark.conf.set(key, "dynamic")
+    partial.write.mode("overwrite").insertInto(ct)
+    // replay of batch 1 (no marker) must overwrite the partial
+    // partition with the full row-set — counts equal the clean path
+    ChunkDedup.appendBatchCdc(
+      cdcCorpus.slice(1, 2).toDF("doc_id", "text"), 1L, ct, mt)
+    ChunkDedup.appendBatchCdc(
+      cdcCorpus.slice(2, 3).toDF("doc_id", "text"), 2L, ct, mt)
+    val streamed = ChunkDedup
+      .sharedCdcReport(cdcCorpus.toDF("doc_id", "text"), ct).collect().toSeq
+    val batch = graft.queries.Dedup
+      .cdcReportOf(cdcCorpus.toDF("doc_id", "text")).collect().toSeq
+    assert(streamed == batch,
+      "partial crash-window partition survived the replay")
+  }
+
+  test("a ledger refuses appends from the other chunking scheme") {
+    import spark.implicits._
+    val ct = "scheme_ledger"
+    val mt = "scheme_marker"
+    reset(ct, mt)
+    ChunkDedup.appendBatch(corpus.take(1).toDF("doc_id", "text"), 0L, ct, mt)
+    val e = intercept[IllegalArgumentException] {
+      ChunkDedup.appendBatchCdc(
+        corpus.slice(1, 2).toDF("doc_id", "text"), 1L, ct, mt)
+    }
+    assert(e.getMessage.contains("one ledger serves one scheme"))
+  }
 }
