@@ -497,6 +497,46 @@ object VectorStore {
     * results. */
   def serveTopK(probes: DataFrame, name: String,
                 nprobe: Int = NProbe, k: Int = TopK): DataFrame = {
+    val scored = scoredCandidates(probes, name, nprobe)
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "rank", "cosine")
+      .orderBy("probe_id", "rank")
+  }
+
+  /** HARD-NEGATIVE mining from the artifact (the contrastive-training
+    * pair surface): per probe, the top-`k` candidates whose cosine —
+    * ROUNDED to 6dp, so the band edges can never ULP-flip between
+    * engines (the dd21 convention) — sits inside [lo, hi]. `hi`
+    * excludes suspected positives/duplicates (too close to be a
+    * negative), `lo` excludes uninformative easy negatives; what
+    * remains is exactly the "semantically close but wrong" band
+    * contrastive recipes want. Same candidate pipeline as
+    * [[serveTopK]] (partition-pruned cells, tombstones subtracted,
+    * self excluded) — the band is a filter before the rank window, so
+    * per-probe output stays ≤ k whatever the band density. */
+  def serveHardNegatives(probes: DataFrame, name: String,
+                         lo: Double, hi: Double,
+                         nprobe: Int = NProbe, k: Int = TopK): DataFrame = {
+    import graft.functions.ParityFunctions.duckRound
+    val scored = scoredCandidates(probes, name, nprobe)
+      .filter(duckRound(col("cosine"), 6).between(lo, hi))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "rank", "cosine")
+      .orderBy("probe_id", "rank")
+  }
+
+  /** Shared candidate-scoring stage of [[serveTopK]] /
+    * [[serveHardNegatives]]: (probe_id, neighbor_id, cosine) for every
+    * live candidate in the probes' pruned cells, self excluded,
+    * cosine UNROUNDED. */
+  private def scoredCandidates(probes: DataFrame, name: String,
+                               nprobe: Int): DataFrame = {
     val spark = probes.sparkSession
     graft.expressions.VectorExpressions.ensureRegistered(spark)
     val p = servingPrefix(spark, name) // pointer first: version-atomic
@@ -506,24 +546,17 @@ object VectorStore {
     val pcells = Similarity.nearestCells(
       probes.select(col("probe_id"), col("pe").as("embedding")),
       "probe_id", "embedding", cent, nprobe)
-    val cand = withoutDeleted(spark.table(s"${p}_codes"), p, "vec_id")
+    withoutDeleted(spark.table(s"${p}_codes"), p, "vec_id")
       .join(pcells, Seq("cid"))
       .join(probes, Seq("probe_id"))
       .filter(col("vec_id") =!= col("probe_id"))
       .crossJoin(broadcast(spark.table(s"${p}_stats")
         .select("mns", "mxs")))
-    val scored = cand
       .select(col("probe_id"), col("pe"), col("vec_id"),
         VectorFunctions.sqDequantize(col("code"), col("mns"), col("mxs"))
           .as("deq"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         VectorFunctions.cosine(col("pe"), col("deq")).as("cosine"))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("probe_id", "neighbor_id", "rank", "cosine")
-      .orderBy("probe_id", "rank")
   }
 
   /** [[serveTopK]] plus an exact REFINE stage — the sm17 "SQ + refine"

@@ -29,6 +29,16 @@ object MultimodalQueries {
     * excluded from near-dup candidate generation. */
   private val MaxChunkDf = 50
 
+  /** Hard-negative band (mm09): round-6 cosine above `HardNegHi` is a
+    * suspected duplicate of the anchor, below `HardNegLo` an easy
+    * negative; `HardNegK` negatives kept per anchor. Chosen against
+    * the corpus's cross-modal cosine profile (top-1 neighbors sit
+    * ~0.27-0.46, the bulk ~0.19-0.35). Defined ABOVE `queries` — the
+    * oracle strings interpolate them at object init. */
+  private val HardNegLo = 0.2
+  private val HardNegHi = 0.35
+  private val HardNegK = 3
+
   /** Exact blob-dedup survivors (first payload per content digest),
     * the enforced FIRST stage of the blob near-dup scale path mm04 —
     * byte-identical payloads pair-fan-out C(k,2) in every chunk bucket
@@ -341,40 +351,8 @@ object MultimodalQueries {
     //     asymmetric SQ cosine). The candidate set never scans the
     //     embeddings table — the only raw reads are the bounded probe
     //     derivation (plan-guarded in PlanSpec). ---
-    Q("mm08_crossmodal_topk", {
-      val qcos = Similarity.cosineSql("p.pe", "d.deq")
-      val dist = Similarity.l2SqSql("e.embedding", "c.ce")
-      val pdist = Similarity.l2SqSql("p.pe", "c.ce")
-      s"""WITH ${Similarity.sqDeqCtes},
-         |cent AS (
-         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
-         |  WHERE vec_id < ${graft.index.VectorStore.Cells}),
-         |assign AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT e.vec_id, c.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |                         ORDER BY $dist, c.cid) AS rn
-         |    FROM embeddings e CROSS JOIN cent c)
-         |  WHERE rn = 1),
-         |surv AS (SELECT md5(text) AS blob_digest,
-         |                CAST(min(doc_id) AS BIGINT) AS probe_id
-         |         FROM documents GROUP BY md5(text)),
-         |p AS (SELECT s.blob_digest, s.probe_id, e.embedding AS pe
-         |      FROM surv s JOIN embeddings e ON e.vec_id = s.probe_id
-         |      WHERE s.probe_id % 25 = 0),
-         |pcells AS (
-         |  SELECT probe_id, cid FROM (
-         |    SELECT p.probe_id, c.cid,
-         |      row_number() OVER (PARTITION BY p.probe_id
-         |                         ORDER BY $pdist, c.cid) AS rn
-         |    FROM p CROSS JOIN cent c)
-         |  WHERE rn <= ${graft.index.VectorStore.NProbe}),
-         |scored AS (
-         |  SELECT p.blob_digest, p.probe_id, d.vec_id, $qcos AS cosine
-         |  FROM p
-         |  JOIN pcells pc ON pc.probe_id = p.probe_id
-         |  JOIN assign a ON a.cid = pc.cid
-         |  JOIN dq d ON d.vec_id = a.vec_id AND d.vec_id <> p.probe_id)
+    Q("mm08_crossmodal_topk",
+      s"""WITH $CrossmodalScoredCtes
          |SELECT blob_digest, probe_id, neighbor_id,
          |  CAST(rank AS INT) AS rank, round(cosine, 6) AS cosine
          |FROM (
@@ -383,23 +361,9 @@ object MultimodalQueries {
          |                       ORDER BY cosine DESC, vec_id) AS rank
          |  FROM scored)
          |WHERE rank <= ${graft.index.VectorStore.TopK}
-         |ORDER BY probe_id, rank"""
-    }) { (s, dir) =>
+         |ORDER BY probe_id, rank""") { (s, dir) =>
       val store = graft.index.VectorStore.storeFor(s, dir)
-      val surv = docs(s, dir)
-        .groupBy(md5(col("text").cast("binary")).as("blob_digest"))
-        .agg(min(col("doc_id")).as("probe_id"))
-        .filter(col("probe_id") % 25 === 0)
-      // persisted: serveTopK consumes the probe set twice (cells +
-      // candidate join) and the digest join-back a third time — without
-      // this, the documents digest-groupBy and the embeddings probe
-      // fetch re-scan per consumer (caller owns the cache lifecycle,
-      // the Q.scala contract)
-      val probes = surv.join(
-        tables.load(s, dir, "embeddings")
-          .select(col("vec_id").as("probe_id"), col("embedding").as("pe")),
-        Seq("probe_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val probes = crossmodalProbes(s, dir)
       graft.index.VectorStore
         .serveTopK(probes.select("probe_id", "pe"), store)
         .join(probes.select("probe_id", "blob_digest"), Seq("probe_id"))
@@ -408,6 +372,104 @@ object MultimodalQueries {
           graft.functions.ParityFunctions.duckRound(col("cosine"), 6)
             .as("cosine"))
         .orderBy("probe_id", "rank")
+    },
+
+    // --- mm09: HARD-NEGATIVE mining — the contrastive-training pair
+    //     surface built on mm08's anchors: each blob anchor's positive
+    //     is its own paired text (cosine 1 by identity), and its
+    //     negatives come from `VectorStore.serveHardNegatives` — the
+    //     same artifact-served candidate pipeline, band-filtered to
+    //     round-6 cosine in [HardNegLo, HardNegHi]: above the band is
+    //     a suspected duplicate (poisonous as a negative — the classic
+    //     false-negative trap CLIP-style recipes guard against), below
+    //     it is an easy negative the loss learns nothing from. Margin
+    //     = 1 − cosine is derived from the ROUNDED cosine, so band
+    //     membership, rank ties at 6dp and the reported margin are all
+    //     cross-engine exact. ---
+    Q("mm09_hard_negatives",
+      s"""WITH $CrossmodalScoredCtes
+         |SELECT blob_digest, probe_id, neg_id,
+         |  CAST(rank AS INT) AS rank, round(cosine, 6) AS cosine,
+         |  round(1.0 - round(cosine, 6), 6) AS margin
+         |FROM (
+         |  SELECT blob_digest, probe_id, vec_id AS neg_id, cosine,
+         |    row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM scored
+         |  WHERE round(cosine, 6) BETWEEN $HardNegLo AND $HardNegHi)
+         |WHERE rank <= $HardNegK
+         |ORDER BY probe_id, rank""") { (s, dir) =>
+      import graft.functions.ParityFunctions.duckRound
+      val store = graft.index.VectorStore.storeFor(s, dir)
+      val probes = crossmodalProbes(s, dir)
+      graft.index.VectorStore
+        .serveHardNegatives(probes.select("probe_id", "pe"), store,
+          HardNegLo, HardNegHi, k = HardNegK)
+        .join(probes.select("probe_id", "blob_digest"), Seq("probe_id"))
+        .select(col("blob_digest"), col("probe_id"),
+          col("neighbor_id").as("neg_id"), col("rank"),
+          duckRound(col("cosine"), 6).as("cosine"),
+          duckRound(lit(1.0) - duckRound(col("cosine"), 6), 6).as("margin"))
+        .orderBy("probe_id", "rank")
     }
   )
+
+  /** Shared CTE prefix of mm08/mm09, PRE-stripped (interpolates into
+    * margined oracle strings without re-prefixing): the DuckDB mirror
+    * of the artifact serve path, ending at `scored` = (blob_digest,
+    * probe_id, vec_id, cosine-unrounded). */
+  private lazy val CrossmodalScoredCtes: String = {
+    val qcos = Similarity.cosineSql("p.pe", "d.deq")
+    val dist = Similarity.l2SqSql("e.embedding", "c.ce")
+    val pdist = Similarity.l2SqSql("p.pe", "c.ce")
+    s"""${Similarity.sqDeqCtes},
+       |cent AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  WHERE vec_id < ${graft.index.VectorStore.Cells}),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |                         ORDER BY $dist, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cent c)
+       |  WHERE rn = 1),
+       |surv AS (SELECT md5(text) AS blob_digest,
+       |                CAST(min(doc_id) AS BIGINT) AS probe_id
+       |         FROM documents GROUP BY md5(text)),
+       |p AS (SELECT s.blob_digest, s.probe_id, e.embedding AS pe
+       |      FROM surv s JOIN embeddings e ON e.vec_id = s.probe_id
+       |      WHERE s.probe_id % 25 = 0),
+       |pcells AS (
+       |  SELECT probe_id, cid FROM (
+       |    SELECT p.probe_id, c.cid,
+       |      row_number() OVER (PARTITION BY p.probe_id
+       |                         ORDER BY $pdist, c.cid) AS rn
+       |    FROM p CROSS JOIN cent c)
+       |  WHERE rn <= ${graft.index.VectorStore.NProbe}),
+       |scored AS (
+       |  SELECT p.blob_digest, p.probe_id, d.vec_id, $qcos AS cosine
+       |  FROM p
+       |  JOIN pcells pc ON pc.probe_id = p.probe_id
+       |  JOIN assign a ON a.cid = pc.cid
+       |  JOIN dq d ON d.vec_id = a.vec_id AND d.vec_id <> p.probe_id)""".stripMargin
+  }
+
+  /** Shared probe derivation of mm08/mm09: the exact-survivor blob per
+    * content digest joined to its embedding row. Persisted: the serve
+    * path consumes the probe set twice (cells + candidate join) and
+    * the digest join-back a third time — without this, the documents
+    * digest-groupBy and the embeddings probe fetch re-scan per
+    * consumer (caller owns the cache lifecycle, the Q.scala
+    * contract). */
+  private def crossmodalProbes(s: SparkSession, dir: String): DataFrame = {
+    val surv = docs(s, dir)
+      .groupBy(md5(col("text").cast("binary")).as("blob_digest"))
+      .agg(min(col("doc_id")).as("probe_id"))
+      .filter(col("probe_id") % 25 === 0)
+    surv.join(
+      tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe")),
+      Seq("probe_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 }

@@ -44,6 +44,7 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     "sm18_refined_from_store",// 1-row SQ-stats broadcast (serve path)
     "sm19_ivf_recall",        // exact-baseline side = sm01's bounded probes
     "mm08_crossmodal_topk",   // serveTopK's bounded probe broadcast (sm18 shape)
+    "mm09_hard_negatives",    // same serve path, band-filtered (mm08 shape)
     "sm21_diverse_topk",      // sm01's bounded probes; pairs shortlist-bounded
     "sm12_hybrid_rrf",        // 1-row corpus doc-count scalar (tx04 shape)
     "sm13_hybrid_rrf_from_index", // same scalar, from the stats artifact

@@ -164,6 +164,20 @@ class PlanSpec extends AnyFunSuite {
         scanLocs.mkString("; "))
   }
 
+  test("mm09: hard negatives served from the store — same scan contract") {
+    // the band filter must not change where candidates come from: the
+    // artifact's code table, with the single probe-side embeddings read
+    val p = plan("mm09_hard_negatives")
+    val scanLocs = "Location:[^\\n]*".r.findAllIn(p).toSeq
+    assert(scanLocs.nonEmpty, s"mm09 plan has no scan Location lines:\n$p")
+    assert(scanLocs.exists(_.contains("graft_vecstore")),
+      s"mm09 candidates must come from the store artifact: " +
+        scanLocs.mkString("; "))
+    assert(scanLocs.count(_.contains("embeddings.parquet")) == 1,
+      s"mm09 must scan raw embeddings exactly once (the probe fetch): " +
+        scanLocs.mkString("; "))
+  }
+
   test("sm13: lexical side served from the index — zero documents scans") {
     // the hybrid-retrieval twin's lexical side must read the bucketed
     // postings + stats artifacts; the only raw-table scans left are
