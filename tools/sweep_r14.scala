@@ -20,14 +20,17 @@ def timed[T](label: String)(f: => T): T = {
 for (t <- Seq("s100_centroids", "s100_stats", "s100_codes", "s100_raw",
     "s100_version", "s100_tombstones"))
   spark.sql(s"DROP TABLE IF EXISTS $t")
-val e100 = graft.tables.load(spark, dir, "embeddings")
-  .select(col("vec_id"), col("embedding"))
+// NOTE spark-shell -I does NOT merge a leading-dot line into a
+// previously COMPLETE statement — multi-line chains must sit inside
+// parens or a val silently keeps the unprojected frame
+val e100 = (graft.tables.load(spark, dir, "embeddings")
+  .select(col("vec_id"), col("embedding")))
 timed("vecstore_build_adaptive")(
   graft.index.VectorStore.build(e100, "s100"))
 println("SWEEP cells = " + spark.table("s100_centroids").count())
-val probes = e100.filter(col("vec_id") % 25000 === 0)
+val probes = (e100.filter(col("vec_id") % 25000 === 0)
   .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
-  .persist()
+  .persist())
 println("SWEEP probes = " + probes.count())
 timed("vecstore_serve_pass1")(
   graft.index.VectorStore.serveTopK(probes, "s100")
@@ -60,7 +63,7 @@ timed("q57_percentile_approx")(
 //     batches; streamed labels must equal the one-shot closure.
 for (t <- Seq("c100_nodes", "c100_remap", "c100_mk", "c100_nodesc"))
   spark.sql(s"DROP TABLE IF EXISTS $t")
-val allPairs = spark.range(2000000L)
+val allPairs = (spark.range(2000000L)
   .select(col("id").as("doc_a"), (col("id") - col("id") % 5).as("doc_b"))
   .filter(col("doc_a") =!= col("doc_b"))
   .unionByName(
@@ -70,7 +73,7 @@ val allPairs = spark.range(2000000L)
       .select((col("id") * 1000 * 5).as("doc_a"),
         ((col("id") * 1000 + 1) * 5).as("doc_b")))
   .withColumn("b", pmod(col("doc_a"), lit(40)))
-  .persist()
+  .persist())
 println("SWEEP pairs = " + allPairs.count())
 val foldT0 = System.nanoTime()
 (0L until 40L).foreach { i =>
@@ -90,12 +93,12 @@ println("SWEEP cm_labels = " + served)
 val batchLabels = timed("cm_oneshot_closure")(
   graft.operators.ConnectedComponents
     .minLabel(allPairs.select("doc_a", "doc_b")))
-val streamedL = graft.streaming.ComponentMaintenance
-  .labels(spark, "c100_nodes", "c100_remap", "c100_mk")
-val mismatch = streamedL.exceptAll(
+val streamedL = (graft.streaming.ComponentMaintenance
+  .labels(spark, "c100_nodes", "c100_remap", "c100_mk"))
+val mismatch = (streamedL.exceptAll(
   batchLabels.select(col("node"), col("root"))).count() +
   batchLabels.select(col("node"), col("root"))
-    .exceptAll(streamedL).count()
+    .exceptAll(streamedL).count())
 println("SWEEP cm_mismatch_rows = " + mismatch)
 allPairs.unpersist()
 sys.exit(0)
