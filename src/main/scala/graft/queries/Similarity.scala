@@ -1898,6 +1898,167 @@ object Similarity {
           col("srank").cast("int").as("short_rank"),
           duckRound(col("cosine"), 6).as("cosine"))
         .orderBy("probe_id", "rank")
+    },
+
+    // --- nprobe TUNING PROFILE: recall@10 vs exact at nprobe ∈
+    //     {1,2,4,8} in ONE query — the curve an operator reads before
+    //     setting a store's serving nprobe (sm19 measures one point;
+    //     tuning needs the whole frontier, and running sm19 per level
+    //     re-scans candidates per level). Probe cells are ranked ONCE
+    //     (shuffle-free sorted-struct projection, rn ≤ widest level);
+    //     candidates are scored ONCE at the widest level carrying the
+    //     cell rn; each level is then a GENERATOR fan-out (explode of
+    //     the 4-literal level array — no join, no BNLJ) + rn filter +
+    //     per-(level, probe) rank. Per-probe hit counts are monotone
+    //     non-decreasing in nprobe by construction: a candidate that
+    //     displaces a true top-10 hit has higher cosine, hence is a
+    //     true hit itself (asserted in AnnRecallSpec). Mean recall via
+    //     the exact-integer device — sum(hits)/sum(n) in ONE division
+    //     (probes share n, so micro == macro average) — so no
+    //     float-accumulation order can flip the round-4 hash. ---
+    Q("sm22_nprobe_profile", {
+      val dist = l2SqSql("e.embedding", "c.ce")
+      val pdist = l2SqSql("p.pe", "c.ce")
+      val icos = cosineSql("p.pe", "v.embedding")
+      val xcos = cosineSql("p.pe", "x.embedding")
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  WHERE vec_id < $IvfCells),
+         |probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+         |  WHERE vec_id % 25 = 0 AND vec_id < 500),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |                         ORDER BY $dist, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |pcells AS (
+         |  SELECT probe_id, cid, rn FROM (
+         |    SELECT p.probe_id, c.cid,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |                         ORDER BY $pdist, c.cid) AS rn
+         |    FROM probes p CROSS JOIN cent c)
+         |  WHERE rn <= 8),
+         |iscored AS (
+         |  SELECT p.probe_id, pc.rn, v.vec_id AS neighbor_id, $icos AS cosine
+         |  FROM probes p
+         |  JOIN pcells pc ON pc.probe_id = p.probe_id
+         |  JOIN assign a ON a.cid = pc.cid
+         |  JOIN embeddings v ON v.vec_id = a.vec_id AND v.vec_id <> p.probe_id),
+         |levels AS (SELECT unnest([1, 2, 4, 8]) AS np),
+         |ivf AS (
+         |  SELECT np, probe_id, neighbor_id FROM (
+         |    SELECT l.np, i.probe_id, i.neighbor_id,
+         |      row_number() OVER (PARTITION BY l.np, i.probe_id
+         |                         ORDER BY i.cosine DESC, i.neighbor_id)
+         |        AS rank
+         |    FROM levels l JOIN iscored i ON i.rn <= l.np)
+         |  WHERE rank <= 10),
+         |xscored AS (
+         |  SELECT p.probe_id, x.vec_id AS neighbor_id, $xcos AS cosine
+         |  FROM probes p JOIN embeddings x ON x.vec_id <> p.probe_id),
+         |exact AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT probe_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY probe_id
+         |                         ORDER BY cosine DESC, neighbor_id) AS rank
+         |    FROM xscored)
+         |  WHERE rank <= 10),
+         |nx AS (SELECT probe_id, count(*) AS n FROM exact GROUP BY probe_id),
+         |hits AS (
+         |  SELECT i.np, x.probe_id, count(*) AS hits
+         |  FROM exact x JOIN ivf i
+         |    ON i.probe_id = x.probe_id AND i.neighbor_id = x.neighbor_id
+         |  GROUP BY i.np, x.probe_id),
+         |base AS (
+         |  SELECT l.np, p.probe_id, nx.n, coalesce(h.hits, 0) AS hits
+         |  FROM levels l CROSS JOIN probes p
+         |  JOIN nx ON nx.probe_id = p.probe_id
+         |  LEFT JOIN hits h ON h.np = l.np AND h.probe_id = p.probe_id)
+         |SELECT np AS nprobe, CAST(count(*) AS BIGINT) AS n_probes,
+         |  round(CAST(sum(hits) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 4)
+         |    AS mean_recall,
+         |  round(min(CAST(hits AS DOUBLE) / CAST(n AS DOUBLE)), 4)
+         |    AS min_recall
+         |FROM base GROUP BY np ORDER BY np"""
+    }) { (s, dir) =>
+      import org.apache.spark.storage.StorageLevel
+      val e = emb(s, dir)
+      val cent = collectCentroids(e.filter(col("vec_id") < IvfCells)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+      val probes = e.filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // ranked probe cells, shuffle-free (the nearestCells device with
+      // the rank kept): sorted struct array, positional explode
+      val cands = array(cent.map { case (cid, ce) =>
+        struct(l2DistanceSq(col("pe"), typedlit(ce)).as("d"),
+          lit(cid).as("cid"))
+      }: _*)
+      val pcells = probes
+        .select(col("probe_id"), posexplode(transform(
+          slice(array_sort(cands), 1, 8), c => c.getField("cid"))))
+        .select(col("probe_id"), (col("pos") + 1).as("rn"),
+          col("col").as("cid"))
+      val assign = nearestCells(
+        e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+        cent, 1)
+      val en = e.select(col("vec_id"), col("embedding"),
+        l2Norm(col("embedding")).as("nrm"))
+      val pn = probes.withColumn("pnrm", l2Norm(col("pe")))
+      val nrm = col("pnrm") * col("nrm")
+      // candidates scored ONCE at the widest level, cell rank carried;
+      // persisted — all four levels rank from this one frame
+      val iscored = pn
+        .join(pcells, Seq("probe_id"))
+        .join(assign, Seq("cid"))
+        .join(en, Seq("vec_id"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("rn"),
+          col("vec_id").as("neighbor_id"),
+          when(nrm === 0.0, lit(0.0))
+            .otherwise(dot(col("pe"), col("embedding")) / nrm).as("cosine"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val wL = Window.partitionBy("np", "probe_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      val ivf = iscored
+        .select(col("probe_id"), col("rn"), col("neighbor_id"),
+          col("cosine"), explode(typedlit(Seq(1, 2, 4, 8))).as("np"))
+        .filter(col("rn") <= col("np"))
+        .withColumn("rank", row_number().over(wL))
+        .filter(col("rank") <= 10)
+        .select("np", "probe_id", "neighbor_id")
+      // exact baseline — the sm01 path at the same probe set
+      val scoredX = en.join(broadcast(pn), col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          when(nrm === 0.0, lit(0.0))
+            .otherwise(dot(col("pe"), col("embedding")) / nrm).as("cosine"))
+      val wX = Window.partitionBy("probe_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      val exact = scoredX.withColumn("rank", row_number().over(wX))
+        .filter(col("rank") <= 10)
+        .select("probe_id", "neighbor_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nx = exact.groupBy("probe_id").agg(count(lit(1)).as("n"))
+      val hits = exact.join(ivf, Seq("probe_id", "neighbor_id"))
+        .groupBy("np", "probe_id").agg(count(lit(1)).as("hits"))
+      probes
+        .select(col("probe_id"), explode(typedlit(Seq(1, 2, 4, 8))).as("np"))
+        .join(nx, Seq("probe_id"))
+        .join(hits, Seq("np", "probe_id"), "left")
+        .select(col("np"), col("probe_id"), col("n"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+        .groupBy("np")
+        .agg(count(lit(1)).as("n_probes"),
+          duckRound(sum(col("hits")).cast("double") /
+            sum(col("n")).cast("double"), 4).as("mean_recall"),
+          duckRound(min(col("hits").cast("double") /
+            col("n").cast("double")), 4).as("min_recall"))
+        .select(col("np").as("nprobe"), col("n_probes"),
+          col("mean_recall"), col("min_recall"))
+        .orderBy("nprobe")
     }
   )
 

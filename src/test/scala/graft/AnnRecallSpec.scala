@@ -243,4 +243,22 @@ class AnnRecallSpec extends AnyFunSuite {
         s"probe $p: query recall $gr != independent $want")
     }
   }
+
+  test("sm22 profile: recall is monotone in nprobe and exhausts at all cells") {
+    // the structural claim sm22's scaladoc makes: a candidate that
+    // displaces a true top-10 hit has higher cosine, hence is itself a
+    // true hit — so hit counts (and with equal n, mean recall) can
+    // never decrease as nprobe grows; and at nprobe == cells the
+    // candidate set IS the corpus, so recall must be exactly 1
+    val rows = SparkEntry.queries("sm22_nprobe_profile")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4, 8))
+    rows.sliding(2).foreach { case Array((npA, mA, nA), (npB, mB, nB)) =>
+      assert(mB >= mA, s"mean recall fell from $mA (np=$npA) to $mB (np=$npB)")
+      assert(nB >= nA, s"min recall fell from $nA (np=$npA) to $nB (np=$npB)")
+    }
+    assert(rows.last._2 == 1.0 && rows.last._3 == 1.0,
+      "nprobe == cells must recover exact search exactly")
+    spark.catalog.clearCache()
+  }
 }
