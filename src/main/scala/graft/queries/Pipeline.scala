@@ -1871,6 +1871,89 @@ object Pipeline {
           when(coalesce(col("n_dirty"), lit(0L)) > 0, "dirty")
             .otherwise("clean").as("status"))
         .orderBy("doc_id")
+    },
+
+    // --- CURRICULUM order construction (pl28's difficulty-aware
+    //     sibling): pl28 shuffles uniformly; curriculum recipes order
+    //     easy→hard — but a PURE difficulty sort is known-bad (all
+    //     epochs start on the same degenerate slice), so the standard
+    //     fix is a BLENDED key: 0.5·difficulty-percentile + 0.5·hash
+    //     noise, a softened ramp that preserves the trend without the
+    //     degeneracy. Per-SHARD, not global: a corpus-wide total order
+    //     is a single-reader bottleneck at 100 TB (and a
+    //     single-partition window here); each data-loader shard gets
+    //     its own ramp, the pl28/OrderStore serving convention.
+    //     Difficulty = mean token length (chars/token — the cheap
+    //     proxy; any score column slots in). Cross-engine exactness:
+    //     percent_rank is (rank−1)/(n−1) of INTEGER ranks over a
+    //     tie-free (difficulty, doc_id) order, noise is md5-u32/2³²,
+    //     blend is one multiply-add of identical doubles — every
+    //     comparison is on bit-identical values. ---
+    Q("pl39_curriculum_order",
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\s+'),
+         |      x -> x <> '') AS tk
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(length(array_to_string(tk, '')) AS BIGINT) AS n_chars,
+         |    CAST(len(tk) AS BIGINT) AS n_tok
+         |  FROM tk),
+         |d AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      % $OrderShards AS shard_id,
+         |    CASE WHEN n_tok = 0 THEN 0.0
+         |         ELSE CAST(n_chars AS DOUBLE) / CAST(n_tok AS DOUBLE)
+         |    END AS difficulty,
+         |    CAST(CAST(concat('0x', substr(md5('cur' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+         |      / 4294967296.0 AS u
+         |  FROM f),
+         |r AS (
+         |  SELECT shard_id, doc_id, difficulty,
+         |    0.5 * percent_rank() OVER (PARTITION BY shard_id
+         |                               ORDER BY difficulty, doc_id)
+         |      + 0.5 * u AS blend
+         |  FROM d)
+         |SELECT shard_id,
+         |  CAST(row_number() OVER (PARTITION BY shard_id
+         |                          ORDER BY blend, doc_id) AS BIGINT) AS pos,
+         |  doc_id, round(difficulty, 4) AS difficulty,
+         |  round(blend, 6) AS blend
+         |FROM r
+         |ORDER BY shard_id, pos""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val id = col("doc_id").cast("string")
+      val f = docs(s, dir)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+        .select(col("doc_id"),
+          length(concat_ws("", col("tk"))).cast("long").as("n_chars"),
+          size(col("tk")).cast("long").as("n_tok"))
+      val d = f.select(col("doc_id"),
+        pmod(conv(substring(md5(concat(lit("shard"), id)), 1, 8), 16, 10)
+          .cast("long"), lit(OrderShards.toLong)).as("shard_id"),
+        when(col("n_tok") === 0, lit(0.0))
+          .otherwise(col("n_chars").cast("double") /
+            col("n_tok").cast("double")).as("difficulty"),
+        (conv(substring(md5(concat(lit("cur"), id)), 1, 8), 16, 10)
+          .cast("long").cast("double") / 4294967296.0).as("u"))
+      val wr = Window.partitionBy("shard_id")
+        .orderBy(col("difficulty"), col("doc_id"))
+      val r = d.select(col("shard_id"), col("doc_id"), col("difficulty"),
+        (lit(0.5) * percent_rank().over(wr) + lit(0.5) * col("u"))
+          .as("blend"))
+      val wp = Window.partitionBy("shard_id")
+        .orderBy(col("blend"), col("doc_id"))
+      r.select(col("shard_id"),
+          row_number().over(wp).cast("long").as("pos"),
+          col("doc_id"),
+          graft.functions.ParityFunctions.duckRound(col("difficulty"), 4)
+            .as("difficulty"),
+          graft.functions.ParityFunctions.duckRound(col("blend"), 6)
+            .as("blend"))
+        .orderBy("shard_id", "pos")
     }
   )
 

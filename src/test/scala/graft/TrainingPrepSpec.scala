@@ -126,4 +126,32 @@ class TrainingPrepSpec extends AnyFunSuite {
       assert(first.getAs[Long]("seq_id") == 0 && first.getAs[Long]("seq_offset") == 0)
     }
   }
+
+  test("pl39 ramps difficulty without collapsing into a pure sort") {
+    // the curriculum contract: the blended key preserves the easy→hard
+    // TREND (front half of each big-enough shard is easier on average
+    // than the back half) while the noise half keeps the order from
+    // degenerating into sort-by-difficulty (which would start every
+    // epoch on the same degenerate slice)
+    val rows = run("pl39_curriculum_order")
+      .select("shard_id", "pos", "difficulty").collect()
+      .groupBy(_.getLong(0))
+    var ramped = 0
+    var strict = 0
+    rows.values.filter(_.length >= 8).foreach { rs =>
+      val ordered = rs.sortBy(_.getLong(1)).map(_.getDouble(2))
+      val (front, back) = ordered.splitAt(ordered.length / 2)
+      if (front.sum / front.length < back.sum / back.length) ramped += 1
+      if (ordered.sameElements(ordered.sorted)) strict += 1
+    }
+    assert(ramped * 2 > rows.size,
+      s"easy-to-hard trend lost: only $ramped of ${rows.size} shards ramp")
+    assert(strict == 0,
+      s"$strict shards degenerated into a pure difficulty sort")
+    // dense total assignment, the pl28 contract
+    val out = run("pl39_curriculum_order")
+    assert(out.count() ==
+      tables.load(spark, dir, "documents").count())
+    spark.catalog.clearCache()
+  }
 }
