@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
 
 /** Native Catalyst expressions for the dense-vector hot path.
   *
@@ -90,6 +90,123 @@ case class L2DistanceSquared(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Top-`keep` nearest coarse-quantizer cells of a vector over a STATIC
+  * centroid matrix — `(d, cid)` structs ascending by (distSq, cid),
+  * the `ORDER BY dist, cid` total order.
+  *
+  * WHY an expression with the matrix as plan data instead of the
+  * per-centroid literal tree `Similarity.nearestCells` inlines for
+  * small sets: at adaptive cell counts (n/500 — 400 cells at the 100×
+  * corpus, unbounded beyond) the literal tree's generated code grows
+  * with the centroid count and broke janino's 64 KB method limit when
+  * fused into a sort stage — silently de-codegening the WHOLE stage —
+  * while a zip_with reformulation never codegens its lambda at all
+  * (measured 1.5× slower on dd12/pl25 at 100×). Here the matrix is a
+  * REFERENCE OBJECT: generated code is one fixed nested loop + an
+  * insertion into a keep-sized buffer, O(1) in the centroid count and
+  * inside whole-stage codegen at any cell count.
+  *
+  * Arithmetic is exactly [[L2DistanceSquared]]'s: sequential
+  * left-to-right `s += (x-y)²` over min(lengths) — so assignments are
+  * bit-identical to the literal-tree path (spec-pinned). NaN distances
+  * never displace a buffer entry (Java `<` is false for NaN) — inputs
+  * are assumed NaN-free, the [[HyperplaneSignature]] convention. */
+case class NearestCellsTopK(child: Expression,
+    cents: Array[Array[Double]], cids: Array[Long], keep: Int)
+    extends UnaryExpression {
+
+  private val k = math.min(keep, cents.length)
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("d", DoubleType, nullable = false),
+    StructField("cid", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<double>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val bd = Array.fill(k)(Double.PositiveInfinity)
+    val bc = Array.fill(k)(Long.MaxValue)
+    var c = 0
+    while (c < cents.length) {
+      val ce = cents(c)
+      val n = math.min(v.numElements(), ce.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val dx = v.getDouble(i) - ce(i); s += dx * dx; i += 1
+      }
+      val id = cids(c)
+      if (s < bd(k - 1) || (s == bd(k - 1) && id < bc(k - 1))) {
+        var j = k - 1
+        while (j > 0 && (s < bd(j - 1) || (s == bd(j - 1) && id < bc(j - 1)))) {
+          bd(j) = bd(j - 1); bc(j) = bc(j - 1); j -= 1
+        }
+        bd(j) = s; bc(j) = id
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.tabulate[Any](k)(j =>
+        new GenericInternalRow(Array[Any](bd(j), bc(j)))))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cm = ctx.addReferenceObj("cents", cents, "double[][]")
+      val im = ctx.addReferenceObj("cids", cids, "long[]")
+      val bd = ctx.freshName("bd")
+      val bc = ctx.freshName("bc")
+      val c = ctx.freshName("c")
+      val ce = ctx.freshName("ce")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val dx = ctx.freshName("dx")
+      val i = ctx.freshName("i")
+      val id = ctx.freshName("id")
+      val j = ctx.freshName("j")
+      val out = ctx.freshName("out")
+      s"""
+         |double[] $bd = new double[$k];
+         |long[] $bc = new long[$k];
+         |java.util.Arrays.fill($bd, Double.POSITIVE_INFINITY);
+         |java.util.Arrays.fill($bc, Long.MAX_VALUE);
+         |for (int $c = 0; $c < $cm.length; $c++) {
+         |  double[] $ce = $cm[$c];
+         |  int $n = java.lang.Math.min($v.numElements(), $ce.length);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $dx = $v.getDouble($i) - $ce[$i];
+         |    $s += $dx * $dx;
+         |  }
+         |  long $id = $im[$c];
+         |  if ($s < $bd[$k - 1] || ($s == $bd[$k - 1] && $id < $bc[$k - 1])) {
+         |    int $j = $k - 1;
+         |    while ($j > 0 && ($s < $bd[$j - 1] ||
+         |        ($s == $bd[$j - 1] && $id < $bc[$j - 1]))) {
+         |      $bd[$j] = $bd[$j - 1]; $bc[$j] = $bc[$j - 1]; $j--;
+         |    }
+         |    $bd[$j] = $s; $bc[$j] = $id;
+         |  }
+         |}
+         |Object[] $out = new Object[$k];
+         |for (int $j = 0; $j < $k; $j++) {
+         |  $out[$j] = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{ $bd[$j], $bc[$j] });
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NearestCellsTopK = copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Idempotently register ALL graft expressions as session temp
     * functions so column code can reach them via `call_function`.
@@ -117,6 +234,15 @@ object VectorExpressions {
       reg.createOrReplaceTempFunction("graft_hyperplane_sig",
         exprs => HyperplaneSignature(exprs(0),
           exprs(1).eval().asInstanceOf[Int]), "built-in")
+      // centroid matrix + cid list arrive as FOLDABLE literals and are
+      // decoded once at plan construction into the reference objects
+      reg.createOrReplaceTempFunction("graft_nearest_cells", exprs => {
+        val cm = exprs(1).eval().asInstanceOf[ArrayData]
+        NearestCellsTopK(exprs(0),
+          Array.tabulate(cm.numElements())(i => cm.getArray(i).toDoubleArray()),
+          exprs(2).eval().asInstanceOf[ArrayData].toLongArray(),
+          exprs(3).eval().asInstanceOf[Int])
+      }, "built-in")
       reg.createOrReplaceTempFunction("graft_word_ngrams",
         exprs => WordNgrams(exprs(0),
           exprs(1).eval().asInstanceOf[Int]), "built-in")

@@ -195,6 +195,15 @@ object Similarity {
       |      END) AS deq
       |  FROM embeddings, sta)"""
 
+  /** Above this centroid count the per-centroid literal expression
+    * tree exceeds the JVM's 64 KB generated-method limit when fused
+    * into a larger stage (measured at 400 adaptive cells inside a sort
+    * stage: janino "Code grows beyond 64 KB" → silent whole-stage
+    * interpreted fallback), so big sets switch to the zip_with form
+    * below. 64 is comfortably under the break point with headroom for
+    * fusion into wide stages. */
+  private val CodegenCellLimit = 64
+
   /** Shuffle-free coarse-quantizer assignment: each vector's `keep`
     * nearest centroids, computed as a per-row PROJECTION over the
     * (collected-once, tiny) centroid set — an array of (distSq, cid)
@@ -204,25 +213,47 @@ object Similarity {
     * vector id) shuffled |centroids|× the full corpus just to rank a
     * handful of rows per vector — at 100 TB that exchange dominates;
     * this one plans zero exchanges (guarded by PlanSpec).
+    *
+    * Two builds of the top-keep candidates, same values (spec-pinned):
+    * ≤ [[CodegenCellLimit]] centroids inline one literal distance tree
+    * per centroid (whole-stage-codegens — fastest per row); larger
+    * sets (adaptive-cell stores: n/500 grows unboundedly with the
+    * corpus) route through the native
+    * [[graft.expressions.NearestCellsTopK]] expression, which holds
+    * the centroid matrix as a REFERENCE OBJECT — one fixed generated
+    * loop, O(1) code size at ANY cell count, same sequential
+    * (x−y)² fold, still inside whole-stage codegen.
     */
   def nearestCells(vecs: DataFrame, idCol: String, vecCol: String,
                    centroids: Seq[(Long, Seq[Double])], keep: Int,
                    carry: Seq[String] = Nil,
-                   withDist: Boolean = false): DataFrame = {
+                   withDist: Boolean = false,
+                   codegenLimit: Int = CodegenCellLimit): DataFrame = {
     require(!withDist || keep == 1, "withDist only defined for keep == 1")
-    val cands = array(centroids.map { case (cid, ce) =>
+    val small = centroids.size <= codegenLimit
+    def cands = array(centroids.map { case (cid, ce) =>
       struct(l2DistanceSq(col(vecCol), typedlit(ce)).as("d"),
         lit(cid).as("cid"))
     }: _*)
+    def topK = {
+      graft.expressions.VectorExpressions
+        .ensureRegistered(vecs.sparkSession)
+      // float vectors cast up exactly (the VectorFunctions convention)
+      call_function("graft_nearest_cells", col(vecCol).cast("array<double>"),
+        typedlit(centroids.map(_._2)), typedlit(centroids.map(_._1)),
+        lit(keep))
+    }
     val out = col(idCol) +: carry.map(col)
     if (keep == 1) {
-      val m = array_min(cands)
+      val m = if (small) array_min(cands) else element_at(topK, 1)
       val cols = out :+ m.getField("cid").as("cid")
       vecs.select(
         (if (withDist) cols :+ m.getField("d").as("d2") else cols): _*)
-    } else
+    } else {
+      val top = if (small) slice(array_sort(cands), 1, keep) else topK
       vecs.select(out :+ explode(transform(
-        slice(array_sort(cands), 1, keep), c => c.getField("cid"))).as("cid"): _*)
+        top, c => c.getField("cid"))).as("cid"): _*)
+    }
   }
 
   /** Collect a centroid frame `(cid, ce: array<float|double>)` to the

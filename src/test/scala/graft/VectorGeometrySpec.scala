@@ -111,4 +111,29 @@ class VectorGeometrySpec extends AnyFunSuite {
       "gated rebuild lost the custom geometry (fell back to the default)")
     assert(spark.table("gp_v2_stats").select("cells").head.getLong(0) == 16L)
   }
+
+  test("nearestCells: literal and native-expression paths assign identically") {
+    // past CodegenCellLimit the per-centroid literal tree (which broke
+    // the 64 KB generated-method limit at 400 adaptive cells, silently
+    // de-codegening the whole stage) is swapped for the native
+    // NearestCellsTopK expression holding the centroid matrix as a
+    // reference object — same doubles, same argmin, O(1) code size;
+    // this pins that the two paths order identically, keep=1 and keep>1
+    import graft.queries.Similarity
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val cents = (0L until 100L).map(c =>
+      c -> Seq.fill(8)(rnd.nextDouble())).toSeq
+    val vecs = (0L until 500L).map(i =>
+      (i, Seq.fill(8)(rnd.nextDouble()))).toDF("vec_id", "embedding")
+    for (keep <- Seq(1, 3)) {
+      val lit = Similarity.nearestCells(vecs, "vec_id", "embedding",
+          cents, keep, codegenLimit = 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val hof = Similarity.nearestCells(vecs, "vec_id", "embedding",
+          cents, keep, codegenLimit = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(lit == hof, s"keep=$keep: paths disagree")
+    }
+  }
 }
