@@ -207,6 +207,119 @@ case class NearestCellsTopK(child: Expression,
       newChild: Expression): NearestCellsTopK = copy(child = newChild)
 }
 
+/** TWO-LEVEL coarse-quantizer assignment — the standard IVF answer to
+  * single-level assignment's O(n·cells) cost (O(n²/500) under the
+  * adaptive cell rule, SURVEY §6): stage 1 picks the nearest of ~√C
+  * SUPER-centroids (group means), stage 2 scans only that group's
+  * member centroids — ~2√C distance evaluations per vector instead of
+  * C. Returns the winning member cid.
+  *
+  * APPROXIMATE by design: a vector near a group boundary can land in
+  * its second-best cell. IVF tolerates exactly this (cell membership
+  * only needs "findable when the cell is probed"; recall impact is
+  * the nprobe trade already being made) — which is why this path is
+  * opt-in for big BUILD assignments and never used for probe-side
+  * cell selection or any oracle-checked query.
+  *
+  * Same arithmetic as [[L2DistanceSquared]] per candidate; stage-1
+  * ties keep the lowest group, stage-2 ties the lowest cid. All four
+  * lookup tables are codegen REFERENCE OBJECTS — O(1) generated code
+  * at any cell count. NaN-free inputs assumed (the
+  * [[HyperplaneSignature]] convention). */
+case class TwoLevelNearestCell(child: Expression,
+    supers: Array[Array[Double]], memberStart: Array[Int],
+    memberCents: Array[Array[Double]], memberCids: Array[Long])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<double>, got ${other.simpleString}")
+    }
+
+  private def distSq(v: ArrayData, ce: Array[Double]): Double = {
+    val n = math.min(v.numElements(), ce.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { val dx = v.getDouble(i) - ce(i); s += dx * dx; i += 1 }
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    var bg = 0
+    var bgd = Double.PositiveInfinity
+    var g = 0
+    while (g < supers.length) {
+      val s = distSq(v, supers(g))
+      if (s < bgd) { bgd = s; bg = g }
+      g += 1
+    }
+    var bc = Long.MaxValue
+    var bcd = Double.PositiveInfinity
+    var m = memberStart(bg)
+    while (m < memberStart(bg + 1)) {
+      val s = distSq(v, memberCents(m))
+      val id = memberCids(m)
+      if (s < bcd || (s == bcd && id < bc)) { bcd = s; bc = id }
+      m += 1
+    }
+    bc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val sm = ctx.addReferenceObj("supers", supers, "double[][]")
+      val ms = ctx.addReferenceObj("memberStart", memberStart, "int[]")
+      val mc = ctx.addReferenceObj("memberCents", memberCents, "double[][]")
+      val mi = ctx.addReferenceObj("memberCids", memberCids, "long[]")
+      val bg = ctx.freshName("bg")
+      val bgd = ctx.freshName("bgd")
+      val g = ctx.freshName("g")
+      val bc = ctx.freshName("bc")
+      val bcd = ctx.freshName("bcd")
+      val m = ctx.freshName("m")
+      val s = ctx.freshName("s")
+      val ce = ctx.freshName("ce")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dx = ctx.freshName("dx")
+      val id = ctx.freshName("id")
+      def loopDist(src: String, idx: String) =
+        s"""
+           |double[] $ce = $src[$idx];
+           |int $n = java.lang.Math.min($v.numElements(), $ce.length);
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $dx = $v.getDouble($i) - $ce[$i];
+           |  $s += $dx * $dx;
+           |}
+         """.stripMargin
+      s"""
+         |int $bg = 0;
+         |double $bgd = Double.POSITIVE_INFINITY;
+         |for (int $g = 0; $g < $sm.length; $g++) {
+         |  ${loopDist(sm, g)}
+         |  if ($s < $bgd) { $bgd = $s; $bg = $g; }
+         |}
+         |long $bc = Long.MAX_VALUE;
+         |double $bcd = Double.POSITIVE_INFINITY;
+         |for (int $m = $ms[$bg]; $m < $ms[$bg + 1]; $m++) {
+         |  ${loopDist(mc, m)}
+         |  long $id = $mi[$m];
+         |  if ($s < $bcd || ($s == $bcd && $id < $bc)) { $bcd = $s; $bc = $id; }
+         |}
+         |${ev.value} = $bc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TwoLevelNearestCell = copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Idempotently register ALL graft expressions as session temp
     * functions so column code can reach them via `call_function`.
@@ -242,6 +355,16 @@ object VectorExpressions {
           Array.tabulate(cm.numElements())(i => cm.getArray(i).toDoubleArray()),
           exprs(2).eval().asInstanceOf[ArrayData].toLongArray(),
           exprs(3).eval().asInstanceOf[Int])
+      }, "built-in")
+      reg.createOrReplaceTempFunction("graft_two_level_cell", exprs => {
+        def mat(e: Expression): Array[Array[Double]] = {
+          val a = e.eval().asInstanceOf[ArrayData]
+          Array.tabulate(a.numElements())(i => a.getArray(i).toDoubleArray())
+        }
+        TwoLevelNearestCell(exprs(0), mat(exprs(1)),
+          exprs(2).eval().asInstanceOf[ArrayData].toIntArray(),
+          mat(exprs(3)),
+          exprs(4).eval().asInstanceOf[ArrayData].toLongArray())
       }, "built-in")
       reg.createOrReplaceTempFunction("graft_word_ngrams",
         exprs => WordNgrams(exprs(0),

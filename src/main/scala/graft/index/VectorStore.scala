@@ -129,8 +129,8 @@ object VectorStore {
     * layout packs 4 codes per int32. */
   private def codesOf(e: DataFrame, stRow: DataFrame,
                       cent: Seq[(Long, Seq[Double])]): DataFrame =
-    Similarity.nearestCells(
-        e.crossJoin(broadcast(stRow)), "vec_id", "embedding", cent, 1,
+    Similarity.assignCells(
+        e.crossJoin(broadcast(stRow)), "vec_id", "embedding", cent,
         carry = Seq("embedding", "mns", "mxs"))
       .select(col("vec_id"), col("cid"),
         VectorFunctions.sqQuantize(col("embedding"), col("mns"), col("mxs"))
@@ -195,9 +195,9 @@ object VectorStore {
     * the two tables' partitions always align. */
   private def rawOf(e: DataFrame,
                     cent: Seq[(Long, Seq[Double])]): DataFrame =
-    Similarity.nearestCells(
+    Similarity.assignCells(
         e.select(col("vec_id"), col("embedding")),
-        "vec_id", "embedding", cent, 1, carry = Seq("embedding"))
+        "vec_id", "embedding", cent, carry = Seq("embedding"))
       .select(col("vec_id"),
         col("embedding").cast("array<double>").as("vec"), col("cid"))
 

@@ -256,6 +256,77 @@ object Similarity {
     }
   }
 
+  /** Above this cell count, BUILD-time corpus assignment switches to
+    * the two-level approximate path — single-level assignment is
+    * O(n·cells) (O(n²/500) under the adaptive rule, the documented
+    * scale boundary of SURVEY §6); two-level is O(n·2√cells). Probe-
+    * side cell selection and every oracle-checked query stay exact
+    * (probe sets are bounded; oracles mirror exact argmin). */
+  val TwoLevelCellLimit = 256
+
+  /** Driver-side SPATIAL grouping of a centroid set for the two-level
+    * assignment: seeds = the first ⌈√C⌉ centroids by cid, then
+    * [[TwoLevelIters]] deterministic Lloyd iterations (sequential
+    * driver math — same result every call), empty groups dropped. A
+    * cid-contiguous grouping would NOT work: cell seeds are arbitrary
+    * corpus vectors, so slice means collapse to the data centroid and
+    * stage-1 degenerates to a coin flip (measured: 15% exact-argmin
+    * agreement vs ~2/3 with spatial groups on uniform vectors).
+    * Returns (supers, memberStart, members) with members grouped. */
+  private[graft] val TwoLevelIters = 3
+  private[graft] def twoLevelGroups(centroids: Seq[(Long, Seq[Double])])
+      : (Seq[Seq[Double]], Seq[Int], Seq[(Long, Seq[Double])]) = {
+    val sorted = centroids.sortBy(_._1)
+    val g = math.ceil(math.sqrt(sorted.size.toDouble)).toInt
+    val dim = sorted.head._2.length
+    var supers: Seq[Seq[Double]] = sorted.take(g).map(_._2)
+    var assign: Seq[Int] = Nil
+    def d2(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val dx = a(i) - b(i); s += dx * dx; i += 1 }
+      s
+    }
+    (0 until TwoLevelIters).foreach { _ =>
+      assign = sorted.map { case (_, ce) =>
+        supers.zipWithIndex.map { case (s, i) => (d2(ce, s), i) }.min._2
+      }
+      supers = supers.indices.map { gi =>
+        val members = sorted.zip(assign).collect { case (c, a) if a == gi => c }
+        if (members.isEmpty) supers(gi)
+        else (0 until dim).map(d => members.map(_._2(d)).sum / members.size)
+      }
+    }
+    val byGroup = supers.indices.map { gi =>
+      sorted.zip(assign).collect { case (c, a) if a == gi => c }
+    }.filter(_.nonEmpty) // an empty group must never win stage 1
+    val keptSupers = supers.indices
+      .filter(gi => sorted.zip(assign).exists(_._2 == gi)).map(supers)
+    (keptSupers, byGroup.map(_.size).scanLeft(0)(_ + _), byGroup.flatten)
+  }
+
+  /** BUILD-time cell assignment of a corpus frame: exact argmin
+    * ([[nearestCells]], keep=1) up to [[TwoLevelCellLimit]] cells,
+    * the two-level approximate assignment
+    * ([[graft.expressions.TwoLevelNearestCell]]) past it — ~2√C
+    * distance evaluations per vector instead of C, over the
+    * [[twoLevelGroups]] spatial grouping. */
+  def assignCells(vecs: DataFrame, idCol: String, vecCol: String,
+                  centroids: Seq[(Long, Seq[Double])],
+                  carry: Seq[String] = Nil): DataFrame =
+    if (centroids.size <= TwoLevelCellLimit)
+      nearestCells(vecs, idCol, vecCol, centroids, 1, carry)
+    else {
+      graft.expressions.VectorExpressions
+        .ensureRegistered(vecs.sparkSession)
+      val (supers, memberStart, members) = twoLevelGroups(centroids)
+      val out = (col(idCol) +: carry.map(col)) :+
+        call_function("graft_two_level_cell",
+          col(vecCol).cast("array<double>"),
+          typedlit(supers), typedlit(memberStart),
+          typedlit(members.map(_._2)), typedlit(members.map(_._1))).as("cid")
+      vecs.select(out: _*)
+    }
+
   /** Collect a centroid frame `(cid, ce: array<float|double>)` to the
     * driver for literal embedding in `nearestCells`. Only ever called
     * on k-row frames (k = IvfCells). */
