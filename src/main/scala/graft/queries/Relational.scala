@@ -1620,6 +1620,47 @@ object Relational {
           duckRound(col("n_outliers").cast("double") /
             col("n").cast("double"), 6).as("outlier_frac"))
         .orderBy("l_returnflag")
+    },
+
+    // --- FILTER-clause conditional aggregation: several differently-
+    //     filtered aggregates of the SAME scan in ONE pass — the ANSI
+    //     `agg(...) FILTER (WHERE ...)` surface (and Spark's count_if
+    //     shorthand), which replaces the self-join-per-condition
+    //     anti-pattern with per-row predicate routing inside one
+    //     hash aggregate. Conditional means use the exact-integer
+    //     device (cents sum / count, one division) so partial-merge
+    //     order can't move the round-4 hash. ---
+    Q("q59_filtered_aggs",
+      """SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) FILTER (WHERE l_quantity >= 25) AS BIGINT)
+        |    AS n_bulk,
+        |  CAST(count(DISTINCT l_suppkey) FILTER (WHERE l_discount > 0.05)
+        |    AS BIGINT) AS n_discount_supp,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    FILTER (WHERE l_tax = 0) AS BIGINT) AS taxfree_cents,
+        |  round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |          FILTER (WHERE l_quantity >= 25) AS DOUBLE)
+        |    / CAST(greatest(count(*) FILTER (WHERE l_quantity >= 25), 1)
+        |        AS DOUBLE) / 100.0, 4) AS mean_bulk_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""") { (s, dir) =>
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          count_if(col("l_quantity") >= 25).as("n_bulk"),
+          expr("count(DISTINCT l_suppkey) FILTER (WHERE l_discount > 0.05)")
+            .as("n_discount_supp"),
+          sum(when(col("l_tax") === 0, cents)).as("taxfree_cents"),
+          sum(when(col("l_quantity") >= 25, cents)).as("bulk_cents"))
+        .select(col("l_returnflag"), col("n"), col("n_bulk"),
+          col("n_discount_supp"), col("taxfree_cents"),
+          duckRound(col("bulk_cents").cast("double") /
+            greatest(col("n_bulk"), lit(1L)).cast("double") / 100.0, 4)
+            .as("mean_bulk_price"))
+        .orderBy("l_returnflag")
     }
   )
 }
