@@ -42,7 +42,15 @@ object Erasure {
   /** Append `ids` to the erasure ledger, deduplicated — already-
     * recorded ids append nothing (the deleteVecs pattern), so replays
     * and overlapping requests are no-ops. Returns the newly recorded
-    * count. */
+    * count.
+    *
+    * Single-writer contract (the maintainers' maintenance-window
+    * contract): the dedup is check-then-append, so two CONCURRENT
+    * record/erase calls with overlapping ids can both pass the probe
+    * and append duplicate ledger rows. Everything downstream stays
+    * correct (enforce distincts, deleteVecs/deleteDocs dedup their own
+    * appends), but the returned count and the ledger's row count drift
+    * — serialize erasure requests through one caller. */
   def record(spark: SparkSession, ids: Seq[Long], ledger: String): Long = {
     import spark.implicits._
     if (ids.isEmpty) return 0L
@@ -83,11 +91,16 @@ object Erasure {
     * schedule):
     *
     *  - maintained postings (`termDocTable` + its stats ledger): the
-    *    tombstone table is OVERWRITTEN with exactly the ledger ids
-    *    still present in served postings — already-purged ids drop
-    *    out, so the serve-time broadcast anti-join stays bounded by
-    *    pending work, not all-time erasure volume (the reason compact
-    *    may clear it without consulting the ledger);
+    *    ledger ids still present in served postings are tombstoned via
+    *    `IndexMaintenance.deleteDocs` — which APPENDS (so tombstones
+    *    the operator's own deleteDocs wrote to the same shared table
+    *    survive an enforce) and decrements the stats ledger's n_docs
+    *    for first-time ids (so BM25's N / avgdl track the LIVE corpus
+    *    whichever deletion surface removed the doc). Afterwards the
+    *    table is PRUNED to ids still in postings — already-purged ids
+    *    drop out, so the serve-time broadcast anti-join stays bounded
+    *    by pending work, not all-time erasure volume (the reason
+    *    compact may clear it without consulting the ledger);
     *  - vector store `vectorStore`: `VectorStore.deleteVecs` with the
     *    ledger ids (doc_id == vec_id, the mm08 id-space convention) —
     *    itself idempotent and absent-id-safe.
@@ -96,22 +109,40 @@ object Erasure {
               termDocTable: Option[String] = None,
               statsTable: Option[String] = None,
               vectorStore: Option[String] = None): Unit = {
+    import spark.implicits._
     val req = requested(spark, ledger)
     termDocTable.foreach { td =>
       val st = statsTable.getOrElse(sys.error(
         s"enforce on $td needs its stats table (the serve path reads both)"))
       val t = postingsTombstones(td)
-      val pending = req.join(
-        graft.streaming.IndexMaintenance.postings(spark, td, st)
-          .select("doc_id"),
-        Seq("doc_id"), "left_semi").distinct()
-      if (pending.isEmpty) {
-        // nothing pending: serving must pass through, and an empty
-        // broadcast table earns nothing — drop it
-        spark.sql(s"DROP TABLE IF EXISTS $t")
-      } else {
-        VectorStore.clearOrphanLocation(spark, t)
-        pending.write.mode("overwrite").saveAsTable(t)
+      val postedIds = graft.streaming.IndexMaintenance
+        .postings(spark, td, st).select("doc_id")
+      // ledger ids still in postings — request-sized by the ledger
+      // contract, so this collect is the same bounded class as the
+      // vector path's below
+      val pendingLedger = postedIds
+        .join(broadcast(req), Seq("doc_id"), "left_semi")
+        .distinct().as[Long].collect().toSeq
+      // append-with-decrement for first-time ids: deleteDocs dedups
+      // against the SHARED tombstone table, so ids the operator already
+      // deleted (or a prior enforce tombstoned) neither re-append nor
+      // double-decrement
+      VectorStore.clearOrphanLocation(spark, t)
+      graft.streaming.IndexMaintenance.deleteDocs(spark, pendingLedger, t, st)
+      // prune purged ids (keeps the serve-time broadcast pending-sized);
+      // rows the operator's deleteDocs wrote stay as long as their doc
+      // is still served
+      if (spark.catalog.tableExists(t)) {
+        val keep = spark.table(t)
+          .join(postedIds, Seq("doc_id"), "left_semi")
+          .distinct().as[Long].collect().toSeq // bounded: tombstones
+        if (keep.isEmpty) {
+          // nothing pending: serving must pass through, and an empty
+          // broadcast table earns nothing — drop it
+          spark.sql(s"DROP TABLE IF EXISTS $t")
+        } else if (keep.size < spark.table(t).count()) {
+          keep.toDF("doc_id").write.mode("overwrite").saveAsTable(t)
+        }
       }
     }
     vectorStore.foreach { vs =>

@@ -56,6 +56,15 @@ object VectorStore {
   /** Sentinel `cells` value: resolve adaptively from the build frame. */
   val AdaptiveCells = 0
 
+  /** DuckDB mirror of [[resolveCells]]' adaptive rule over the
+    * `embeddings` table — every oracle that mirrors a store built at
+    * the adaptive DEFAULT must interpolate THIS (not the `Cells`
+    * constant): past ~4000 vectors the resolved count leaves the
+    * floor, and an oracle pinned to 8 would silently score against a
+    * different coarse quantizer than the served artifact. */
+  val AdaptiveCellsSql: String =
+    s"(SELECT greatest($Cells, count(*) // $CellTarget) FROM embeddings)"
+
   private def resolveCells(e: DataFrame, cells: Int): Int =
     if (cells > 0) cells
     else math.max(Cells.toLong, e.count() / CellTarget).toInt
@@ -171,17 +180,27 @@ object VectorStore {
     graft.expressions.VectorExpressions.ensureRegistered(spark)
     Seq("centroids", "stats", "codes", "raw")
       .foreach(t => clearOrphanLocation(spark, s"${prefix}_$t"))
-    e.filter(col("vec_id") < cells)
+    // seed from the first `cells` LIVE rows ordered by vec_id — NOT the
+    // `vec_id < cells` predicate: a build frame missing a low id (a
+    // deleteVecs of an id < cells followed by rebuild, whose training
+    // frame excludes tombstoned vectors) would seed FEWER centroid rows
+    // than requested, and recording the requested count would brick the
+    // store on checkGeometry at every serve — with another rebuild
+    // reproducing the same tear. On a contiguous-id frame (every
+    // registry build) this is exactly the old vec_id < cells set.
+    e.orderBy(col("vec_id")).limit(cells)
       .select(col("vec_id").as("cid"),
         col("embedding").cast("array<double>").as("ce"))
       .write.mode("overwrite").saveAsTable(s"${prefix}_centroids")
+    val cent = collectCentroids(spark, s"${prefix}_centroids")
     // the stats row records the BUILD geometry next to the codebook:
     // consumers cross-check it against the centroids table and refuse
-    // a store whose two tables disagree (a torn build)
+    // a store whose two tables disagree (a torn build). Record the
+    // ACTUAL centroid count (== `cells` unless the frame has fewer
+    // rows), so the two geometry records agree by construction.
     VectorFunctions.sqStatsRow(e, "embedding")
-      .withColumn("cells", lit(cells.toLong))
+      .withColumn("cells", lit(cent.size.toLong))
       .write.mode("overwrite").saveAsTable(s"${prefix}_stats")
-    val cent = collectCentroids(spark, s"${prefix}_centroids")
     codesOf(e, spark.table(s"${prefix}_stats"), cent)
       .write.mode("overwrite").partitionBy("cid")
       .saveAsTable(s"${prefix}_codes")

@@ -425,7 +425,7 @@ object MultimodalQueries {
     s"""${Similarity.sqDeqCtes},
        |cent AS (
        |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
-       |  WHERE vec_id < ${graft.index.VectorStore.Cells}),
+       |  WHERE vec_id < ${graft.index.VectorStore.AdaptiveCellsSql}),
        |assign AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT e.vec_id, c.cid,

@@ -108,4 +108,55 @@ class ErasureSpec extends AnyFunSuite {
     docs.unpersist()
     TestWarehouse.reset(spark, allTables: _*)
   }
+
+  test("enforce keeps operator tombstones and decrements docCount once") {
+    import spark.implicits._
+    val (led2, td2, st2) = ("ers2_ledger", "ers2_td", "ers2_stats")
+    val t2 = Erasure.postingsTombstones(td2)
+    val all2 = Seq(led2, td2, s"${td2}_ledger", s"${td2}_staging", t2, st2)
+    TestWarehouse.reset(spark, all2: _*)
+
+    val docs = tables.load(spark, dir, "documents")
+      .select("doc_id", "text").limit(40)
+    val ids = docs.select("doc_id").as[Long].collect().sorted.toSeq
+    docs.as[(Long, String)].collect().sortBy(_._1).grouped(20).zipWithIndex
+      .foreach { case (b, i) =>
+        IndexMaintenance.appendBatch(b.toSeq.toDF("doc_id", "text"),
+          i.toLong, td2, st2)
+      }
+    val n0 = IndexMaintenance.docCount(spark, st2)
+    assert(n0 == 40L)
+
+    // the OPERATOR deletes one doc through its own surface (shared
+    // tombstone table, stats decrement)
+    IndexMaintenance.deleteDocs(spark, Seq(ids(1)), t2, st2)
+    assert(IndexMaintenance.docCount(spark, st2) == n0 - 1)
+
+    // an erasure of two OTHER docs must not discard the operator's
+    // tombstone (the overwrite-with-exactly-the-ledger bug: the
+    // regularly-deleted doc would resurface in served results)
+    Erasure.erase(spark, Seq(ids(5), ids(9)), led2, Some(td2), Some(st2))
+    val servedIds = IndexMaintenance.withoutDeleted(
+        IndexMaintenance.postings(spark, td2, st2), t2)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(Seq(ids(1), ids(5), ids(9)).forall(!servedIds.contains(_)),
+      "a deletion surface lost rows owned by the other one")
+
+    // erased docs leave the corpus stats too — BM25's N tracks the
+    // LIVE corpus whichever surface removed the doc
+    assert(IndexMaintenance.docCount(spark, st2) == n0 - 3,
+      "erasure must decrement the stats ledger like deleteDocs")
+
+    // replay: idempotent, no double decrement, tombstones stable
+    Erasure.enforce(spark, led2, Some(td2), Some(st2))
+    assert(IndexMaintenance.docCount(spark, st2) == n0 - 3)
+    assert(spark.table(t2).count() == 3L)
+
+    // an id deleted by BOTH surfaces decrements exactly once
+    Erasure.erase(spark, Seq(ids(1)), led2, Some(td2), Some(st2))
+    assert(IndexMaintenance.docCount(spark, st2) == n0 - 3,
+      "double-surface deletion must not double-decrement")
+
+    TestWarehouse.reset(spark, all2: _*)
+  }
 }

@@ -112,6 +112,39 @@ class VectorGeometrySpec extends AnyFunSuite {
     assert(spark.table("gp_v2_stats").select("cells").head.getLong(0) == 16L)
   }
 
+  test("rebuild after deleting a seed-range vec_id keeps geometry consistent") {
+    // the torn-build trap: deleteVecs of a vec_id below the cell count
+    // removes a would-be centroid seed from rebuild's training frame; a
+    // build that seeds with `vec_id < cells` then writes 7 centroid rows
+    // against a stats row recording 8, and checkGeometry bricks every
+    // serve/append — with rebuilds reproducing the tear forever. Seeding
+    // from the first `cells` live ids (and recording the ACTUAL count)
+    // must keep the store serving.
+    reset("gd")
+    val e = tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    VectorStore.build(e, "gd")
+    VectorStore.deleteVecs(spark, Seq(3L), "gd") // a seed-range id
+    val v = VectorStore.rebuild(e, "gd")         // trains on live only
+    val nCent = spark.table(s"gd_v${v}_centroids").count()
+    val recorded = spark.table(s"gd_v${v}_stats")
+      .select("cells").head.getLong(0)
+    assert(nCent == recorded,
+      s"rebuild tore the geometry: $nCent centroids vs $recorded recorded")
+    assert(nCent == 8L, "rebuild must backfill the seed set from live ids")
+    assert(spark.table(s"gd_v${v}_centroids")
+      .filter(col("cid") === 3L).isEmpty,
+      "a deleted vector must not seed a centroid")
+    // the previously-bricked paths all serve
+    val probes = e.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    assert(VectorStore.serveTopK(probes, "gd").count() > 0)
+    assert(VectorStore.serveTopKRefined(probes, "gd").count() > 0)
+    VectorStore.append(e.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding")), "gd")
+    assert(VectorStore.serveTopK(probes, "gd").count() > 0)
+  }
+
   test("nearestCells: literal and native-expression paths assign identically") {
     // past CodegenCellLimit the per-centroid literal tree (which broke
     // the 64 KB generated-method limit at 400 adaptive cells, silently
