@@ -105,6 +105,44 @@ object DedupStore {
     out
   }
 
+  /** Right-to-erasure seam: physically rewrite all three tables
+    * WITHOUT `victims`' rows (a single-column doc_id frame, request-
+    * sized — it broadcasts). The shingle table is the one that
+    * matters: shingles are RAW TEXT n-grams of the document, so a
+    * tombstone that leaves them on disk would fail erasure's purpose.
+    * Each rewrite keeps its bucket spec through a staged copy; a crash
+    * mid-swap is adopted back from staging on the next call (tables
+    * are rewritten independently — a half-erased store still serves
+    * correct pairs for the surviving docs, and the replayed erase
+    * finishes the rest). Idempotent; single-writer maintenance window
+    * (the compaction contract). */
+  def eraseDocs(spark: SparkSession, victims: DataFrame,
+                name: String): Unit = {
+    val v = broadcast(victims.toDF("erased_key"))
+    Seq("shingles" -> "doc_id", "sigs" -> "doc_id", "bands" -> "key")
+      .foreach { case (suffix, bucketCol) =>
+        val table = s"${name}_$suffix"
+        val staging = table + "_erasure_staging"
+        // adopt a crashed prior erase before anything reads the table
+        if (!spark.catalog.tableExists(table) &&
+            spark.catalog.tableExists(staging))
+          spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+        if (spark.catalog.tableExists(table)) {
+          val t = spark.table(table)
+          if (!t.join(v, t("doc_id") === v("erased_key"), "left_semi")
+              .isEmpty) {
+            spark.sql(s"DROP TABLE IF EXISTS $staging")
+            t.join(v, t("doc_id") === v("erased_key"), "left_anti")
+              .write.mode("overwrite")
+              .bucketBy(8, bucketCol).saveAsTable(staging)
+            spark.sql(s"DROP TABLE IF EXISTS $table")
+            spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+            spark.catalog.refreshTable(table)
+          }
+        }
+      }
+  }
+
   /** Ingest `newDocs` into the artifact (after [[incrementalPairs]]
     * reviewed them): appends to all three tables with the same
     * bucketing. Idempotence is the caller's via unique doc ids. */

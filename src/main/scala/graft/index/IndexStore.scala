@@ -69,14 +69,24 @@ object IndexStore {
     require(buckets > 0, s"bucket count must be positive, got $buckets")
     val name = s"graft_termdoc_${tag(dir)}"
     built.getOrElseUpdate(s.sparkContext.applicationId + "/" + name, {
+      // every build honors past erasures: the per-dir erasure ledger
+      // filters the corpus BEFORE tokenization, so a fresh JVM's
+      // rebuild can never resurrect an erased document's tokens, and
+      // the stats row counts the live corpus by construction
+      val docs = withoutErased(s, dir,
+        graft.tables.load(s, dir, "documents"))
       replaceTable(s, name,
-        graft.queries.Text.termDocPositional(s, dir)
+        graft.queries.Text.termDocPositionalOf(docs)
           .write.mode("overwrite")
           .bucketBy(buckets, "token").sortBy("token"))
+      // erased_n records the erasure-ledger size this artifact was
+      // built against: eraseDocs compares it to the current ledger to
+      // detect an artifact that predates a recorded erasure (the
+      // crash-between-record-and-drop window) and re-drop it
       replaceTable(s, s"graft_docstats_${tag(dir)}",
-        graft.tables.load(s, dir, "documents")
-          .agg(count(lit(1)).as("n_docs"))
+        docs.agg(count(lit(1)).as("n_docs"))
           .withColumn("buckets", lit(buckets))
+          .withColumn("erased_n", lit(erasedCount(s, dir)))
           .write.mode("overwrite"))
     })
     val rec = recordedBuckets(s, dir)
@@ -105,5 +115,74 @@ object IndexStore {
   def docStats(s: SparkSession, dir: String): DataFrame = {
     termDocTable(s, dir)
     s.table(s"graft_docstats_${tag(dir)}").select("n_docs")
+  }
+
+  // ---- Right-to-erasure ----------------------------------------------
+
+  /** Per-dir erasure ledger: the DURABLE fact the artifact derives
+    * from. The table outlives both the artifact (rebuilds re-apply it)
+    * and the JVM (the in-memory `built` map does not), so an erased
+    * doc can never resurface through the build-once-per-JVM path. */
+  private[graft] def erasedTable(dir: String): String =
+    s"graft_termdoc_${tag(dir)}_erased"
+
+  private def withoutErased(s: SparkSession, dir: String,
+                            docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    if (!s.catalog.tableExists(erasedTable(dir))) docs
+    else docs.join(
+      broadcast(s.table(erasedTable(dir)).select("doc_id")),
+      Seq("doc_id"), "left_anti")
+  }
+
+  private def erasedCount(s: SparkSession, dir: String): Long =
+    if (!s.catalog.tableExists(erasedTable(dir))) 0L
+    else s.table(erasedTable(dir)).count()
+
+  /** Erase `docIds` from the build-once index artifact for `dir`:
+    * record them in the per-dir erasure ledger (append, dedup'd —
+    * replays no-op), then drop the artifact so the next consumer
+    * rebuilds it from the FILTERED corpus. The rebuild is O(corpus) —
+    * batch erasure requests to the operational cadence; serving
+    * between the drop and the next use simply rebuilds on demand (the
+    * artifact's whole contract is build-on-first-use). This is the
+    * honest shape for a build-once artifact: a serve-side tombstone
+    * would have to survive rebuilds anyway, and the ledger IS that
+    * surviving fact. Idempotent AND crash-healing: a replay with no
+    * new ids drops the artifact only when its recorded `erased_n`
+    * trails the ledger (the crash-between-record-and-drop window) —
+    * an artifact already built against the full ledger is left
+    * serving. */
+  def eraseDocs(s: SparkSession, dir: String, docIds: Seq[Long]): Unit = {
+    import s.implicits._
+    if (docIds.isEmpty) return
+    val led = erasedTable(dir)
+    val requested = docIds.distinct.toDF("doc_id")
+    val fresh =
+      if (s.catalog.tableExists(led))
+        requested.join(s.table(led), Seq("doc_id"), "left_anti")
+      else requested
+    val newIds = !fresh.isEmpty
+    if (newIds) {
+      VectorStore.clearOrphanLocation(s, led)
+      fresh.write.mode("append").saveAsTable(led)
+    }
+    val statsT = s"graft_docstats_${tag(dir)}"
+    val stale = s.catalog.tableExists(statsT) && {
+      val cols = s.table(statsT).columns
+      val builtAgainst =
+        if (cols.contains("erased_n"))
+          s.table(statsT).select("erased_n").head.getLong(0)
+        else 0L // pre-erasure artifact: built against an empty ledger
+      builtAgainst < erasedCount(s, dir)
+    }
+    if (newIds || stale) {
+      // drop the artifact (tables + this JVM's build memo) so the next
+      // termDoc/docStats call rebuilds without the victims
+      s.sql(s"DROP TABLE IF EXISTS graft_termdoc_${tag(dir)}")
+      s.sql(s"DROP TABLE IF EXISTS $statsT")
+      built.remove(
+        s.sparkContext.applicationId + s"/graft_termdoc_${tag(dir)}")
+    }
   }
 }

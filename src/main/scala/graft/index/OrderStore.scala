@@ -50,12 +50,65 @@ object OrderStore {
   /** Corpus-keyed build-if-absent (the IndexStore pattern): the frozen
     * order for `dir`'s documents, built on first use in this JVM.
     * Returns the store name to serve from. */
+  /** The store name [[forCorpus]] would use for `dir` — WITHOUT
+    * building (erasure wants the name even when nothing was built). */
+  def corpusStoreName(dir: String): String = s"graft_order_${tag(dir)}"
+
   def forCorpus(s: SparkSession, dir: String): String = {
-    val name = s"graft_order_${tag(dir)}"
+    val name = corpusStoreName(dir)
     built.getOrElseUpdate(s.sparkContext.applicationId + "/" + name, {
-      build(graft.tables.load(s, dir, "documents"), name)
+      build(withoutErased(s, name, graft.tables.load(s, dir, "documents")),
+        name)
     })
     name
+  }
+
+  // ---- Right-to-erasure ----------------------------------------------
+
+  /** Per-store erasure ledger — the durable fact every (re)build
+    * derives from, so an erased doc cannot resurface through a fresh
+    * JVM's build-if-absent or a later rebuild. */
+  private[graft] def erasedTable(name: String): String = s"${name}_erased"
+
+  private def withoutErased(s: SparkSession, name: String,
+                            docs: DataFrame): DataFrame =
+    if (!s.catalog.tableExists(erasedTable(name))) docs
+    else docs.join(
+      broadcast(s.table(erasedTable(name)).select("doc_id")),
+      Seq("doc_id"), "left_anti")
+
+  /** Erase `docIds` from the frozen training order: record them in the
+    * store's erasure ledger (append, dedup'd), then — when the SERVING
+    * order still carries any victim — re-freeze on the filtered corpus
+    * as a new version behind the atomic pointer flip, so order and
+    * manifest lose the victims together and a resumed training run
+    * re-verifies against the rewritten manifest. An order row is a
+    * doc's POSITION in the training corpus; there is no narrower
+    * rewrite than re-freezing, because removing a doc shifts every
+    * later offset in its shard (pl33's packing is prefix-cumulative).
+    * Idempotent: a replay finds no victims in the new version and
+    * skips the rebuild. */
+  def eraseDocs(d: DataFrame, name: String, docIds: Seq[Long]): Unit = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    if (docIds.isEmpty) return
+    val led = erasedTable(name)
+    val requested = docIds.distinct.toDF("doc_id")
+    val fresh =
+      if (spark.catalog.tableExists(led))
+        requested.join(spark.table(led), Seq("doc_id"), "left_anti")
+      else requested
+    if (!fresh.isEmpty) {
+      VectorStore.clearOrphanLocation(spark, led)
+      fresh.write.mode("append").saveAsTable(led)
+    }
+    val servingTable =
+      s"${prefixOf(name, currentVersion(spark, name))}_order"
+    val pending = spark.catalog.tableExists(servingTable) &&
+      !spark.table(servingTable).join(
+        broadcast(spark.table(led).select("doc_id")),
+        Seq("doc_id"), "left_semi").isEmpty
+    if (pending) rebuild(withoutErased(spark, name, d), name)
   }
 
   private def versionTable(name: String) = s"${name}_version"

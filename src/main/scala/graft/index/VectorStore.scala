@@ -465,6 +465,26 @@ object VectorStore {
     }
   }
 
+  /** Of `ids`, those still PRESENT in the serving codes table —
+    * tombstoned or not. The erasure enforce filter: tombstoning an id
+    * the codes no longer carry would make every post-compaction
+    * enforce replay resurrect the tombstone table with already-purged
+    * ids (unbounded by pending work, and never cleared again). The
+    * probe is one broadcast semi-join of the request-sized id set
+    * against the codes scan. */
+  private[graft] def presentIn(spark: SparkSession, ids: Seq[Long],
+                               name: String): Seq[Long] = {
+    import spark.implicits._
+    if (ids.isEmpty) return Nil
+    val p = servingPrefix(spark, name)
+    recoverCodesStaging(spark, p)
+    if (!spark.catalog.tableExists(s"${p}_codes")) Nil
+    else spark.table(s"${p}_codes").select("vec_id")
+      .join(broadcast(ids.distinct.toDF("vec_id")), Seq("vec_id"),
+        "left_semi")
+      .distinct().as[Long].collect().toSeq
+  }
+
   /** Subtract `prefix`'s tombstones from `df` (on `idCol`) via a
     * broadcast anti-join; pass-through when none exist. The tombstone
     * set is small by construction — compaction clears it. */

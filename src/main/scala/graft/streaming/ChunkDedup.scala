@@ -69,22 +69,28 @@ object ChunkDedup {
     * appendBatch would silently SKIP new data whose id collides with
     * an old marker. */
   def maintain(newDocs: DataFrame, chunkTable: String,
-               markerTable: String, checkpointDir: String): StreamingQuery =
-    maintainWith(Fixed, newDocs, chunkTable, markerTable, checkpointDir)
+               markerTable: String, checkpointDir: String,
+               erasureLedger: Option[String] = None): StreamingQuery =
+    maintainWith(Fixed, newDocs, chunkTable, markerTable, checkpointDir,
+      erasureLedger)
 
   /** [[maintain]] over content-defined chunks (dd22's scheme). */
   def maintainCdc(newDocs: DataFrame, chunkTable: String,
-                  markerTable: String, checkpointDir: String): StreamingQuery =
-    maintainWith(Cdc, newDocs, chunkTable, markerTable, checkpointDir)
+                  markerTable: String, checkpointDir: String,
+                  erasureLedger: Option[String] = None): StreamingQuery =
+    maintainWith(Cdc, newDocs, chunkTable, markerTable, checkpointDir,
+      erasureLedger)
 
   private def maintainWith(scheme: Chunking, newDocs: DataFrame,
-      chunkTable: String, markerTable: String,
-      checkpointDir: String): StreamingQuery =
+      chunkTable: String, markerTable: String, checkpointDir: String,
+      erasureLedger: Option[String] = None): StreamingQuery =
     newDocs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendBatchWith(scheme, batch, batchId, chunkTable, markerTable)
+        appendBatchWith(scheme,
+          graft.index.Erasure.gateBatch(batch, erasureLedger),
+          batchId, chunkTable, markerTable)
       }
       .start()
 
@@ -170,6 +176,35 @@ object ChunkDedup {
           s"'${other.head.getAs[String]("scheme")}' but this append " +
           s"chunks with '${scheme.name}' — one ledger serves one scheme.")
     }
+  }
+
+  /** Right-to-erasure seam: FORGET the chunk digests of `victimDocs`
+    * (`doc_id`, `text` — the erased documents, with their text still
+    * at hand: run this BEFORE deleting the source rows) from the
+    * ledger. The ledger's rows are aggregated `(ch, nd)` counts with
+    * no per-doc attribution, so the only faithful erasure is dropping
+    * the digest rows outright — a shared boilerplate chunk loses its
+    * frequency history and RE-LEARNS on its next occurrence (counts
+    * restart at the next batch that carries it), which errs toward
+    * privacy by construction. The scheme is read from the marker
+    * table so victims chunk exactly the way the ledger was built.
+    * Affected `batch_id` partitions are rewritten via
+    * `Erasure.purgeRows` — O(victim batches), never O(ledger). */
+  def purgeDigests(spark: SparkSession, victimDocs: DataFrame,
+                   chunkTable: String, markerTable: String): Unit = {
+    if (!spark.catalog.tableExists(chunkTable)) return
+    graft.expressions.VectorExpressions.ensureRegistered(spark)
+    val scheme =
+      if (spark.catalog.tableExists(markerTable) &&
+          spark.table(markerTable).columns.contains("scheme") &&
+          !spark.table(markerTable)
+            .filter(col("scheme") === Cdc.name).isEmpty) Cdc
+      else Fixed
+    val digests = scheme.digestsOf(
+        victimDocs.select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("tk")))
+      .select("ch").distinct()
+    graft.index.Erasure.purgeRows(spark, digests, chunkTable, Seq("ch"))
   }
 
   /** Corpus-wide chunk frequency from the ledger: sum of the per-batch

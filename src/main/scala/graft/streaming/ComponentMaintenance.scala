@@ -55,7 +55,8 @@ object ComponentMaintenance {
     * ledgers. Requires a DURABLE checkpointDir (stable batch ids — the
     * IndexMaintenance contract). */
   def maintain(pairs: DataFrame, nodesTable: String, remapTable: String,
-               markerTable: String, checkpointDir: String): StreamingQuery = {
+               markerTable: String, checkpointDir: String,
+               erasureLedger: Option[String] = None): StreamingQuery = {
     require(checkpointDir.nonEmpty,
       "ComponentMaintenance.maintain requires a durable checkpointDir: " +
         "replay-skip markers are only valid against stable batch ids")
@@ -63,7 +64,12 @@ object ComponentMaintenance {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendBatch(batch, batchId, nodesTable, remapTable, markerTable)
+        // a pair is gated when EITHER endpoint was erased: a merge
+        // event caused by a deleted doc must not re-enter the graph
+        appendBatch(
+          graft.index.Erasure.gateBatch(batch, erasureLedger,
+            batch.columns.toSeq),
+          batchId, nodesTable, remapTable, markerTable)
       }
       .start()
   }
@@ -259,6 +265,49 @@ object ComponentMaintenance {
           catch { case _: Exception => () }
         }
     }
+  }
+
+  /** Right-to-erasure seam: remove `victims`' (a single-column doc_id
+    * frame) MEMBERSHIP rows and RELABEL any component whose root label
+    * equals a victim id. Rides the existing compaction: [[compact]]
+    * first folds both tails into the fully-resolved compact table
+    * (which empties the remap chains — the only state where a label
+    * rewrite is a per-row map), then the compact table is rewritten
+    * without victim nodes and with victim-rooted components relabeled
+    * to their minimum SURVIVING member (the dd06 min-id contract,
+    * recomputed over the live membership). A component whose only
+    * member was the victim disappears. The high-water property rides
+    * the staged rewrite, so fold state survives. Idempotent;
+    * maintenance window with the maintainer stopped. */
+  def purgeDocs(spark: SparkSession, victims: DataFrame,
+                nodesTable: String, remapTable: String,
+                markerTable: String, buckets: Int = 8): Unit = {
+    compact(spark, nodesTable, remapTable, markerTable, buckets)
+    val cT = compactTable(nodesTable)
+    recoverStaging(spark, cT)
+    if (!spark.catalog.tableExists(cT)) return
+    val v = broadcast(victims.toDF("erased_key"))
+    val t = spark.table(cT)
+    val touched =
+      !t.join(v, t("node") === v("erased_key"), "left_semi").isEmpty ||
+      !t.join(v, t("root") === v("erased_key"), "left_semi").isEmpty
+    if (!touched) return
+    val kept = t.join(v, t("node") === v("erased_key"), "left_anti")
+    val relabel = kept
+      .join(v, kept("root") === v("erased_key"), "left_semi")
+      .groupBy("root").agg(min("node").as("new_root"))
+    val rewritten = kept.join(broadcast(relabel), Seq("root"), "left")
+      .select(col("node"),
+        coalesce(col("new_root"), col("root")).as("root"))
+    val hw = hwOf(spark, cT)
+    val staging = cT + "_staging"
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    rewritten.repartition(col("node"))
+      .write.mode("overwrite").bucketBy(buckets, "node")
+      .saveAsTable(staging)
+    spark.sql(s"ALTER TABLE $staging SET TBLPROPERTIES ('$HwProp'='$hw')")
+    spark.sql(s"DROP TABLE IF EXISTS $cT")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $cT")
   }
 
   /** batch_id-partitioned dynamic overwrite (the SubstringDedup write

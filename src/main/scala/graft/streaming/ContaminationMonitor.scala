@@ -50,7 +50,8 @@ object ContaminationMonitor {
   /** Starts the monitor: one contamination row per micro-batch of
     * `newDocs` (`doc_id`, `text`) into `ledgerTable`. */
   def maintain(newDocs: DataFrame, name: String, ledgerTable: String,
-               markerTable: String, checkpointDir: String): StreamingQuery = {
+               markerTable: String, checkpointDir: String,
+               erasureLedger: Option[String] = None): StreamingQuery = {
     require(checkpointDir.nonEmpty,
       "ContaminationMonitor.maintain requires a durable checkpointDir: " +
         "replay-skip markers are only valid against stable batch ids")
@@ -58,7 +59,9 @@ object ContaminationMonitor {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        contaminationBatch(batch, batchId, name, ledgerTable, markerTable)
+        contaminationBatch(
+          graft.index.Erasure.gateBatch(batch, erasureLedger),
+          batchId, name, ledgerTable, markerTable)
       }
       .start()
   }

@@ -52,7 +52,8 @@ object DatasheetMaintenance {
     * `source`, `lang`, `n_chars`, `text`) is handed to
     * [[datasheetBatch]]. */
   def maintain(newDocs: DataFrame, name: String,
-               checkpointDir: String): StreamingQuery = {
+               checkpointDir: String,
+               erasureLedger: Option[String] = None): StreamingQuery = {
     require(checkpointDir.nonEmpty,
       "DatasheetMaintenance.maintain requires a durable checkpointDir: " +
         "replay-skip markers are only valid against stable batch ids")
@@ -60,7 +61,8 @@ object DatasheetMaintenance {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        datasheetBatch(batch, batchId, name)
+        datasheetBatch(graft.index.Erasure.gateBatch(batch, erasureLedger),
+          batchId, name)
       }
       .start()
   }
@@ -128,6 +130,36 @@ object DatasheetMaintenance {
       try spark.sql(s"ALTER TABLE ${digestsTable(name)} " +
         s"DROP IF EXISTS PARTITION (batch_id=$b)")
       catch { case _: Exception => () }
+    }
+  }
+
+  /** Right-to-erasure seam: FORGET the full-text digests of
+    * `victimDocs` (`doc_id`, `text` — run BEFORE deleting the source
+    * rows) from the digest ledger, live partitions and dig-bucketed
+    * compact table both. The stats/dups tables hold only aggregated
+    * (source, lang) COUNTS — k-anonymous rollups with no content or
+    * doc identity — and are deliberately left intact: a datasheet that
+    * forgot its historical row counts on every erasure would misstate
+    * provenance for the surviving corpus. Idempotent; maintenance
+    * window. */
+  def purgeDocs(spark: SparkSession, victimDocs: DataFrame,
+                name: String): Unit = {
+    val digs = victimDocs.select(md5(col("text")).as("dig")).distinct()
+    graft.index.Erasure.purgeRows(spark, digs, digestsTable(name),
+      Seq("dig"))
+    val cT = digestsCompact(name)
+    recoverStaging(spark, cT)
+    if (spark.catalog.tableExists(cT)) {
+      val v = broadcast(digs.toDF("erased_key"))
+      val t = spark.table(cT)
+      if (!t.join(v, t("dig") === v("erased_key"), "left_semi").isEmpty) {
+        val staging = cT + "_staging"
+        spark.sql(s"DROP TABLE IF EXISTS $staging")
+        t.join(v, t("dig") === v("erased_key"), "left_anti")
+          .write.mode("overwrite").bucketBy(8, "dig").saveAsTable(staging)
+        spark.sql(s"DROP TABLE IF EXISTS $cT")
+        spark.sql(s"ALTER TABLE $staging RENAME TO $cT")
+      }
     }
   }
 

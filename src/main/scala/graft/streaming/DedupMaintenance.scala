@@ -45,12 +45,14 @@ object DedupMaintenance {
     * rows; each micro-batch is handed to [[appendBatch]]. */
   def maintain(newDocs: DataFrame, storeName: String, pairsTable: String,
                markerTable: String, checkpointDir: String,
-               tau: Double = 0.4): StreamingQuery =
+               tau: Double = 0.4,
+               erasureLedger: Option[String] = None): StreamingQuery =
     newDocs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendBatch(batch, batchId, storeName, pairsTable, markerTable, tau)
+        appendBatch(graft.index.Erasure.gateBatch(batch, erasureLedger),
+          batchId, storeName, pairsTable, markerTable, tau)
       }
       .start()
 

@@ -46,7 +46,8 @@ object DriftMonitor {
   /** Starts the monitor: one drift row per micro-batch of `newDocs`
     * (`doc_id`, `text`) into `ledgerTable`. */
   def maintain(newDocs: DataFrame, name: String, ledgerTable: String,
-               markerTable: String, checkpointDir: String): StreamingQuery = {
+               markerTable: String, checkpointDir: String,
+               erasureLedger: Option[String] = None): StreamingQuery = {
     require(checkpointDir.nonEmpty,
       "DriftMonitor.maintain requires a durable checkpointDir: " +
         "replay-skip markers are only valid against stable batch ids")
@@ -54,7 +55,8 @@ object DriftMonitor {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        driftBatch(batch, batchId, name, ledgerTable, markerTable)
+        driftBatch(graft.index.Erasure.gateBatch(batch, erasureLedger),
+          batchId, name, ledgerTable, markerTable)
       }
       .start()
   }

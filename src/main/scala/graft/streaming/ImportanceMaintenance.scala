@@ -31,7 +31,8 @@ object ImportanceMaintenance {
     * (`doc_id`, `text`) is weighed under `storeName`'s frozen ratios
     * into `weightsTable`. */
   def maintain(newDocs: DataFrame, storeName: String, weightsTable: String,
-               markerTable: String, checkpointDir: String): StreamingQuery = {
+               markerTable: String, checkpointDir: String,
+               erasureLedger: Option[String] = None): StreamingQuery = {
     require(checkpointDir.nonEmpty,
       "ImportanceMaintenance.maintain requires a durable checkpointDir: " +
         "replay-skip markers are only valid against stable batch ids")
@@ -39,7 +40,8 @@ object ImportanceMaintenance {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        scoreBatch(batch, batchId, storeName, weightsTable, markerTable)
+        scoreBatch(graft.index.Erasure.gateBatch(batch, erasureLedger),
+          batchId, storeName, weightsTable, markerTable)
       }
       .start()
   }

@@ -63,12 +63,14 @@ object IndexMaintenance {
     * a temp checkpoint restarts ids at 0 and old markers would silently
     * swallow new batches. */
   def maintain(newDocs: DataFrame, termDocTable: String,
-               statsTable: String, checkpointDir: String): StreamingQuery =
+               statsTable: String, checkpointDir: String,
+               erasureLedger: Option[String] = None): StreamingQuery =
     newDocs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendBatch(batch, batchId, termDocTable, statsTable)
+        appendBatch(graft.index.Erasure.gateBatch(batch, erasureLedger),
+          batchId, termDocTable, statsTable)
       }
       .start()
 

@@ -46,7 +46,8 @@ object NoveltyMonitor {
   /** Starts the monitor: each micro-batch of `newDocs` (`doc_id`,
     * `text`) is handed to [[noveltyBatch]]. */
   def maintain(newDocs: DataFrame, seenTable: String, reportTable: String,
-               markerTable: String, checkpointDir: String): StreamingQuery = {
+               markerTable: String, checkpointDir: String,
+               erasureLedger: Option[String] = None): StreamingQuery = {
     require(checkpointDir.nonEmpty,
       "NoveltyMonitor.maintain requires a durable checkpointDir: " +
         "replay-skip markers are only valid against stable batch ids")
@@ -54,7 +55,8 @@ object NoveltyMonitor {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        noveltyBatch(batch, batchId, seenTable, reportTable, markerTable)
+        noveltyBatch(graft.index.Erasure.gateBatch(batch, erasureLedger),
+          batchId, seenTable, reportTable, markerTable)
       }
       .start()
   }

@@ -51,7 +51,8 @@ object PerplexityMonitor {
   /** Starts the monitor: one quality row per micro-batch of `newDocs`
     * (`doc_id`, `text`) into `ledgerTable`. */
   def maintain(newDocs: DataFrame, name: String, ledgerTable: String,
-               markerTable: String, checkpointDir: String): StreamingQuery = {
+               markerTable: String, checkpointDir: String,
+               erasureLedger: Option[String] = None): StreamingQuery = {
     require(checkpointDir.nonEmpty,
       "PerplexityMonitor.maintain requires a durable checkpointDir: " +
         "replay-skip markers are only valid against stable batch ids")
@@ -59,7 +60,8 @@ object PerplexityMonitor {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        xentBatch(batch, batchId, name, ledgerTable, markerTable)
+        xentBatch(graft.index.Erasure.gateBatch(batch, erasureLedger),
+          batchId, name, ledgerTable, markerTable)
       }
       .start()
   }

@@ -52,7 +52,8 @@ object PsiMonitor {
   /** Starts the monitor: one PSI row per micro-batch of `newDocs`
     * (`doc_id`, `n_chars`) into `ledgerTable`. */
   def maintain(newDocs: DataFrame, name: String, ledgerTable: String,
-               markerTable: String, checkpointDir: String): StreamingQuery = {
+               markerTable: String, checkpointDir: String,
+               erasureLedger: Option[String] = None): StreamingQuery = {
     require(checkpointDir.nonEmpty,
       "PsiMonitor.maintain requires a durable checkpointDir: " +
         "replay-skip markers are only valid against stable batch ids")
@@ -60,7 +61,8 @@ object PsiMonitor {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        psiBatch(batch, batchId, name, ledgerTable, markerTable)
+        psiBatch(graft.index.Erasure.gateBatch(batch, erasureLedger),
+          batchId, name, ledgerTable, markerTable)
       }
       .start()
   }

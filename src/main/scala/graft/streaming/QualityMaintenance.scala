@@ -36,7 +36,8 @@ object QualityMaintenance {
     * (`doc_id`, `text`) is scored under `storeName`'s frozen weights
     * into `scoresTable`. */
   def maintain(newDocs: DataFrame, storeName: String, scoresTable: String,
-               markerTable: String, checkpointDir: String): StreamingQuery = {
+               markerTable: String, checkpointDir: String,
+               erasureLedger: Option[String] = None): StreamingQuery = {
     require(checkpointDir.nonEmpty,
       "QualityMaintenance.maintain requires a durable checkpointDir: " +
         "replay-skip markers are only valid against stable batch ids")
@@ -44,7 +45,8 @@ object QualityMaintenance {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        scoreBatch(batch, batchId, storeName, scoresTable, markerTable)
+        scoreBatch(graft.index.Erasure.gateBatch(batch, erasureLedger),
+          batchId, storeName, scoresTable, markerTable)
       }
       .start()
   }

@@ -88,7 +88,8 @@ object RecallMonitor {
     * from the serving artifact's size per batch (see above). */
   def maintain(newProbes: DataFrame, storeName: String, ledgerTable: String,
                markerTable: String, checkpointDir: String,
-               scoreEvery: Int = AutoCadence): StreamingQuery = {
+               scoreEvery: Int = AutoCadence,
+               erasureLedger: Option[String] = None): StreamingQuery = {
     require(checkpointDir.nonEmpty,
       "RecallMonitor.maintain requires a durable checkpointDir: " +
         "replay-skip markers are only valid against stable batch ids")
@@ -97,8 +98,10 @@ object RecallMonitor {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        recallBatch(batch, batchId, storeName, ledgerTable, markerTable,
-          scoreEvery)
+        recallBatch(
+          graft.index.Erasure.gateBatch(batch, erasureLedger,
+            Seq("probe_id")),
+          batchId, storeName, ledgerTable, markerTable, scoreEvery)
       }
       .start()
   }

@@ -40,7 +40,8 @@ object RewriteDedup {
     * (`doc_id`, `text`) lands as cleaned rows in `outTable` and new
     * first-occurrence digests in `ledgerTable`. */
   def maintain(newDocs: DataFrame, outTable: String, ledgerTable: String,
-               markerTable: String, checkpointDir: String): StreamingQuery = {
+               markerTable: String, checkpointDir: String,
+               erasureLedger: Option[String] = None): StreamingQuery = {
     require(checkpointDir.nonEmpty,
       "RewriteDedup.maintain requires a durable checkpointDir: " +
         "replay-skip markers are only valid against stable batch ids")
@@ -48,7 +49,8 @@ object RewriteDedup {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        rewriteBatch(batch, batchId, outTable, ledgerTable, markerTable)
+        rewriteBatch(graft.index.Erasure.gateBatch(batch, erasureLedger),
+          batchId, outTable, ledgerTable, markerTable)
       }
       .start()
   }
@@ -85,8 +87,21 @@ object RewriteDedup {
         .select(col("doc_id"), col("n_chunks"), col("n_kept"),
           col("clean_text"), lit(batchId).as("batch_id"))
       overwritePartition(cleaned, outTable)
+      // the OWNER doc_id rides along in the ledger: ownership probes
+      // ignore it (priorOwners projects ch), but it is what lets
+      // [[eraseDocs]] attribute a digest to the erased document
+      // without re-reading any text. A pre-owner-column ledger would
+      // be silently mis-mapped by the positional insertInto — refuse
+      // with a migration message (the ChunkDedup layout-guard move).
+      if (spark.catalog.tableExists(ledgerTable))
+        require(spark.table(ledgerTable).columns.contains("doc_id"),
+          s"ledger $ledgerTable predates the owner column: migrate it " +
+            "(rewrite as SELECT ch, CAST(NULL AS BIGINT) AS doc_id, " +
+            "batch_id ... partitionBy(batch_id)) or start a fresh " +
+            "ledger and replay from the checkpoint.")
       overwritePartition(
-        first.select(col("ch"), lit(batchId).as("batch_id")), ledgerTable)
+        first.select(col("ch"), col("f.doc_id").as("doc_id"),
+          lit(batchId).as("batch_id")), ledgerTable)
       batch.groupBy().agg(count(lit(1)).as("n_docs"))
         .withColumn("batch_id", lit(batchId))
         .select("batch_id", "n_docs")
@@ -161,8 +176,12 @@ object RewriteDedup {
     val fold = spark.table(ledgerTable)
       .filter(col("batch_id") > hw)
       .join(broadcast(committed), Seq("batch_id"), "left_semi")
+    // allowMissingColumns: a compact table folded before the owner
+    // column carries null doc_id on its legacy rows (unattributable to
+    // an eraser — migrate or rebuild the ledger to attribute them)
     val merged = if (spark.catalog.tableExists(cT))
-      spark.table(cT).unionByName(fold) else fold
+      spark.table(cT).unionByName(fold, allowMissingColumns = true)
+    else fold
     val batches = fold.select("batch_id").distinct()
       .collect().map(_.getLong(0)) // bounded: committed batch count
     val stale = spark.table(ledgerTable).select("batch_id").distinct()
@@ -200,6 +219,38 @@ object RewriteDedup {
       finally prior match {
         case Some(v) => spark.conf.set(key, v)
         case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
+  /** Right-to-erasure seam: physically remove `victims`' (a
+    * single-column doc_id frame, request-sized) cleaned rows from
+    * `outTable` — the table that HOLDS the document's `clean_text` —
+    * and their OWNED first-occurrence digests from the ledger, live
+    * partitions and compacted side table both. FORGET semantics for
+    * the digests: a chunk whose first instance belonged to the erased
+    * doc is treated as never-seen, so a future document carrying it
+    * keeps its own copy (correct — the content it deduplicated
+    * against no longer exists). Rows another doc owns are untouched.
+    * Idempotent; single-writer maintenance window (the compact
+    * contract). */
+  def eraseDocs(spark: SparkSession, victims: DataFrame,
+                outTable: String, ledgerTable: String): Unit = {
+    graft.index.Erasure.purgeRows(spark, victims, outTable, Seq("doc_id"))
+    graft.index.Erasure.purgeRows(spark, victims, ledgerTable, Seq("doc_id"))
+    val cT = compactTable(ledgerTable)
+    recoverStaging(spark, cT)
+    if (spark.catalog.tableExists(cT) &&
+        spark.table(cT).columns.contains("doc_id")) {
+      val v = broadcast(victims.toDF("erased_key"))
+      val t = spark.table(cT)
+      if (!t.join(v, t("doc_id") === v("erased_key"), "left_semi").isEmpty) {
+        val staging = cT + "_staging"
+        spark.sql(s"DROP TABLE IF EXISTS $staging")
+        t.join(v, t("doc_id") === v("erased_key"), "left_anti")
+          .write.mode("overwrite").bucketBy(8, "ch").saveAsTable(staging)
+        spark.sql(s"DROP TABLE IF EXISTS $cT")
+        spark.sql(s"ALTER TABLE $staging RENAME TO $cT")
       }
     }
   }

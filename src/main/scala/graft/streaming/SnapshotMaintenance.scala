@@ -34,7 +34,8 @@ object SnapshotMaintenance {
   /** Starts the maintainer over `events`
     * (`event_id, user_id, ts, event_type, value`). */
   def maintain(events: DataFrame, ledgerTable: String, markerTable: String,
-               checkpointDir: String): StreamingQuery = {
+               checkpointDir: String,
+               erasureLedger: Option[String] = None): StreamingQuery = {
     require(checkpointDir.nonEmpty,
       "SnapshotMaintenance.maintain requires a durable checkpointDir: " +
         "replay-skip markers are only valid against stable batch ids")
@@ -42,7 +43,13 @@ object SnapshotMaintenance {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, ledgerTable, markerTable)
+        // event streams are user-keyed: the erasure ledger here is a
+        // USER-id suppression list (right-to-erasure reaches profiles
+        // through the same gate the doc maintainers use)
+        applyBatch(
+          graft.index.Erasure.gateBatch(batch, erasureLedger,
+            Seq("user_id")),
+          batchId, ledgerTable, markerTable)
       }
       .start()
   }

@@ -55,7 +55,8 @@ object SplitAssignment {
   /** Starts the assigner: each micro-batch of `newDocs` (`doc_id`,
     * `text`) is handed to [[assignBatch]]. */
   def maintain(newDocs: DataFrame, name: String,
-               checkpointDir: String): StreamingQuery = {
+               checkpointDir: String,
+               erasureLedger: Option[String] = None): StreamingQuery = {
     require(checkpointDir.nonEmpty,
       "SplitAssignment.maintain requires a durable checkpointDir: " +
         "replay-skip markers are only valid against stable batch ids")
@@ -63,7 +64,8 @@ object SplitAssignment {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        assignBatch(batch, batchId, name)
+        assignBatch(graft.index.Erasure.gateBatch(batch, erasureLedger),
+          batchId, name)
       }
       .start()
   }
@@ -201,6 +203,43 @@ object SplitAssignment {
     * during or after. */
   def compact(spark: SparkSession, name: String): Unit =
     Compactable.foreach { case (s, k) => compactOne(spark, name, s, k) }
+
+  /** Right-to-erasure seam: physically remove `victims`' rows (a
+    * single-column doc_id frame) from every table the assigner keeps —
+    * the shingle ledger (RAW TEXT n-grams), sigs, band keys, and the
+    * split-assignment rows — live `batch_id` partitions via
+    * `Erasure.purgeRows` and the bucketed compact side tables via
+    * their own staged rewrite (bucket specs preserved). Surviving
+    * docs' assignments are untouched: split/grp decisions already made
+    * against the victim stay as recorded (re-deciding them would
+    * MOVE surviving docs across train/test — a worse leak than the
+    * label of a gone doc). Idempotent; maintenance window with the
+    * assigner stopped. */
+  def purgeDocs(spark: SparkSession, victims: DataFrame,
+                name: String): Unit = {
+    Seq(s"${name}_shingles", s"${name}_sigs", s"${name}_bands",
+        splitsTable(name))
+      .foreach(t =>
+        graft.index.Erasure.purgeRows(spark, victims, t, Seq("doc_id")))
+    val v = broadcast(victims.toDF("erased_key"))
+    Compactable.foreach { case (sfx, bucketCol) =>
+      val cT = compactTable(name, sfx)
+      recoverStaging(spark, cT)
+      if (spark.catalog.tableExists(cT)) {
+        val t = spark.table(cT)
+        if (!t.join(v, t("doc_id") === v("erased_key"), "left_semi")
+            .isEmpty) {
+          val staging = cT + "_staging"
+          spark.sql(s"DROP TABLE IF EXISTS $staging")
+          t.join(v, t("doc_id") === v("erased_key"), "left_anti")
+            .write.mode("overwrite")
+            .bucketBy(8, bucketCol).saveAsTable(staging)
+          spark.sql(s"DROP TABLE IF EXISTS $cT")
+          spark.sql(s"ALTER TABLE $staging RENAME TO $cT")
+        }
+      }
+    }
+  }
 
   /** Auto-fold trigger: once a ledger's committed live tail exceeds
     * this many partitions, [[assignBatch]] folds it before probing —

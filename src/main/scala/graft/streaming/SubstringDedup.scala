@@ -70,12 +70,14 @@ object SubstringDedup {
   def maintain(newDocs: DataFrame, windowTable: String,
                markerTable: String, checkpointDir: String,
                digest: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-                 graft.queries.Dedup.Md5Digest): StreamingQuery =
+                 graft.queries.Dedup.Md5Digest,
+               erasureLedger: Option[String] = None): StreamingQuery =
     newDocs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendBatch(batch, batchId, windowTable, markerTable, digest)
+        appendBatch(graft.index.Erasure.gateBatch(batch, erasureLedger),
+          batchId, windowTable, markerTable, digest)
       }
       .start()
 
@@ -257,6 +259,30 @@ object SubstringDedup {
     if (!spark.catalog.tableExists(windowTable) &&
         spark.catalog.tableExists(staging))
       swapFromStaging(spark, windowTable)
+  }
+
+  /** Right-to-erasure seam: FORGET the substring-window digests of
+    * `victimDocs` (`doc_id`, `text` — run BEFORE deleting the source
+    * rows) from the ledger, the ChunkDedup.purgeDigests semantics: the
+    * `(ch, nd)` rows carry no per-doc attribution, so digest rows are
+    * dropped outright and a window shared with surviving docs
+    * re-learns on its next occurrence. Pass the SAME `digest` the
+    * ledger was built with (md5 default / xxhash64 twin — the schema
+    * pins it, so a mismatch joins nothing rather than corrupting).
+    * Affected partitions rewrite via `Erasure.purgeRows`. */
+  def purgeDigests(spark: SparkSession, victimDocs: DataFrame,
+                   windowTable: String,
+                   digest: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                     graft.queries.Dedup.Md5Digest): Unit = {
+    recoverStaging(spark, windowTable)
+    if (!spark.catalog.tableExists(windowTable)) return
+    graft.expressions.VectorExpressions.ensureRegistered(spark)
+    val digests = graft.queries.Dedup.substringWindowDigestsOf(
+        victimDocs.select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("tk")),
+        digest)
+      .select("ch").distinct()
+    graft.index.Erasure.purgeRows(spark, digests, windowTable, Seq("ch"))
   }
 
   /** Serve-time dd14 report for `documents` (`doc_id`, `text`)

@@ -47,7 +47,8 @@ object TokenizerMaintenance {
     * (`doc_id`, `text`) is segmented under `storeName`'s frozen
     * merges into `wcTable`. */
   def maintain(newDocs: DataFrame, storeName: String, wcTable: String,
-               markerTable: String, checkpointDir: String): StreamingQuery = {
+               markerTable: String, checkpointDir: String,
+               erasureLedger: Option[String] = None): StreamingQuery = {
     require(checkpointDir.nonEmpty,
       "TokenizerMaintenance.maintain requires a durable checkpointDir: " +
         "replay-skip markers are only valid against stable batch ids")
@@ -55,7 +56,8 @@ object TokenizerMaintenance {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendBatch(batch, batchId, storeName, wcTable, markerTable)
+        appendBatch(graft.index.Erasure.gateBatch(batch, erasureLedger),
+          batchId, storeName, wcTable, markerTable)
       }
       .start()
   }

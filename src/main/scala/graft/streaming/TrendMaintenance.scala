@@ -41,12 +41,14 @@ object TrendMaintenance {
   /** Starts the sketch-maintenance query over streaming `newDocs`
     * (`doc_id`, `text`). One MG sketch of size `k` per micro-batch. */
   def maintain(newDocs: DataFrame, sketchTable: String, markerTable: String,
-               checkpointDir: String, k: Int): StreamingQuery =
+               checkpointDir: String, k: Int,
+               erasureLedger: Option[String] = None): StreamingQuery =
     newDocs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendBatch(batch, batchId, sketchTable, markerTable, k)
+        appendBatch(graft.index.Erasure.gateBatch(batch, erasureLedger),
+          batchId, sketchTable, markerTable, k)
       }
       .start()
 

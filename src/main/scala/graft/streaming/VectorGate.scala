@@ -46,7 +46,8 @@ object VectorGate {
     * `embedding`) is classified and routed by [[gateBatch]]. */
   def maintain(newVecs: DataFrame, storeName: String,
                quarantineTable: String, reportTable: String,
-               markerTable: String, checkpointDir: String): StreamingQuery = {
+               markerTable: String, checkpointDir: String,
+               erasureLedger: Option[String] = None): StreamingQuery = {
     require(checkpointDir.nonEmpty,
       "VectorGate.maintain requires a durable checkpointDir: " +
         "replay-skip markers are only valid against stable batch ids")
@@ -54,8 +55,10 @@ object VectorGate {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        gateBatch(batch, batchId, storeName, quarantineTable,
-          reportTable, markerTable)
+        gateBatch(
+          graft.index.Erasure.gateBatch(batch, erasureLedger,
+            Seq("vec_id")),
+          batchId, storeName, quarantineTable, reportTable, markerTable)
       }
       .start()
   }

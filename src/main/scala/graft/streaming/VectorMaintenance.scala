@@ -28,12 +28,16 @@ object VectorMaintenance {
   /** Starts the maintenance query: each micro-batch of `newVecs`
     * (`vec_id`, `embedding`) is handed to [[appendBatch]]. */
   def maintain(newVecs: DataFrame, storeName: String,
-               markerTable: String, checkpointDir: String): StreamingQuery =
+               markerTable: String, checkpointDir: String,
+               erasureLedger: Option[String] = None): StreamingQuery =
     newVecs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendBatch(batch, batchId, storeName, markerTable)
+        appendBatch(
+          graft.index.Erasure.gateBatch(batch, erasureLedger,
+            Seq("vec_id")),
+          batchId, storeName, markerTable)
       }
       .start()
 
