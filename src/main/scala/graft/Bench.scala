@@ -22,7 +22,10 @@ import org.apache.spark.sql.SparkSession
   * scale paths: dd02 is the quadratic all-pairs ground truth for
   * dd03's LSH banding; dd13/mm05 are the raw (no exact-dedup-first)
   * twins of dd04/mm04, whose pair output is C(k,2) per exact-copy
-  * cluster by construction.
+  * cluster by construction; sm23/dd23 are the raw (no semantic-
+  * survivors-first) twins of sm02/dd07, whose band-join output is
+  * quadratic in similarity-clique size (x757 on the round-13 100x
+  * sweep).
   */
 object Bench {
   // private[graft]: BenchRegistrySpec pins that every excluded name
@@ -30,7 +33,8 @@ object Bench {
   // its quadratic twin and melt the 10x sweep)
   private[graft] val exclude =
     Set("dd02_ngram_jaccard", "dd13_simhash_allpairs",
-      "mm05_blob_neardup_allpairs")
+      "mm05_blob_neardup_allpairs", "sm23_hyperplane_allpairs",
+      "dd23_embedding_neardup_raw")
 
   /** Steady-history fold for one low-load run — extracted so
     * `BenchSteadySpec` can pin the rules as an executable contract.
@@ -114,16 +118,39 @@ object Bench {
       }
     }
 
+  /** 1-min loadavg gate under which a run counts as quiet — the same
+    * bound the steady-history fold uses. */
+  private[graft] val QuietLoad = 1.5
+
   def main(args: Array[String]): Unit = {
-    // sampled before ANYTHING runs: the warmup pass alone drives 1-min
-    // loadavg past the steady-history gate (observed 0.02 -> 3.06 by
-    // the time the first measured query starts), so sampling any later
-    // makes the low-load gate unsatisfiable even on an idle machine
-    val loadAtStart =
+    // QUIET-WINDOW GATE (round-14 verdict item 3): the committed
+    // BENCH_r14 gating run started at load 7.36 and needed 17 retimes
+    // to be trustworthy — the artifact itself should be a quiet run.
+    // Before ANY Spark work, wait (poll, 30s cadence, bounded) for the
+    // 1-min loadavg to drop under the steady-history gate; if the
+    // budget expires, proceed — the contended self-labeling machinery
+    // below still makes the numbers honest, and the driver must never
+    // hang. SPARK_GRAFT_NOWAIT=1 skips the wait for local iteration.
+    def sampleLoad(): Double =
       try new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
         .split(" ").head.toDouble
       catch { case _: Throwable => -1.0 }
+    val waitBudgetMs =
+      sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT_SEC", "900").toLong * 1000L
+    val noWait = sys.env.get("SPARK_GRAFT_NOWAIT").contains("1")
+    var waited = 0L
+    while (!noWait && sampleLoad() >= QuietLoad && waited < waitBudgetMs) {
+      System.err.println(f"[bench] loadavg ${sampleLoad()}%.2f >= " +
+        f"$QuietLoad%.1f — waiting for a quiet window " +
+        f"(${waited / 1000}s/${waitBudgetMs / 1000}s)")
+      Thread.sleep(30000L); waited += 30000L
+    }
+    // sampled before ANYTHING runs: the warmup pass alone drives 1-min
+    // loadavg past the steady-history gate (observed 0.02 -> 3.06 by
+    // the time the first measured query starts), so sampling any later
+    // makes the low-load gate unsatisfiable even on an idle machine
+    val loadAtStart = sampleLoad()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default matches the driver's local[32] environment (see brief);
     // override with SPARK_GRAFT_CPUS for smaller local runs

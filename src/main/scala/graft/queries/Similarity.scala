@@ -65,9 +65,11 @@ object Similarity {
 
   /** Shared DuckDB CTE chain ending in `scored(vec_a, vec_b, c)` — the
     * hyperplane-LSH banded candidate pairs with exact (unrounded)
-    * cosine. sm02 selects its report off it; dd07 feeds it into the
-    * connected-components dedup oracle. */
-  private def hyperplaneScoredCtes: String = {
+    * cosine over `base` (a relation with vec_id, embedding). sm02
+    * selects its report off it (over the dd12 semantic survivors);
+    * dd07 feeds it into the connected-components dedup oracle; the
+    * raw twins pass `embeddings`. */
+  private def hyperplaneScoredCtes(base: String): String = {
     val sigTerms = (0 until SigBits)
       .map(p => s"(CASE WHEN ${planeDotSql("embedding", p)} >= 0 THEN ${1L << p} ELSE 0 END)")
       .mkString("\n         |      + ")
@@ -75,7 +77,7 @@ object Similarity {
     s"""sigs AS (
        |  SELECT vec_id, CAST(
        |        $sigTerms AS BIGINT) AS sig
-       |  FROM embeddings),
+       |  FROM $base),
        |bands AS (
        |  SELECT vec_id, sig, band, (sig >> (band * $BandBits)) & ${(1 << BandBits) - 1} AS key
        |  FROM sigs CROSS JOIN (SELECT unnest(range(0, $SigBands)) AS band)),
@@ -90,15 +92,79 @@ object Similarity {
        |  JOIN embeddings eb ON eb.vec_id = c.vec_b)"""
   }
 
-  /** Hyperplane-LSH candidate pairs with raw cosine `(vec_a, vec_b,
-    * cos)` — sm02's chain: codegen'd fused signature, band equi-join
-    * candidates (never all-pairs), cosine verified on candidates only
-    * with per-side precomputed norms and the cosine evaluated once
-    * (withColumn) instead of per filter + per projection.
-    */
-  private def hyperplaneScored(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
+  /** DuckDB CTE chain ending in `semsurv` = the dd12 SEMANTIC-dedup
+    * survivors (full embeddings rows minus every vector a lower-id
+    * in-cell vector covers at cosine ≥ τ) — the enforced FIRST stage
+    * of the pair-materializing hyperplane paths (sm02/dd07), the dd04
+    * exact-survivors precedent lifted to embedding space: a dense
+    * similarity clique contributes ONE representative to the band
+    * join, so pair output tracks genuine cross-cluster structure
+    * instead of clique size squared. */
+  private def semanticSurvivorCtes: String = {
+    val dist = l2SqSql("e.embedding", "c.ce")
+    val cos = cosineSql("ea.embedding", "eb.embedding")
+    s"""cent AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  WHERE vec_id < $AdaptiveCellsSql),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |                         ORDER BY $dist, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cent c)
+       |  WHERE rn = 1),
+       |spairs AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb
+       |  FROM assign a JOIN assign b
+       |    ON a.cid = b.cid AND a.vec_id < b.vec_id),
+       |sdrop AS (
+       |  SELECT DISTINCT p.vb AS vec_id
+       |  FROM spairs p
+       |  JOIN embeddings ea ON ea.vec_id = p.va
+       |  JOIN embeddings eb ON eb.vec_id = p.vb
+       |  WHERE $cos >= $NearDupCos),
+       |semsurv AS (
+       |  SELECT e.* FROM embeddings e
+       |  LEFT JOIN sdrop d ON d.vec_id = e.vec_id
+       |  WHERE d.vec_id IS NULL)"""
+  }
+
+  /** The dd12 semantic-dedup survivor frame `(vec_id, embedding,
+    * label)` — Spark side of [[semanticSurvivorCtes]], built from the
+    * exact constructions dd12's oracle-checked query runs. */
+  private def semanticSurvivors(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
+    val cent = collectCentroids(e.filter(col("vec_id") < adaptiveCells(e))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+    val assign = nearestCells(e.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", cent, 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val en = e.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
+    val nrm = col("na") * col("nb")
+    val dropped = assign.select(col("vec_id").as("va"), col("cid"))
+      .join(assign.select(col("vec_id").as("vb"), col("cid")), Seq("cid"))
+      .filter(col("va") < col("vb"))
+      .join(en.select(col("vec_id").as("va"), col("embedding").as("ea"),
+        col("nrm").as("na")), Seq("va"))
+      .join(en.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+        col("nrm").as("nb")), Seq("vb"))
+      .filter(when(nrm === 0.0, lit(0.0))
+        .otherwise(dot(col("ea"), col("eb")) / nrm) >= NearDupCos)
+      .select(col("vb").as("vec_id")).distinct()
+    e.join(dropped, Seq("vec_id"), "left_anti")
+      .select("vec_id", "embedding", "label")
+  }
+
+  /** Hyperplane-LSH candidate pairs with raw cosine `(vec_a, vec_b,
+    * cos)` over `e` (vec_id, embedding, ...) — sm02's chain: codegen'd
+    * fused signature, band equi-join candidates (never all-pairs),
+    * cosine verified on candidates only with per-side precomputed
+    * norms and the cosine evaluated once (withColumn) instead of per
+    * filter + per projection.
+    */
+  private def hyperplaneScored(e: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     // dim=64 (FIXTURES.md): constant-literal hyperplanes, one
     // zip_with+fold per bit instead of per-row plane generation.
     // persist: the band self-join reuses sigs on both sides.
@@ -606,27 +672,95 @@ object Similarity {
         .orderBy("probe_id", "rank")
     },
 
-    // --- Hyperplane-LSH ANN: banded candidates → cosine verify ---
+    // --- Hyperplane-LSH ANN over the dd12 SEMANTIC survivors: banded
+    //     candidates → cosine verify. Survivors-first is ENFORCED here
+    //     (the dd04/mm04 exact-dedup-first precedent lifted to
+    //     embedding space): the round-13 100x sweep measured the raw
+    //     shape at x757 (28.3M materialized pairs) because dense
+    //     similarity cliques make band-join OUTPUT quadratic in clique
+    //     size — dd12's cell-local dedup collapses each clique to its
+    //     min-id representative BEFORE any pair fan-out, so output
+    //     tracks cross-cluster structure. sm23 keeps the raw all-docs
+    //     shape as the oracle-checked, bench-excluded twin. ---
     Q("sm02_ann_hyperplane",
-      s"""WITH $hyperplaneScoredCtes
+      s"""WITH $semanticSurvivorCtes,
+         |${hyperplaneScoredCtes("semsurv")}
          |SELECT vec_a, vec_b, round(c, 6) AS cosine
          |FROM scored WHERE c >= 0.25
          |ORDER BY vec_a, vec_b""") { (s, dir) =>
-      hyperplaneScored(s, dir)
+      hyperplaneScored(semanticSurvivors(s, dir))
         .filter(col("cos") >= 0.25)
         .select(col("vec_a"), col("vec_b"), duckRound(col("cos"), 6).as("cosine"))
         .orderBy("vec_a", "vec_b")
     },
 
-    // --- Embedding-cosine near-dup dedup ACTION: the same LSH-banded
-    //     candidate pairs, thresholded as "near-duplicate", collapsed
-    //     with connected components (a ~ b ~ c keeps exactly one
-    //     vector), emitting the surviving embedding set. The 0.4
+    // --- Raw all-docs hyperplane twin (the dd13 convention): same
+    //     pipeline WITHOUT the semantic-survivors stage, oracle-checked
+    //     at test SFs so the signature/banding math stays pinned
+    //     independently of the survivors composition; excluded from
+    //     bench (pair output is quadratic in similarity-clique size by
+    //     construction — the failure mode sm02's composition
+    //     prevents). ---
+    Q("sm23_hyperplane_allpairs",
+      s"""WITH ${hyperplaneScoredCtes("embeddings")}
+         |SELECT vec_a, vec_b, round(c, 6) AS cosine
+         |FROM scored WHERE c >= 0.25
+         |ORDER BY vec_a, vec_b""") { (s, dir) =>
+      hyperplaneScored(emb(s, dir).select("vec_id", "embedding"))
+        .filter(col("cos") >= 0.25)
+        .select(col("vec_a"), col("vec_b"), duckRound(col("cos"), 6).as("cosine"))
+        .orderBy("vec_a", "vec_b")
+    },
+
+    // --- Embedding-cosine near-dup dedup ACTION over the dd12
+    //     semantic survivors: LSH-banded candidate pairs among the
+    //     survivors, thresholded as "near-duplicate", collapsed with
+    //     connected components (a ~ b ~ c keeps exactly one vector),
+    //     emitting the embedding set that survives BOTH rungs — dd12's
+    //     cell-local pass and the banding's cross-cell pass. The 0.4
     //     threshold is calibrated to this corpus (max candidate cosine
     //     0.47 — the synthetic vectors have no true clones); the
-    //     operator shape is threshold-independent. ---
+    //     operator shape is threshold-independent. dd23 keeps the raw
+    //     single-rung shape as the oracle-checked twin. ---
     Q("dd07_embedding_neardup",
-      s"""WITH RECURSIVE $hyperplaneScoredCtes,
+      s"""WITH RECURSIVE $semanticSurvivorCtes,
+         |${hyperplaneScoredCtes("semsurv")},
+         |pairs AS (SELECT vec_a, vec_b FROM scored WHERE c >= $NearDupCos),
+         |edges AS (
+         |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT vec_b, vec_a FROM pairs),
+         |reach AS (
+         |  SELECT DISTINCT src AS node, src AS r FROM edges
+         |  UNION
+         |  SELECT e.dst AS node, r.r FROM reach r JOIN edges e ON e.src = r.node),
+         |comp AS (SELECT node, CAST(min(r) AS BIGINT) AS root
+         |         FROM reach GROUP BY node)
+         |SELECT e.vec_id, e.label
+         |FROM semsurv e
+         |LEFT JOIN comp c ON c.node = e.vec_id
+         |WHERE c.root IS NULL OR c.root = e.vec_id
+         |ORDER BY vec_id""") { (s, dir) =>
+      import org.apache.spark.storage.StorageLevel
+      val surv = semanticSurvivors(s, dir)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val pairs = hyperplaneScored(surv)
+        .filter(col("cos") >= NearDupCos)
+        .select("vec_a", "vec_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val labels = graft.operators.ConnectedComponents.minLabel(pairs)
+      surv
+        .join(labels, col("vec_id") === col("node"), "left")
+        .filter(col("root").isNull || col("root") === col("vec_id"))
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    },
+
+    // --- Raw single-rung near-dup twin (dd13 convention): LSH-CC over
+    //     ALL embeddings, no survivors stage — oracle-checked at test
+    //     SFs, bench-excluded. ---
+    Q("dd23_embedding_neardup_raw",
+      s"""WITH RECURSIVE ${hyperplaneScoredCtes("embeddings")},
          |pairs AS (SELECT vec_a, vec_b FROM scored WHERE c >= $NearDupCos),
          |edges AS (
          |  SELECT vec_a AS src, vec_b AS dst FROM pairs
@@ -644,7 +778,7 @@ object Similarity {
          |WHERE c.root IS NULL OR c.root = e.vec_id
          |ORDER BY vec_id""") { (s, dir) =>
       import org.apache.spark.storage.StorageLevel
-      val pairs = hyperplaneScored(s, dir)
+      val pairs = hyperplaneScored(emb(s, dir).select("vec_id", "embedding"))
         .filter(col("cos") >= NearDupCos)
         .select("vec_a", "vec_b")
         .persist(StorageLevel.MEMORY_AND_DISK)

@@ -74,17 +74,51 @@ object ComponentMaintenance {
       .start()
   }
 
+  /** Auto-fold trigger (the `SplitAssignment.AutoCompactParts`
+    * pattern): once the committed live tail of EITHER ledger exceeds
+    * this many partitions, [[appendBatch]] folds before probing. The
+    * round-14 100× exercise measured WHY the cadence matters: folding
+    * after every one of 40 batches cost ~440s against 14.5s for one
+    * fold at the end — per-fold job overhead dominates, so the fold
+    * must amortize across batches while the remap chain (whose length
+    * is what serve-time resolution pays for) stays bounded. Safe
+    * inline: the maintainer is the ledgers' only writer, foreachBatch
+    * runs serially, and serving is hw-correct at any crash point of a
+    * fold. */
+  val AutoCompactParts = 8
+
+  private def tailParts(spark: SparkSession, t: String, hw: Long,
+                        markerTable: String): Int =
+    if (!spark.catalog.tableExists(t) ||
+        !spark.catalog.tableExists(markerTable)) 0
+    else spark.table(t).select("batch_id").distinct()
+      .filter(col("batch_id") > hw)
+      .join(broadcast(spark.table(markerTable).select("batch_id")),
+        Seq("batch_id"), "left_semi")
+      .count().toInt
+
   /** One micro-batch of pairs: map endpoints through served labels,
     * close the root-space graph, land first-seen nodes + root remaps
     * (both partition-overwritten), marker last. Replay-safe: the delta
     * is a deterministic function of the batch and the COMMITTED state,
-    * and a crashed partial partition is overwritten whole. */
+    * and a crashed partial partition is overwritten whole.
+    * `autoCompactParts` bounds the serve-side tail (and the remap
+    * chain the per-batch probe resolves): any ledger whose committed
+    * tail exceeds it is folded before this batch probes — pass
+    * `Int.MaxValue` to disable. */
   def appendBatch(batch: DataFrame, batchId: Long, nodesTable: String,
-                  remapTable: String, markerTable: String): Unit = {
+                  remapTable: String, markerTable: String,
+                  autoCompactParts: Int = AutoCompactParts): Unit = {
     val spark = batch.sparkSession
     val committed = spark.catalog.tableExists(markerTable) &&
       !spark.table(markerTable).filter(col("batch_id") === batchId).isEmpty
     if (committed) return
+    if (autoCompactParts != Int.MaxValue) {
+      val hw = hwOf(spark, compactTable(nodesTable))
+      if (tailParts(spark, nodesTable, hw, markerTable) > autoCompactParts ||
+          tailParts(spark, remapTable, hw, markerTable) > autoCompactParts)
+        compact(spark, nodesTable, remapTable, markerTable)
+    }
     val cols = batch.columns
     require(cols.length == 2,
       s"pair batches must have exactly two endpoint columns, got " +

@@ -40,7 +40,9 @@ class BenchRegistrySpec extends AnyFunSuite {
     val scaleTwin = Map(
       "dd02_ngram_jaccard" -> "dd03_minhash_lsh",
       "dd13_simhash_allpairs" -> "dd04_simhash",
-      "mm05_blob_neardup_allpairs" -> "mm04_blob_neardup")
+      "mm05_blob_neardup_allpairs" -> "mm04_blob_neardup",
+      "sm23_hyperplane_allpairs" -> "sm02_ann_hyperplane",
+      "dd23_embedding_neardup_raw" -> "dd07_embedding_neardup")
     assert(scaleTwin.keySet == Bench.exclude,
       "exclude set and twin map out of lockstep — update both")
     scaleTwin.foreach { case (excluded, scale) =>
