@@ -77,6 +77,17 @@ object VectorStore {
     else None
   }
 
+  /** The assignment mode the serving artifact's codes were BUILT with
+    * — "exact" (single-level argmin) or "two_level" (the ~2√C build
+    * path past `Similarity.TwoLevelCellLimit`). None when no store
+    * exists or the stats row predates the mode field. */
+  def assignMode(spark: SparkSession, name: String): Option[String] = {
+    val t = s"${servingPrefix(spark, name)}_stats"
+    if (!spark.catalog.tableExists(t) ||
+        !spark.table(t).columns.contains("assign_mode")) None
+    else Some(spark.table(t).select("assign_mode").head.getString(0))
+  }
+
   /** Per-testdata-dir store for registry queries (sm18), built on
     * first use in this JVM — the IndexStore.termDocTable convention:
     * the warehouse persists across JVMs while testdata regenerates,
@@ -197,9 +208,15 @@ object VectorStore {
     // consumers cross-check it against the centroids table and refuse
     // a store whose two tables disagree (a torn build). Record the
     // ACTUAL centroid count (== `cells` unless the frame has fewer
-    // rows), so the two geometry records agree by construction.
+    // rows), so the two geometry records agree by construction — and
+    // the ASSIGNMENT MODE the codes were built with ("exact" argmin vs
+    // "two_level" past Similarity.TwoLevelCellLimit), so a serve path
+    // can report which geometry produced the codes it scores against.
     VectorFunctions.sqStatsRow(e, "embedding")
       .withColumn("cells", lit(cent.size.toLong))
+      .withColumn("assign_mode",
+        lit(if (cent.size > Similarity.TwoLevelCellLimit) "two_level"
+            else "exact"))
       .write.mode("overwrite").saveAsTable(s"${prefix}_stats")
     codesOf(e, spark.table(s"${prefix}_stats"), cent)
       .write.mode("overwrite").partitionBy("cid")

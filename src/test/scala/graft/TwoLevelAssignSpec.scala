@@ -70,6 +70,76 @@ class TwoLevelAssignSpec extends AnyFunSuite {
       s"only $agree of ${vecs.size} two-level assignments match exact")
   }
 
+  // ---- clustered corpus (round-14 verdict item 8): uniform vectors
+  // are stage-1 grouping's WORST case (no spatial structure for the
+  // super-centroids to capture); a clustered population — the shape
+  // real embedding corpora have — must hold the same floors. Both the
+  // centroid set and the assigned vectors come from the same mixture,
+  // mirroring how a real store seeds centroids from corpus rows.
+  private val cRnd = new scala.util.Random(23)
+  private val clusterCenters: IndexedSeq[Seq[Double]] =
+    (0 until 25).map(_ => Seq.fill(dim)(cRnd.nextDouble() * 4.0))
+  private def clusteredVec(): Seq[Double] = {
+    val c = clusterCenters(cRnd.nextInt(clusterCenters.size))
+    c.map(_ + cRnd.nextGaussian() * 0.15)
+  }
+  private val cCents: Seq[(Long, Seq[Double])] =
+    (0L until nCells.toLong).map(c => c -> clusteredVec())
+  private val cVecs: Seq[(Long, Seq[Double])] =
+    (1000L until 1800L).map(i => i -> clusteredVec())
+
+  private lazy val (cSupers, cMemberStart, cMembers) =
+    Similarity.twoLevelGroups(cCents)
+  private def cTwin(v: Seq[Double]): Long = {
+    var bg = 0; var bgd = Double.PositiveInfinity
+    cSupers.zipWithIndex.foreach { case (s, i) =>
+      val d = l2sq(v, s); if (d < bgd) { bgd = d; bg = i }
+    }
+    cMembers.slice(cMemberStart(bg), cMemberStart(bg + 1))
+      .map { case (cid, ce) => (l2sq(v, ce), cid) }.min._2
+  }
+  private def cExact(v: Seq[Double]): Long =
+    cCents.map { case (cid, ce) => (l2sq(v, ce), cid) }.min._2
+
+  test("clustered corpus: expression equals the twin bit-for-bit") {
+    import spark.implicits._
+    val got = Similarity.assignCells(
+        cVecs.toDF("vec_id", "embedding"), "vec_id", "embedding", cCents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = cVecs.map { case (id, v) => id -> cTwin(v) }.toMap
+    assert(got == want,
+      s"clustered: expression diverged from the twin on " +
+        s"${got.count { case (k, v) => want(k) != v }} of ${got.size}")
+  }
+
+  test("clustered corpus: two-level agrees with exact argmin on most") {
+    val agree = cVecs.count { case (_, v) => cTwin(v) == cExact(v) }
+    // clustered data gives stage-1 real structure to capture — the
+    // floor is HIGHER than the uniform worst case's 0.55
+    assert(agree.toDouble / cVecs.size >= 0.70,
+      s"clustered: only $agree of ${cVecs.size} match exact argmin")
+  }
+
+  test("stats row records the assignment mode the codes were built with") {
+    import spark.implicits._
+    def reset(n: String) = TestWarehouse.reset(spark,
+      Seq("centroids", "stats", "codes", "raw", "version", "tombstones")
+        .map(s => s"${n}_$s"): _*)
+    reset("tlm_big"); reset("tlm_small")
+    graft.index.VectorStore.build(
+      (cCents ++ cVecs).toDF("vec_id", "embedding"), "tlm_big",
+      cells = nCells) // 300 cells: past TwoLevelCellLimit (256)
+    assert(graft.index.VectorStore.assignMode(spark, "tlm_big")
+      .contains("two_level"),
+      "a >TwoLevelCellLimit build must record two_level")
+    graft.index.VectorStore.build(
+      cVecs.take(100).toDF("vec_id", "embedding"), "tlm_small")
+    assert(graft.index.VectorStore.assignMode(spark, "tlm_small")
+      .contains("exact"),
+      "a floor-geometry build must record exact")
+    reset("tlm_big"); reset("tlm_small")
+  }
+
   test("a store built through the two-level path serves with recall") {
     import spark.implicits._
     TestWarehouse.reset(spark,
