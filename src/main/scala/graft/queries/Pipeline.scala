@@ -1954,6 +1954,124 @@ object Pipeline {
           graft.functions.ParityFunctions.duckRound(col("blend"), 6)
             .as("blend"))
         .orderBy("shard_id", "pos")
+    },
+
+    // --- LINE-level quality REWRITE (the C4/FineWeb line-filter
+    //     family — Raffel et al. 2020 §2.2 drop short lines and lines
+    //     carrying boilerplate markers, FineWeb additionally collapses
+    //     in-doc duplicate lines — applied WITHIN a doc, keeping the
+    //     doc: the line-granularity sibling of dd20's chunk-dedup
+    //     rewrite). The synthetic corpus has no newlines, so "lines"
+    //     use tx45's sentence device (determiner tokens 'the'/'a'
+    //     terminate a line, +1 for the tail) and the boilerplate
+    //     marker is the rare corpus token 'dup' (the "javascript"/
+    //     "lorem ipsum" stand-in, ~29 occurrences); docs with
+    //     doc_id % 23 = 5 get a fixed self-terminating line injected
+    //     at BOTH ends (the tx26 injection convention) so the
+    //     duplicate-line counter is observable on random token
+    //     streams. Per line ONE drop reason with mm07's root-cause
+    //     precedence: short (<3 tokens) > marker > duplicate-of-
+    //     earlier-line; survivors reassemble in order. Scale shape:
+    //     one corpus scan → positional explode; the line-id running
+    //     sum partitions by doc_id (a partition = ONE doc's tokens,
+    //     never corpus-sized), and every downstream stage — line
+    //     grouping, the in-doc dup window, the per-doc report — is
+    //     clustered by doc_id too, so Spark reuses that single
+    //     exchange end-to-end (plan-pinned in PlanSpec: exactly one
+    //     shuffle before the output sort). All counters integer,
+    //     text exact — zero float parity surface. ---
+    Q("pl40_line_quality_rewrite",
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 23 = 5
+        |         THEN 'merge scan table the ' || text ||
+        |              ' the merge scan table the'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t <> '') AS tk
+        |  FROM base),
+        |tok AS (
+        |  SELECT doc_id, unnest(tk) AS token,
+        |    unnest(range(1, len(tk) + 1)) AS pos
+        |  FROM tk),
+        |b AS (
+        |  SELECT doc_id, token, pos,
+        |    CASE WHEN token IN ('the', 'a') THEN 1 ELSE 0 END AS isb
+        |  FROM tok),
+        |l AS (
+        |  SELECT doc_id, token, pos,
+        |    sum(isb) OVER (PARTITION BY doc_id ORDER BY pos
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING
+        |                   AND CURRENT ROW) - isb AS line_id
+        |  FROM b),
+        |ln AS (
+        |  SELECT doc_id, line_id,
+        |    string_agg(token, ' ' ORDER BY pos) AS line_text,
+        |    count(*) AS n_tok,
+        |    max(CASE WHEN token = 'dup' THEN 1 ELSE 0 END) AS has_marker
+        |  FROM l GROUP BY doc_id, line_id),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id, line_text
+        |                               ORDER BY line_id) AS rn
+        |  FROM ln),
+        |c AS (
+        |  SELECT doc_id, line_id, line_text,
+        |    CASE WHEN n_tok < 3 THEN 'short'
+        |         WHEN has_marker = 1 THEN 'marker'
+        |         WHEN rn > 1 THEN 'dup_line'
+        |         ELSE 'keep' END AS reason
+        |  FROM r)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN reason = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN reason = 'short' THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+        |  CAST(sum(CASE WHEN reason = 'marker' THEN 1 ELSE 0 END) AS BIGINT) AS n_marker,
+        |  CAST(sum(CASE WHEN reason = 'dup_line' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_line,
+        |  coalesce(string_agg(line_text, ' ' ORDER BY line_id)
+        |    FILTER (WHERE reason = 'keep'), '') AS clean_text
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val injected = docs(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(23L)) === 5L,
+          concat(lit("merge scan table the "), col("text"),
+            lit(" the merge scan table the")))
+          .otherwise(col("text")).as("text"))
+      val tok = injected.select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.tokens(col("text")))
+          .as(Seq("pos", "token")))
+      val isb = when(col("token").isin("the", "a"), 1L).otherwise(0L)
+      val wRun = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val lined = tok.withColumn("line_id", sum(isb).over(wRun) - isb)
+      val lines = lined.groupBy("doc_id", "line_id").agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos").as("p"),
+            col("token").as("t")))), x => x.getField("t")), " ")
+          .as("line_text"),
+        count(lit(1)).as("n_tok"),
+        max(when(col("token") === "dup", 1).otherwise(0)).as("has_marker"))
+      val wDup = Window.partitionBy("doc_id", "line_text").orderBy("line_id")
+      val classed = lines
+        .withColumn("rn", row_number().over(wDup))
+        .withColumn("reason",
+          when(col("n_tok") < 3, "short")
+            .when(col("has_marker") === 1, "marker")
+            .when(col("rn") > 1, "dup_line")
+            .otherwise("keep"))
+      classed.groupBy("doc_id").agg(
+          count(lit(1)).as("n_lines"),
+          sum(when(col("reason") === "keep", 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("reason") === "short", 1L).otherwise(0L)).as("n_short"),
+          sum(when(col("reason") === "marker", 1L).otherwise(0L)).as("n_marker"),
+          sum(when(col("reason") === "dup_line", 1L).otherwise(0L)).as("n_dup_line"),
+          array_join(transform(array_sort(collect_list(
+            when(col("reason") === "keep",
+              struct(col("line_id").as("l"), col("line_text").as("t"))))),
+            x => x.getField("t")), " ").as("clean_text"))
+        .orderBy("doc_id")
     }
   )
 

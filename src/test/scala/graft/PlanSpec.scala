@@ -112,6 +112,20 @@ class PlanSpec extends AnyFunSuite {
       s"q27 shuffle count changed:\n$p")
   }
 
+  test("pl40: every stage reuses the one doc_id exchange") {
+    // line-id running sum, line grouping, the in-doc dup window and
+    // the per-doc report are all clustered by doc_id — the plan must
+    // carry exactly ONE hash exchange (plus the output sort's range
+    // exchange); a second hash exchange means a stage stopped reusing
+    // the doc_id partitioning and the rewrite shuffles the corpus twice
+    val p = plan("pl40_line_quality_rewrite")
+    // formatted mode details the exchange kind as an Arguments: line
+    val hashEx = "Arguments: hashpartitioning\\(doc_id".r.findAllIn(p).size
+    assert(hashEx == 1, s"pl40 expected one hash exchange, got $hashEx:\n$p")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 2,
+      s"pl40 shuffle count changed:\n$p")
+  }
+
   test("tx18/tx19: served entirely from the index artifact (no corpus scan)") {
     for (q <- Seq("tx18_phrase_from_index", "tx19_ranked_from_index",
         "tx22_bm25_from_index")) {
