@@ -156,6 +156,13 @@ object IndexMaintenance {
     * tombstone table exists. */
   def withoutDeleted(postings: DataFrame, tombstoneTable: String): DataFrame = {
     val spark = postings.sparkSession
+    // the tombstone table is appended by deleteDocs AND by the erasure
+    // maintainer's foreachBatch (a CLONED session whose refresh does
+    // not invalidate this session's cached listing) — without a relist
+    // here a reader that served before the latest erasure keeps
+    // serving the erased doc, the exact failure right-to-erasure
+    // exists to prevent (round-15, found by ErasureMaintenanceSpec)
+    refresh(spark, tombstoneTable)
     if (!spark.catalog.tableExists(tombstoneTable)) postings
     else postings.join(broadcast(spark.table(tombstoneTable).select("doc_id")),
       Seq("doc_id"), "left_anti")
