@@ -2295,6 +2295,118 @@ object Similarity {
         .select(col("np").as("nprobe"), col("n_probes"),
           col("mean_recall"), col("min_recall"))
         .orderBy("nprobe")
+    },
+
+    // --- BINARY (1-bit) quantization search + exact rerank (sm24 —
+    //     the cheapest rung of the compression ladder, below sm08's
+    //     int8 SQ and sm05's PQ: ONE SIGN BIT per dimension, 64 dims
+    //     → two BIGINT words, 32× compression over float32 — the
+    //     binary-quantization mode production vector stores ship
+    //     because stage-1 candidate generation becomes XOR + popcount
+    //     over register-resident words, no float math at all; at
+    //     100 TB the whole bit index for a billion vectors is 16 GB).
+    //     The corpus is zero-centered by construction (sm15 audits
+    //     it), so the binarization threshold is the CONSTANT 0.0 —
+    //     production would mean-center per dim first, but a float
+    //     per-dim mean depends on engine summation order and the
+    //     constant keeps every bit exactly reproducible cross-engine
+    //     (the pl15 determinism rule). Hamming approximates angle
+    //     (Charikar 2002: P[bit differs] = θ/π per hyperplane —
+    //     axis-aligned planes here, the sign-bit special case), so
+    //     stage 2 reranks the 50-shortlist with exact cosine (the
+    //     sm16/sm17 composition) and ham_rank/hamming ride along to
+    //     exhibit the reorderings. Bits pack as sums of DISJOINT
+    //     powers of two — exact integers, stage 1 has zero float
+    //     parity surface. ---
+    Q("sm24_binary_rerank", {
+      val cos = cosineSql("q.pe", "f.embedding")
+      def wordSql(off: Int): String =
+        s"CAST(list_sum(list_transform(range(1, 33), i -> " +
+          s"CASE WHEN embedding[i + $off] >= 0 " +
+          s"THEN (CAST(1 AS BIGINT) << (i - 1)) " +
+          s"ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+      s"""WITH w AS (
+         |  SELECT vec_id, ${wordSql(0)} AS w0, ${wordSql(32)} AS w1
+         |  FROM embeddings),
+         |p AS (SELECT vec_id AS probe_id, w0 AS q0, w1 AS q1 FROM w
+         |      WHERE vec_id % 25 = 0 AND vec_id < 500),
+         |s1 AS (
+         |  SELECT p.probe_id, c.vec_id,
+         |    bit_count(xor(c.w0, p.q0)) + bit_count(xor(c.w1, p.q1)) AS ham
+         |  FROM p JOIN w c ON c.vec_id <> p.probe_id),
+         |short AS (
+         |  SELECT probe_id, vec_id, ham, hrank FROM (
+         |    SELECT probe_id, vec_id, ham,
+         |      row_number() OVER (PARTITION BY probe_id
+         |                         ORDER BY ham, vec_id) AS hrank
+         |    FROM s1)
+         |  WHERE hrank <= $RerankShortlist),
+         |q AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+         |      WHERE vec_id % 25 = 0 AND vec_id < 500),
+         |rer AS (
+         |  SELECT sh.probe_id, sh.vec_id AS neighbor_id, sh.ham,
+         |    sh.hrank, $cos AS cosine
+         |  FROM short sh
+         |  JOIN embeddings f ON f.vec_id = sh.vec_id
+         |  JOIN q ON q.probe_id = sh.probe_id)
+         |SELECT probe_id, neighbor_id, CAST(rank AS INT) AS rank,
+         |  CAST(hrank AS INT) AS ham_rank, CAST(ham AS INT) AS hamming,
+         |  round(cosine, 6) AS cosine
+         |FROM (
+         |  SELECT probe_id, neighbor_id, ham, hrank, cosine,
+         |    row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM rer)
+         |WHERE rank <= 10
+         |ORDER BY probe_id, rank"""
+    }) { (s, dir) =>
+      val e = emb(s, dir)
+      // stage 1: only the two packed words travel through the scored
+      // frame — disjoint powers of two sum exactly
+      def word(off: Int): Column =
+        aggregate(zip_with(slice(col("embedding"), off + 1, 32),
+          array((0 until 32).map(i => lit(1L << i)): _*),
+          (x, p) => when(x >= lit(0.0f), p).otherwise(lit(0L))),
+          lit(0L), (a, x) => a + x)
+      val w = e.select(col("vec_id"), word(0).as("w0"), word(32).as("w1"))
+      val probes1 = w
+        .filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
+        .select(col("vec_id").as("probe_id"), col("w0").as("q0"),
+          col("w1").as("q1"))
+      val s1 = w.join(broadcast(probes1), col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          (bit_count(col("w0").bitwiseXOR(col("q0"))) +
+            bit_count(col("w1").bitwiseXOR(col("q1")))).as("ham"))
+      val w1r = Window.partitionBy("probe_id")
+        .orderBy(col("ham"), col("vec_id"))
+      val shortlist = s1.withColumn("hrank", row_number().over(w1r))
+        .filter(col("hrank") <= RerankShortlist)
+        .select("probe_id", "vec_id", "ham", "hrank")
+      // stage 2: exact full-precision rerank of the bounded shortlist
+      // (the sm16 semi-fetch — broadcast the ≤ probes×50 rows)
+      val full = e.select(col("vec_id"), col("embedding"),
+        l2Norm(col("embedding")).as("nrm"))
+      val probes2 = full
+        .filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("nrm").as("pnrm"))
+      val n2 = col("pnrm") * col("nrm")
+      val rer = full.join(broadcast(shortlist), Seq("vec_id"))
+        .join(broadcast(probes2), Seq("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          col("ham"), col("hrank"),
+          when(n2 === 0.0, lit(0.0))
+            .otherwise(dot(col("pe"), col("embedding")) / n2).as("cosine"))
+      val w2 = Window.partitionBy("probe_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      rer.withColumn("rank", row_number().over(w2))
+        .filter(col("rank") <= 10)
+        .select(col("probe_id"), col("neighbor_id"),
+          col("rank").cast("int").as("rank"),
+          col("hrank").cast("int").as("ham_rank"),
+          col("ham").cast("int").as("hamming"),
+          duckRound(col("cosine"), 6).as("cosine"))
+        .orderBy("probe_id", "rank")
     }
   )
 

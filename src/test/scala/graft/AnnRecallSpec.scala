@@ -118,6 +118,27 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(ref >= 0.95, s"sm17 refine should be near-exact: $ref")
   }
 
+  test("sm24 binary-quantization rerank: far above random, reorders visibly") {
+    // one SIGN BIT per dim (32× compression): Hamming over the packed
+    // words approximates angle, and the exact rerank of the
+    // 50-shortlist recovers what the bits kept. Uniform vectors are
+    // the sketch's WORST case (all angles concentrate near π/2, where
+    // θ/π discrimination is weakest) — the floor pins today's
+    // deterministic value; clustered corpora score higher.
+    val exact = topSets(
+      SparkEntry.queries("sm01_cosine_topk")(spark, dir),
+      "probe_id", "neighbor_id")
+    val df = SparkEntry.queries("sm24_binary_rerank")(spark, dir)
+    val bin = recall(topSets(df, "probe_id", "neighbor_id"), exact)
+    info(s"sm24 recall $bin")
+    assert(bin >= 0.55, s"sm24 binary rerank recall regressed: $bin")
+    assert(bin >= 5 * 0.02, s"sm24 not above random: $bin")
+    // the rerank must actually reorder: some served row's final rank
+    // differs from its hamming rank (otherwise stage 2 is dead code)
+    val reordered = df.filter(col("rank") =!= col("ham_rank")).count()
+    assert(reordered > 0, "exact rerank never reordered the shortlist")
+  }
+
   test("sm16 prefix-rerank recall@10 dominates prefix-only retrieval") {
     val exact = topSets(
       SparkEntry.queries("sm01_cosine_topk")(spark, dir),

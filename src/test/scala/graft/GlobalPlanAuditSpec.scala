@@ -41,6 +41,7 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     "sm05_pq_topk",           // bounded probe LUT broadcast
     "sm08_sq_topk",           // bounded probe + 64-row stats broadcast
     "sm17_sq_rerank",         // same bounded probes, stage-1 =!= pairing
+    "sm24_binary_rerank",     // same bounded probes over packed bit words
     "sm18_refined_from_store",// 1-row SQ-stats broadcast (serve path)
     "sm19_ivf_recall",        // exact-baseline side = sm01's bounded probes
     "sm22_nprobe_profile",    // same exact-baseline bounded-probe pairing
