@@ -2072,6 +2072,141 @@ object Pipeline {
               struct(col("line_id").as("l"), col("line_text").as("t"))))),
             x => x.getField("t")), " ").as("clean_text"))
         .orderBy("doc_id")
+    },
+
+    // --- DATA-CONSTRAINED epoch allocation (pl41 — Muennighoff et al.
+    //     2023, "Scaling Data-Constrained Language Models": when the
+    //     token budget EXCEEDS the unique corpus, repeat data — with
+    //     diminishing returns past ~4 epochs — so each source carries a
+    //     REPEAT CAP by quality class and the budget water-fills:
+    //     every source gets budget proportional to size until its cap
+    //     binds, and the surplus redistributes across the uncapped.
+    //     pl38 splits a budget ≤ corpus; this is the other regime.
+    //     Caps by source class (the deterministic device: numeric
+    //     source suffix % 3 → 4 / 2 / 1 epochs — books-and-code class
+    //     repeats, raw web doesn't), budget B = 2× the unique token
+    //     mass, so the waterfill genuinely binds: cap-1 AND cap-2
+    //     classes saturate and cap-4 sources land at 3 epochs.
+    //     EXACT INTEGERS end to end: the waterfill level λ =
+    //     (B−S)/U is never materialized as a float — each candidate
+    //     saturation cutoff c is validated by cross-multiplication
+    //     (c·U ≤ B−S < nextcap·U), and the unsaturated shares are
+    //     pl38's Hamilton largest-remainder over the remaining budget,
+    //     so Σ alloc == min(B, total supply) exactly and no engine can
+    //     flip an allocation on a float ULP. Cost: one corpus scan
+    //     collapsing to source-cardinality frames; the cutoff lattice
+    //     is |distinct caps|+1 rows; every window is over ≤|sources|
+    //     rows. ---
+    Q("pl41_epoch_waterfill",
+      s"""WITH t AS (
+         |  SELECT source, CAST(len($DuckToks) AS BIGINT) AS n
+         |  FROM documents),
+         |src AS (
+         |  SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+         |    CAST(CASE CAST(substr(source, 4) AS INT) % 3
+         |         WHEN 0 THEN 4 WHEN 1 THEN 2 ELSE 1 END AS BIGINT) AS cap
+         |  FROM t GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+         |               CAST(2 * sum(n_tokens) AS BIGINT) AS b FROM src),
+         |bycap AS (SELECT cap, CAST(sum(n_tokens) AS BIGINT) AS n_c
+         |          FROM src GROUP BY cap),
+         |lat AS (
+         |  SELECT cap AS c,
+         |    sum(cap * n_c) OVER (ORDER BY cap) AS s,
+         |    (SELECT total FROM tot) - sum(n_c) OVER (ORDER BY cap) AS u,
+         |    lead(cap) OVER (ORDER BY cap) AS nextcap
+         |  FROM bycap
+         |  UNION ALL
+         |  SELECT 0, 0, (SELECT total FROM tot),
+         |    (SELECT min(cap) FROM bycap)),
+         |chosen AS (
+         |  SELECT c, s, u FROM (
+         |    SELECT lat.*, row_number() OVER (ORDER BY c) AS rn
+         |    FROM lat CROSS JOIN tot
+         |    WHERE c * u <= b - s
+         |      AND (nextcap IS NULL OR b - s < nextcap * u))
+         |  WHERE rn = 1),
+         |unsat AS (
+         |  SELECT source, n_tokens,
+         |    CAST(((b - s) * n_tokens) // u AS BIGINT) AS fl,
+         |    CAST(((b - s) * n_tokens) % u AS BIGINT) AS rem
+         |  FROM src CROSS JOIN chosen CROSS JOIN tot
+         |  WHERE cap > c),
+         |k AS (SELECT CAST(b - s - sum(fl) AS BIGINT) AS k
+         |      FROM unsat CROSS JOIN chosen CROSS JOIN tot
+         |      GROUP BY b, s),
+         |urk AS (
+         |  SELECT source, fl,
+         |    row_number() OVER (ORDER BY rem DESC, source) AS rn
+         |  FROM unsat),
+         |alloc AS (
+         |  SELECT src.source, src.n_tokens, src.cap,
+         |    CASE WHEN src.cap <= chosen.c THEN TRUE ELSE FALSE END
+         |      AS saturated,
+         |    CASE WHEN src.cap <= chosen.c THEN src.cap * src.n_tokens
+         |         ELSE urk.fl +
+         |           CASE WHEN urk.rn <= (SELECT k FROM k) THEN 1 ELSE 0 END
+         |    END AS alloc
+         |  FROM src CROSS JOIN chosen
+         |  LEFT JOIN urk ON urk.source = src.source)
+         |SELECT source, n_tokens, cap, saturated,
+         |  CAST(alloc AS BIGINT) AS alloc,
+         |  CAST((1000 * alloc) // n_tokens AS BIGINT) AS milli_epochs
+         |FROM alloc
+         |ORDER BY source""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = docs(s, dir).select(col("source"),
+        size(tokens(col("text"))).cast("long").as("n"))
+      val src = t.groupBy("source").agg(sum("n").as("n_tokens"))
+        .withColumn("cap",
+          expr("CAST(CASE CAST(substring(source, 4) AS INT) % 3 " +
+            "WHEN 0 THEN 4 WHEN 1 THEN 2 ELSE 1 END AS BIGINT)"))
+      val tot = src.agg(sum("n_tokens").as("total"),
+        (lit(2L) * sum("n_tokens")).as("b"))
+      val bycap = src.groupBy("cap").agg(sum("n_tokens").as("n_c"))
+      val wCap = Window.orderBy("cap")
+      val latRows = bycap
+        .crossJoin(broadcast(tot.select("total")))
+        .select(col("cap").as("c"),
+          sum(col("cap") * col("n_c")).over(wCap).as("s"),
+          (col("total") - sum(col("n_c")).over(wCap)).as("u"),
+          lead(col("cap"), 1).over(wCap).as("nextcap"))
+      val zeroRow = bycap.agg(min("cap").as("nextcap"))
+        .crossJoin(broadcast(tot.select("total")))
+        .select(lit(0L).as("c"), lit(0L).as("s"),
+          col("total").as("u"), col("nextcap"))
+      val lat = latRows.unionByName(zeroRow)
+      val chosen = lat.crossJoin(broadcast(tot.select("b")))
+        .filter(col("c") * col("u") <= col("b") - col("s") &&
+          (col("nextcap").isNull ||
+            col("b") - col("s") < col("nextcap") * col("u")))
+        .orderBy("c").limit(1)
+        .select("c", "s", "u")
+      val unsat = src.crossJoin(broadcast(chosen))
+        .crossJoin(broadcast(tot.select("b")))
+        .filter(col("cap") > col("c"))
+        .select(col("source"), col("n_tokens"),
+          expr("((b - s) * n_tokens) div u").as("fl"),
+          (((col("b") - col("s")) * col("n_tokens")) % col("u")).as("rem"))
+      val k = unsat.crossJoin(broadcast(chosen.select("s")))
+        .crossJoin(broadcast(tot.select("b")))
+        .groupBy("b", "s").agg((col("b") - col("s") - sum("fl")).as("k"))
+        .select("k")
+      val wRem = Window.orderBy(col("rem").desc, col("source"))
+      val urk = unsat.withColumn("rn", row_number().over(wRem))
+        .crossJoin(broadcast(k))
+        .select(col("source"),
+          (col("fl") + when(col("rn") <= col("k"), 1L).otherwise(0L))
+            .as("ualloc"))
+      src.crossJoin(broadcast(chosen.select("c")))
+        .join(urk, Seq("source"), "left")
+        .select(col("source"), col("n_tokens"), col("cap"),
+          (col("cap") <= col("c")).as("saturated"),
+          when(col("cap") <= col("c"), col("cap") * col("n_tokens"))
+            .otherwise(col("ualloc")).as("alloc"))
+        .withColumn("milli_epochs",
+          expr("(1000 * alloc) div n_tokens").cast("long"))
+        .orderBy("source")
     }
   )
 

@@ -51,7 +51,8 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     "sm12_hybrid_rrf",        // 1-row corpus doc-count scalar (tx04 shape)
     "sm13_hybrid_rrf_from_index", // same scalar, from the stats artifact
     "pl30_bootstrap",         // bounded 16-row replicate fan-out frame
-    "pl38_token_budget")      // 1-row total + 1-row top-up-count scalars
+    "pl38_token_budget",      // 1-row total + 1-row top-up-count scalars
+    "pl41_epoch_waterfill")   // 1-row budget/cutoff/leftover scalars + |caps|-row lattice
 
   test("no query plans a cartesian; nested-loop joins only on whitelist") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
@@ -90,7 +91,11 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     //   pl38_token_budget — the global remainder-ranking window runs
     //   over the per-SOURCE aggregate (≤ |sources| rows — group
     //   cardinality, never corpus rows), the same class as pl07.
-    val fullRowAllowed = Set("pl07_dataset_card", "pl38_token_budget")
+    //   pl41_epoch_waterfill — the cap lattice and remainder-ranking
+    //   windows run over per-SOURCE / per-CAP aggregates (≤ |sources|
+    //   rows) — the pl38 class.
+    val fullRowAllowed = Set("pl07_dataset_card", "pl38_token_budget",
+      "pl41_epoch_waterfill")
 
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     val tripped = scala.collection.mutable.Set[String]()
