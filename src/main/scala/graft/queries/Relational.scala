@@ -1661,6 +1661,59 @@ object Relational {
             greatest(col("n_bulk"), lit(1L)).cast("double") / 100.0, 4)
             .as("mean_bulk_price"))
         .orderBy("l_returnflag")
+    },
+
+    // --- ROLLING exact median (q60 — the windowed ordered-set
+    //     aggregate: q48/q55/q58 compute percentiles per GROUP, this
+    //     computes one per ROW over a bounded trailing frame — the
+    //     moving-median smoother every monitoring/anomaly stack runs
+    //     where a moving MEAN would chase the outliers it should
+    //     suppress). Exactness: medians over integer cents, the 0.5
+    //     interpolation point averages two integers → .0/.5 doubles,
+    //     IEEE-exact on both engines (the q48 device in a window
+    //     frame). Scale shape: the window partitions by customer
+    //     (bounded orders per key, never corpus-wide) with a 5-row
+    //     frame, so per-row work is O(frame); one hash exchange on
+    //     o_custkey + the output sort. ---
+    Q("q60_rolling_median",
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  CAST(n_win AS BIGINT) AS n_win,
+        |  round(med / 100.0, 4) AS rolling_median
+        |FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    count(*) OVER w AS n_win,
+        |    CAST(median(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      OVER w AS DOUBLE) AS med
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey
+        |               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        |ORDER BY o_orderkey""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      // Spark refuses a frame on median()/percentile() — the rolling
+      // median materializes the ≤5-value frame via collect_list (frames
+      // ARE allowed there) and takes the median in-row from the sorted
+      // array: an independent encoding against DuckDB's native windowed
+      // median, agreeing exactly because both average two integers
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-4, Window.currentRow)
+      val vs = col("vs")
+      val n = size(vs)
+      val med = when(n % 2 === 1,
+          element_at(vs, ((n + 1) / 2).cast("int")).cast("double"))
+        .otherwise((element_at(vs, (n / 2).cast("int")) +
+            element_at(vs, (n / 2).cast("int") + 1))
+          .cast("double") / 2.0)
+      t(s, dir, "orders")
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .select(col("o_orderkey"), col("o_custkey"), col("cents"),
+          array_sort(collect_list(col("cents")).over(w)).as("vs"))
+        .select(col("o_orderkey"), col("o_custkey"), col("cents"),
+          n.cast("long").as("n_win"),
+          duckRound(med / 100.0, 4).as("rolling_median"))
+        .orderBy("o_orderkey")
     }
   )
 }
