@@ -411,6 +411,106 @@ object MultimodalQueries {
           duckRound(col("cosine"), 6).as("cosine"),
           duckRound(lit(1.0) - duckRound(col("cosine"), 6), 6).as("margin"))
         .orderBy("probe_id", "rank")
+    },
+
+    // --- PERCEPTUAL-hash near-dup (mm10 — the dHash recipe every
+    //     image-dedup stack runs: resize to a tiny grid, compare
+    //     ADJACENT samples, 1 bit each — here 65 payload-byte samples
+    //     at evenly-spaced offsets stand in for the resized pixel row
+    //     (no codecs in this container; the plumbing — sampling,
+    //     packing, banding, XOR verify — is the real thing). The bit
+    //     is ORDER of adjacent samples, so any MONOTONE payload
+    //     transform (brightness shift on pixels; the case-map
+    //     injected here, a uniform −32 on letters) leaves the hash
+    //     IDENTICAL while changing every content digest — mm10
+    //     catches exactly the re-encoded asset mm04/dd01 structurally
+    //     cannot (spec-pinned: the injected twins pair at hamming 0).
+    //     Scale shape: hash is a map-side projection to TWO BIGINTs
+    //     (sm24's packed-word convention — disjoint powers of two,
+    //     integer-exact, no float surface); candidates via 4×16-bit
+    //     band equi-join (the dd04 byte-banding move — hamming ≤ 3
+    //     caught by pigeonhole; the ≤ 6 report verifies banded
+    //     candidates only, and the 16-bit key space is the documented
+    //     dd04-class knob to widen at larger corpora); exact-survivor
+    //     payloads first (the mm04 composition), so byte-identical
+    //     copies never reach the pair join. ---
+    Q("mm10_dhash_neardup", {
+      def wordSql(lo: Int): String =
+        s"CAST(list_sum(list_transform(range(0, 32), w -> " +
+          s"CASE WHEN s[w + ${lo + 2}] > s[w + ${lo + 1}] " +
+          s"THEN (CAST(1 AS BIGINT) << w) " +
+          s"ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+      s"""WITH surv AS ($DuckBlobSurvivors),
+         |al AS (
+         |  SELECT doc_id, text FROM surv
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, upper(text) FROM surv
+         |  WHERE doc_id % 41 = 7),
+         |samp AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 65), w ->
+         |      ascii(substr(text,
+         |        CAST((w * length(text)) // 66 AS INT) + 1, 1))) AS s
+         |  FROM al WHERE length(text) > 0),
+         |h AS (
+         |  SELECT doc_id, ${wordSql(0)} AS w0, ${wordSql(32)} AS w1
+         |  FROM samp),
+         |bands AS (
+         |  SELECT doc_id, w0, w1, b.band,
+         |    CASE b.band WHEN 0 THEN w0 & 65535
+         |                WHEN 1 THEN (w0 >> 16) & 65535
+         |                WHEN 2 THEN w1 & 65535
+         |                ELSE (w1 >> 16) & 65535 END AS v
+         |  FROM h CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.w0 AS a0, a.w1 AS a1, b.w0 AS b0, b.w1 AS b1
+         |  FROM bands a JOIN bands b
+         |    ON b.band = a.band AND b.v = a.v AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) AS INT)
+         |    AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) <= 6
+         |ORDER BY doc_a, doc_b"""
+    }) { (s, dir) =>
+      val surv = blobSurvivors(s, dir)
+      val all = surv.unionByName(
+        surv.filter(col("doc_id") % 41 === 7)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            upper(col("text")).as("text")))
+      val sampled = all.filter(length(col("text")) > 0)
+        .select(col("doc_id"), expr(
+          "transform(sequence(0, 64), w -> " +
+            "ascii(substring(text, " +
+            "CAST((w * length(text)) div 66 AS INT) + 1, 1)))").as("s"))
+      def word(lo: Int): org.apache.spark.sql.Column = expr(
+        s"aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, w) -> " +
+          s"acc + IF(element_at(s, w + ${lo + 2}) > " +
+          s"element_at(s, w + ${lo + 1}), " +
+          s"shiftleft(CAST(1 AS BIGINT), w), CAST(0 AS BIGINT)))")
+      val h = sampled.select(col("doc_id"), word(0).as("w0"),
+        word(32).as("w1"))
+      val bands = h.select(col("doc_id"), col("w0"), col("w1"),
+          explode(typedlit(Seq(0, 1, 2, 3))).as("band"))
+        .withColumn("v",
+          when(col("band") === 0, col("w0").bitwiseAND(lit(65535L)))
+            .when(col("band") === 1,
+              shiftright(col("w0"), 16).bitwiseAND(lit(65535L)))
+            .when(col("band") === 2, col("w1").bitwiseAND(lit(65535L)))
+            .otherwise(shiftright(col("w1"), 16).bitwiseAND(lit(65535L))))
+      val a = bands.select(col("doc_id").as("doc_a"), col("w0").as("a0"),
+        col("w1").as("a1"), col("band"), col("v"))
+      val b = bands.select(col("doc_id").as("doc_b"), col("w0").as("b0"),
+        col("w1").as("b1"), col("band"), col("v"))
+      val ham = bit_count(col("a0").bitwiseXOR(col("b0"))) +
+        bit_count(col("a1").bitwiseXOR(col("b1")))
+      a.join(b, Seq("band", "v"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "a0", "a1", "b0", "b1").distinct()
+        .select(col("doc_a"), col("doc_b"), ham.cast("int").as("hamming"))
+        .filter(col("hamming") <= 6)
+        .orderBy("doc_a", "doc_b")
     }
   )
 

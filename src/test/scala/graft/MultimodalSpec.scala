@@ -109,4 +109,44 @@ class MultimodalSpec extends AnyFunSuite {
         (0L until want.length.toLong), s"doc $d frame_no must be dense")
     }
   }
+
+  test("mm10: a monotone payload transform defeats digests, not dHash") {
+    // the perceptual-hash claim made precise: case-mapping is a
+    // uniform −32 on letters (the brightness-shift analog) — every
+    // content digest changes, NO fixed-offset chunk digest survives,
+    // yet the dHash words are bit-identical because each bit is the
+    // ORDER of adjacent samples and monotone maps preserve order
+    import org.apache.spark.sql.functions._
+    val docs = tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).limit(10)
+    val twins = docs.select(col("doc_id"), upper(col("text")).as("text"))
+    def hashed(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, 64), w -> ascii(substring(text, " +
+          "CAST((w * length(text)) div 66 AS INT) + 1, 1)))").as("s"))
+      .select(col("doc_id"), expr(
+        "aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, w) -> " +
+          "acc + IF(element_at(s, w + 2) > element_at(s, w + 1), " +
+          "shiftleft(CAST(1 AS BIGINT), w), CAST(0 AS BIGINT)))").as("w0"),
+        expr(
+        "aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, w) -> " +
+          "acc + IF(element_at(s, w + 34) > element_at(s, w + 33), " +
+          "shiftleft(CAST(1 AS BIGINT), w), CAST(0 AS BIGINT)))").as("w1"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val orig = hashed(docs)
+    val up = hashed(twins)
+    assert(orig == up, "dHash must be invariant under the monotone map")
+
+    // and the digest side genuinely loses the twin: whole-payload md5
+    // differs and the fixed-offset chunk digests share NOTHING
+    def chunks(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(expr(
+        "transform(sequence(0, CAST(ceil(length(text) / 256.0) AS INT) " +
+          "- 1), i -> md5(CAST(substring(text, i * 256 + 1, 256) " +
+          "AS BINARY)))")).as("ch"))
+      .collect().map(_.getString(0)).toSet
+    assert(chunks(docs).intersect(chunks(twins)).isEmpty,
+      "case-mapped payloads must share zero chunk digests")
+  }
 }
