@@ -352,3 +352,70 @@ object CharEntropy {
       Array[Any](n, counts.size(), -acc))
   }
 }
+
+/** dHash sample-order words (mm10's hash stage as ONE compiled pass):
+  * 65 evenly-spaced code-point samples of the payload, each bit the
+  * ORDER of adjacent samples, packed into two 32-bit words. The HOF
+  * formulation (`transform(sequence(0,64), ...)` + two `aggregate`
+  * folds) dispatched ~130 interpreted lambda evaluations per row —
+  * thread dumps at 100× showed every worker inside
+  * `SimpleHigherOrderFunction.eval`, the same cliff Tokenize/
+  * WordNgrams/CharEntropy closed — this walks the string's code
+  * points once in compiled bytecode. Bit/sample layout is pinned
+  * equal to the HOF encoding in `MultimodalSpec` (the independent
+  * twin), which is also exactly the DuckDB oracle's formulation.
+  */
+case class DHashWords(child: Expression)
+    extends UnaryExpression {
+
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("w0", LongType, nullable = false),
+    StructField("w1", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    DHashWords.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.expressions.DHashWords.compute($x);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): DHashWords = copy(child = newChild)
+}
+
+object DHashWords {
+  /** Static so generated code calls straight into compiled bytecode
+    * (the CharEntropy/RollingFingerprint device). Sample i (0-based,
+    * i < 65) is the code point at code-point index (i·L) div 66 —
+    * exactly `ascii(substr(text, (i·L)//66 + 1, 1))` in both engines'
+    * SQL; bit w of word0 compares samples w+1 vs w, of word1 samples
+    * w+33 vs w+32. Empty input → (0, 0). */
+  def compute(input: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val cp = input.toString.codePoints().toArray
+    val L = cp.length
+    var w0 = 0L
+    var w1 = 0L
+    if (L > 0) {
+      val samp = new Array[Int](65)
+      var i = 0
+      while (i < 65) { samp(i) = cp((i * L) / 66); i += 1 }
+      var w = 0
+      while (w < 32) {
+        if (samp(w + 1) > samp(w)) w0 |= (1L << w)
+        if (samp(w + 33) > samp(w + 32)) w1 |= (1L << w)
+        w += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](w0, w1))
+  }
+}

@@ -375,6 +375,8 @@ object VectorExpressions {
         exprs => NfcNormalize(exprs(0)), "built-in")
       reg.createOrReplaceTempFunction("graft_char_entropy",
         exprs => CharEntropy(exprs(0)), "built-in")
+      reg.createOrReplaceTempFunction("graft_dhash",
+        exprs => DHashWords(exprs(0)), "built-in")
       reg.createOrReplaceTempFunction("graft_jaro_winkler",
         exprs => JaroWinkler(exprs(0), exprs(1)), "built-in")
     }

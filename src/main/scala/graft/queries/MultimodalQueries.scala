@@ -427,13 +427,20 @@ object MultimodalQueries {
     //     cannot (spec-pinned: the injected twins pair at hamming 0).
     //     Scale shape: hash is a map-side projection to TWO BIGINTs
     //     (sm24's packed-word convention — disjoint powers of two,
-    //     integer-exact, no float surface); candidates via 4×16-bit
-    //     band equi-join (the dd04 byte-banding move — hamming ≤ 3
-    //     caught by pigeonhole; the ≤ 6 report verifies banded
-    //     candidates only, and the 16-bit key space is the documented
-    //     dd04-class knob to widen at larger corpora); exact-survivor
-    //     payloads first (the mm04 composition), so byte-identical
-    //     copies never reach the pair join. ---
+    //     integer-exact, no float surface); candidates via a banded
+    //     equi-join SIZED BY THE MULTI-INDEX-HASHING RULE (band width
+    //     ≈ log₂ n): 3 bands × 21/21/22 bits keyed with a 64-char
+    //     LENGTH BUCKET (near-dup payloads have near-equal length;
+    //     the monotone re-encode has EQUAL length) — measured on the
+    //     varied-100× corpus: 4×16-bit bands collided accidentally
+    //     into 39.4M candidate pairs (max bucket 413, the dd04
+    //     fixed-key-space cliff), 3×21+length is 297,815 candidates
+    //     with max bucket 25. Pigeonhole: hamming ≤ 2 is
+    //     candidate-complete (and the hamming-0 re-encode class
+    //     always); the ≤ 6 report verifies banded candidates only —
+    //     band count/width stay the documented dd04-class knob.
+    //     Exact-survivor payloads first (the mm04 composition), so
+    //     byte-identical copies never reach the pair join. ---
     Q("mm10_dhash_neardup", {
       def wordSql(lo: Int): String =
         s"CAST(list_sum(list_transform(range(0, 32), w -> " +
@@ -447,26 +454,26 @@ object MultimodalQueries {
          |  SELECT doc_id + 1000000, upper(text) FROM surv
          |  WHERE doc_id % 41 = 7),
          |samp AS (
-         |  SELECT doc_id,
+         |  SELECT doc_id, CAST(length(text) // 64 AS BIGINT) AS lb,
          |    list_transform(range(0, 65), w ->
          |      ascii(substr(text,
          |        CAST((w * length(text)) // 66 AS INT) + 1, 1))) AS s
          |  FROM al WHERE length(text) > 0),
          |h AS (
-         |  SELECT doc_id, ${wordSql(0)} AS w0, ${wordSql(32)} AS w1
+         |  SELECT doc_id, lb, ${wordSql(0)} AS w0, ${wordSql(32)} AS w1
          |  FROM samp),
          |bands AS (
-         |  SELECT doc_id, w0, w1, b.band,
-         |    CASE b.band WHEN 0 THEN w0 & 65535
-         |                WHEN 1 THEN (w0 >> 16) & 65535
-         |                WHEN 2 THEN w1 & 65535
-         |                ELSE (w1 >> 16) & 65535 END AS v
-         |  FROM h CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+         |  SELECT doc_id, lb, w0, w1, b.band,
+         |    CASE b.band WHEN 0 THEN w0 & 2097151
+         |                WHEN 1 THEN (w0 >> 21) | ((w1 & 1023) << 11)
+         |                ELSE w1 >> 10 END AS v
+         |  FROM h CROSS JOIN (SELECT unnest(range(0, 3)) AS band) b),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    a.w0 AS a0, a.w1 AS a1, b.w0 AS b0, b.w1 AS b1
          |  FROM bands a JOIN bands b
-         |    ON b.band = a.band AND b.v = a.v AND a.doc_id < b.doc_id)
+         |    ON b.band = a.band AND b.lb = a.lb AND b.v = a.v
+         |      AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b,
          |  CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) AS INT)
          |    AS hamming
@@ -474,38 +481,50 @@ object MultimodalQueries {
          |WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) <= 6
          |ORDER BY doc_a, doc_b"""
     }) { (s, dir) =>
-      val surv = blobSurvivors(s, dir)
-      val all = surv.unionByName(
+      // hash = ONE compiled code-point pass (graft.expressions
+      // .DHashWords): the HOF formulation dispatched ~130 interpreted
+      // lambda evals per row and pinned every 100×-sweep worker inside
+      // SimpleHigherOrderFunction.eval — the Tokenize/CharEntropy
+      // cliff. And TEXT NEVER CROSSES A SHUFFLE: the blobSurvivors
+      // window would sort the corpus bytes by digest; instead both the
+      // doc's hash and its potential twin's are projected MAP-SIDE and
+      // the survivor race runs on the narrow (digest, ids, words)
+      // frame — every value but doc_id is a function of the text, so
+      // min() per digest group is the survivor's value. Measured at
+      // 100×: 75.8 s (text through the window) → narrow-frame shuffle
+      // only.
+      val m = docs(s, dir).filter(length(col("text")) > 0)
+        .select(col("doc_id"), md5(col("text")).as("dig"),
+          expr("CAST(length(text) div 64 AS BIGINT)").as("lb"),
+          call_function("graft_dhash", col("text")).as("dh"),
+          expr("CAST(length(upper(text)) div 64 AS BIGINT)").as("tlb"),
+          call_function("graft_dhash", upper(col("text"))).as("tdh"))
+        .select(col("doc_id"), col("dig"), col("lb"),
+          col("dh.w0").as("w0"), col("dh.w1").as("w1"), col("tlb"),
+          col("tdh.w0").as("tw0"), col("tdh.w1").as("tw1"))
+      val surv = m.groupBy("dig").agg(min("doc_id").as("doc_id"),
+        min("lb").as("lb"), min("w0").as("w0"), min("w1").as("w1"),
+        min("tlb").as("tlb"), min("tw0").as("tw0"), min("tw1").as("tw1"))
+      val h = surv.select("doc_id", "lb", "w0", "w1").unionByName(
         surv.filter(col("doc_id") % 41 === 7)
           .select((col("doc_id") + 1000000L).as("doc_id"),
-            upper(col("text")).as("text")))
-      val sampled = all.filter(length(col("text")) > 0)
-        .select(col("doc_id"), expr(
-          "transform(sequence(0, 64), w -> " +
-            "ascii(substring(text, " +
-            "CAST((w * length(text)) div 66 AS INT) + 1, 1)))").as("s"))
-      def word(lo: Int): org.apache.spark.sql.Column = expr(
-        s"aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, w) -> " +
-          s"acc + IF(element_at(s, w + ${lo + 2}) > " +
-          s"element_at(s, w + ${lo + 1}), " +
-          s"shiftleft(CAST(1 AS BIGINT), w), CAST(0 AS BIGINT)))")
-      val h = sampled.select(col("doc_id"), word(0).as("w0"),
-        word(32).as("w1"))
-      val bands = h.select(col("doc_id"), col("w0"), col("w1"),
-          explode(typedlit(Seq(0, 1, 2, 3))).as("band"))
+            col("tlb").as("lb"), col("tw0").as("w0"),
+            col("tw1").as("w1")))
+      val bands = h.select(col("doc_id"), col("lb"), col("w0"), col("w1"),
+          explode(typedlit(Seq(0, 1, 2))).as("band"))
         .withColumn("v",
-          when(col("band") === 0, col("w0").bitwiseAND(lit(65535L)))
+          when(col("band") === 0, col("w0").bitwiseAND(lit(2097151L)))
             .when(col("band") === 1,
-              shiftright(col("w0"), 16).bitwiseAND(lit(65535L)))
-            .when(col("band") === 2, col("w1").bitwiseAND(lit(65535L)))
-            .otherwise(shiftright(col("w1"), 16).bitwiseAND(lit(65535L))))
+              shiftright(col("w0"), 21).bitwiseOR(
+                shiftleft(col("w1").bitwiseAND(lit(1023L)), 11)))
+            .otherwise(shiftright(col("w1"), 10)))
       val a = bands.select(col("doc_id").as("doc_a"), col("w0").as("a0"),
-        col("w1").as("a1"), col("band"), col("v"))
+        col("w1").as("a1"), col("band"), col("lb"), col("v"))
       val b = bands.select(col("doc_id").as("doc_b"), col("w0").as("b0"),
-        col("w1").as("b1"), col("band"), col("v"))
+        col("w1").as("b1"), col("band"), col("lb"), col("v"))
       val ham = bit_count(col("a0").bitwiseXOR(col("b0"))) +
         bit_count(col("a1").bitwiseXOR(col("b1")))
-      a.join(b, Seq("band", "v"))
+      a.join(b, Seq("band", "lb", "v"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b", "a0", "a1", "b0", "b1").distinct()
         .select(col("doc_a"), col("doc_b"), ham.cast("int").as("hamming"))

@@ -138,6 +138,18 @@ class MultimodalSpec extends AnyFunSuite {
     val up = hashed(twins)
     assert(orig == up, "dHash must be invariant under the monotone map")
 
+    // the compiled expression the query actually runs (DHashWords —
+    // one code-point pass) must equal the HOF encoding bit-for-bit:
+    // the HOF is the independent twin AND the oracle's formulation
+    val native = docs
+      .select(col("doc_id"),
+        call_function("graft_dhash", col("text")).as("dh"))
+      .select(col("doc_id"), col("dh.w0"), col("dh.w1"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(native == orig,
+      "DHashWords diverged from the HOF twin encoding")
+
     // and the digest side genuinely loses the twin: whole-payload md5
     // differs and the fixed-offset chunk digests share NOTHING
     def chunks(df: org.apache.spark.sql.DataFrame) = df
