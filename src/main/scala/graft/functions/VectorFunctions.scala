@@ -119,4 +119,21 @@ object VectorFunctions {
       when(mx === mn, mn)
         .otherwise(mn + (v.cast("double") / 255.0) * (mx - mn))
     })
+
+  /** One 32-bit sign word of a vector: bit i set iff dim (off+i) ≥ 0 —
+    * the BINARY-quantization packing (sm24's convention, shared with
+    * the VectorStore `_bits` artifact). Disjoint powers of two sum
+    * exactly; the 0.0 threshold is a constant, so the bits are
+    * engine-summation-order-independent. Works on float and double
+    * arrays (the ≥ 0 compare promotes exactly). */
+  def signWord(vec: Column, off: Int): Column =
+    aggregate(
+      zip_with(slice(vec, off + 1, 32),
+        array((0 until 32).map(i => lit(1L << i)): _*),
+        (x, p) => when(x >= lit(0.0), p).otherwise(lit(0L))),
+      lit(0L), (a, b) => a + b)
+
+  /** Hamming distance between two packed sign-word pairs. */
+  def hamming2(a0: Column, a1: Column, b0: Column, b1: Column): Column =
+    bit_count(a0.bitwiseXOR(b0)) + bit_count(a1.bitwiseXOR(b1))
 }

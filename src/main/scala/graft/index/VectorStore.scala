@@ -189,7 +189,7 @@ object VectorStore {
   private def buildAt(e: DataFrame, prefix: String, cells: Int): Unit = {
     val spark = e.sparkSession
     graft.expressions.VectorExpressions.ensureRegistered(spark)
-    Seq("centroids", "stats", "codes", "raw")
+    Seq("centroids", "stats", "codes", "raw", "bits")
       .foreach(t => clearOrphanLocation(spark, s"${prefix}_$t"))
     // seed from the first `cells` LIVE rows ordered by vec_id — NOT the
     // `vec_id < cells` predicate: a build frame missing a low id (a
@@ -224,7 +224,28 @@ object VectorStore {
     rawOf(e, cent)
       .write.mode("overwrite").partitionBy("cid")
       .saveAsTable(s"${prefix}_raw")
+    bitsOf(e, cent)
+      .write.mode("overwrite").partitionBy("cid")
+      .saveAsTable(s"${prefix}_bits")
   }
+
+  /** `(vec_id, w0, w1, cid)` — the BINARY-quantization side of the
+    * artifact (the cheapest rung of its memory ladder, below the int8
+    * codes): one SIGN BIT per dimension packed into two 32-bit words,
+    * 16 bytes/vector where the codes take 64 and `_raw` 512 — the
+    * structure a 100 TB deployment keeps RAM-resident when even int8
+    * doesn't fit (a billion vectors = 16 GB of bit rows). Assigned
+    * under the same centroids as the codes so all three tables'
+    * partitions align. */
+  private def bitsOf(e: DataFrame,
+                     cent: Seq[(Long, Seq[Double])]): DataFrame =
+    Similarity.assignCells(
+        e.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", cent, carry = Seq("embedding"))
+      .select(col("vec_id"),
+        VectorFunctions.signWord(col("embedding"), 0).as("w0"),
+        VectorFunctions.signWord(col("embedding"), 32).as("w1"),
+        col("cid"))
 
   /** `(vec_id, vec: array<double>, cid)` — the full-precision side of
     * the artifact, assigned under the same centroids as the codes so
@@ -286,15 +307,15 @@ object VectorStore {
                                  keep: Long): Unit = {
     val re = java.util.regex.Pattern.compile(
       java.util.regex.Pattern.quote(name) +
-        "_v(\\d+)_(centroids|stats|codes|raw|tombstones)")
+        "_v(\\d+)_(centroids|stats|codes|raw|bits|tombstones)")
     spark.catalog.listTables().collect().foreach { t =>
       val m = re.matcher(t.name)
       if (m.matches() && m.group(1).toLong != keep)
         spark.sql(s"DROP TABLE IF EXISTS ${t.name}")
     }
     if (keep > 1L)
-      Seq("centroids", "stats", "codes", "raw", "tombstones").foreach(s =>
-        spark.sql(s"DROP TABLE IF EXISTS ${name}_$s"))
+      Seq("centroids", "stats", "codes", "raw", "bits", "tombstones")
+        .foreach(s => spark.sql(s"DROP TABLE IF EXISTS ${name}_$s"))
   }
 
   /** [[rebuild]] gated on the drift signal: re-quantize only when the
@@ -380,6 +401,14 @@ object VectorStore {
       rawOf(newVecs, cent)
         .write.mode("append").partitionBy("cid")
         .saveAsTable(s"${p}_raw")
+    }
+    // bit side too (stores predating the binary surface skip it and
+    // refuse in serveTopKBinary — the raw-side convention)
+    if (spark.catalog.tableExists(s"${p}_bits")) {
+      recoverPartitionedStaging(spark, s"${p}_bits")
+      bitsOf(newVecs, cent)
+        .write.mode("append").partitionBy("cid")
+        .saveAsTable(s"${p}_bits")
     }
   }
 
@@ -534,6 +563,13 @@ object VectorStore {
                                prefix: String): DataFrame =
     withoutDeleted(spark.table(s"${prefix}_raw"), prefix, "vec_id")
 
+  /** Bit-side purge for the compaction rewrite — sign words are lossy
+    * 1-bit projections, but an erased vector's id must not survive in
+    * ANY artifact table (the ErasureSweepSpec contract). */
+  private[graft] def purgedBits(spark: SparkSession,
+                                prefix: String): DataFrame =
+    withoutDeleted(spark.table(s"${prefix}_bits"), prefix, "vec_id")
+
   private[graft] def clearTombstones(spark: SparkSession,
                                      prefix: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS ${tombstoneTable(prefix)}")
@@ -671,6 +707,68 @@ object VectorStore {
     refined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("probe_id", "neighbor_id", "rank", "qrank", "cosine")
+      .orderBy("probe_id", "rank")
+  }
+
+  /** BINARY-quantization serving (the sm24 composition from the
+    * ARTIFACT — the cheapest serving rung, below [[serveTopKRefined]]'s
+    * int8 scan): stage 1 ranks a per-probe `shortlist` by HAMMING
+    * distance over the partition-pruned `_bits` table — XOR + popcount
+    * on two BIGINT words per candidate, 16 bytes/vector where the int8
+    * codes take 64, the structure a deployment keeps RAM-resident when
+    * even the code table doesn't fit — stage 2 fetches full-precision
+    * vectors for only the ≤ |probes|×shortlist rows from `_raw` and
+    * re-scores exactly. Output adds `hrank`/`hamming` next to `rank`
+    * (the reorderings the refine performed). Tombstones subtracted at
+    * stage 1; refuses a store predating the bit surface loudly (the
+    * serveTopKRefined raw-side convention). Probe words derive from
+    * the probe embedding with the same constant-0.0 sign rule the
+    * build used. */
+  def serveTopKBinary(probes: DataFrame, name: String,
+                      nprobe: Int = NProbe, shortlist: Int = 50,
+                      k: Int = TopK): DataFrame = {
+    val spark = probes.sparkSession
+    graft.expressions.VectorExpressions.ensureRegistered(spark)
+    val p = servingPrefix(spark, name)
+    recoverPartitionedStaging(spark, s"${p}_bits")
+    recoverPartitionedStaging(spark, s"${p}_raw")
+    require(spark.catalog.tableExists(s"${p}_bits"),
+      s"store '$name' has no bit table (built before the binary " +
+        "surface): rebuild it to serve binary top-k")
+    require(spark.catalog.tableExists(s"${p}_raw"),
+      s"store '$name' has no raw-vector table: rebuild it to serve " +
+        "binary top-k (the refine stage reads full-precision vectors)")
+    val cent = collectCentroids(spark, s"${p}_centroids")
+    checkGeometry(spark, p, cent.size)
+    val pcells = Similarity.nearestCells(
+      probes.select(col("probe_id"), col("pe").as("embedding")),
+      "probe_id", "embedding", cent, nprobe)
+    val pw = probes.select(col("probe_id"),
+      VectorFunctions.signWord(col("pe"), 0).as("q0"),
+      VectorFunctions.signWord(col("pe"), 32).as("q1"))
+    val hscored = withoutDeleted(spark.table(s"${p}_bits"), p, "vec_id")
+      .join(pcells, Seq("cid"))
+      .join(broadcast(pw), Seq("probe_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("cid"), col("vec_id"),
+        VectorFunctions.hamming2(col("w0"), col("w1"),
+          col("q0"), col("q1")).as("ham"))
+    val wh = Window.partitionBy("probe_id")
+      .orderBy(col("ham"), col("vec_id"))
+    val short = hscored.withColumn("hrank", row_number().over(wh))
+      .filter(col("hrank") <= shortlist)
+      .select("probe_id", "cid", "vec_id", "ham", "hrank")
+    val refined = spark.table(s"${p}_raw")
+      .join(broadcast(short), Seq("cid", "vec_id"))
+      .join(probes, Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        col("ham"), col("hrank"),
+        VectorFunctions.cosine(col("pe"), col("vec")).as("cosine"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    refined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "rank", "hrank", "ham", "cosine")
       .orderBy("probe_id", "rank")
   }
 }

@@ -2407,6 +2407,98 @@ object Similarity {
           col("ham").cast("int").as("hamming"),
           duckRound(col("cosine"), 6).as("cosine"))
         .orderBy("probe_id", "rank")
+    },
+
+    // --- sm25: BINARY serving FROM THE ARTIFACT (sm24's build-once/
+    //     serve-many twin — the vector-side tx18→tx19 move for the
+    //     cheapest ladder rung, completing the store's serving ladder
+    //     sm06→sm14→sm18→this): stage 1 ranks by Hamming over the
+    //     store's cid-partitioned `_bits` table — 16 bytes/vector
+    //     where the int8 codes take 64 and `_raw` 512, the structure
+    //     a 100 TB deployment keeps RAM-resident when even the code
+    //     table doesn't fit — candidates partition-pruned to the
+    //     probes' nprobe cells (sm24 scans ALL bits; the store path
+    //     adds IVF pruning), stage 2 exact-reranks the 50-shortlist
+    //     from `_raw`. Oracle mirrors bits + adaptive cells + rerank
+    //     from the raw tables (the sm18 convention). ---
+    Q("sm25_binary_from_store", {
+      val cos = cosineSql("q.pe", "f.embedding")
+      val dist = l2SqSql("e.embedding", "c.ce")
+      val pdist = l2SqSql("p.pe", "c.ce")
+      def wordSql(off: Int): String =
+        s"CAST(list_sum(list_transform(range(1, 33), i -> " +
+          s"CASE WHEN embedding[i + $off] >= 0 " +
+          s"THEN (CAST(1 AS BIGINT) << (i - 1)) " +
+          s"ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+      s"""WITH bits AS (
+         |  SELECT vec_id, ${wordSql(0)} AS w0, ${wordSql(32)} AS w1
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  WHERE vec_id < ${graft.index.VectorStore.AdaptiveCellsSql}),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |                         ORDER BY $dist, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |p AS (SELECT vec_id AS probe_id, embedding AS pe
+         |      FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 500),
+         |pcells AS (
+         |  SELECT probe_id, cid FROM (
+         |    SELECT p.probe_id, c.cid,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |                         ORDER BY $pdist, c.cid) AS rn
+         |    FROM p CROSS JOIN cent c)
+         |  WHERE rn <= ${graft.index.VectorStore.NProbe}),
+         |hscored AS (
+         |  SELECT p.probe_id, b.vec_id,
+         |    bit_count(xor(b.w0, pb.w0)) + bit_count(xor(b.w1, pb.w1))
+         |      AS ham
+         |  FROM p
+         |  JOIN bits pb ON pb.vec_id = p.probe_id
+         |  JOIN pcells pc ON pc.probe_id = p.probe_id
+         |  JOIN assign a ON a.cid = pc.cid
+         |  JOIN bits b ON b.vec_id = a.vec_id AND b.vec_id <> p.probe_id),
+         |short AS (
+         |  SELECT probe_id, vec_id, ham, hrank FROM (
+         |    SELECT probe_id, vec_id, ham,
+         |      row_number() OVER (PARTITION BY probe_id
+         |                         ORDER BY ham, vec_id) AS hrank
+         |    FROM hscored)
+         |  WHERE hrank <= $RerankShortlist),
+         |q AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+         |      WHERE vec_id % 25 = 0 AND vec_id < 500),
+         |rer AS (
+         |  SELECT sh.probe_id, sh.vec_id AS neighbor_id, sh.ham,
+         |    sh.hrank, $cos AS cosine
+         |  FROM short sh
+         |  JOIN embeddings f ON f.vec_id = sh.vec_id
+         |  JOIN q ON q.probe_id = sh.probe_id)
+         |SELECT probe_id, neighbor_id, CAST(rank AS INT) AS rank,
+         |  CAST(hrank AS INT) AS ham_rank, CAST(ham AS INT) AS hamming,
+         |  round(cosine, 6) AS cosine
+         |FROM (
+         |  SELECT probe_id, neighbor_id, ham, hrank, cosine,
+         |    row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM rer)
+         |WHERE rank <= 10
+         |ORDER BY probe_id, rank"""
+    }) { (s, dir) =>
+      val store = graft.index.VectorStore.storeFor(s, dir)
+      val probes = emb(s, dir)
+        .filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      graft.index.VectorStore
+        .serveTopKBinary(probes, store, shortlist = RerankShortlist)
+        .select(col("probe_id"), col("neighbor_id"),
+          col("rank").cast("int").as("rank"),
+          col("hrank").cast("int").as("ham_rank"),
+          col("ham").cast("int").as("hamming"),
+          duckRound(col("cosine"), 6).as("cosine"))
+        .orderBy("probe_id", "rank")
     }
   )
 

@@ -119,6 +119,18 @@ object VectorMaintenance {
         .saveAsTable(raw + "_staging")
       VectorStore.swapPartitionedFromStaging(spark, raw)
     }
+    // the bit side gets the same rewrite — sign words are lossy, but
+    // an erased vector's id must not survive in ANY artifact table
+    val bits = s"${p}_bits"
+    if (spark.catalog.tableExists(bits)) {
+      VectorStore.recoverPartitionedStaging(spark, bits)
+      VectorStore.clearOrphanLocation(spark, bits + "_staging")
+      VectorStore.purgedBits(spark, p)
+        .repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid")
+        .saveAsTable(bits + "_staging")
+      VectorStore.swapPartitionedFromStaging(spark, bits)
+    }
     VectorStore.clearTombstones(spark, p)
   }
 

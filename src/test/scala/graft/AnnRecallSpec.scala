@@ -139,6 +139,25 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(reordered > 0, "exact rerank never reordered the shortlist")
   }
 
+  test("sm25 binary-from-store: IVF-pruned binary stays above random") {
+    // sm24 scans ALL bit words; the store path prunes to nprobe cells
+    // first, so its recall is bounded by the IVF pruning (sm03's
+    // class) on top of the 1-bit sketch — floor pins today's value
+    val exact = topSets(
+      SparkEntry.queries("sm01_cosine_topk")(spark, dir),
+      "probe_id", "neighbor_id")
+    val flat = recall(topSets(
+      SparkEntry.queries("sm24_binary_rerank")(spark, dir),
+      "probe_id", "neighbor_id"), exact)
+    val store = recall(topSets(
+      SparkEntry.queries("sm25_binary_from_store")(spark, dir),
+      "probe_id", "neighbor_id"), exact)
+    info(s"sm25 recall $store (flat sm24 $flat)")
+    assert(store >= 0.35, s"sm25 recall regressed: $store")
+    assert(flat >= store - 1e-9,
+      s"cell pruning cannot RAISE recall: flat $flat < store $store")
+  }
+
   test("sm16 prefix-rerank recall@10 dominates prefix-only retrieval") {
     val exact = topSets(
       SparkEntry.queries("sm01_cosine_topk")(spark, dir),

@@ -22,7 +22,7 @@ class ErasureMaintenanceSpec extends AnyFunSuite {
                              vs: String) =
     Seq(led, td, s"${td}_ledger", s"${td}_staging", s"${td}_tombstones",
       st) ++
-      Seq("centroids", "stats", "codes", "raw", "version", "tombstones")
+      Seq("centroids", "stats", "codes", "raw", "bits", "version", "tombstones")
         .map(s => s"${vs}_$s")
 
   /** Build a maintained postings table + vector store over the first
@@ -57,7 +57,7 @@ class ErasureMaintenanceSpec extends AnyFunSuite {
   private def servedNeighbors(vs: String): Set[Long] = {
     import spark.implicits._
     graft.streaming.Freshness.refresh(spark,
-      Seq("centroids", "stats", "codes", "raw", "version", "tombstones")
+      Seq("centroids", "stats", "codes", "raw", "bits", "version", "tombstones")
         .map(s => s"${vs}_$s"): _*)
     val probes = tables.load(spark, dir, "embeddings")
       .filter(col("vec_id") % 25 === 0).limit(8)

@@ -22,7 +22,7 @@ class ErasureSpec extends AnyFunSuite {
 
   private def allTables = Seq(led, td, s"${td}_ledger", s"${td}_staging",
     s"${td}_tombstones", st) ++
-    Seq("centroids", "stats", "codes", "raw", "version", "tombstones")
+    Seq("centroids", "stats", "codes", "raw", "bits", "version", "tombstones")
       .map(s => s"${vs}_$s")
 
   private def served = IndexMaintenance.withoutDeleted(

@@ -19,7 +19,7 @@ class RecallMonitorSpec extends AnyFunSuite {
 
   private def reset(name: String, extra: String*): Unit =
     TestWarehouse.reset(spark,
-      Seq("centroids", "stats", "codes", "raw", "tombstones", "version")
+      Seq("centroids", "stats", "codes", "raw", "bits", "tombstones", "version")
         .map(t => s"${name}_$t") ++ extra: _*)
 
   private def corpus() = tables.load(spark, dir, "embeddings")
@@ -247,7 +247,7 @@ class RecallMonitorSpec extends AnyFunSuite {
     reset("rr", "rr_ledger", "rr_marker")
     TestWarehouse.reset(spark,
       (2 to 3).flatMap(v =>
-        Seq("centroids", "stats", "codes", "raw", "tombstones")
+        Seq("centroids", "stats", "codes", "raw", "bits", "tombstones")
           .map(t => s"rr_v${v}_$t")): _*)
     VectorStore.build(corpus(), "rr")
     val vecs = loadVecs()

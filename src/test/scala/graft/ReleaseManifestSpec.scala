@@ -25,9 +25,9 @@ class ReleaseManifestSpec extends AnyFunSuite {
       s"${ord}_erased") ++
       (2 to 4).flatMap(v => Seq(s"${tok}_v${v}_merges",
         s"${ord}_v${v}_order", s"${ord}_v${v}_manifest")) ++
-      Seq("centroids", "stats", "codes", "raw", "version", "tombstones")
+      Seq("centroids", "stats", "codes", "raw", "bits", "version", "tombstones")
         .map(t => s"${vec}_$t") ++
-      (2 to 4).flatMap(v => Seq("centroids", "stats", "codes", "raw",
+      (2 to 4).flatMap(v => Seq("centroids", "stats", "codes", "raw", "bits",
         "tombstones").map(t => s"${vec}_v${v}_$t"))
 
   test("manifest pins the tuple; a rebuild past the pin refuses loudly") {

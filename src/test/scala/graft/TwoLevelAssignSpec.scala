@@ -123,7 +123,7 @@ class TwoLevelAssignSpec extends AnyFunSuite {
   test("stats row records the assignment mode the codes were built with") {
     import spark.implicits._
     def reset(n: String) = TestWarehouse.reset(spark,
-      Seq("centroids", "stats", "codes", "raw", "version", "tombstones")
+      Seq("centroids", "stats", "codes", "raw", "bits", "version", "tombstones")
         .map(s => s"${n}_$s"): _*)
     reset("tlm_big"); reset("tlm_small")
     graft.index.VectorStore.build(
@@ -143,7 +143,7 @@ class TwoLevelAssignSpec extends AnyFunSuite {
   test("a store built through the two-level path serves with recall") {
     import spark.implicits._
     TestWarehouse.reset(spark,
-      Seq("centroids", "stats", "codes", "raw", "version", "tombstones")
+      Seq("centroids", "stats", "codes", "raw", "bits", "version", "tombstones")
         .map(s => s"tl_store_$s"): _*)
     val e = (cents.map { case (c, v) => (c, v) } ++ vecs)
       .toDF("vec_id", "embedding")
@@ -169,7 +169,7 @@ class TwoLevelAssignSpec extends AnyFunSuite {
     assert(hits.sum >= 30,
       s"two-level-built store lost retrieval quality: hits=${hits.toSeq}")
     TestWarehouse.reset(spark,
-      Seq("centroids", "stats", "codes", "raw", "version", "tombstones")
+      Seq("centroids", "stats", "codes", "raw", "bits", "version", "tombstones")
         .map(s => s"tl_store_$s"): _*)
   }
 }

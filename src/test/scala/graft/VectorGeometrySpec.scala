@@ -22,9 +22,9 @@ class VectorGeometrySpec extends AnyFunSuite {
 
   private def reset(name: String): Unit =
     TestWarehouse.reset(spark,
-      (Seq("centroids", "stats", "codes", "raw", "version", "tombstones")
+      (Seq("centroids", "stats", "codes", "raw", "bits", "version", "tombstones")
         .map(t => s"${name}_$t") ++
-        (2 to 4).flatMap(v => Seq("centroids", "stats", "codes", "raw",
+        (2 to 4).flatMap(v => Seq("centroids", "stats", "codes", "raw", "bits",
           "tombstones").map(t => s"${name}_v${v}_$t"))): _*)
 
   /** Deterministic synthetic corpus large enough to engage the

@@ -21,7 +21,7 @@ class VectorRefineSpec extends AnyFunSuite {
 
   private def reset(name: String, extra: String*): Unit =
     TestWarehouse.reset(spark,
-      Seq("centroids", "stats", "codes", "raw", "tombstones")
+      Seq("centroids", "stats", "codes", "raw", "bits", "tombstones")
         .map(t => s"${name}_$t") ++ extra: _*)
 
   private def corpus() = tables.load(spark, dir, "embeddings")
