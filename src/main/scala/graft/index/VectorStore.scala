@@ -369,6 +369,164 @@ object VectorStore {
     if (drifted) Some(rebuildPreservingGeometry(e, name)) else None
   }
 
+  /** Member sample cap for computing a hot cell's two child centroids
+    * — the SPLIT math runs on a bounded driver sample (lowest vec_ids,
+    * deterministic); the member RE-ASSIGNMENT is distributed. */
+  val RebalanceSampleRows = 10000
+
+  /** Incremental cell REBALANCE — the cheap middle rung of the
+    * maintenance ladder between a tombstone compact and a full
+    * [[rebuild]]: every cell whose LIVE occupancy exceeds
+    * `hotFactor`× the mean splits into two children, and the new
+    * version copies every untouched partition AS-IS — zero assignment
+    * or quantization compute outside the hot cells (a retrain is
+    * O(n·assignment); this is O(copy) + O(hot members)). The split is
+    * WITHIN-CELL by contract: each hot member goes to the nearer of
+    * its own cell's two children (a local refinement — global argmin
+    * optimality is restored by the next versioned rebuild; until then
+    * probes see a finer partition of the same coverage). The SQ
+    * codebook is per-dim GLOBAL, so the int8 codes stay valid
+    * byte-for-byte — only the cid label moves. Installed through the
+    * rebuild pointer-flip protocol, so a crash anywhere pre-flip
+    * leaves the old version serving intact. Returns the split cids
+    * (empty = nothing hot, no version consumed). */
+  def rebalance(spark: SparkSession, name: String,
+                hotFactor: Double = 2.0): Seq[Long] = {
+    import spark.implicits._
+    graft.expressions.VectorExpressions.ensureRegistered(spark)
+    val p = servingPrefix(spark, name)
+    recoverCodesStaging(spark, p)
+    recoverPartitionedStaging(spark, s"${p}_raw")
+    recoverPartitionedStaging(spark, s"${p}_bits")
+    require(spark.catalog.tableExists(s"${p}_raw"),
+      s"store '$name' has no raw-vector table: rebalance reads full " +
+        "vectors to split a cell")
+    val cent = collectCentroids(spark, s"${p}_centroids")
+    checkGeometry(spark, p, cent.size)
+    // LIVE occupancy (tombstones subtracted) — a cells-sized collect
+    val occ = withoutDeleted(spark.table(s"${p}_codes"), p, "vec_id")
+      .groupBy("cid").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = occ.values.sum
+    if (total == 0L) return Nil
+    // hotness is judged against the DESIGN occupancy (the adaptive
+    // rule's target for this corpus size), NOT the current mean — a
+    // mean-based threshold falls as splits add cells and chases
+    // itself into splitting everything (observed: 12 rounds without
+    // convergence on a 70%-skewed corpus)
+    val target = math.max(1L,
+      total / math.max(Cells.toLong, total / CellTarget))
+    val hot = occ.filter(_._2.toDouble > hotFactor * target)
+      .keys.toSeq.sorted
+    if (hot.isEmpty) return Nil
+    // children from a bounded lowest-id member sample per hot cell;
+    // child A REPLACES the hot cell's centroid, child B appends
+    var nextCid = cent.map(_._1).max + 1L
+    val centMap = scala.collection.mutable.LinkedHashMap(
+      cent.map(c => c._1 -> c._2): _*)
+    val childOf = hot.map { c =>
+      val sample = spark.table(s"${p}_raw")
+        .filter(col("cid") === c).orderBy("vec_id")
+        .limit(RebalanceSampleRows)
+        .select("vec").collect()
+        .map(_.getSeq[Double](0).toArray)
+      val (a, b) = splitCell(sample)
+      val bCid = nextCid; nextCid += 1L
+      centMap(c) = a.toSeq
+      centMap(bCid) = b.toSeq
+      c -> bCid
+    }.toMap
+    // distributed within-cell re-assignment of the hot members only
+    // (partition-pruned raw reads — untouched cells never scan)
+    val moves = hot.map { c =>
+      val two = Seq(c -> centMap(c), childOf(c) -> centMap(childOf(c)))
+      Similarity.assignCells(
+        spark.table(s"${p}_raw").filter(col("cid") === c)
+          .select(col("vec_id"), col("vec").as("embedding")),
+        "vec_id", "embedding", two)
+    }.reduce(_.unionAll(_))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val next = currentVersion(spark, name) + 1L
+      val np = prefixOf(name, next)
+      Seq("centroids", "stats", "codes", "raw", "bits", "tombstones")
+        .foreach(t => clearOrphanLocation(spark, s"${np}_$t"))
+      centMap.toSeq.toDF("cid", "ce")
+        .write.mode("overwrite").saveAsTable(s"${np}_centroids")
+      // codebook and assign_mode are untouched — only the cell count
+      // moves, so the recorded geometry tracks the new centroid set
+      spark.table(s"${p}_stats")
+        .withColumn("cells", lit(centMap.size.toLong))
+        .write.mode("overwrite").saveAsTable(s"${np}_stats")
+      Seq("codes", "raw", "bits").foreach { t =>
+        if (spark.catalog.tableExists(s"${p}_$t")) {
+          val full = spark.table(s"${p}_$t")
+          val untouched = full.filter(!col("cid").isin(hot: _*))
+          val moved = full.filter(col("cid").isin(hot: _*))
+            .drop("cid").join(moves, Seq("vec_id"))
+          untouched.unionByName(moved, allowMissingColumns = false)
+            .repartition(col("cid"))
+            .write.mode("overwrite").partitionBy("cid")
+            .saveAsTable(s"${np}_$t")
+        }
+      }
+      val tomb = tombstoneTable(p)
+      if (spark.catalog.tableExists(tomb))
+        spark.table(tomb).write.mode("overwrite")
+          .saveAsTable(tombstoneTable(np))
+      clearOrphanLocation(spark, versionTable(name))
+      Seq(next).toDF("v").write.mode("overwrite")
+        .saveAsTable(versionTable(name)) // THE flip
+      dropVersionsExcept(spark, name, keep = next)
+      hot
+    } finally moves.unpersist()
+  }
+
+  /** Deterministic MEDIAN-PROJECTION split over a bounded sample:
+    * children = the means of the two rank-halves of the sample,
+    * ordered by projection onto (farthest member − sample mean). A
+    * 2-means split degenerates on dense high-dimensional balls
+    * (distance concentration: the boundary sheds only outliers —
+    * observed converging ~3 members/round on a 64-d Gaussian cell);
+    * the rank split halves the SAMPLE by construction, so the
+    * children's perpendicular bisector passes near the ball's center
+    * and the distributed nearest-child assignment lands ~half the
+    * members each. An all-identical sample degenerates to A = B —
+    * every member keeps the lower cid (the argmin tiebreak) and the
+    * empty child is harmless. */
+  private def splitCell(sample: Array[Array[Double]])
+      : (Array[Double], Array[Double]) = {
+    require(sample.nonEmpty, "empty rebalance sample")
+    val n = sample.length
+    val dim = sample(0).length
+    def meanOf(xs: Seq[Array[Double]]): Array[Double] = {
+      val s = new Array[Double](dim)
+      xs.foreach { v =>
+        var i = 0; while (i < dim) { s(i) += v(i); i += 1 }
+      }
+      s.map(_ / math.max(1, xs.size))
+    }
+    val mean = meanOf(sample.toSeq)
+    def d2FromMean(v: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = v(i) - mean(i); s += d * d; i += 1 }
+      s
+    }
+    val far = sample(sample.indices.maxBy(i => d2FromMean(sample(i))))
+    val dir = far.indices.map(i => far(i) - mean(i)).toArray
+    if (dir.forall(_ == 0.0)) return (mean, mean)
+    def proj(v: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += (v(i) - mean(i)) * dir(i); i += 1 }
+      s
+    }
+    val order = sample.zipWithIndex
+      .sortBy { case (v, i) => (proj(v), i) }.map(_._1)
+    val (lo, hi) = order.splitAt(n / 2)
+    if (lo.isEmpty || hi.isEmpty) (mean, mean)
+    else (meanOf(lo.toSeq), meanOf(hi.toSeq))
+  }
+
   /** The gated-rebuild geometry contract: an alarm-triggered retrain
     * keeps the SERVING artifact's cell count (a store deliberately
     * built at hundreds of cells must not silently shrink to the
