@@ -369,6 +369,33 @@ object VectorStore {
     if (drifted) Some(rebuildPreservingGeometry(e, name)) else None
   }
 
+  /** LIVE per-cell occupancy of the serving version (tombstones
+    * subtracted) — a cells-sized collect, shared by [[rebalance]] and
+    * the streaming `OccupancyMonitor`. */
+  def liveOccupancy(spark: SparkSession, name: String): Map[Long, Long] = {
+    val p = servingPrefix(spark, name)
+    recoverCodesStaging(spark, p)
+    if (!spark.catalog.tableExists(s"${p}_codes")) return Map.empty
+    withoutDeleted(spark.table(s"${p}_codes"), p, "vec_id")
+      .groupBy("cid").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** [[rebalance]] gated on the occupancy signal — the INPUT-shape
+    * twin of [[rebuildIfRecallLow]]'s output gate: split only when the
+    * LATEST committed `OccupancyMonitor` row alarms. Returns the split
+    * cids when it fired. */
+  def rebalanceIfSkewed(spark: SparkSession, name: String,
+                        occLedger: String, occMarkers: String,
+                        hotFactor: Double = 2.0): Seq[Long] = {
+    val last = graft.streaming.OccupancyMonitor
+      .profiles(spark, occLedger, occMarkers)
+      .orderBy(col("batch_id").desc).limit(1).collect()
+    if (last.headOption.exists(_.getAs[Boolean]("alarm")))
+      rebalance(spark, name, hotFactor)
+    else Nil
+  }
+
   /** Member sample cap for computing a hot cell's two child centroids
     * — the SPLIT math runs on a bounded driver sample (lowest vec_ids,
     * deterministic); the member RE-ASSIGNMENT is distributed. */
@@ -403,10 +430,7 @@ object VectorStore {
         "vectors to split a cell")
     val cent = collectCentroids(spark, s"${p}_centroids")
     checkGeometry(spark, p, cent.size)
-    // LIVE occupancy (tombstones subtracted) — a cells-sized collect
-    val occ = withoutDeleted(spark.table(s"${p}_codes"), p, "vec_id")
-      .groupBy("cid").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val occ = liveOccupancy(spark, name)
     val total = occ.values.sum
     if (total == 0L) return Nil
     // hotness is judged against the DESIGN occupancy (the adaptive
