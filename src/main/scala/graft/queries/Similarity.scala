@@ -233,6 +233,160 @@ object Similarity {
   private val PrefixDims = 16
   private val RerankShortlist = 50
 
+  /** sm26's recall target for the auto-nprobe pick — compared on the
+    * ROUNDED profiled mean (the pl04 rule: never branch on raw doubles
+    * across engines). */
+  private val AutoNprobeTarget = 0.6
+
+  /** Shared CTE chain of sm22/sm26 (pre-stripped — call sites embed it
+    * right after WITH): candidates scored ONCE at the widest level
+    * with the cell rank carried, per-(np, probe) hit counts vs the
+    * exact baseline landing in `base`. */
+  private lazy val nprobeProfileCtes: String = {
+    val dist = l2SqSql("e.embedding", "c.ce")
+    val pdist = l2SqSql("p.pe", "c.ce")
+    val icos = cosineSql("p.pe", "v.embedding")
+    val xcos = cosineSql("p.pe", "x.embedding")
+    s"""cent AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  WHERE vec_id < $IvfCells),
+       |probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+       |  WHERE vec_id % 25 = 0 AND vec_id < 500),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |                         ORDER BY $dist, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cent c)
+       |  WHERE rn = 1),
+       |pcells AS (
+       |  SELECT probe_id, cid, rn FROM (
+       |    SELECT p.probe_id, c.cid,
+       |      row_number() OVER (PARTITION BY p.probe_id
+       |                         ORDER BY $pdist, c.cid) AS rn
+       |    FROM probes p CROSS JOIN cent c)
+       |  WHERE rn <= 8),
+       |iscored AS (
+       |  SELECT p.probe_id, pc.rn, v.vec_id AS neighbor_id, $icos AS cosine
+       |  FROM probes p
+       |  JOIN pcells pc ON pc.probe_id = p.probe_id
+       |  JOIN assign a ON a.cid = pc.cid
+       |  JOIN embeddings v ON v.vec_id = a.vec_id AND v.vec_id <> p.probe_id),
+       |levels AS (SELECT unnest([1, 2, 4, 8]) AS np),
+       |ivf AS (
+       |  SELECT np, probe_id, neighbor_id FROM (
+       |    SELECT l.np, i.probe_id, i.neighbor_id,
+       |      row_number() OVER (PARTITION BY l.np, i.probe_id
+       |                         ORDER BY i.cosine DESC, i.neighbor_id)
+       |        AS rank
+       |    FROM levels l JOIN iscored i ON i.rn <= l.np)
+       |  WHERE rank <= 10),
+       |xscored AS (
+       |  SELECT p.probe_id, x.vec_id AS neighbor_id, $xcos AS cosine
+       |  FROM probes p JOIN embeddings x ON x.vec_id <> p.probe_id),
+       |exact AS (
+       |  SELECT probe_id, neighbor_id FROM (
+       |    SELECT probe_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY probe_id
+       |                         ORDER BY cosine DESC, neighbor_id) AS rank
+       |    FROM xscored)
+       |  WHERE rank <= 10),
+       |nx AS (SELECT probe_id, count(*) AS n FROM exact GROUP BY probe_id),
+       |hits AS (
+       |  SELECT i.np, x.probe_id, count(*) AS hits
+       |  FROM exact x JOIN ivf i
+       |    ON i.probe_id = x.probe_id AND i.neighbor_id = x.neighbor_id
+       |  GROUP BY i.np, x.probe_id),
+       |base AS (
+       |  SELECT l.np, p.probe_id, nx.n, coalesce(h.hits, 0) AS hits
+       |  FROM levels l CROSS JOIN probes p
+       |  JOIN nx ON nx.probe_id = p.probe_id
+       |  LEFT JOIN hits h ON h.np = l.np AND h.probe_id = p.probe_id)""".stripMargin
+  }
+
+  /** Shared Spark stages of sm22/sm26: (probes, iscored, perLevel) —
+    * probes and the once-scored widest-level candidate frame are
+    * persisted (caller owns the cache lifecycle, the Q.scala
+    * contract); perLevel is the per-np profile with ROUNDED
+    * mean/min recall. */
+  private def nprobeStages(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.storage.StorageLevel
+    val e = emb(s, dir)
+    val cent = collectCentroids(e.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+    val probes = e.filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // ranked probe cells, shuffle-free (the nearestCells device with
+    // the rank kept): sorted struct array, positional explode
+    val cands = array(cent.map { case (cid, ce) =>
+      struct(l2DistanceSq(col("pe"), typedlit(ce)).as("d"),
+        lit(cid).as("cid"))
+    }: _*)
+    val pcells = probes
+      .select(col("probe_id"), posexplode(transform(
+        slice(array_sort(cands), 1, 8), c => c.getField("cid"))))
+      .select(col("probe_id"), (col("pos") + 1).as("rn"),
+        col("col").as("cid"))
+    val assign = nearestCells(
+      e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+      cent, 1)
+    val en = e.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
+    val pn = probes.withColumn("pnrm", l2Norm(col("pe")))
+    val nrm = col("pnrm") * col("nrm")
+    // candidates scored ONCE at the widest level, cell rank carried;
+    // persisted — every level (and sm26's serve) ranks from this frame
+    val iscored = pn
+      .join(pcells, Seq("probe_id"))
+      .join(assign, Seq("cid"))
+      .join(en, Seq("vec_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("rn"),
+        col("vec_id").as("neighbor_id"),
+        when(nrm === 0.0, lit(0.0))
+          .otherwise(dot(col("pe"), col("embedding")) / nrm).as("cosine"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wL = Window.partitionBy("np", "probe_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val ivf = iscored
+      .select(col("probe_id"), col("rn"), col("neighbor_id"),
+        col("cosine"), explode(typedlit(Seq(1, 2, 4, 8))).as("np"))
+      .filter(col("rn") <= col("np"))
+      .withColumn("rank", row_number().over(wL))
+      .filter(col("rank") <= 10)
+      .select("np", "probe_id", "neighbor_id")
+    // exact baseline — the sm01 path at the same probe set
+    val scoredX = en.join(broadcast(pn), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        when(nrm === 0.0, lit(0.0))
+          .otherwise(dot(col("pe"), col("embedding")) / nrm).as("cosine"))
+    val wX = Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val exact = scoredX.withColumn("rank", row_number().over(wX))
+      .filter(col("rank") <= 10)
+      .select("probe_id", "neighbor_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nx = exact.groupBy("probe_id").agg(count(lit(1)).as("n"))
+    val hits = exact.join(ivf, Seq("probe_id", "neighbor_id"))
+      .groupBy("np", "probe_id").agg(count(lit(1)).as("hits"))
+    val perLevel = probes
+      .select(col("probe_id"), explode(typedlit(Seq(1, 2, 4, 8))).as("np"))
+      .join(nx, Seq("probe_id"))
+      .join(hits, Seq("np", "probe_id"), "left")
+      .select(col("np"), col("probe_id"), col("n"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .groupBy("np")
+      .agg(count(lit(1)).as("n_probes"),
+        duckRound(sum(col("hits")).cast("double") /
+          sum(col("n")).cast("double"), 4).as("mean_recall"),
+        duckRound(min(col("hits").cast("double") /
+          col("n").cast("double")), 4).as("min_recall"))
+    (probes, iscored, perLevel)
+  }
+
   // sm21 diversity suppression: a shortlist member too close (cosine)
   // to any BETTER-ranked member is dropped before the final top-k
   private[graft] val DiversityTau = 0.4
@@ -2152,149 +2306,73 @@ object Similarity {
     //     the exact-integer device — sum(hits)/sum(n) in ONE division
     //     (probes share n, so micro == macro average) — so no
     //     float-accumulation order can flip the round-4 hash. ---
-    Q("sm22_nprobe_profile", {
-      val dist = l2SqSql("e.embedding", "c.ce")
-      val pdist = l2SqSql("p.pe", "c.ce")
-      val icos = cosineSql("p.pe", "v.embedding")
-      val xcos = cosineSql("p.pe", "x.embedding")
-      s"""WITH cent AS (
-         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
-         |  WHERE vec_id < $IvfCells),
-         |probes AS (
-         |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
-         |  WHERE vec_id % 25 = 0 AND vec_id < 500),
-         |assign AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT e.vec_id, c.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |                         ORDER BY $dist, c.cid) AS rn
-         |    FROM embeddings e CROSS JOIN cent c)
-         |  WHERE rn = 1),
-         |pcells AS (
-         |  SELECT probe_id, cid, rn FROM (
-         |    SELECT p.probe_id, c.cid,
-         |      row_number() OVER (PARTITION BY p.probe_id
-         |                         ORDER BY $pdist, c.cid) AS rn
-         |    FROM probes p CROSS JOIN cent c)
-         |  WHERE rn <= 8),
-         |iscored AS (
-         |  SELECT p.probe_id, pc.rn, v.vec_id AS neighbor_id, $icos AS cosine
-         |  FROM probes p
-         |  JOIN pcells pc ON pc.probe_id = p.probe_id
-         |  JOIN assign a ON a.cid = pc.cid
-         |  JOIN embeddings v ON v.vec_id = a.vec_id AND v.vec_id <> p.probe_id),
-         |levels AS (SELECT unnest([1, 2, 4, 8]) AS np),
-         |ivf AS (
-         |  SELECT np, probe_id, neighbor_id FROM (
-         |    SELECT l.np, i.probe_id, i.neighbor_id,
-         |      row_number() OVER (PARTITION BY l.np, i.probe_id
-         |                         ORDER BY i.cosine DESC, i.neighbor_id)
-         |        AS rank
-         |    FROM levels l JOIN iscored i ON i.rn <= l.np)
-         |  WHERE rank <= 10),
-         |xscored AS (
-         |  SELECT p.probe_id, x.vec_id AS neighbor_id, $xcos AS cosine
-         |  FROM probes p JOIN embeddings x ON x.vec_id <> p.probe_id),
-         |exact AS (
-         |  SELECT probe_id, neighbor_id FROM (
-         |    SELECT probe_id, neighbor_id,
-         |      row_number() OVER (PARTITION BY probe_id
-         |                         ORDER BY cosine DESC, neighbor_id) AS rank
-         |    FROM xscored)
-         |  WHERE rank <= 10),
-         |nx AS (SELECT probe_id, count(*) AS n FROM exact GROUP BY probe_id),
-         |hits AS (
-         |  SELECT i.np, x.probe_id, count(*) AS hits
-         |  FROM exact x JOIN ivf i
-         |    ON i.probe_id = x.probe_id AND i.neighbor_id = x.neighbor_id
-         |  GROUP BY i.np, x.probe_id),
-         |base AS (
-         |  SELECT l.np, p.probe_id, nx.n, coalesce(h.hits, 0) AS hits
-         |  FROM levels l CROSS JOIN probes p
-         |  JOIN nx ON nx.probe_id = p.probe_id
-         |  LEFT JOIN hits h ON h.np = l.np AND h.probe_id = p.probe_id)
+    Q("sm22_nprobe_profile",
+      s"""WITH $nprobeProfileCtes
          |SELECT np AS nprobe, CAST(count(*) AS BIGINT) AS n_probes,
          |  round(CAST(sum(hits) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 4)
          |    AS mean_recall,
          |  round(min(CAST(hits AS DOUBLE) / CAST(n AS DOUBLE)), 4)
          |    AS min_recall
-         |FROM base GROUP BY np ORDER BY np"""
-    }) { (s, dir) =>
-      import org.apache.spark.storage.StorageLevel
-      val e = emb(s, dir)
-      val cent = collectCentroids(e.filter(col("vec_id") < IvfCells)
-        .select(col("vec_id").as("cid"), col("embedding").as("ce")))
-      val probes = e.filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // ranked probe cells, shuffle-free (the nearestCells device with
-      // the rank kept): sorted struct array, positional explode
-      val cands = array(cent.map { case (cid, ce) =>
-        struct(l2DistanceSq(col("pe"), typedlit(ce)).as("d"),
-          lit(cid).as("cid"))
-      }: _*)
-      val pcells = probes
-        .select(col("probe_id"), posexplode(transform(
-          slice(array_sort(cands), 1, 8), c => c.getField("cid"))))
-        .select(col("probe_id"), (col("pos") + 1).as("rn"),
-          col("col").as("cid"))
-      val assign = nearestCells(
-        e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
-        cent, 1)
-      val en = e.select(col("vec_id"), col("embedding"),
-        l2Norm(col("embedding")).as("nrm"))
-      val pn = probes.withColumn("pnrm", l2Norm(col("pe")))
-      val nrm = col("pnrm") * col("nrm")
-      // candidates scored ONCE at the widest level, cell rank carried;
-      // persisted — all four levels rank from this one frame
-      val iscored = pn
-        .join(pcells, Seq("probe_id"))
-        .join(assign, Seq("cid"))
-        .join(en, Seq("vec_id"))
-        .filter(col("vec_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("rn"),
-          col("vec_id").as("neighbor_id"),
-          when(nrm === 0.0, lit(0.0))
-            .otherwise(dot(col("pe"), col("embedding")) / nrm).as("cosine"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val wL = Window.partitionBy("np", "probe_id")
-        .orderBy(col("cosine").desc, col("neighbor_id"))
-      val ivf = iscored
-        .select(col("probe_id"), col("rn"), col("neighbor_id"),
-          col("cosine"), explode(typedlit(Seq(1, 2, 4, 8))).as("np"))
-        .filter(col("rn") <= col("np"))
-        .withColumn("rank", row_number().over(wL))
-        .filter(col("rank") <= 10)
-        .select("np", "probe_id", "neighbor_id")
-      // exact baseline — the sm01 path at the same probe set
-      val scoredX = en.join(broadcast(pn), col("vec_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-          when(nrm === 0.0, lit(0.0))
-            .otherwise(dot(col("pe"), col("embedding")) / nrm).as("cosine"))
-      val wX = Window.partitionBy("probe_id")
-        .orderBy(col("cosine").desc, col("neighbor_id"))
-      val exact = scoredX.withColumn("rank", row_number().over(wX))
-        .filter(col("rank") <= 10)
-        .select("probe_id", "neighbor_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val nx = exact.groupBy("probe_id").agg(count(lit(1)).as("n"))
-      val hits = exact.join(ivf, Seq("probe_id", "neighbor_id"))
-        .groupBy("np", "probe_id").agg(count(lit(1)).as("hits"))
-      probes
-        .select(col("probe_id"), explode(typedlit(Seq(1, 2, 4, 8))).as("np"))
-        .join(nx, Seq("probe_id"))
-        .join(hits, Seq("np", "probe_id"), "left")
-        .select(col("np"), col("probe_id"), col("n"),
-          coalesce(col("hits"), lit(0L)).as("hits"))
-        .groupBy("np")
-        .agg(count(lit(1)).as("n_probes"),
-          duckRound(sum(col("hits")).cast("double") /
-            sum(col("n")).cast("double"), 4).as("mean_recall"),
-          duckRound(min(col("hits").cast("double") /
-            col("n").cast("double")), 4).as("min_recall"))
+         |FROM base GROUP BY np ORDER BY np""") { (s, dir) =>
+      val (_, _, perLevel) = nprobeStages(s, dir)
+      perLevel
         .select(col("np").as("nprobe"), col("n_probes"),
           col("mean_recall"), col("min_recall"))
         .orderBy("nprobe")
+    },
+
+    // --- sm26: AUTO-nprobe serving (sm22's profile turned into a
+    //     DECISION, in-plan: the profile names the recall/cost
+    //     frontier, this query picks the CHEAPEST level whose measured
+    //     mean recall clears the target and serves the IVF top-k AT
+    //     that level — the auto-tuning loop a deployment otherwise
+    //     runs by hand, with zero driver-side decisions: the chosen
+    //     level is a 1-row frame broadcast into the candidate filter,
+    //     so the plan itself adapts to what the profile measured.
+    //     Candidates are scored ONCE at the widest level (the sm22
+    //     device) — choosing a level is a FILTER on the carried cell
+    //     rank, never a re-scan. Falls back to the widest profiled
+    //     level when nothing clears the target; the pick compares the
+    //     ROUNDED mean (the pl04 rule: never branch on raw doubles
+    //     across engines). ---
+    Q("sm26_auto_nprobe", {
+      val target = AutoNprobeTarget
+      s"""WITH $nprobeProfileCtes,
+         |profile AS (
+         |  SELECT np,
+         |    round(CAST(sum(hits) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 4)
+         |      AS mean_recall
+         |  FROM base GROUP BY np),
+         |chosen AS (
+         |  SELECT coalesce(min(np), 8) AS cnp FROM profile
+         |  WHERE mean_recall >= $target)
+         |SELECT probe_id, neighbor_id, CAST(rank AS INT) AS rank,
+         |  CAST(cnp AS INT) AS nprobe, round(cosine, 6) AS cosine
+         |FROM (
+         |  SELECT i.probe_id, i.neighbor_id, i.cosine, c.cnp,
+         |    row_number() OVER (PARTITION BY i.probe_id
+         |                       ORDER BY i.cosine DESC, i.neighbor_id)
+         |      AS rank
+         |  FROM iscored i CROSS JOIN chosen c
+         |  WHERE i.rn <= c.cnp)
+         |WHERE rank <= 10
+         |ORDER BY probe_id, rank"""
+    }) { (s, dir) =>
+      val (_, iscored, perLevel) = nprobeStages(s, dir)
+      val chosen = perLevel
+        .filter(col("mean_recall") >= AutoNprobeTarget)
+        .agg(coalesce(min("np"), lit(8)).as("cnp"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      iscored.crossJoin(broadcast(chosen))
+        .filter(col("rn") <= col("cnp"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("probe_id"), col("neighbor_id"),
+          col("rank").cast("int").as("rank"),
+          col("cnp").cast("int").as("nprobe"),
+          duckRound(col("cosine"), 6).as("cosine"))
+        .orderBy("probe_id", "rank")
     },
 
     // --- BINARY (1-bit) quantization search + exact rerank (sm24 —

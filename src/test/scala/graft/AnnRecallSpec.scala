@@ -139,6 +139,20 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(reordered > 0, "exact rerank never reordered the shortlist")
   }
 
+  test("sm26 serves at the MINIMAL profiled level clearing the target") {
+    val prof = SparkEntry.queries("sm22_nprobe_profile")(spark, dir)
+      .select("nprobe", "mean_recall").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val chosen = SparkEntry.queries("sm26_auto_nprobe")(spark, dir)
+      .select("nprobe").distinct().collect().map(_.getInt(0)).toSeq
+    assert(chosen.size == 1, s"sm26 served at mixed levels: $chosen")
+    val c = chosen.head
+    info(s"sm26 chose nprobe $c (profile $prof)")
+    assert(prof(c) >= 0.6, s"chosen level $c below target: ${prof(c)}")
+    assert(prof.filter(_._1 < c).values.forall(_ < 0.6),
+      s"a cheaper level already cleared the target: $prof chose $c")
+  }
+
   test("sm25 binary-from-store: IVF-pruned binary stays above random") {
     // sm24 scans ALL bit words; the store path prunes to nprobe cells
     // first, so its recall is bounded by the IVF pruning (sm03's

@@ -45,6 +45,7 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     "sm18_refined_from_store",// 1-row SQ-stats broadcast (serve path)
     "sm19_ivf_recall",        // exact-baseline side = sm01's bounded probes
     "sm22_nprobe_profile",    // same exact-baseline bounded-probe pairing
+    "sm26_auto_nprobe",       // shares sm22's stages (same bounded pairing)
     "mm08_crossmodal_topk",   // serveTopK's bounded probe broadcast (sm18 shape)
     "mm09_hard_negatives",    // same serve path, band-filtered (mm08 shape)
     "sm21_diverse_topk",      // sm01's bounded probes; pairs shortlist-bounded
