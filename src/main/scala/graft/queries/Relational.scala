@@ -1714,6 +1714,89 @@ object Relational {
           n.cast("long").as("n_win"),
           duckRound(med / 100.0, 4).as("rolling_median"))
         .orderBy("o_orderkey")
+    },
+
+    // --- Mergeable distinct-count sketches (q61 — the Datasketches
+    //     HLL surface, Spark 4's hll_sketch_agg/hll_union_agg): where
+    //     q23's approx_count_distinct is a one-shot aggregate, this is
+    //     the PRE-AGGREGATION pattern a 100 TB deployment actually
+    //     runs — build one tiny sketch per (key, day) partition once,
+    //     then answer any later rollup (per key across days, across
+    //     keys, rolling windows) by UNIONING sketches, never
+    //     re-scanning rows. Union is associative/commutative/
+    //     idempotent, so late data folds in and re-unions are safe.
+    //     Correctness gate: in-band attestation (the q23/q57 device) —
+    //     the day-sketch union's estimate must land within the HLL
+    //     error envelope of the exact distinct (lgK=12 → RSE 1.63%;
+    //     4σ = 6.5%, plus a small-count floor), and the oracle pins
+    //     the exact side + `TRUE`. Scale shape: two map-side partial
+    //     aggs over events (sketch build; exact distinct for the
+    //     gate), a (keys×days)-sized sketch shuffle, broadcast-sized
+    //     join of two key-cardinality frames. At 100 TB the exact side
+    //     disappears and ONLY the sketch path runs — see SketchStore
+    //     for the build-once/serve-many artifact + its maintainer. ---
+    Q("q61_distinct_sketch",
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  TRUE AS sketch_ok
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""") { (s, dir) =>
+      val e = t(s, dir, "events")
+      val daily = e.groupBy(col("event_type"),
+          date_trunc("DAY", col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      val unioned = daily.groupBy("event_type")
+        .agg(hll_sketch_estimate(
+          hll_union_agg(col("sk"), lit(false))).as("approx"))
+      e.groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("n_exact"))
+        .join(unioned, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("approx") - col("n_exact")).cast("double") <=
+            greatest(col("n_exact").cast("double") * lit(0.065),
+              lit(8.0))).as("sketch_ok"))
+        .orderBy("event_type")
+    },
+
+    // --- Distinct users over a trailing 7-day window, served from the
+    //     SketchStore artifact (q62 — q61's build-once/serve-many
+    //     twin, the tx18/sm13 pattern applied to sketches): the window
+    //     rollup unions ONLY the stored day sketches inside the
+    //     window — a partition-pruned scan of (keys × 7) ~4 KB rows —
+    //     and never touches the event log. The exact side exists
+    //     purely as the correctness gate (in-band attestation, q23's
+    //     device); at 100 TB only the sketch path runs. ---
+    Q("q62_distinct_from_store",
+      """WITH mx AS (
+        |  SELECT CAST(date_trunc('day', max(ts)) AS DATE) AS md
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  TRUE AS sketch_ok
+        |FROM events, mx
+        |WHERE CAST(date_trunc('day', ts) AS DATE) >= md - 6
+        |GROUP BY event_type
+        |ORDER BY event_type""") { (s, dir) =>
+      val e = t(s, dir, "events")
+      val name = graft.index.SketchStore.tableFor(s, dir)
+      // 1-row bounded collect (the centroid/probe class): a LITERAL
+      // cutoff statically prunes the store scan to the window's day
+      // partitions, which a join-shaped filter could not promise
+      val cutoff = e
+        .agg(date_sub(to_date(date_trunc("DAY", max(col("ts")))), 6)
+          .as("cut"))
+        .head().getDate(0)
+      val served = graft.index.SketchStore.serveDistinct(s, name,
+        fromDay = Some(lit(cutoff)))
+      e.filter(to_date(date_trunc("DAY", col("ts"))) >= lit(cutoff))
+        .groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("n_exact"))
+        .join(served, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("n_distinct_est") - col("n_exact")).cast("double") <=
+            greatest(col("n_exact").cast("double") * lit(0.065),
+              lit(8.0))).as("sketch_ok"))
+        .orderBy("event_type")
     }
   )
 }

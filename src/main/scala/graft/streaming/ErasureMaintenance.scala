@@ -15,11 +15,27 @@ import graft.index.Erasure
   * serve-time-tombstone artifacts (maintained postings + vector store
   * — the two surfaces a reader can still QUERY between erasure and the
   * next compaction; the physically-purged ledger artifacts follow at
-  * the operator's `enforceAll` cadence, which replays the same ledger
-  * this maintainer feeds). One report row per batch — (n_requested,
+  * the `fullScope` cadence below, or the operator's own
+  * `Erasure.enforceAll` runs — both replay the same ledger this
+  * maintainer feeds). One report row per batch — (n_requested,
   * n_new, n_ledger_total) — is the auditor's evidence that every
   * request batch was processed, and its commit marker is the SLA
   * timestamp.
+  *
+  * Full-propagation cadence: pass `fullScope` (the warehouse's
+  * [[Erasure.Scope]] coverage statement) and every `fullEvery`-th
+  * batch also runs [[Erasure.enforceAll]] over the WHOLE ledger —
+  * the physically-purged artifacts (cleaned-corpus tables, digest
+  * ledgers, build-once stores) then follow the stream at a bounded
+  * lag instead of relying on an out-of-band operator job. The tick is
+  * keyed to the stable batch id, so replay re-runs the same
+  * (idempotent) sweep; ids recorded between ticks are narrowly
+  * enforced immediately and fully propagated at the next tick, and a
+  * tick replays the ENTIRE ledger, so no request can fall between
+  * cadence boundaries. `victimDocs` follows enforceAll's contract
+  * (required when the scope lists content-digest ledgers; already-
+  * purged digests re-derive to a no-op, so passing the live corpus
+  * frame every tick is safe).
   *
   * Protocol: report row FIRST (orphan-adopted on replay, so `n_new` —
   * computed against the pre-record ledger — stays the first attempt's
@@ -42,16 +58,21 @@ object ErasureMaintenance {
                termDocTable: Option[String], statsTable: Option[String],
                vectorStore: Option[String],
                reportTable: String, markerTable: String,
-               checkpointDir: String): StreamingQuery = {
+               checkpointDir: String,
+               fullScope: Option[Erasure.Scope] = None,
+               fullEvery: Int = 8,
+               victimDocs: Option[DataFrame] = None): StreamingQuery = {
     require(checkpointDir.nonEmpty,
       "ErasureMaintenance.maintain requires a durable checkpointDir: " +
         "replay-skip markers are only valid against stable batch ids")
+    require(fullEvery > 0, s"fullEvery must be positive, got $fullEvery")
     requests.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         eraseBatch(batch, batchId, ledger, termDocTable, statsTable,
-          vectorStore, reportTable, markerTable)
+          vectorStore, reportTable, markerTable, fullScope, fullEvery,
+          victimDocs)
       }
       .start()
   }
@@ -61,7 +82,10 @@ object ErasureMaintenance {
   def eraseBatch(batch: DataFrame, batchId: Long, ledger: String,
                  termDocTable: Option[String], statsTable: Option[String],
                  vectorStore: Option[String],
-                 reportTable: String, markerTable: String): Unit = {
+                 reportTable: String, markerTable: String,
+                 fullScope: Option[Erasure.Scope] = None,
+                 fullEvery: Int = 8,
+                 victimDocs: Option[DataFrame] = None): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val committed = spark.catalog.tableExists(markerTable) &&
@@ -88,6 +112,12 @@ object ErasureMaintenance {
     }
     Erasure.record(spark, ids, ledger)
     Erasure.enforce(spark, ledger, termDocTable, statsTable, vectorStore)
+    // cadence tick BEFORE the marker: a crash mid-sweep replays the
+    // batch and re-runs the (idempotent, whole-ledger) sweep
+    fullScope.foreach { scope =>
+      if ((batchId + 1) % fullEvery == 0)
+        Erasure.enforceAll(spark, ledger, scope, victimDocs)
+    }
     Seq(batchId).toDF("batch_id")
       .write.mode("append").saveAsTable(markerTable)
   }

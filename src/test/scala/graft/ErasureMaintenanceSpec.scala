@@ -163,4 +163,55 @@ class ErasureMaintenanceSpec extends AnyFunSuite {
     assert(spark.table(led).as[Long].collect().toSet ==
       Set(ids(3), ids(7), ids(11)))
   }
+
+  test("fullScope cadence sweeps the whole ledger into scope artifacts") {
+    import spark.implicits._
+    val (led, td, st, vs) = ("ermc_led", "ermc_td", "ermc_st", "ermc_vs")
+    TestWarehouse.reset(spark,
+      (artifactTables(led, td, st, vs) ++
+        Seq("ermc_report", "ermc_marker", "ermc_quality",
+          "ermc_quality_erasure_staging")): _*)
+    val ids = buildArtifacts(td, st, vs)
+    // a doc-keyed side artifact (quality scores) the narrow per-batch
+    // enforce cannot reach — only the cadence sweep purges it
+    tables.load(spark, dir, "documents")
+      .select(col("doc_id"), length(col("text")).as("q"))
+      .limit(40).write.saveAsTable("ermc_quality")
+    val scope = Erasure.Scope(termDocTable = Some(td),
+      statsTable = Some(st), vectorStore = Some(vs),
+      docTables = Seq(("ermc_quality", Seq("doc_id"))))
+    def qualityIds: Set[Long] = {
+      graft.streaming.Freshness.refresh(spark, "ermc_quality")
+      spark.table("ermc_quality").select("doc_id").as[Long].collect().toSet
+    }
+
+    val stream = MemoryStream[Long](spark)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ermc-ckpt").toString
+    val q = ErasureMaintenance.maintain(stream.toDF().toDF("doc_id"),
+      led, Some(td), Some(st), Some(vs), "ermc_report", "ermc_marker",
+      ckpt, fullScope = Some(scope), fullEvery = 2)
+    try {
+      stream.addData(ids(1)); q.processAllAvailable()
+      // batch 0, no tick: narrow artifacts enforced at once, the side
+      // artifact lags (the documented bounded-lag contract)
+      assert(!servedPostings(td, st).contains(ids(1)),
+        "narrow enforce missed the batch-0 victim")
+      assert(qualityIds.contains(ids(1)), "cadence ticked early")
+      stream.addData(ids(5)); q.processAllAvailable()
+      // batch 1 ticks: the sweep replays the WHOLE ledger, so the
+      // batch-0 victim is purged too, not just this batch's
+      assert(!qualityIds.contains(ids(1)) && !qualityIds.contains(ids(5)),
+        "cadence sweep missed a ledger id")
+      stream.addData(ids(9)); q.processAllAvailable()
+      assert(!servedPostings(td, st).contains(ids(9)),
+        "narrow enforce missed the batch-2 victim")
+      assert(qualityIds.contains(ids(9)), "tick fired off-cadence")
+      stream.addData(ids(13)); q.processAllAvailable()
+      assert(qualityIds.intersect(
+        Set(ids(1), ids(5), ids(9), ids(13))).isEmpty,
+        "post-tick side artifact still holds a victim")
+      assert(qualityIds.nonEmpty, "sweep purged non-victim rows")
+    } finally q.stop()
+  }
 }
