@@ -2207,6 +2207,113 @@ object Pipeline {
         .withColumn("milli_epochs",
           expr("(1000 * alloc) div n_tokens").cast("long"))
         .orderBy("source")
+    },
+
+    // --- K-ANONYMITY audit with a generalization ladder (pl42 — the
+    //     privacy-audit sibling of pl08/pl26's redaction: redaction
+    //     hides DIRECT identifiers, this measures whether the
+    //     QUASI-identifiers that remain — here (event_type, day) —
+    //     still single people out): a QI group with fewer than k=5
+    //     distinct users is a re-identification risk (Sweeney's k;
+    //     every release checklist runs this), and the standard fix is
+    //     GENERALIZATION — coarsen the offending attribute one rung
+    //     (day → ISO week) and re-test, trading utility for the floor.
+    //     Output per day-level group: its own distinct-user count, the
+    //     risk flag, the count its WEEK-level generalization reaches,
+    //     and whether the rung cleared it. Scale shape: two partial-agg
+    //     rollups of the event log (day level, week level — each one
+    //     shuffle of group-cardinality rows) joined on the
+    //     (type, week)-cardinality frame; no per-user state anywhere.
+    //     The distinct-user counts are exact here (they carry the
+    //     oracle hash); at 100 TB the day/week frames come from the
+    //     same rollup the SketchStore (q62) serves approximately. ---
+    Q("pl42_k_anonymity",
+      """WITH e AS (
+        |  SELECT event_type, user_id,
+        |    date_trunc('day', ts) AS day,
+        |    date_trunc('week', ts) AS week
+        |  FROM events),
+        |d AS (
+        |  SELECT event_type, day, min(week) AS week,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM e GROUP BY event_type, day),
+        |w AS (
+        |  SELECT event_type, week,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_week
+        |  FROM e GROUP BY event_type, week)
+        |SELECT d.event_type, d.day, d.n_users,
+        |  d.n_users < 5 AS at_risk,
+        |  w.n_users_week,
+        |  (d.n_users < 5 AND w.n_users_week >= 5) AS generalization_clears
+        |FROM d JOIN w ON d.event_type = w.event_type AND d.week = w.week
+        |ORDER BY d.event_type, d.day""") { (s, dir) =>
+      val k = lit(5L)
+      // day stays a TIMESTAMP on both sides (the q17 convention — a
+      // DATE round-trips as a different pandas dtype than DuckDB's)
+      val e = tables.load(s, dir, "events")
+        .select(col("event_type"), col("user_id"),
+          date_trunc("DAY", col("ts")).as("day"),
+          date_trunc("WEEK", col("ts")).as("week"))
+      val d = e.groupBy("event_type", "day")
+        .agg(min("week").as("week"),
+          count_distinct(col("user_id")).as("n_users"))
+      val w = e.groupBy("event_type", "week")
+        .agg(count_distinct(col("user_id")).as("n_users_week"))
+      d.join(w, Seq("event_type", "week"))
+        .select(col("event_type"), col("day"), col("n_users"),
+          (col("n_users") < k).as("at_risk"), col("n_users_week"),
+          (col("n_users") < k && col("n_users_week") >= k)
+            .as("generalization_clears"))
+        .orderBy("event_type", "day")
+    },
+
+    // --- Deterministic PSEUDONYMIZATION rewrite (pl43 — the third
+    //     privacy op: pl08/pl26 redact free text, pl42 audits
+    //     quasi-identifiers, this replaces the DIRECT identifier
+    //     column itself with a salted one-way token, the
+    //     share-the-logs-without-the-ids rewrite): pseudo =
+    //     md5(salt || user_id) — deterministic, so the SAME user maps
+    //     to the SAME token across tables/batches/engines and every
+    //     join or per-user aggregate still works on the pseudonymized
+    //     release; one-way under a secret salt (rotate the salt to
+    //     break linkage, the versioned-artifact convention). The
+    //     referential-integrity contract is attested IN-BAND on every
+    //     row (the q23 device): distinct users == distinct pseudonyms
+    //     (collision-free on this corpus) — a collision would silently
+    //     MERGE two users' histories in the release. Scale shape: the
+    //     rewrite is a pure map-side projection (zero shuffles); the
+    //     attestation is two countDistincts broadcast back as a 1-row
+    //     frame (the pl15 scalar-broadcast class). ---
+    Q("pl43_pseudonymize",
+      """WITH p AS (
+        |  SELECT event_id, event_type,
+        |    md5('graft-pseudo-v1:' || CAST(user_id AS VARCHAR))
+        |      AS pseudo_user
+        |  FROM events),
+        |ri AS (
+        |  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |    CAST(count(DISTINCT
+        |      md5('graft-pseudo-v1:' || CAST(user_id AS VARCHAR)))
+        |      AS BIGINT) AS n_pseudos
+        |  FROM events)
+        |SELECT event_id, event_type, pseudo_user,
+        |  n_users, n_pseudos, n_users = n_pseudos AS ri_ok
+        |FROM p CROSS JOIN ri
+        |ORDER BY event_id""") { (s, dir) =>
+      val e = tables.load(s, dir, "events")
+      val pseudo = md5(concat(lit("graft-pseudo-v1:"),
+        col("user_id").cast("string")).cast("binary"))
+      val ri = e.agg(
+        count_distinct(col("user_id")).as("n_users"),
+        count_distinct(md5(concat(lit("graft-pseudo-v1:"),
+          col("user_id").cast("string")).cast("binary"))).as("n_pseudos"))
+      e.select(col("event_id"), col("event_type"),
+          pseudo.as("pseudo_user"))
+        .crossJoin(broadcast(ri))
+        .select(col("event_id"), col("event_type"), col("pseudo_user"),
+          col("n_users"), col("n_pseudos"),
+          (col("n_users") === col("n_pseudos")).as("ri_ok"))
+        .orderBy("event_id")
     }
   )
 

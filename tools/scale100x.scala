@@ -76,9 +76,24 @@ mk("orders", Seq("o_orderkey", "o_custkey"))
 mk("customer", Seq("c_custkey"))
 mk("lineitem", Seq("l_orderkey"))
 
-// passthrough (dims + events unchanged; no heavy-15 query reads them at
+// events: 100 consistent sub-universes (round 15 — the sketch family
+// q61/q62 reads events at scale now): event/user ids offset together,
+// timestamps unchanged, so the same 30 days carry 100x rows and 100x
+// DISTINCT users per (type, day) — real distinct-count cardinality for
+// the HLL surface. Read through tables.load (normalizes the nanos
+// physical encoding) and rewritten as micros.
+{
+  val base = graft.tables.load(spark, src, "events")
+  val u = (0 until Copies).map { i =>
+    base.withColumn("event_id", col("event_id") + lit(i * Off))
+      .withColumn("user_id", col("user_id") + lit(i * Off))
+  }.reduce(_ unionByName _)
+  u.repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
+}
+
+// passthrough (dims unchanged; no heavy-15 query reads them at
 // scale). RAW file copy — see scale10x.scala's nanos-bridge note.
-for (t <- Seq("region", "nation", "supplier", "part", "events")) {
+for (t <- Seq("region", "nation", "supplier", "part")) {
   val from = java.nio.file.Paths.get(src, s"$t.parquet")
   val to = java.nio.file.Paths.get(out, s"$t.parquet")
   java.nio.file.Files.createDirectories(to.getParent)
