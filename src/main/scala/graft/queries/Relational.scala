@@ -1797,6 +1797,77 @@ object Relational {
             greatest(col("n_exact").cast("double") * lit(0.065),
               lit(8.0))).as("sketch_ok"))
         .orderBy("event_type")
+    },
+
+    // --- Session TRANSITION matrix (q63 — the Markov step of the
+    //     journey-analysis family: q27 finds the sessions, q52 matches
+    //     an ORDERED funnel through them, this measures where users GO
+    //     NEXT — P(to_type | from_type) over consecutive events inside
+    //     one session; the "what follows a view" table every product
+    //     stack keeps): sessions are q27's 30-min-gap islands (the
+    //     gaps-and-islands chain, gap STRICTLY greater starts a new
+    //     session — the pinned edge semantics), transitions pair each
+    //     event with its in-session successor via lead(); boundaries
+    //     contribute nothing (the last event of a session has no
+    //     successor — cross-session pairs would fabricate journeys
+    //     across hours of absence). Exactness: transition counts are
+    //     integers (they carry the oracle hash); probabilities are one
+    //     integer division rounded on both sides; gap comparison on
+    //     exact MICROSECONDS (a seconds cast would truncate the edge).
+    //     Scale shape: two narrow window passes over per-USER
+    //     partitions (bounded events per user — never corpus-wide) and
+    //     a types²-cardinality final aggregate; one hash exchange on
+    //     user_id feeds both windows (same partitioning, no re-
+    //     exchange), nothing wide ever shuffles. ---
+    Q("q63_session_transitions",
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked),
+        |tr AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id, sid
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM sess)
+        |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(count(*) AS DOUBLE) /
+        |    sum(count(*)) OVER (PARTITION BY from_type), 6) AS p
+        |FROM tr WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type
+        |ORDER BY from_type, to_type""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapUs = lit(1800L * 1000000L)
+      val marked = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"),
+          when(lag(col("ts"), 1).over(w).isNull ||
+            unix_micros(col("ts")) -
+              unix_micros(lag(col("ts"), 1).over(w)) > gapUs, 1L)
+            .otherwise(0L).as("new_sess"))
+      val sess = marked.withColumn("sid",
+        sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val w2 = Window.partitionBy("user_id", "sid")
+        .orderBy("ts", "event_id")
+      val tr = sess.select(col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(w2).as("to_type"))
+        .filter(col("to_type").isNotNull)
+      val wFrom = Window.partitionBy("from_type")
+      tr.groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          duckRound(col("n").cast("double") /
+            sum(col("n")).over(wFrom), 6).as("p"))
+        .orderBy("from_type", "to_type")
     }
   )
 }
