@@ -53,7 +53,8 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     "sm13_hybrid_rrf_from_index", // same scalar, from the stats artifact
     "pl30_bootstrap",         // bounded 16-row replicate fan-out frame
     "pl38_token_budget",      // 1-row total + 1-row top-up-count scalars
-    "pl41_epoch_waterfill")   // 1-row budget/cutoff/leftover scalars + |caps|-row lattice
+    "pl41_epoch_waterfill",   // 1-row budget/cutoff/leftover scalars + |caps|-row lattice
+    "pl43_pseudonymize")      // 1-row referential-integrity attestation scalar
 
   test("no query plans a cartesian; nested-loop joins only on whitelist") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()

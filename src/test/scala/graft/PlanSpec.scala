@@ -126,6 +126,26 @@ class PlanSpec extends AnyFunSuite {
       s"pl40 shuffle count changed:\n$p")
   }
 
+  test("SketchStore serve: artifact scan only, day window partition-pruned") {
+    import org.apache.spark.sql.functions._
+    val name = graft.index.SketchStore.tableFor(spark, dir)
+    val cut = java.sql.Date.valueOf("2024-01-24")
+    val df = graft.index.SketchStore.serveDistinct(spark, name,
+      fromDay = Some(lit(cut)))
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // build-once/serve-many: the served plan must never touch the
+    // event log — distinct counts come from the stored day sketches
+    val scanLocs = "Location:[^\\n]*".r.findAllIn(p).toSeq
+    assert(scanLocs.nonEmpty, s"no scan Location lines:\n$p")
+    assert(!scanLocs.exists(_.contains("events")),
+      s"sketch serve scans the event log: ${scanLocs.mkString("; ")}")
+    // the literal cutoff must prune day PARTITIONS, not post-filter rows
+    assert("PartitionFilters: \\[[^\\]]*day[^\\]]*\\]".r
+      .findFirstIn(p).isDefined,
+      s"day window not in PartitionFilters:\n$p")
+  }
+
   test("tx18/tx19: served entirely from the index artifact (no corpus scan)") {
     for (q <- Seq("tx18_phrase_from_index", "tx19_ranked_from_index",
         "tx22_bm25_from_index")) {

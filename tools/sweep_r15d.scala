@@ -37,5 +37,7 @@ println(s"SWEEP serve_only_rows $servedN")
 println(s"SWEEP pl42_rows ${timed("pl42_k_anonymity")(rowsOf("pl42_k_anonymity"))}")
 // pl43: map-side rewrite + 1-row attestation broadcast (10M output rows)
 println(s"SWEEP pl43_rows ${timed("pl43_pseudonymize")(rowsOf("pl43_pseudonymize"))}")
+// q63: two per-user window passes + types^2 final agg
+println(s"SWEEP q63_rows ${timed("q63_session_transitions")(rowsOf("q63_session_transitions"))}")
 println(s"SWEEP loadavg_after ${load()}")
 sys.exit(0)
