@@ -130,6 +130,26 @@ object SketchStore {
     }
   }
 
+  /** User-level right-to-erasure, one call (the doc-side
+    * `Erasure.enforceAll` convention applied to the event artifact):
+    * find the days the victims appear in, rebuild exactly those
+    * partitions from the gated source. `events` is the LIVE source
+    * (victim rows still present — they name the affected days); the
+    * rebuild itself reads only the gated remainder. Idempotent: a
+    * replay finds no victim rows and rebuilds nothing. */
+  def eraseUsers(events: DataFrame, name: String,
+                 userIds: Seq[Long]): Unit = {
+    if (userIds.isEmpty) return
+    val affected = events
+      .filter(col("user_id").isin(userIds: _*))
+      .select(to_date(date_trunc("DAY", col("ts"))).as("day"))
+      .distinct()
+      .collect().map(_.getDate(0)).toSeq // bounded: request-sized days
+    if (affected.isEmpty) return
+    rebuildDays(events.filter(!col("user_id").isin(userIds: _*)),
+      name, affected)
+  }
+
   /** Distinct-user estimates per event_type from stored sketches,
     * optionally over a day window (partition-pruned): (event_type,
     * n_distinct_est). Zero event-log scans. */

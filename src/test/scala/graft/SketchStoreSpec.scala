@@ -119,4 +119,23 @@ class SketchStoreSpec extends AnyFunSuite {
       .filter(col("day") === lit(lastDay)).isEmpty,
       "fully-erased day still has sketch rows")
   }
+
+  test("eraseUsers: one-call user erasure == fresh gated build; " +
+      "replay is a no-op") {
+    import spark.implicits._
+    TestWarehouse.reset(spark, "sks_u_sketches", "sks_u_stats",
+      "sks_ug_sketches", "sks_ug_stats")
+    SketchStore.build(events, "sks_u")
+    val victims = events.select("user_id").distinct()
+      .orderBy("user_id").limit(2).as[Long].collect().toSeq
+    SketchStore.eraseUsers(events, "sks_u", victims)
+    SketchStore.build(
+      events.filter(!col("user_id").isin(victims: _*)), "sks_ug")
+    assert(served("sks_u") == served("sks_ug"),
+      "eraseUsers serves differently from a fresh gated build")
+    // replay against the already-gated source: nothing to rebuild
+    SketchStore.eraseUsers(
+      events.filter(!col("user_id").isin(victims: _*)), "sks_u", victims)
+    assert(served("sks_u") == served("sks_ug"), "replay drifted serving")
+  }
 }
