@@ -104,6 +104,58 @@ object SketchMaintenance {
         hll_union_agg(col("sk"), lit(false))).as("n_distinct_est"))
   }
 
+  /** User-level erasure for the LEDGER (SketchStore.eraseUsers'
+    * streaming twin): HLL cannot delete a member, so the victims'
+    * days are re-sketched from the gated source and REPLACE every
+    * ledger row of those days, whatever batch wrote them; unaffected
+    * days are carried verbatim. Stage-then-swap under the compact
+    * protocol. Contract: maintenance window with the maintainer
+    * stopped AND fully committed — an uncommitted orphan row-set
+    * could re-introduce a victim when a later replay adopts it, so
+    * orphans here are REFUSED loudly, not silently carried. `events`
+    * is the live source (victim rows still present name the affected
+    * days; the rebuild reads only the gated remainder). */
+  def purgeUsers(spark: SparkSession, events: DataFrame,
+                 sketchTable: String, markerTable: String,
+                 userIds: Seq[Long],
+                 lgK: Int = SketchStore.DefaultLgK): Unit = {
+    if (userIds.isEmpty) return
+    recoverStaging(spark, sketchTable)
+    if (!spark.catalog.tableExists(sketchTable) ||
+        !spark.catalog.tableExists(markerTable)) return
+    val markers = spark.table(markerTable).select("batch_id")
+    if (markers.isEmpty) return
+    val t = spark.table(sketchTable)
+    require(t.join(broadcast(markers), Seq("batch_id"), "left_anti")
+      .isEmpty,
+      s"purgeUsers on $sketchTable: uncommitted orphan row-set present " +
+        "— a later replay would adopt it and re-introduce the victim; " +
+        "run in a maintenance window after the maintainer committed")
+    val affected = events
+      .filter(col("user_id").isin(userIds: _*))
+      .select(to_date(date_trunc("DAY", col("ts"))).as("day"))
+      .distinct()
+      .collect().map(_.getDate(0)).toSeq // bounded: request-sized days
+    if (affected.isEmpty) return
+    val tag = markers.agg(max("batch_id")).head().getLong(0)
+    val fresh = SketchStore.dailySketches(
+        events.filter(!col("user_id").isin(userIds: _*))
+          .filter(to_date(date_trunc("DAY", col("ts")))
+            .isin(affected.map(_.toString): _*)),
+        lgK)
+      .select(lit(tag).as("batch_id"), col("event_type"), col("day"),
+        col("sk"), col("n_rows"))
+    val kept = t.filter(!col("day").isin(affected.map(_.toString): _*))
+      .select("batch_id", "event_type", "day", "sk", "n_rows")
+    val staging = sketchTable + "_staging"
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    graft.index.VectorStore.clearOrphanLocation(spark, staging)
+    kept.unionAll(fresh)
+      .write.mode("overwrite").saveAsTable(staging)
+    spark.sql(s"DROP TABLE IF EXISTS $sketchTable")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $sketchTable")
+  }
+
   /** Fold the committed ledger back to ONE row per (event_type, day)
     * under the max committed batch tag — serving before/after is
     * identical because union is associative and the serve path IS a

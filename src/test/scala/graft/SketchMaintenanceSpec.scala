@@ -128,4 +128,39 @@ class SketchMaintenanceSpec extends AnyFunSuite {
     assert(spark.catalog.tableExists(st), "serve did not heal staging")
     assert(healed == servedMap(st, mt))
   }
+
+  test("purgeUsers rewrites the victims' days from the gated source; " +
+      "refuses with an orphan pending") {
+    import spark.implicits._
+    val (st, mt) = ("skmp_sketch", "skmp_marker")
+    TestWarehouse.reset(spark, st, mt, s"${st}_staging",
+      "skmp_ref_sketches", "skmp_ref_stats")
+    val rows = eventRows
+    val (b0, b1) = rows.splitAt(rows.size / 2)
+    val all = rows.toDF("ts", "event_type", "user_id")
+    SketchMaintenance.appendBatch(
+      b0.toDF("ts", "event_type", "user_id"), 0L, st, mt)
+    SketchMaintenance.appendBatch(
+      b1.toDF("ts", "event_type", "user_id"), 1L, st, mt)
+
+    val victims = all.select("user_id").distinct()
+      .orderBy("user_id").limit(2).as[Long].collect().toSeq
+    SketchMaintenance.purgeUsers(spark, all, st, mt, victims)
+    SketchStore.build(
+      all.filter(!col("user_id").isin(victims: _*)), "skmp_ref")
+    assert(servedMap(st, mt) == storeMap("skmp_ref"),
+      "purged ledger serves differently from a fresh gated build")
+
+    // an uncommitted orphan row-set must make the purge refuse loudly
+    SketchStore.dailySketches(
+        b1.toDF("ts", "event_type", "user_id"), SketchStore.DefaultLgK)
+      .select(lit(9L).as("batch_id"), col("event_type"), col("day"),
+        col("sk"), col("n_rows"))
+      .write.mode("append").saveAsTable(st)
+    val e = intercept[IllegalArgumentException] {
+      SketchMaintenance.purgeUsers(spark, all, st, mt, victims)
+    }
+    assert(e.getMessage.contains("orphan"),
+      s"wrong refusal message: ${e.getMessage}")
+  }
 }
