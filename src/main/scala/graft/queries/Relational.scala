@@ -1868,6 +1868,88 @@ object Relational {
           duckRound(col("n").cast("double") /
             sum(col("n")).over(wFrom), 6).as("p"))
         .orderBy("from_type", "to_type")
+    },
+
+    // --- Week-over-week RETENTION from sketch ALGEBRA (q64 — the
+    //     INTERSECTION estimate q61's unions can't give directly: HLL
+    //     has no intersect, so retention |users(w) ∩ users(w+1)| comes
+    //     by inclusion-exclusion over three union-able sketches,
+    //     |A| + |B| − |A∪B| — the canonical cohort-retention recipe
+    //     over pre-aggregated sketches, answering "how many of last
+    //     week's users came back" from (keys × weeks) tiny rows
+    //     instead of two event-log scans per week pair). Error
+    //     compounds (three ±1.63% estimates against a possibly-small
+    //     intersection), so the attested envelope is wider — 12% of
+    //     the exact UNION plus a small-count floor — and the exact
+    //     intersection (one distinct-pairs self-join) carries the
+    //     oracle hash. Scale shape: weekly sketches are one rollup;
+    //     adjacent weeks pair by an equi-join on a materialized
+    //     next-week key (no interval inequality); the exact side's
+    //     self-join keys on (type, user, week+7) — all hash joins. ---
+    Q("q64_retention_sketch",
+      """WITH wu AS (
+        |  SELECT DISTINCT event_type, date_trunc('week', ts) AS week,
+        |    user_id
+        |  FROM events),
+        |wk AS (
+        |  SELECT event_type, week,
+        |    CAST(count(*) AS BIGINT) AS n_users
+        |  FROM wu GROUP BY event_type, week),
+        |ret AS (
+        |  SELECT a.event_type, a.week,
+        |    CAST(count(*) AS BIGINT) AS n_retained
+        |  FROM wu a JOIN wu b
+        |    ON a.event_type = b.event_type AND a.user_id = b.user_id
+        |   AND b.week = a.week + INTERVAL 7 DAY
+        |  GROUP BY a.event_type, a.week)
+        |SELECT r.event_type, r.week, r.n_retained,
+        |  ka.n_users AS n_week, kb.n_users AS n_next_week,
+        |  TRUE AS sketch_ok
+        |FROM ret r
+        |JOIN wk ka ON ka.event_type = r.event_type AND ka.week = r.week
+        |JOIN wk kb ON kb.event_type = r.event_type
+        |          AND kb.week = r.week + INTERVAL 7 DAY
+        |ORDER BY r.event_type, r.week""") { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("event_type"),
+          date_trunc("WEEK", col("ts")).as("week"), col("user_id"))
+      // one weekly rollup carries BOTH the sketch and the exact count
+      val wk = e.groupBy("event_type", "week")
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+          count_distinct(col("user_id")).as("n_users"))
+      val a = wk.select(col("event_type"), col("week"), col("sk"),
+        col("n_users"),
+        (col("week") + expr("INTERVAL 7 DAYS")).as("next_week"))
+      val b = wk.select(col("event_type").as("b_type"),
+        col("week").as("b_week"), col("sk").as("b_sk"),
+        col("n_users").as("n_next_week"))
+      val pairs = a.join(b,
+        col("event_type") === col("b_type") &&
+          col("next_week") === col("b_week"))
+        .select(col("event_type"), col("week"),
+          col("n_users").as("n_week"), col("n_next_week"),
+          (hll_sketch_estimate(col("sk")) +
+            hll_sketch_estimate(col("b_sk")) -
+            hll_sketch_estimate(hll_union(col("sk"), col("b_sk"))))
+            .as("est_retained"))
+      val wu = e.distinct()
+      val wuNext = wu.select(col("event_type").as("y_type"),
+        (col("week") - expr("INTERVAL 7 DAYS")).as("y_week"),
+        col("user_id").as("y_user"))
+      val ret = wu.join(wuNext,
+          col("event_type") === col("y_type") &&
+            col("week") === col("y_week") &&
+            col("user_id") === col("y_user"))
+        .groupBy("event_type", "week")
+        .agg(count(lit(1)).as("n_retained"))
+      ret.join(pairs, Seq("event_type", "week"))
+        .select(col("event_type"), col("week"), col("n_retained"),
+          col("n_week"), col("n_next_week"),
+          (abs(col("est_retained") - col("n_retained")).cast("double") <=
+            greatest((col("n_week") + col("n_next_week") -
+              col("n_retained")).cast("double") * lit(0.12),
+              lit(16.0))).as("sketch_ok"))
+        .orderBy("event_type", "week")
     }
   )
 }
