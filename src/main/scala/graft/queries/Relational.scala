@@ -1950,6 +1950,77 @@ object Relational {
               col("n_retained")).cast("double") * lit(0.12),
               lit(16.0))).as("sketch_ok"))
         .orderBy("event_type", "week")
+    },
+
+    // --- Retention via NATIVE Theta-sketch intersection (q65 — q64's
+    //     tighter twin and the fifth sketch family: a Theta sketch is
+    //     a uniform hash SAMPLE of the set, so intersection is a
+    //     first-class operation with ONE estimate instead of q64's
+    //     three-term inclusion-exclusion; Datasketches theta, the
+    //     library Spark's own HLL functions ship with). Built by one
+    //     mapGroups pass with bounded per-group state (≤ 2^12 retained
+    //     hashes whatever streams through — the KeyValueGroupedDataset
+    //     custom-state recipe); below 4096 distinct users per (type,
+    //     week) the sketch is in EXACT mode, past it sampling starts,
+    //     so the attested envelope is 8% of the exact union + a floor
+    //     (tighter than q64's 12% — the single-estimate advantage the
+    //     query exists to exhibit). Same oracle as q64: serving from a
+    //     different sketch family must not change the answer. ---
+    Q("q65_theta_retention",
+      """WITH wu AS (
+        |  SELECT DISTINCT event_type, date_trunc('week', ts) AS week,
+        |    user_id
+        |  FROM events),
+        |wk AS (
+        |  SELECT event_type, week,
+        |    CAST(count(*) AS BIGINT) AS n_users
+        |  FROM wu GROUP BY event_type, week),
+        |ret AS (
+        |  SELECT a.event_type, a.week,
+        |    CAST(count(*) AS BIGINT) AS n_retained
+        |  FROM wu a JOIN wu b
+        |    ON a.event_type = b.event_type AND a.user_id = b.user_id
+        |   AND b.week = a.week + INTERVAL 7 DAY
+        |  GROUP BY a.event_type, a.week)
+        |SELECT r.event_type, r.week, r.n_retained,
+        |  ka.n_users AS n_week, kb.n_users AS n_next_week,
+        |  TRUE AS sketch_ok
+        |FROM ret r
+        |JOIN wk ka ON ka.event_type = r.event_type AND ka.week = r.week
+        |JOIN wk kb ON kb.event_type = r.event_type
+        |          AND kb.week = r.week + INTERVAL 7 DAY
+        |ORDER BY r.event_type, r.week""") { (s, dir) =>
+      val e = t(s, dir, "events")
+      val est = graft.operators.ThetaSketch.weeklyRetention(e)
+      val wu = e.select(col("event_type"),
+        date_trunc("WEEK", col("ts")).as("week"), col("user_id"))
+        .distinct()
+      val wk = wu.groupBy("event_type", "week")
+        .agg(count(lit(1)).as("n_users"))
+      val wuNext = wu.select(col("event_type").as("y_type"),
+        (col("week") - expr("INTERVAL 7 DAYS")).as("y_week"),
+        col("user_id").as("y_user"))
+      val ret = wu.join(wuNext,
+          col("event_type") === col("y_type") &&
+            col("week") === col("y_week") &&
+            col("user_id") === col("y_user"))
+        .groupBy("event_type", "week")
+        .agg(count(lit(1)).as("n_retained"))
+      val kb = wk.select(col("event_type").as("k_type"),
+        (col("week") - expr("INTERVAL 7 DAYS")).as("k_week"),
+        col("n_users").as("n_next_week"))
+      ret
+        .join(wk, Seq("event_type", "week"))
+        .join(kb, col("event_type") === col("k_type") &&
+          col("week") === col("k_week"))
+        .join(est, Seq("event_type", "week"))
+        .select(col("event_type"), col("week"), col("n_retained"),
+          col("n_users").as("n_week"), col("n_next_week"),
+          (abs(col("est_retained") - col("n_retained")).cast("double") <=
+            greatest((col("n_users") + col("n_next_week") -
+              col("n_retained")).cast("double") * lit(0.08),
+              lit(12.0))).as("sketch_ok"))
+        .orderBy("event_type", "week")
     }
   )
 }
