@@ -2314,6 +2314,70 @@ object Pipeline {
           col("n_users"), col("n_pseudos"),
           (col("n_users") === col("n_pseudos")).as("ri_ok"))
         .orderBy("event_id")
+    },
+
+    // --- Corpus RELEASE DIFF (pl44 — the changelog between two corpus
+    //     snapshots every dataset release publishes next to pl34's
+    //     datasheet: per source, how many docs were added / removed /
+    //     changed / unchanged since the last release — the number
+    //     consumers read to decide whether to retrain and auditors
+    //     read to see churn): snapshot B is synthesized from the
+    //     corpus by deterministic md5 coins (pl03's device — ~5%
+    //     removed, ~10% text-revised, ~3% appended under fresh ids) so
+    //     both engines diff the identical pair; the diff itself is ONE
+    //     doc_id hash join of the two snapshots (full outer — each
+    //     side's orphans ARE the adds/removes) with a map-side content
+    //     compare, collapsing to a (sources × 4) frame. At 100 TB the
+    //     compare runs on stored content DIGESTS (the dd01 column),
+    //     not text — the join shape is unchanged. ---
+    Q("pl44_release_diff",
+      """WITH a AS (SELECT doc_id, source, text FROM documents),
+        |b AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN CAST(concat('0x', substr(md5('chg' ||
+        |           CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 < 10
+        |         THEN text || ' [rev2]' ELSE text END AS text
+        |  FROM documents
+        |  WHERE CAST(concat('0x', substr(md5('rm' ||
+        |          CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 >= 5
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, source, text || ' [new]'
+        |  FROM documents
+        |  WHERE CAST(concat('0x', substr(md5('add' ||
+        |          CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 < 3),
+        |d AS (
+        |  SELECT coalesce(a.source, b.source) AS source,
+        |    CASE WHEN a.doc_id IS NULL THEN 'added'
+        |         WHEN b.doc_id IS NULL THEN 'removed'
+        |         WHEN a.text <> b.text THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT source, status, CAST(count(*) AS BIGINT) AS n
+        |FROM d GROUP BY source, status
+        |ORDER BY source, status""") { (s, dir) =>
+      def coin(salt: String) =
+        conv(substring(md5(concat(lit(salt),
+          col("doc_id").cast("string"))), 1, 6), 16, 10).cast("long") % 100
+      val a = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val kept = a.filter(coin("rm") >= 5)
+        .select(col("doc_id"), col("source"),
+          when(coin("chg") < 10, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")).as("text"))
+      val added = a.filter(coin("add") < 3)
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("source"),
+          concat(col("text"), lit(" [new]")).as("text"))
+      val b = kept.unionAll(added)
+        .select(col("doc_id").as("b_id"), col("source").as("b_source"),
+          col("text").as("b_text"))
+      a.join(b, col("doc_id") === col("b_id"), "full_outer")
+        .select(coalesce(col("source"), col("b_source")).as("source"),
+          when(col("doc_id").isNull, lit("added"))
+            .when(col("b_id").isNull, lit("removed"))
+            .when(col("text") =!= col("b_text"), lit("changed"))
+            .otherwise(lit("unchanged")).as("status"))
+        .groupBy("source", "status")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("source", "status")
     }
   )
 
