@@ -2021,6 +2021,70 @@ object Relational {
               col("n_retained")).cast("double") * lit(0.08),
               lit(12.0))).as("sketch_ok"))
         .orderBy("event_type", "week")
+    },
+
+    // --- Approximate query processing by DETERMINISTIC sampling (q66
+    //     — the BlinkDB recipe, the third approximation axis after
+    //     sketches (q23/q61...) and approx-percentile (q57): answer an
+    //     aggregate from a fixed hash-SAMPLE of the fact table and
+    //     quote the CLT error bar. The sample membership is an md5
+    //     coin on the row key (pl03's device), NOT rand() — so the
+    //     sample is a stable, re-runnable TABLE both engines construct
+    //     identically, which is what makes the scaled estimates
+    //     themselves hash-comparable (and, at 100 TB, what lets a
+    //     deployment MATERIALIZE the sample once and answer every
+    //     later explore-query from 10% of the bytes). Estimates are
+    //     exact integers (cents × 1/s with s = 10% — no float
+    //     surface); the CLT attestations (4σ: binomial-thinning
+    //     variance n·(1−s)/s for counts, (1/s−1)·Σc² for sums) ride
+    //     in-band as booleans. Scale shape: one scan, two partial
+    //     aggregates (full + FILTER-masked), group-cardinality output
+    //     — the exact side exists only as the gate; production scans
+    //     the materialized sample. ---
+    Q("q66_sampled_revenue",
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR) ||
+        |      '#' || CAST(l_linenumber AS VARCHAR)), 1, 6)) AS BIGINT)
+        |      % 100 < 10 AS in_s
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents_exact,
+        |  CAST(10 * count(*) FILTER (WHERE in_s) AS BIGINT) AS n_est,
+        |  CAST(10 * coalesce(sum(cents) FILTER (WHERE in_s), 0)
+        |    AS BIGINT) AS sum_cents_est,
+        |  TRUE AS n_ok, TRUE AS sum_ok
+        |FROM s GROUP BY l_returnflag
+        |ORDER BY l_returnflag""") { (s, dir) =>
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      val inS = conv(substring(md5(concat(
+          col("l_orderkey").cast("string"), lit("#"),
+          col("l_linenumber").cast("string"))), 1, 6), 16, 10)
+        .cast("long") % 100 < 10
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), cents.as("cents"), inS.as("in_s"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(col("cents")).as("sum_cents_exact"),
+          (lit(10L) * count(when(col("in_s"), lit(1)))).as("n_est"),
+          (lit(10L) * coalesce(sum(when(col("in_s"), col("cents"))),
+            lit(0L))).as("sum_cents_est"),
+          // 4σ CLT bands: Var(n_est) = n(1−s)/s = 9n at s = 0.1;
+          // Var(sum_est) = (1/s − 1)·Σc² = 9·Σc² (doubles — bound
+          // math only, the booleans are what compare)
+          sum(col("cents").cast("double") * col("cents").cast("double"))
+            .as("sq"))
+        .select(col("l_returnflag"), col("n_exact"),
+          col("sum_cents_exact"), col("n_est"), col("sum_cents_est"),
+          (abs(col("n_est") - col("n_exact")).cast("double") <=
+            lit(4.0) * sqrt(lit(9.0) * col("n_exact").cast("double")))
+            .as("n_ok"),
+          (abs(col("sum_cents_est") - col("sum_cents_exact"))
+            .cast("double") <= lit(4.0) * sqrt(lit(9.0) * col("sq")))
+            .as("sum_ok"))
+        .orderBy("l_returnflag")
     }
   )
 }
