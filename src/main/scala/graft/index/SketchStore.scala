@@ -120,14 +120,24 @@ object SketchStore {
       case None    => spark.conf.unset(key)
     }
     // dynamic overwrite only touches partitions present in `fresh`: a
-    // day whose every row was erased must be dropped, not kept stale
+    // day whose every row was erased must be dropped, not kept stale.
+    // IF EXISTS covers the benign already-gone case; any other failure
+    // propagates — a swallowed drop would keep serving the erased
+    // day's sketch, silently breaking the right-to-erasure contract —
+    // and the post-drop check proves the partition actually stopped
+    // serving before this returns
     val still = fresh.select("day").distinct()
       .collect().map(_.getDate(0).toString).toSet
-    days.filterNot(d => still(d.toString)).foreach { d =>
-      try spark.sql(
-        s"ALTER TABLE $table DROP IF EXISTS PARTITION (day='$d')")
-      catch { case _: Exception => () }
+    val erasedWhole = days.filterNot(d => still(d.toString))
+    erasedWhole.foreach { d =>
+      spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (day='$d')")
     }
+    if (erasedWhole.nonEmpty)
+      require(spark.table(table)
+        .filter(col("day").isin(erasedWhole.map(_.toString): _*)).isEmpty,
+        s"rebuildDays on $table: fully-erased day partition(s) " +
+          s"${erasedWhole.mkString(", ")} still serve rows after DROP " +
+          "PARTITION — refusing to report the erasure complete")
   }
 
   /** User-level right-to-erasure, one call (the doc-side

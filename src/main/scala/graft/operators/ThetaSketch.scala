@@ -20,9 +20,15 @@ import org.apache.spark.sql.functions._
   * bounded per-group state (≤ 2^lgK hashes however many rows stream
   * through), exactly the `KeyValueGroupedDataset` custom-state recipe;
   * per-group results are (keys × weeks) tiny binary rows. Determinism:
-  * a Theta sketch keeps the k SMALLEST hashes under the library's
-  * fixed default seed, so the result is independent of row order —
-  * safe for hash-compared oracles.
+  * in EXACT mode (≤ 2^lgK distinct values per group) the sketch holds
+  * every hash under the library's fixed default seed, so the result is
+  * independent of row order and partitioning — the regime the
+  * hash-compared oracle path relies on, and `ThetaSketchSpec` pins.
+  * ABOVE nominal entries a QuickSelect sketch's retained set and theta
+  * DO depend on insertion/merge order, so estimates near the envelope
+  * edge can vary run-to-run by a fraction of the RSE — q65's attested
+  * envelope is sized for estimate variance (boolean in-envelope
+  * columns, never raw estimates, cross the oracle hash).
   */
 object ThetaSketch {
 

@@ -28,11 +28,35 @@ import graft.index.SketchStore
   * stable). Unlike Misra–Gries, a duplicate HLL row-set under one
   * batch_id would serve the SAME estimate (idempotent union) — the
   * orphan-adopt protocol is still kept so the n_rows audit column and
-  * ledger growth stay honest. lgK is fixed per ledger; a mixed-lgK
-  * append is refused by `hll_union_agg(_, false)` at serve time, the
-  * TokenizerStore mixed-vocab convention.
+  * ledger growth stay honest. lgK is fixed per ledger and RECORDED in
+  * a `<sketchTable>_stats` side table on first append (the SketchStore
+  * convention): a mismatched append is refused loudly BEFORE any row
+  * lands — not left for `hll_union_agg(_, false)` to reject at serve
+  * time, when the poisoned rows are already in the ledger.
   */
 object SketchMaintenance {
+
+  private def statsTable(sketchTable: String) = sketchTable + "_stats"
+
+  /** Validate-or-record the ledger's lgK. First writer records it;
+    * every later append must match — refused before any sketch row is
+    * written, so a misconfigured maintainer can never poison serving. */
+  private def checkLgK(spark: SparkSession, sketchTable: String,
+                       lgK: Int): Unit = {
+    import spark.implicits._
+    val st = statsTable(sketchTable)
+    if (spark.catalog.tableExists(st)) {
+      val recorded = spark.table(st).select("lg_k").head().getInt(0)
+      require(recorded == lgK,
+        s"mixed-lgK append refused: ledger $sketchTable records " +
+          s"lg_k=$recorded, this append offered lgK=$lgK — " +
+          "hll_union_agg cannot merge mixed precisions; rebuild the " +
+          "ledger to change lgK")
+    } else {
+      graft.index.VectorStore.clearOrphanLocation(spark, st)
+      Seq(lgK).toDF("lg_k").write.mode("overwrite").saveAsTable(st)
+    }
+  }
 
   /** Start the maintainer over streaming `newEvents` (`ts`,
     * `event_type`, `user_id`). */
@@ -61,6 +85,7 @@ object SketchMaintenance {
     val spark = batch.sparkSession
     import spark.implicits._
     recoverStaging(spark, sketchTable)
+    checkLgK(spark, sketchTable, lgK)
     val committed = spark.catalog.tableExists(markerTable) &&
       !spark.table(markerTable).filter(col("batch_id") === batchId).isEmpty
     if (committed) return
@@ -123,14 +148,19 @@ object SketchMaintenance {
     recoverStaging(spark, sketchTable)
     if (!spark.catalog.tableExists(sketchTable) ||
         !spark.catalog.tableExists(markerTable)) return
+    checkLgK(spark, sketchTable, lgK)
     val markers = spark.table(markerTable).select("batch_id")
-    if (markers.isEmpty) return
     val t = spark.table(sketchTable)
+    // orphan check BEFORE any early return: an all-orphan ledger (rows
+    // appended, marker never committed — markers empty, table not) must
+    // refuse loudly here, not silently no-op an erasure request while
+    // victim data remains in the sketch table
     require(t.join(broadcast(markers), Seq("batch_id"), "left_anti")
       .isEmpty,
       s"purgeUsers on $sketchTable: uncommitted orphan row-set present " +
         "— a later replay would adopt it and re-introduce the victim; " +
         "run in a maintenance window after the maintainer committed")
+    if (markers.isEmpty) return // ledger provably empty (require above)
     val affected = events
       .filter(col("user_id").isin(userIds: _*))
       .select(to_date(date_trunc("DAY", col("ts"))).as("day"))

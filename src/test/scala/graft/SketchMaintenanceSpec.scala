@@ -40,7 +40,7 @@ class SketchMaintenanceSpec extends AnyFunSuite {
       "replay no-op; compact preserves serving") {
     import spark.implicits._
     val (st, mt) = ("skm_sketch", "skm_marker")
-    TestWarehouse.reset(spark, st, mt, s"${st}_staging",
+    TestWarehouse.reset(spark, st, mt, s"${st}_staging", s"${st}_stats",
       "skm_ref_sketches", "skm_ref_stats")
     val rows = eventRows
     // three batches cut MID-DAY (time-ordered rows split unevenly), so
@@ -91,7 +91,7 @@ class SketchMaintenanceSpec extends AnyFunSuite {
       "swap heals at serve") {
     import spark.implicits._
     val (st, mt) = ("skmo_sketch", "skmo_marker")
-    TestWarehouse.reset(spark, st, mt, s"${st}_staging")
+    TestWarehouse.reset(spark, st, mt, s"${st}_staging", s"${st}_stats")
     val rows = eventRows
     val (b0, b1) = rows.splitAt(rows.size / 2)
     SketchMaintenance.appendBatch(
@@ -133,7 +133,7 @@ class SketchMaintenanceSpec extends AnyFunSuite {
       "refuses with an orphan pending") {
     import spark.implicits._
     val (st, mt) = ("skmp_sketch", "skmp_marker")
-    TestWarehouse.reset(spark, st, mt, s"${st}_staging",
+    TestWarehouse.reset(spark, st, mt, s"${st}_staging", s"${st}_stats",
       "skmp_ref_sketches", "skmp_ref_stats")
     val rows = eventRows
     val (b0, b1) = rows.splitAt(rows.size / 2)
@@ -162,5 +162,50 @@ class SketchMaintenanceSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("orphan"),
       s"wrong refusal message: ${e.getMessage}")
+  }
+
+  test("mixed-lgK append is refused before any row lands; " +
+      "an all-orphan ledger refuses an erasure request loudly") {
+    import spark.implicits._
+    val (st, mt) = ("skml_sketch", "skml_marker")
+    TestWarehouse.reset(spark, st, mt, s"${st}_staging", s"${st}_stats")
+    val rows = eventRows
+    val all = rows.toDF("ts", "event_type", "user_id")
+    SketchMaintenance.appendBatch(all, 0L, st, mt, lgK = 12)
+    assert(spark.table(s"${st}_stats").select("lg_k").head().getInt(0)
+      == 12, "first append did not record its lgK in the stats table")
+
+    // a maintainer restarted with a different precision must be refused
+    // at APPEND time — before its rows poison hll_union_agg at serve —
+    // leaving ledger and markers exactly as they were
+    val (ledger0, markers0) =
+      (spark.table(st).count(), spark.table(mt).count())
+    val e = intercept[IllegalArgumentException] {
+      SketchMaintenance.appendBatch(all, 1L, st, mt, lgK = 11)
+    }
+    assert(e.getMessage.contains("mixed-lgK"),
+      s"wrong refusal message: ${e.getMessage}")
+    assert(spark.table(st).count() == ledger0,
+      "refused append still wrote sketch rows")
+    assert(spark.table(mt).count() == markers0,
+      "refused append still wrote a marker")
+
+    // all-orphan ledger: rows present, marker table exists but EMPTY
+    // (crash before the first commit) — purgeUsers must refuse, not
+    // silently no-op while victim data remains servable-on-adopt
+    val (so, mo) = ("skml_o_sketch", "skml_o_marker")
+    TestWarehouse.reset(spark, so, mo, s"${so}_staging", s"${so}_stats")
+    Seq.empty[(Long, Long)].toDF("batch_id", "n_events")
+      .write.mode("overwrite").saveAsTable(mo)
+    SketchStore.dailySketches(all, SketchStore.DefaultLgK)
+      .select(lit(0L).as("batch_id"), col("event_type"), col("day"),
+        col("sk"), col("n_rows"))
+      .write.mode("append").saveAsTable(so)
+    val victims = all.select("user_id").limit(1).as[Long].collect().toSeq
+    val e2 = intercept[IllegalArgumentException] {
+      SketchMaintenance.purgeUsers(spark, all, so, mo, victims)
+    }
+    assert(e2.getMessage.contains("orphan"),
+      s"wrong refusal message: ${e2.getMessage}")
   }
 }
