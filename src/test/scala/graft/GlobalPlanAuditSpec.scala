@@ -54,7 +54,10 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     "pl30_bootstrap",         // bounded 16-row replicate fan-out frame
     "pl38_token_budget",      // 1-row total + 1-row top-up-count scalars
     "pl41_epoch_waterfill",   // 1-row budget/cutoff/leftover scalars + |caps|-row lattice
-    "pl43_pseudonymize")      // 1-row referential-integrity attestation scalar
+    "pl43_pseudonymize",      // 1-row referential-integrity attestation scalar
+    "mm10_dhash_neardup",     // 1-row adaptive-band-width scalar (bits(n)+4)
+    "dd04_simhash",           // same 1-row band-width scalar over survivors
+    "dd13_simhash_allpairs")  // same scalar over the raw-docs twin
 
   test("no query plans a cartesian; nested-loop joins only on whitelist") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
