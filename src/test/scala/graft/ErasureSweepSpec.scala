@@ -53,6 +53,8 @@ class ErasureSweepSpec extends AnyFunSuite {
     val docs40 = tables.load(spark, dir, "documents")
       .orderBy("doc_id").limit(40).cache()
     docs40.write.mode("overwrite").parquet(s"$tmpDir/documents.parquet")
+    tables.load(spark, dir, "embeddings")
+      .write.mode("overwrite").parquet(s"$tmpDir/embeddings.parquet")
     val rows = docs40.select("doc_id", "text").as[(Long, String)]
       .collect().sortBy(_._1)
     val ids = rows.map(_._1)
@@ -117,6 +119,7 @@ class ErasureSweepSpec extends AnyFunSuite {
     // build-once artifacts (WITH the victims — erasure must rebuild)
     IndexStore.termDocTable(spark, tmpDir)
     OrderStore.forCorpus(spark, tmpDir)
+    graft.index.ProbeStore.probesFor(spark, tmpDir)
     assert(IndexStore.docStats(spark, tmpDir).head.getLong(0) == 40L)
 
     // ---- the one-call erase --------------------------------------------
@@ -127,6 +130,7 @@ class ErasureSweepSpec extends AnyFunSuite {
       dedupStores = Seq("swp_dd"),
       indexStoreDirs = Seq(tmpDir),
       orderStoreDirs = Seq(tmpDir),
+      probeStoreDirs = Seq(tmpDir),
       splitAssignments = Seq("swp_sp"),
       componentStores = Seq(("swp_cc_nodes", "swp_cc_remap", "swp_cc_mk")),
       docTables = Seq(
@@ -146,6 +150,7 @@ class ErasureSweepSpec extends AnyFunSuite {
     // build-once artifacts rebuild filtered on next use
     IndexStore.termDocTable(spark, tmpDir)
     OrderStore.forCorpus(spark, tmpDir)
+    graft.index.ProbeStore.probesFor(spark, tmpDir)
     assert(IndexStore.docStats(spark, tmpDir).head.getLong(0) == 38L,
       "IndexStore stats must count the live corpus after erasure")
 
@@ -165,7 +170,8 @@ class ErasureSweepSpec extends AnyFunSuite {
       "victim selection must yield chunk and window digests")
 
     val suppressionLists = Set(led, IndexStore.erasedTable(tmpDir),
-      OrderStore.erasedTable(OrderStore.corpusStoreName(tmpDir)))
+      OrderStore.erasedTable(OrderStore.corpusStoreName(tmpDir)),
+      graft.index.ProbeStore.erasedTable(tmpDir))
     // the rewrite-ownership ledger is doc-attributed: a digest whose
     // chunk is CO-OWNED by a surviving doc legitimately remains under
     // the survivor's doc_id (it is the survivor's content too) — the
@@ -251,5 +257,135 @@ class ErasureSweepSpec extends AnyFunSuite {
 
     docs40.unpersist(); victimDocs.unpersist()
     resetAll()
+  }
+
+  // ---- Erasure × ReleaseManifest: the one consumer surface that pins
+  // old artifact versions. The contract this test freezes:
+  //  * version-flip artifacts (OrderStore — erasure re-freezes as a
+  //    new version and DROPS the old tables): a pinned release REFUSES
+  //    loudly, naming the drifted store, and the pinned version's
+  //    physical tables are gone — a victim is structurally
+  //    unreachable through the pin; republish heals.
+  //  * in-place-purge artifacts (VectorStore — tombstone at erase,
+  //    physical rewrite at compaction, SAME version): the pin stays
+  //    valid and serves the PURGED rows.
+  // Both orderings covered: erase-after-publish (the refusal window —
+  // exactly the state a crash between the erasure's version flip and a
+  // republish leaves behind) and erase-before-publish (the pin is born
+  // on purged tables).
+  test("a pinned release can never serve a victim: erase-after-publish " +
+      "refuses-with-name until republish; erase-before-publish serves " +
+      "purged; vector pin serves purged rows at the same version") {
+    import spark.implicits._
+    val relDir = "/tmp/swp_rel_corpus"
+    val ordName = OrderStore.corpusStoreName(relDir)
+    val relTag = IndexStore.erasedTable(relDir)
+      .stripPrefix("graft_termdoc_").stripSuffix("_erased")
+    def relTables: Seq[String] = spark.catalog.listTables().collect()
+      .map(_.name)
+      .filter(n => n.startsWith("erl_") || n.contains(relTag))
+      .toSeq.distinct.sorted
+    TestWarehouse.reset(spark, relTables: _*)
+
+    val docs40 = tables.load(spark, dir, "documents")
+      .orderBy("doc_id").limit(40).cache()
+    docs40.write.mode("overwrite").parquet(s"$relDir/documents.parquet")
+    val emb = tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // victims must exist in BOTH artifacts (doc_id == vec_id, the mm08
+    // id-space convention) so each erasure path does real work
+    val victims = docs40.select("doc_id")
+      .join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id"),
+        "left_semi")
+      .orderBy("doc_id").limit(2).as[Long].collect().toSeq
+    assert(victims.size == 2, "victims must be present in the vector store")
+
+    val wc = graft.queries.Text.wordCounts(spark, dir)
+    graft.index.TokenizerStore.build(wc, "erl_tok")
+    OrderStore.forCorpus(spark, relDir)
+    VectorStore.build(emb, "erl_vs")
+    val pin1 = graft.index.ReleaseManifest.publish(spark, "erl_rel",
+      "corpus-snap-1", "erl_tok", ordName, "erl_vs")
+    assert(graft.index.ReleaseManifest.trainingOrder(spark, "erl_rel")
+      .filter(col("doc_id").isin(victims: _*)).count() == 2L,
+      "pre-erasure release must serve the soon-to-be victims")
+
+    // ---- erase-after-publish -------------------------------------------
+    val scope = Erasure.Scope(vectorStore = Some("erl_vs"),
+      orderStoreDirs = Seq(relDir))
+    Erasure.eraseAll(spark, victims, "erl_ers", scope)
+
+    // the order store re-froze as v2 and dropped v1: the pinned release
+    // must refuse-with-name — and the pinned version's tables are GONE,
+    // so no read path can reach a victim through the stale pin
+    val ex = intercept[IllegalStateException] {
+      graft.index.ReleaseManifest.trainingOrder(spark, "erl_rel").count()
+    }
+    assert(ex.getMessage.contains(ordName) &&
+      ex.getMessage.contains("STALE"),
+      s"refusal must name the drifted store: ${ex.getMessage}")
+    assert(OrderStore.currentVersion(spark, ordName) == 2L)
+    assert(!spark.catalog.tableExists(s"${ordName}_order") &&
+      !spark.catalog.tableExists(s"${ordName}_manifest"),
+      "the pinned (pre-erasure) order version must be physically gone")
+
+    // the vector pin did NOT flip: serving at the pinned version already
+    // excludes the victims (tombstone anti-join), and compaction purges
+    // them physically AT THE SAME VERSION — the pin stays valid
+    assert(VectorStore.currentVersion(spark, "erl_vs") == pin1.vectorV)
+    assert(VectorStore.purgedCodes(spark,
+        VectorStore.servingPrefix(spark, "erl_vs"))
+      .filter(col("vec_id").isin(victims: _*)).isEmpty,
+      "tombstoned victims still reachable through the served codes")
+    VectorMaintenance.compact(spark, "erl_vs")
+    assert(VectorStore.currentVersion(spark, "erl_vs") == pin1.vectorV,
+      "in-place compaction must not flip the pinned vector version")
+    assert(spark.table("erl_vs_codes")
+      .filter(col("vec_id").isin(victims: _*)).isEmpty,
+      "victim rows survive physically in the pinned codes version")
+
+    // republish heals: the new pin serves the purged order
+    graft.index.ReleaseManifest.publish(spark, "erl_rel",
+      "corpus-snap-2", "erl_tok", ordName, "erl_vs")
+    val served = graft.index.ReleaseManifest.trainingOrder(spark, "erl_rel")
+    assert(served.count() == 38L &&
+      served.filter(col("doc_id").isin(victims: _*)).isEmpty,
+      "republished release must serve the purged order, victim-free")
+
+    // ---- erase-before-publish -------------------------------------------
+    val victims2 = docs40.select("doc_id")
+      .join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id"),
+        "left_semi")
+      .filter(!col("doc_id").isin(victims: _*))
+      .orderBy("doc_id").limit(2).as[Long].collect().toSeq
+    Erasure.eraseAll(spark, victims2, "erl_ers", scope)
+    VectorMaintenance.compact(spark, "erl_vs") // physical purge, same v
+    graft.index.ReleaseManifest.publish(spark, "erl_rel",
+      "corpus-snap-3", "erl_tok", ordName, "erl_vs")
+    val served3 = graft.index.ReleaseManifest.trainingOrder(spark, "erl_rel")
+    assert(served3.count() == 36L &&
+      served3.filter(col("doc_id").isin((victims ++ victims2): _*))
+        .isEmpty,
+      "a release published after erasure must be born victim-free")
+
+    // ---- sweep the release-reachable frames ------------------------------
+    // every table of this warehouse (including the release pointer and
+    // both stores' current versions) must be free of all four victim
+    // ids; the only exceptions are the suppression lists, id-only by
+    // design
+    val all4 = victims ++ victims2
+    val suppress = Set("erl_ers", OrderStore.erasedTable(ordName))
+    relTables.filterNot(suppress.contains).foreach { t =>
+      val df = spark.table(t)
+      df.schema.fields.foreach { f =>
+        if (IdCols.contains(f.name) &&
+            f.dataType == org.apache.spark.sql.types.LongType)
+          assert(df.filter(col(f.name).isin(all4: _*)).isEmpty,
+            s"table $t still carries a victim id in ${f.name}")
+      }
+    }
+
+    docs40.unpersist()
+    TestWarehouse.reset(spark, relTables: _*)
   }
 }
