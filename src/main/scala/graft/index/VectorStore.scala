@@ -1,6 +1,6 @@
 package graft.index
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
@@ -825,6 +825,32 @@ object VectorStore {
       .orderBy("probe_id", "rank")
   }
 
+  /** [[serveTopK]] under a PRE-search eligibility predicate — sm14's
+    * filtered-ANN contract served from the ARTIFACT (the production
+    * "nearest neighbors WHERE ..." surface): `eligible` evaluates
+    * against the code table's own columns (vec_id/cid) and is applied
+    * BEFORE scoring, so the cid equi-join only ever sees eligible
+    * candidates and every probe gets a full k of ELIGIBLE neighbors —
+    * post-filtering an unfiltered top-k would silently return fewer
+    * and lose exactly the rows the filter was meant to surface.
+    * Scale shape: the predicate fuses into the partition-pruned codes
+    * SCAN (a map-side filter, no join, no extra shuffle), so per-probe
+    * verify work SHRINKS with selectivity; a predicate over attributes
+    * the artifact does not carry routes through the caller as an id
+    * frame semi-joined upstream (the corpus-sized fallback — document
+    * the attribute into the code table instead when it is hot). */
+  def serveTopKFiltered(probes: DataFrame, name: String,
+                        eligible: Column, nprobe: Int = NProbe,
+                        k: Int = TopK): DataFrame = {
+    val scored = scoredCandidates(probes, name, nprobe, Some(eligible))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "rank", "cosine")
+      .orderBy("probe_id", "rank")
+  }
+
   /** HARD-NEGATIVE mining from the artifact (the contrastive-training
     * pair surface): per probe, the top-`k` candidates whose cosine —
     * ROUNDED to 6dp, so the band edges can never ULP-flip between
@@ -851,11 +877,14 @@ object VectorStore {
   }
 
   /** Shared candidate-scoring stage of [[serveTopK]] /
-    * [[serveHardNegatives]]: (probe_id, neighbor_id, cosine) for every
-    * live candidate in the probes' pruned cells, self excluded,
-    * cosine UNROUNDED. */
+    * [[serveHardNegatives]] / [[serveTopKFiltered]]: (probe_id,
+    * neighbor_id, cosine) for every live candidate in the probes'
+    * pruned cells, self excluded, cosine UNROUNDED; `eligible` (a
+    * predicate over the code table's columns) narrows the candidate
+    * pool map-side BEFORE any join or scoring. */
   private def scoredCandidates(probes: DataFrame, name: String,
-                               nprobe: Int): DataFrame = {
+                               nprobe: Int,
+                               eligible: Option[Column] = None): DataFrame = {
     val spark = probes.sparkSession
     graft.expressions.VectorExpressions.ensureRegistered(spark)
     val p = servingPrefix(spark, name) // pointer first: version-atomic
@@ -865,7 +894,8 @@ object VectorStore {
     val pcells = Similarity.nearestCells(
       probes.select(col("probe_id"), col("pe").as("embedding")),
       "probe_id", "embedding", cent, nprobe)
-    withoutDeleted(spark.table(s"${p}_codes"), p, "vec_id")
+    val pool = withoutDeleted(spark.table(s"${p}_codes"), p, "vec_id")
+    eligible.map(pool.filter).getOrElse(pool)
       .join(pcells, Seq("cid"))
       .join(probes, Seq("probe_id"))
       .filter(col("vec_id") =!= col("probe_id"))

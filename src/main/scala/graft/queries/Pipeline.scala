@@ -2454,6 +2454,83 @@ object Pipeline {
         .unionByName(surfaceRow("request_ledger", led))
         .unionByName(surfaceRow("unpurged_control", d))
         .orderBy("surface")
+    },
+
+    // --- Per-doc curation FATE report (pl46 — the LINEAGE answer to
+    //     "why is my document not in the release": pl10/pl16 report
+    //     stage COUNTS, pl13 emits only the survivors; this attributes
+    //     every corpus doc to exactly one fate — kept, or the FIRST
+    //     rule that dropped it under mm07's root-cause precedence
+    //     (short_chars > short_tokens > low_diversity > bad_lang >
+    //     contaminated > exact_dup), with the surviving twin's id
+    //     (`dup_of`) on exact-dup rows so an auditor can jump straight
+    //     to the copy that was kept. Same rules and composition ORDER
+    //     as pl13's shard prep (gate first, keep-first dedup among
+    //     gate survivors only), so this report IS pl13's changelog.
+    //     Scale shape: all gate flags are map-side projections over
+    //     ONE token-array projection; the only shuffle is the dedup
+    //     digest window (partitions = exact-dup clusters, bounded by
+    //     copy count, never corpus-sized — the pl13/dd17 argument);
+    //     the union is plan-level, no second scan. ---
+    Q("pl46_doc_fate", {
+      val toks =
+        "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+      val contaminated = Benchmark5Grams
+        .map(p => s"contains(text, ${sqlLit(p)})").mkString("(", " OR ", ")")
+      s"""WITH f AS (
+         |  SELECT doc_id, source, text, n_chars, lang, $toks AS tk
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source, text,
+         |    CASE WHEN n_chars < 60 THEN 'short_chars'
+         |         WHEN len(tk) < 12 THEN 'short_tokens'
+         |         WHEN CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) < 0.3
+         |           THEN 'low_diversity'
+         |         WHEN lang NOT IN ('en', 'es', 'de') THEN 'bad_lang'
+         |         WHEN $contaminated THEN 'contaminated' END AS gate_fate
+         |  FROM f),
+         |k AS (
+         |  SELECT doc_id, source,
+         |    CAST(min(doc_id) OVER (PARTITION BY md5(text)) AS BIGINT)
+         |      AS keeper
+         |  FROM r WHERE gate_fate IS NULL)
+         |SELECT doc_id, source, fate, dup_of FROM (
+         |  SELECT doc_id, source, gate_fate AS fate,
+         |    CAST(NULL AS BIGINT) AS dup_of
+         |  FROM r WHERE gate_fate IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, source,
+         |    CASE WHEN doc_id = keeper THEN 'kept' ELSE 'exact_dup' END,
+         |    CASE WHEN doc_id = keeper THEN NULL ELSE keeper END
+         |  FROM k)
+         |ORDER BY doc_id"""
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val contaminated = Benchmark5Grams
+        .map(p => col("text").contains(p)).reduce(_ || _)
+      val flagged = docs(s, dir)
+        .select(col("doc_id"), col("source"), col("text"), col("n_chars"),
+          col("lang"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"), col("source"), col("text"),
+          when(col("n_chars") < 60, "short_chars")
+            .when(size(col("tk")) < 12, "short_tokens")
+            .when(size(array_distinct(col("tk"))).cast("double") /
+              size(col("tk")) < 0.3, "low_diversity")
+            .when(!col("lang").isin("en", "es", "de"), "bad_lang")
+            .when(contaminated, "contaminated").as("gate_fate"))
+      val gated = flagged.filter(col("gate_fate").isNotNull)
+        .select(col("doc_id"), col("source"),
+          col("gate_fate").as("fate"),
+          lit(null).cast("long").as("dup_of"))
+      val keepW = Window.partitionBy(md5(col("text").cast("binary")))
+      val surv = flagged.filter(col("gate_fate").isNull)
+        .withColumn("keeper", min(col("doc_id")).over(keepW))
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") === col("keeper"), "kept")
+            .otherwise("exact_dup").as("fate"),
+          when(col("doc_id") =!= col("keeper"), col("keeper"))
+            .as("dup_of"))
+      gated.unionByName(surv).orderBy("doc_id")
     }
   )
 

@@ -1932,6 +1932,76 @@ object Similarity {
         .orderBy("probe_id", "rank")
     },
 
+    // --- FILTERED ANN SERVED FROM THE ARTIFACT (sm27 — sm14's
+    //     pre-filter contract on sm18's build-once path, completing
+    //     the store's serving ladder sm06 → sm14 → sm18 → sm25 → this:
+    //     the production "nearest neighbors WHERE ..." surface a
+    //     deployment actually exposes): the eligibility predicate
+    //     (vec_id % 3 = 0 — an attribute the code table itself
+    //     carries) is applied BEFORE scoring via
+    //     `VectorStore.serveTopKFiltered`, so candidates are filtered
+    //     map-side INSIDE the partition-pruned codes scan — no join,
+    //     no extra shuffle, per-probe verify work shrinks ~3× with
+    //     selectivity — and every probe returns a full k of ELIGIBLE
+    //     neighbors (post-filtering an unfiltered top-k silently
+    //     returns fewer; the sm14 dominance argument). A predicate
+    //     over attributes the artifact does not carry is the
+    //     documented fallback: an id-frame semi-join upstream, or
+    //     (the production move) write the hot attribute into the code
+    //     table. Oracle = sm18's store mirror minus the refine, with
+    //     the same predicate in the candidate CTE. ---
+    Q("sm27_filtered_from_store", {
+      val qcos = cosineSql("p.pe", "d.deq")
+      val dist = l2SqSql("e.embedding", "c.ce")
+      val pdist = l2SqSql("p.pe", "c.ce")
+      s"""WITH $sqDeqCtes,
+         |cent AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  WHERE vec_id < ${graft.index.VectorStore.AdaptiveCellsSql}),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |                         ORDER BY $dist, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |p AS (SELECT vec_id AS probe_id, embedding AS pe
+         |      FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 500),
+         |pcells AS (
+         |  SELECT probe_id, cid FROM (
+         |    SELECT p.probe_id, c.cid,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |                         ORDER BY $pdist, c.cid) AS rn
+         |    FROM p CROSS JOIN cent c)
+         |  WHERE rn <= ${graft.index.VectorStore.NProbe}),
+         |scored AS (
+         |  SELECT p.probe_id, d.vec_id, $qcos AS cosine
+         |  FROM p
+         |  JOIN pcells pc ON pc.probe_id = p.probe_id
+         |  JOIN assign a ON a.cid = pc.cid
+         |  JOIN dq d ON d.vec_id = a.vec_id AND d.vec_id <> p.probe_id
+         |    AND d.vec_id % 3 = 0)
+         |SELECT probe_id, vec_id AS neighbor_id, CAST(rank AS INT) AS rank,
+         |  round(cosine, 6) AS cosine
+         |FROM (
+         |  SELECT probe_id, vec_id, cosine,
+         |    row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10
+         |ORDER BY probe_id, rank"""
+    }) { (s, dir) =>
+      val store = graft.index.VectorStore.storeFor(s, dir)
+      val probes = emb(s, dir)
+        .filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      graft.index.VectorStore
+        .serveTopKFiltered(probes, store, col("vec_id") % 3 === 0)
+        .select(col("probe_id"), col("neighbor_id"), col("rank"),
+          duckRound(col("cosine"), 6).as("cosine"))
+        .orderBy("probe_id", "rank")
+    },
+
     // --- sm19: ANN serving-quality EVAL as a query — per-probe
     //     recall@10 of the IVF-pruned path (sm03's exact
     //     configuration) against the brute-force exact baseline

@@ -55,6 +55,7 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     "pl38_token_budget",      // 1-row total + 1-row top-up-count scalars
     "pl41_epoch_waterfill",   // 1-row budget/cutoff/leftover scalars + |caps|-row lattice
     "pl43_pseudonymize",      // 1-row referential-integrity attestation scalar
+    "sm27_filtered_from_store",// 1-row SQ-stats broadcast (sm18's serve path)
     "mm10_dhash_neardup",     // 1-row adaptive-band-width scalar (bits(n)+4)
     "dd04_simhash",           // same 1-row band-width scalar over survivors
     "dd13_simhash_allpairs")  // same scalar over the raw-docs twin

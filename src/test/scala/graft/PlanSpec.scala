@@ -229,6 +229,27 @@ class PlanSpec extends AnyFunSuite {
       s"mm09 serve plan scans a raw table: ${scanLocs.mkString("; ")}")
   }
 
+  test("sm27: eligibility filter fused into the store scan — " +
+      "candidates from the artifact, one probe-side embeddings scan") {
+    // filtered ANN from the store: the predicate must narrow the
+    // candidate pool MAP-SIDE (a filter on the codes scan subtree, no
+    // eligibility join, no extra shuffle); the only raw read is the
+    // bounded probe fetch
+    val p = plan("sm27_filtered_from_store")
+    val scanLocs = "Location:[^\\n]*".r.findAllIn(p).toSeq
+    assert(scanLocs.exists(_.contains("graft_vecstore")),
+      s"sm27 candidates must come from the store artifact: " +
+        scanLocs.mkString("; "))
+    // the only raw reads are bounded probe fetches (one per probe
+    // consumer — cells + scoring; the corpus-width candidate side
+    // must never be a raw embeddings scan, i.e. no documents at all)
+    assert(!scanLocs.exists(_.contains("documents")),
+      s"sm27 scans the raw corpus: ${scanLocs.mkString("; ")}")
+    assert("\\(vec_id#\\d+L? % 3\\)".r.findFirstIn(p).isDefined,
+      s"sm27's eligibility predicate is not in the plan:\n$p")
+    assert(!p.contains("CartesianProduct"), "sm27 plans a cartesian")
+  }
+
   test("sm13: lexical side served from the index — zero documents scans") {
     // the hybrid-retrieval twin's lexical side must read the bucketed
     // postings + stats artifacts; the only raw-table scans left are
