@@ -62,6 +62,7 @@ object ComponentMaintenance {
         "replay-skip markers are only valid against stable batch ids")
     pairs.writeStream
       .outputMode("append")
+      .queryName(Maintenance.queryNameFor(nodesTable))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // a pair is gated when EITHER endpoint was erased: a merge

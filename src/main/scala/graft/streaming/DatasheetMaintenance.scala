@@ -59,6 +59,7 @@ object DatasheetMaintenance {
         "replay-skip markers are only valid against stable batch ids")
     newDocs.writeStream
       .outputMode("append")
+      .queryName(Maintenance.queryNameFor(name))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         datasheetBatch(graft.index.Erasure.gateBatch(batch, erasureLedger),

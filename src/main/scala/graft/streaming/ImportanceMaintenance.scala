@@ -38,6 +38,7 @@ object ImportanceMaintenance {
         "replay-skip markers are only valid against stable batch ids")
     newDocs.writeStream
       .outputMode("append")
+      .queryName(Maintenance.queryNameFor(weightsTable))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         scoreBatch(graft.index.Erasure.gateBatch(batch, erasureLedger),

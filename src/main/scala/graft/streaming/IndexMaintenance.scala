@@ -67,6 +67,7 @@ object IndexMaintenance {
                erasureLedger: Option[String] = None): StreamingQuery =
     newDocs.writeStream
       .outputMode("append")
+      .queryName(Maintenance.queryNameFor(termDocTable))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         appendBatch(graft.index.Erasure.gateBatch(batch, erasureLedger),

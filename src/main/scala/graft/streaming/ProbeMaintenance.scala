@@ -46,6 +46,7 @@ object ProbeMaintenance {
         "replay-skip markers are only valid against stable batch ids")
     newDocs.writeStream
       .outputMode("append")
+      .queryName(Maintenance.queryNameFor(ledgerTable))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         appendBatch(graft.index.Erasure.gateBatch(batch, erasureLedger),

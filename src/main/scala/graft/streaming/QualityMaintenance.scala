@@ -43,6 +43,7 @@ object QualityMaintenance {
         "replay-skip markers are only valid against stable batch ids")
     newDocs.writeStream
       .outputMode("append")
+      .queryName(Maintenance.queryNameFor(scoresTable))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         scoreBatch(graft.index.Erasure.gateBatch(batch, erasureLedger),

@@ -47,6 +47,7 @@ object RewriteDedup {
         "replay-skip markers are only valid against stable batch ids")
     newDocs.writeStream
       .outputMode("append")
+      .queryName(Maintenance.queryNameFor(ledgerTable))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         rewriteBatch(graft.index.Erasure.gateBatch(batch, erasureLedger),

@@ -78,6 +78,7 @@ object SketchMaintenance {
         "replay-skip markers are only valid against stable batch ids")
     newEvents.writeStream
       .outputMode("append")
+      .queryName(Maintenance.queryNameFor(sketchTable))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         appendBatch(batch, batchId, sketchTable, markerTable, lgK)

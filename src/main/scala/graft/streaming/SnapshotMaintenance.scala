@@ -41,6 +41,7 @@ object SnapshotMaintenance {
         "replay-skip markers are only valid against stable batch ids")
     events.writeStream
       .outputMode("append")
+      .queryName(Maintenance.queryNameFor(ledgerTable))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // event streams are user-keyed: the erasure ledger here is a

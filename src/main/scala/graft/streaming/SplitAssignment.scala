@@ -62,6 +62,7 @@ object SplitAssignment {
         "replay-skip markers are only valid against stable batch ids")
     newDocs.writeStream
       .outputMode("append")
+      .queryName(Maintenance.queryNameFor(name))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         assignBatch(graft.index.Erasure.gateBatch(batch, erasureLedger),

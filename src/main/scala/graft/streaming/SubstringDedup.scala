@@ -74,6 +74,7 @@ object SubstringDedup {
                erasureLedger: Option[String] = None): StreamingQuery =
     newDocs.writeStream
       .outputMode("append")
+      .queryName(Maintenance.queryNameFor(windowTable))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         appendBatch(graft.index.Erasure.gateBatch(batch, erasureLedger),

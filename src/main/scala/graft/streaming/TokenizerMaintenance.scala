@@ -54,6 +54,7 @@ object TokenizerMaintenance {
         "replay-skip markers are only valid against stable batch ids")
     newDocs.writeStream
       .outputMode("append")
+      .queryName(Maintenance.queryNameFor(wcTable))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         appendBatch(graft.index.Erasure.gateBatch(batch, erasureLedger),

@@ -45,6 +45,7 @@ object TrendMaintenance {
                erasureLedger: Option[String] = None): StreamingQuery =
     newDocs.writeStream
       .outputMode("append")
+      .queryName(Maintenance.queryNameFor(sketchTable))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         appendBatch(graft.index.Erasure.gateBatch(batch, erasureLedger),

@@ -32,6 +32,7 @@ object VectorMaintenance {
                erasureLedger: Option[String] = None): StreamingQuery =
     newVecs.writeStream
       .outputMode("append")
+      .queryName(Maintenance.queryNameFor(storeName))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         appendBatch(
