@@ -2531,6 +2531,131 @@ object Pipeline {
           when(col("doc_id") =!= col("keeper"), col("keeper"))
             .as("dup_of"))
       gated.unionByName(surv).orderBy("doc_id")
+    },
+
+    // --- FUNNEL-wide fate report (pl47 — closes pl46's gap: pl46
+    //     attributes only pl13's shard-prep drops; docs dropped by the
+    //     pl16 curation funnel's other stages got no fate row, so an
+    //     auditor couldn't trace a URL-dup, a decontaminated near-dup,
+    //     or a rebalanced-out doc). One row per corpus doc, fate = the
+    //     FIRST stage that dropped it under pl16's composition order —
+    //     url_dup (dd10 canonical-URL keeper; twin_id = the kept copy)
+    //     > eval_slice (the benchmark docs themselves, excluded from
+    //     training) > fuzzy_eval_neardup (pl14 bipartite MinHash
+    //     j ≥ 0.4; twin_id = the smallest eval doc it matched) >
+    //     semantic_eval_neardup (pl25's embedding rung, inserted where
+    //     it naturally composes — after the n-gram rung, before
+    //     sampling; twin_id = the smallest eval vec it neighbors; a
+    //     doc with no embedding row cannot be semantically flagged —
+    //     pl25's own universe) > rebalanced_out (pl15's deterministic
+    //     coin, rates computed on THIS funnel's post-decontamination
+    //     survivors) > kept. Each rung reuses its operator's ONE
+    //     construction (canonicalUrl / bipartitePairs /
+    //     semanticEvalPairsOf / temperatureRates) so the report can
+    //     never drift from the funnel it explains; the first three
+    //     fate classes partition pl16's stage deltas exactly
+    //     (spec-pinned). Scale shape: every rung is its operator's
+    //     scale path; the fate union is plan-level over narrow
+    //     (doc_id, lang) frames — text touches only the rungs that
+    //     already read it. ---
+    Q("pl47_funnel_fate", {
+      val ctes = graft.queries.Dedup.bipartiteScoredCtes(
+        id => s"$id % 5 <> 0", id => s"$id % 5 = 0")
+      s"""WITH $ctes,
+         |${graft.queries.Similarity.semanticEvalPairCtes},
+         |u AS (
+         |  SELECT doc_id, lang, ${graft.queries.Dedup.DuckMessyUrl} AS url
+         |  FROM documents),
+         |canon AS (
+         |  SELECT doc_id, lang,
+         |    ${graft.queries.Dedup.duckCanonicalUrl("url")} AS cu
+         |  FROM u),
+         |kp AS (
+         |  SELECT doc_id, lang,
+         |    CAST(min(doc_id) OVER (PARTITION BY cu) AS BIGINT) AS keeper
+         |  FROM canon),
+         |s1 AS (SELECT doc_id, lang FROM kp WHERE doc_id = keeper),
+         |fz AS (
+         |  SELECT doc_id, CAST(min(probe_doc_id) AS BIGINT) AS ftwin
+         |  FROM xscored WHERE j >= 0.4 GROUP BY doc_id),
+         |sem AS (
+         |  SELECT vec_id AS doc_id,
+         |    CAST(min(eval_vec_id) AS BIGINT) AS stwin
+         |  FROM sempairs GROUP BY vec_id),
+         |s2 AS (SELECT doc_id, lang FROM s1
+         |       WHERE doc_id % 5 <> 0
+         |         AND doc_id NOT IN (SELECT doc_id FROM fz)),
+         |s3 AS (SELECT doc_id, lang FROM s2
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM sem)),
+         |${duckTemperatureCtes("s3", "c3", "r")},
+         |fates AS (
+         |  SELECT doc_id, 'url_dup' AS fate, keeper AS twin_id
+         |  FROM kp WHERE doc_id <> keeper
+         |  UNION ALL
+         |  SELECT doc_id, 'eval_slice', CAST(NULL AS BIGINT)
+         |  FROM s1 WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT s1.doc_id, 'fuzzy_eval_neardup', fz.ftwin
+         |  FROM s1 JOIN fz ON s1.doc_id = fz.doc_id
+         |  WHERE s1.doc_id % 5 <> 0
+         |  UNION ALL
+         |  SELECT s2.doc_id, 'semantic_eval_neardup', sem.stwin
+         |  FROM s2 JOIN sem ON s2.doc_id = sem.doc_id
+         |  UNION ALL
+         |  SELECT s3.doc_id,
+         |    CASE WHEN ${duckCoin("s3.doc_id")}
+         |              < r.keep_prob * 4294967296.0
+         |         THEN 'kept' ELSE 'rebalanced_out' END,
+         |    CAST(NULL AS BIGINT)
+         |  FROM s3 JOIN r ON s3.lang = r.lang)
+         |SELECT doc_id, fate, twin_id FROM fates ORDER BY doc_id"""
+    }) { (s, dir) =>
+      import org.apache.spark.storage.StorageLevel
+      import graft.queries.Dedup
+      val base = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          Dedup.canonicalUrl(Dedup.messyUrl(col("doc_id"))).as("cu"))
+      val withK = base
+        .withColumn("keeper", min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("cu")))
+        .select("doc_id", "lang", "keeper")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val urlDup = withK.filter(col("doc_id") =!= col("keeper"))
+        .select(col("doc_id"), lit("url_dup").as("fate"),
+          col("keeper").as("twin_id"))
+      val s1 = withK.filter(col("doc_id") === col("keeper"))
+        .select("doc_id", "lang")
+      val evalSlice = s1.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), lit("eval_slice").as("fate"),
+          lit(null).cast("long").as("twin_id"))
+      val s1t = s1.filter(col("doc_id") % 5 =!= 0)
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val fz = Dedup.bipartitePairs(
+          d.filter(col("doc_id") % 5 =!= 0),
+          d.filter(col("doc_id") % 5 === 0), 0.4)
+        .groupBy("doc_id").agg(min(col("probe_doc_id")).as("ftwin"))
+      val fuzzyDropped = s1t.join(fz, "doc_id")
+        .select(col("doc_id"), lit("fuzzy_eval_neardup").as("fate"),
+          col("ftwin").as("twin_id"))
+      val s2 = s1t.join(fz, Seq("doc_id"), "left_anti")
+      val sem = graft.queries.Similarity.semanticEvalPairsOf(s, dir)
+        .groupBy(col("vec_id").as("doc_id"))
+        .agg(min(col("eval_vec_id")).as("stwin"))
+      val semDropped = s2.join(sem, "doc_id")
+        .select(col("doc_id"), lit("semantic_eval_neardup").as("fate"),
+          col("stwin").as("twin_id"))
+      val s3 = s2.join(sem, Seq("doc_id"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val withRate = s3.join(broadcast(temperatureRates(s3)), "lang")
+      val keepCond =
+        coinOf(col("doc_id")) < col("keep_prob") * 4294967296.0
+      val sampled = withRate
+        .select(col("doc_id"),
+          when(keepCond, "kept").otherwise("rebalanced_out").as("fate"),
+          lit(null).cast("long").as("twin_id"))
+      urlDup.unionByName(evalSlice).unionByName(fuzzyDropped)
+        .unionByName(semDropped).unionByName(sampled)
+        .orderBy("doc_id")
     }
   )
 

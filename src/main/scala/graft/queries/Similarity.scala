@@ -557,6 +557,66 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
 
+  /** pl25's bipartite corpus-vs-eval semantic near-dup pairs:
+    * `(vec_id, eval_vec_id, cos)` for every corpus vector (vec_id % 5
+    * ≠ 0) within `NearDupCos` cosine of an eval vector (% 5 = 0),
+    * `cos` UNROUNDED (callers round the reported column only — the
+    * threshold compares the same raw double in both engines). Factored
+    * out of pl25 so the pl47 funnel-fate report attributes its
+    * semantic rung with EXACTLY pl25's pair set — one construction,
+    * no drift. Scale shape: pl14's broadcast-probe pattern over dd12's
+    * cell equi-join — the corpus is never shuffled and never
+    * self-joined. */
+  private[queries] def semanticEvalPairsOf(s: SparkSession,
+                                           dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cent = collectCentroids(e.filter(col("vec_id") < adaptiveCells(e))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+    val en = e.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
+    val ca = nearestCells(en.filter(col("vec_id") % 5 =!= 0),
+      "vec_id", "embedding", cent, 1, carry = Seq("embedding", "nrm"))
+    val ea = nearestCells(en.filter(col("vec_id") % 5 === 0),
+      "vec_id", "embedding", cent, IvfNProbe,
+      carry = Seq("embedding", "nrm"))
+      .select(col("cid"), col("vec_id").as("eval_vec_id"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+    val nrm = col("nrm") * col("nb")
+    ca.join(broadcast(ea), Seq("cid"))
+      .withColumn("cos", when(nrm === 0.0, lit(0.0))
+        .otherwise(dot(col("embedding"), col("eb")) / nrm))
+      .filter(col("cos") >= NearDupCos)
+      .select(col("vec_id"), col("eval_vec_id"), col("cos"))
+  }
+
+  /** DuckDB twin of [[semanticEvalPairsOf]]: CTE chain ending in
+    * `sempairs(vec_id, eval_vec_id, cos)`. */
+  private[queries] lazy val semanticEvalPairCtes: String = {
+    val dc = l2SqSql("e.embedding", "c.ce")
+    val cos = cosineSql("a.embedding", "b.embedding")
+    s"""cent AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  WHERE vec_id < $AdaptiveCellsSql),
+       |ca AS (
+       |  SELECT vec_id, cid, embedding FROM (
+       |    SELECT e.vec_id, c.cid, e.embedding,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |                         ORDER BY $dc, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id % 5 <> 0)
+       |  WHERE rn = 1),
+       |ea AS (
+       |  SELECT vec_id, cid, embedding FROM (
+       |    SELECT e.vec_id, c.cid, e.embedding,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |                         ORDER BY $dc, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id % 5 = 0)
+       |  WHERE rn <= $IvfNProbe),
+       |sempairs AS (
+       |  SELECT a.vec_id, b.vec_id AS eval_vec_id, $cos AS cos
+       |  FROM ca a JOIN ea b ON a.cid = b.cid
+       |  WHERE $cos >= $NearDupCos)"""
+  }
+
   /** IVF search given a (fixed or trained) centroid set: corpus cell
     * assignment and probe cell selection are shuffle-free projections
     * (`nearestCells`); the candidate join is an EQUI-join on cell id,
@@ -1343,49 +1403,12 @@ object Similarity {
     //     self-joined — at 100 TB this is one projection + one
     //     broadcast-join scan, the same per-row cost as pl23's
     //     scorer. ---
-    Q("pl25_semantic_decontaminate", {
-      val dc = l2SqSql("e.embedding", "c.ce")
-      val cos = cosineSql("a.embedding", "b.embedding")
-      s"""WITH cent AS (
-         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
-         |  WHERE vec_id < $AdaptiveCellsSql),
-         |ca AS (
-         |  SELECT vec_id, cid, embedding FROM (
-         |    SELECT e.vec_id, c.cid, e.embedding,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |                         ORDER BY $dc, c.cid) AS rn
-         |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id % 5 <> 0)
-         |  WHERE rn = 1),
-         |ea AS (
-         |  SELECT vec_id, cid, embedding FROM (
-         |    SELECT e.vec_id, c.cid, e.embedding,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |                         ORDER BY $dc, c.cid) AS rn
-         |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id % 5 = 0)
-         |  WHERE rn <= $IvfNProbe)
-         |SELECT a.vec_id, b.vec_id AS eval_vec_id,
-         |  round($cos, 6) AS cosine
-         |FROM ca a JOIN ea b ON a.cid = b.cid
-         |WHERE $cos >= $NearDupCos
-         |ORDER BY a.vec_id, eval_vec_id"""
-    }) { (s, dir) =>
-      val e = emb(s, dir)
-      val cent = collectCentroids(e.filter(col("vec_id") < adaptiveCells(e))
-        .select(col("vec_id").as("cid"), col("embedding").as("ce")))
-      val en = e.select(col("vec_id"), col("embedding"),
-        l2Norm(col("embedding")).as("nrm"))
-      val ca = nearestCells(en.filter(col("vec_id") % 5 =!= 0),
-        "vec_id", "embedding", cent, 1, carry = Seq("embedding", "nrm"))
-      val ea = nearestCells(en.filter(col("vec_id") % 5 === 0),
-        "vec_id", "embedding", cent, IvfNProbe,
-        carry = Seq("embedding", "nrm"))
-        .select(col("cid"), col("vec_id").as("eval_vec_id"),
-          col("embedding").as("eb"), col("nrm").as("nb"))
-      val nrm = col("nrm") * col("nb")
-      ca.join(broadcast(ea), Seq("cid"))
-        .withColumn("cos", when(nrm === 0.0, lit(0.0))
-          .otherwise(dot(col("embedding"), col("eb")) / nrm))
-        .filter(col("cos") >= NearDupCos)
+    Q("pl25_semantic_decontaminate",
+      s"""WITH $semanticEvalPairCtes
+         |SELECT vec_id, eval_vec_id, round(cos, 6) AS cosine
+         |FROM sempairs
+         |ORDER BY vec_id, eval_vec_id""") { (s, dir) =>
+      semanticEvalPairsOf(s, dir)
         .select(col("vec_id"), col("eval_vec_id"),
           duckRound(col("cos"), 6).as("cosine"))
         .orderBy("vec_id", "eval_vec_id")
