@@ -149,6 +149,16 @@ object Bench {
       .replaceAll("\\[id=[^\\]]*\\]", "[id=x]")
       .replaceAll("@[0-9a-f]{6,}", "@x")
       .replaceAll("cachedrdd \\d+", "cachedrdd x")
+      // higher-order-function lambda variables print a JVM-GLOBAL
+      // counter in their NAME (`lambda x_14#x`), not just the exprId —
+      // how many lambdas the session created before this plan leaks
+      // into the text (found in round 17: 40+ same-binary queries
+      // flapped plan_changed between two bench runs on exactly this)
+      .replaceAll("lambda ([A-Za-z0-9]+)_\\d+", "lambda $1_")
+      // typed-API closures print the JVM lambda class identity
+      // (`Foo$$Lambda$4308/0x00007f9d...@hash`): counter and address
+      // are allocation order, not code (mm03/q65's MapElements)
+      .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda\\$x")
 
   /** md5 of the canonicalized pre-execution physical plan (the
     * AQE initial plan: deterministic given code + file stats, unlike
@@ -284,6 +294,36 @@ object Bench {
       catch { case _: Throwable => -1.0 }
 
     val toRun = SparkEntry.all.filterNot(q => skip(q.name))
+    // SPARK_GRAFT_PLANS_ONLY=1: re-seed the plan-hash baseline without
+    // a full timed run (operator tool — e.g. after a canonicalizer
+    // change, when every hash legitimately moves at once). Assumes a
+    // built warehouse (store-served queries construct against their
+    // artifacts); writes ONLY the <sf>#plans section.
+    if (sys.env.get("SPARK_GRAFT_PLANS_ONLY").contains("1")) {
+      val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+      val hashes = toRun.flatMap { q =>
+        try {
+          spark.catalog.clearCache()
+          Some(q.name -> planHash(q.fn(spark, sfDir)))
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] plan hash ${q.name} failed: " +
+            e.getMessage)
+          None
+        }
+      }.toMap
+      val steadyPath = java.nio.file.Paths.get("tools", "bench_steady.json")
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(java.nio.file.Files.readAllBytes(steadyPath))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val sec = om.createObjectNode()
+      hashes.toSeq.sorted.foreach { case (n, h) => sec.put(n, h) }
+      root.set(sfShort + "#plans", sec)
+      java.nio.file.Files.write(steadyPath,
+        om.writeValueAsBytes(root))
+      println(s"""{"metric":"plans","nq":${hashes.size},"sf":"$sfShort"}""")
+      spark.stop()
+      return
+    }
     // (elapsed, succeeded): a failed query's time-to-fail must never be
     // reported as its timing — min is taken over SUCCESSFUL passes only,
     // and an all-passes-failed query lands in the "failed" list instead

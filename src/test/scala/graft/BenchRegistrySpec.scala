@@ -193,6 +193,24 @@ class BenchPlanHashSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("plan hash survives the JVM-global lambda-variable counter") {
+    // higher-order functions name their lambda variables off a global
+    // counter (`x_1`, `x_14`, ...): constructing OTHER lambda-bearing
+    // plans between two constructions of the same query must not move
+    // its hash (the round-17 flap: 40+ queries alarmed plan_changed
+    // between two same-binary bench runs)
+    spark.catalog.clearCache()
+    val h1 = Bench.planHash(SparkEntry.queries("q35_array_hof")(spark, dir))
+    // burn a batch of lambda ids
+    (1 to 3).foreach { _ =>
+      SparkEntry.queries("q35_array_hof")(spark, dir).queryExecution.executedPlan
+      SparkEntry.queries("tx07_lang_id")(spark, dir).queryExecution.executedPlan
+    }
+    spark.catalog.clearCache()
+    val h2 = Bench.planHash(SparkEntry.queries("q35_array_hof")(spark, dir))
+    assert(h1 == h2, "lambda-counter drift moved the plan hash")
+  }
+
   test("canonicalizer erases exprIds but keeps the operator tree") {
     val raw = SparkEntry.queries("q03_broadcast_join")(spark, dir)
       .queryExecution.executedPlan.toString
