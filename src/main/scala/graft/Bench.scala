@@ -340,6 +340,26 @@ object Bench {
         }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
+    // plan fingerprints BEFORE any timed execution (and before any
+    // query has run in this session): running queries perturbs later
+    // plan choices — observed: a BroadcastHashJoin's build SIDE
+    // flipped between a pristine session and a post-execution one —
+    // so post-run fingerprints would never be comparable with the
+    // fresh-session baseline SPARK_GRAFT_PLANS_ONLY seeds. Hashing
+    // reads the pre-execution plan; nothing is executed here except
+    // queries that materialize eagerly by design (q51) and first-ever
+    // artifact builds (build is indexing, not query time — the
+    // tx18/tx19 pre-build philosophy).
+    val planNow: Map[String, String] = toRun.flatMap { q =>
+      try {
+        spark.catalog.clearCache()
+        Some(q.name -> planHash(q.fn(spark, sfDir)))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] plan hash ${q.name} failed: " +
+          e.getMessage)
+        None
+      }
+    }.toMap
     val loadBefore = loadAtStart
     // pass-level contention gate (round-16 wrong #1): the quiet gate
     // above only guards run START; sample loadavg straddling EACH
@@ -387,20 +407,6 @@ object Bench {
       }
     }
     val loadAfter = loadavg()
-    // plan fingerprints: constructed AFTER the timed passes so the
-    // (one-time) planning work never contaminates a timing; hashing
-    // reads the pre-execution plan — no query is executed here except
-    // the few that materialize eagerly by design (q51)
-    val planNow: Map[String, String] = toRun.flatMap { q =>
-      try {
-        spark.catalog.clearCache()
-        Some(q.name -> planHash(q.fn(spark, sfDir)))
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] plan hash ${q.name} failed: " +
-          e.getMessage)
-        None
-      }
-    }.toMap
     val perQuery = pass1.zip(pass2).map { case ((n, p1), (_, p2)) =>
       val attempts = Seq(p1, p2) ++ retimed.get(n)
       val oks = attempts.collect { case (t, true) => t }
