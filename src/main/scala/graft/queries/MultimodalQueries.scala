@@ -442,8 +442,10 @@ object MultimodalQueries {
     //     on the varied-100× corpus: 4×16-bit bands collided
     //     accidentally into 39.4M candidate pairs (max bucket 413,
     //     the dd04 fixed-key-space cliff); at 100× every segment
-    //     saturates and the geometry is the measured 297,815-candidate
-    //     / max-bucket-25 configuration — no constant to retune at any
+    //     saturates into the full-segment geometry — the INVARIANT is
+    //     that no band is masked at scale (absolute counts drift with
+    //     each corpus regeneration: 297,815 r15, 302,122 r17, max
+    //     bucket 25-26) — no constant to retune at any
     //     n. Pigeonhole: hamming ≤ 2 is candidate-complete (and the
     //     hamming-0 re-encode class always); the ≤ 6 report verifies
     //     banded candidates only.
@@ -539,10 +541,13 @@ object MultimodalQueries {
       // EVERY corpus size. The cap is PER SEGMENT (21/21/22, not a
       // blanket 21 — round-16 ADVICE: a blanket cap truncated band
       // 2's 22-bit segment at saturation and changed the measured
-      // geometry, 297,815 → 333,062 candidates), so at the
-      // varied-100× point (n ≈ 200k → every segment saturates) the
-      // geometry is bit-identical to the measured 297,815-candidate /
-      // max-bucket-25 configuration. bits(n-1) via length(bin(·)) —
+      // geometry — +10% candidates from nothing), so at the
+      // varied-100× point every segment saturates into the
+      // FULL-SEGMENT geometry: the round-17 margin arc measured
+      // margin ≥ 3 bit-identical there (302,122 candidates / max
+      // bucket 26 on that corpus build; absolute counts drift with
+      // corpus regeneration, the unmasked-segments invariant does
+      // not). bits(n-1) via length(bin(·)) —
       // integer-exact in both engines, no float log₂ boundary at
       // powers of two. Same rule interpolated into the oracle (the
       // mm08/mm09 scalar-subquery precedent).
