@@ -163,12 +163,39 @@ object Bench {
   /** md5 of the canonicalized pre-execution physical plan (the
     * AQE initial plan: deterministic given code + file stats, unlike
     * the runtime-replanned final). */
-  private[graft] def planHash(df: org.apache.spark.sql.DataFrame): String = {
-    val canon = canonicalPlan(df.queryExecution.executedPlan.toString)
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(canon.getBytes("UTF-8"))
-    d.map("%02x".format(_)).mkString
-  }
+  private[graft] def planHash(df: org.apache.spark.sql.DataFrame): String =
+    hashOf(canonicalPlan(df.queryExecution.executedPlan.toString))
+
+  private[graft] def hashOf(canon: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Persist the canonical plan TEXTS a run fingerprinted, rotating
+    * the previous run's into `<dir>_prev` — so a `plan_changed` alarm
+    * is immediately DIFFABLE (`diff <dir>_prev/<q>.txt <dir>/<q>.txt`)
+    * instead of two opaque hashes. Best-effort: a write failure must
+    * never fail the bench. */
+  private[graft] def writePlanTexts(dir: java.nio.file.Path,
+                                    texts: Map[String, String]): Unit =
+    try {
+      val prev = dir.resolveSibling(dir.getFileName.toString + "_prev")
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p).sorted(
+            java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => java.nio.file.Files.delete(f))
+        }
+      rmTree(prev)
+      if (java.nio.file.Files.exists(dir))
+        java.nio.file.Files.move(dir, prev)
+      java.nio.file.Files.createDirectories(dir)
+      texts.foreach { case (n, t) =>
+        java.nio.file.Files.write(dir.resolve(n + ".txt"),
+          t.getBytes("UTF-8"))
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] plan text dump failed: ${e.getMessage}")
+    }
 
   /** Split the regression alarm by plan fingerprint: queries whose
     * recorded hash differs from this run's are `plan_changed` (always
@@ -301,16 +328,20 @@ object Bench {
     // artifacts); writes ONLY the <sf>#plans section.
     if (sys.env.get("SPARK_GRAFT_PLANS_ONLY").contains("1")) {
       val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-      val hashes = toRun.flatMap { q =>
+      val texts = toRun.flatMap { q =>
         try {
           spark.catalog.clearCache()
-          Some(q.name -> planHash(q.fn(spark, sfDir)))
+          Some(q.name -> canonicalPlan(
+            q.fn(spark, sfDir).queryExecution.executedPlan.toString))
         } catch { case e: Throwable =>
           System.err.println(s"[bench] plan hash ${q.name} failed: " +
             e.getMessage)
           None
         }
       }.toMap
+      writePlanTexts(java.nio.file.Paths.get("target", "bench_plans"),
+        texts)
+      val hashes = texts.map { case (n, t) => n -> hashOf(t) }
       val steadyPath = java.nio.file.Paths.get("tools", "bench_steady.json")
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val root = om.readTree(java.nio.file.Files.readAllBytes(steadyPath))
@@ -350,16 +381,23 @@ object Bench {
     // queries that materialize eagerly by design (q51) and first-ever
     // artifact builds (build is indexing, not query time — the
     // tx18/tx19 pre-build philosophy).
-    val planNow: Map[String, String] = toRun.flatMap { q =>
+    val planTexts: Map[String, String] = toRun.flatMap { q =>
       try {
         spark.catalog.clearCache()
-        Some(q.name -> planHash(q.fn(spark, sfDir)))
+        Some(q.name -> canonicalPlan(
+          q.fn(spark, sfDir).queryExecution.executedPlan.toString))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] plan hash ${q.name} failed: " +
           e.getMessage)
         None
       }
     }.toMap
+    // the texts behind the hashes, previous run rotated to _prev — a
+    // plan_changed alarm is a `diff`, not two opaque hashes
+    writePlanTexts(java.nio.file.Paths.get("target", "bench_plans"),
+      planTexts)
+    val planNow: Map[String, String] =
+      planTexts.map { case (n, t) => n -> hashOf(t) }
     val loadBefore = loadAtStart
     // pass-level contention gate (round-16 wrong #1): the quiet gate
     // above only guards run START; sample loadavg straddling EACH
@@ -514,7 +552,8 @@ object Bench {
       System.err.println("[bench] PLAN_CHANGED (physical plan hash moved " +
         s"since the recorded baseline): ${planChanged.mkString(", ")} — " +
         "this is code, not load; expected after a deliberate re-plan " +
-        "(the new hash is now the baseline), otherwise find the commit")
+        "(the new hash is now the baseline), otherwise find the commit; " +
+        "diff target/bench_plans_prev/<q>.txt target/bench_plans/<q>.txt")
     if (timeOnly.nonEmpty)
       System.err.println("[bench] TIME_ONLY regression (recent-median > " +
         s"${RegressFactor}x steady, plan hash identical): " +

@@ -248,6 +248,25 @@ class BenchPlanHashSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(c3 == Seq("q") && t3.isEmpty)
   }
 
+  test("plan text dump rotates the previous run for diffing") {
+    val base = java.nio.file.Files.createTempDirectory("graft-bp")
+    val dir = base.resolve("bench_plans")
+    Bench.writePlanTexts(dir, Map("q" -> "PLAN A"))
+    Bench.writePlanTexts(dir, Map("q" -> "PLAN B", "r" -> "PLAN R"))
+    val prev = base.resolve("bench_plans_prev")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      prev.resolve("q.txt")), "UTF-8") == "PLAN A",
+      "previous run's text lost — a plan_changed alarm has nothing to diff")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      dir.resolve("q.txt")), "UTF-8") == "PLAN B")
+    // a third rotation replaces prev wholesale (no stale files linger)
+    Bench.writePlanTexts(dir, Map("q" -> "PLAN C"))
+    assert(new String(java.nio.file.Files.readAllBytes(
+      prev.resolve("q.txt")), "UTF-8") == "PLAN B")
+    assert(java.nio.file.Files.exists(prev.resolve("r.txt")),
+      "rotation must carry the whole previous dir")
+  }
+
   test("mergeAttempts keeps the min over successful attempts per query") {
     val a = Seq("x" -> (2.0, true), "y" -> (5.0, false), "z" -> (1.0, true))
     val b = Seq("x" -> (3.0, true), "y" -> (4.0, true), "z" -> (9.0, false))

@@ -29,6 +29,7 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     "tx30_salted_join",       // bounded 16-row salt replication frame
     "pl15_temperature_sample",// 1-row n_min scalar
     "pl16_curation_funnel",   // composes pl15's scalar
+    "pl47_funnel_fate",       // composes pl15's scalar (sampling rung)
     "pl23_quality_classifier",// 1-row (n_good, n_bad) class-prior scalar
     "pl24_classifier_topq",   // composes pl23's class-prior scalar
     "tx36_kl_drift",          // 1-row corpus token-total scalar
