@@ -119,4 +119,87 @@ object Maintenance {
     }
     wh.primaries
   }
+
+  /** One ledger's health row — the ops surface [[status]] fills. */
+  final case class LedgerStatus(
+    family: String,
+    primary: String,
+    exists: Boolean,
+    rows: Long,             // ledger rows on disk (−1 for artifact kinds)
+    committedBatches: Long, // marker rows (−1 when no marker surface)
+    orphanBatches: Long,    // ledger batch_ids with NO marker (crash debt)
+    compactionDebt: Long,   // rows beyond one-per-group the fold would keep
+                            // (−1 when the family's fold target is unknown)
+    stagingPending: Boolean,// a crashed stage-then-swap awaits heal
+    streamActive: Boolean)  // the maintainer is running RIGHT NOW
+
+  /** Warehouse-wide maintenance HEALTH report ([[compactAll]]'s
+    * read-only twin — what an operator checks before deciding to take
+    * the maintenance window at all): per listed ledger, row/batch
+    * counts, orphan row-sets awaiting adoption, crashed-swap staging
+    * debris, and whether its maintainer stream is live. Marker-backed
+    * ledger families get full rows; artifact families (datasheet /
+    * split / vector store and the single-table score ledgers) report
+    * existence + staging + stream only — their compaction debt is not
+    * a batch-ledger shape. Read-only: never mutates, never refuses. */
+  def status(spark: SparkSession, wh: Warehouse): Seq[LedgerStatus] = {
+    def ex(t: String) = spark.catalog.tableExists(t)
+    def rows(t: String) = if (ex(t)) spark.table(t).count() else 0L
+    def ledgerRow(family: String, ledger: String, marker: String,
+                  groupCols: Seq[String],
+                  staging: String): LedgerStatus = {
+      val exists = ex(ledger)
+      val committed = if (ex(marker)) rows(marker) else 0L
+      val orphans =
+        if (!exists || !ex(marker)) 0L
+        else spark.table(ledger).select("batch_id").distinct()
+          .join(org.apache.spark.sql.functions.broadcast(
+            spark.table(marker).select("batch_id")),
+            Seq("batch_id"), "left_anti").count()
+      val debt =
+        if (!exists || groupCols.isEmpty) -1L
+        else rows(ledger) -
+          spark.table(ledger).select(groupCols.map(
+            org.apache.spark.sql.functions.col): _*).distinct().count()
+      LedgerStatus(family, ledger, exists, if (exists) rows(ledger) else 0L,
+        if (ex(marker)) committed else -1L, orphans, debt,
+        ex(staging), activeFor(spark, ledger).isDefined)
+    }
+    def artifactRow(family: String, primary: String,
+                    probe: String, staging: String): LedgerStatus =
+      LedgerStatus(family, primary, ex(probe), -1L, -1L, 0L, -1L,
+        ex(staging), activeFor(spark, primary).isDefined)
+    wh.components.map { case (n, _, m) =>
+      // components fold into a SEPARATE compact table, so the
+      // one-per-group debt shape doesn't apply — debt unknown
+      ledgerRow("components", n, m, Nil, n + "c_staging") } ++
+    wh.datasheets.map(n => artifactRow("datasheet", n,
+      s"${n}_digests", s"${n}_digestsc_staging")) ++
+    wh.importance.map(n => artifactRow("importance", n, n,
+      n + "_staging")) ++
+    wh.indexes.map { case (t, _, _) =>
+      artifactRow("index", t, t, t + "_staging") } ++
+    wh.probes.map { case (l, m) =>
+      ledgerRow("probes", l, m, Seq("blob_digest"), l + "_staging") } ++
+    wh.quality.map(n => artifactRow("quality", n, n, n + "_staging")) ++
+    wh.rewrites.map { case (l, m) =>
+      ledgerRow("rewrites", l, m, Seq("ch"), l + "c_staging") } ++
+    wh.sketches.map { case (s, m) =>
+      ledgerRow("sketches", s, m, Seq("event_type", "day"),
+        s + "_staging") } ++
+    wh.snapshots.map { case (l, m) =>
+      ledgerRow("snapshots", l, m, Seq("user_id"), l + "c_staging") } ++
+    wh.splits.map(n => artifactRow("splits", n, s"${n}_bands",
+      s"${n}_bandsc_staging")) ++
+    wh.substrings.map { case (w, m) =>
+      ledgerRow("substrings", w, m, Seq("ch"), w + "_staging") } ++
+    wh.tokenizers.map { case (w, m) =>
+      ledgerRow("tokenizers", w, m, Seq("word"), w + "_staging") } ++
+    wh.trends.map { case (s, m, _) =>
+      ledgerRow("trends", s, m, Seq("item"), s + "_staging") } ++
+    wh.vectorStores.map { n =>
+      val p = graft.index.VectorStore.servingPrefix(spark, n)
+      artifactRow("vectorStore", n, s"${p}_codes",
+        s"${p}_codes_staging") }
+  }
 }

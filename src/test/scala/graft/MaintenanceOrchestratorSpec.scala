@@ -150,4 +150,39 @@ class MaintenanceOrchestratorSpec extends AnyFunSuite {
     assert(Maintenance.activeFor(spark, "mor_probe").isEmpty)
     assert(Maintenance.compactAll(spark, wh) == Seq("mor_probe"))
   }
+
+  test("status reports ledger health read-only: rows, orphans, " +
+      "compaction debt, staging debris, absent artifacts") {
+    import spark.implicits._
+    val (lt, mt) = ("mos_probe", "mos_probe_m")
+    TestWarehouse.reset(spark, lt, mt, s"${lt}_staging", s"${lt}_erased")
+    // two committed batches sharing a digest (debt 1) + one orphan
+    // row-set (rows without a marker)
+    val (d1, d2) = docRows.partition(r => Set(25L, 50L, 3L, 7L)(r._1))
+    ProbeMaintenance.appendBatch(d1.toDF("doc_id", "text"), 0L, lt, mt)
+    ProbeMaintenance.appendBatch(d2.toDF("doc_id", "text"), 1L, lt, mt)
+    Seq((9L, "zz-orphan", 9L)).toDF("batch_id", "blob_digest", "cand_id")
+      .write.mode("append").saveAsTable(lt)
+    val before = spark.table(lt).count()
+    val wh = Maintenance.Warehouse(
+      probes = Seq((lt, mt)),
+      datasheets = Seq("mos_absent_ds"),
+      vectorStores = Seq("mos_absent_vs"))
+    val rows = Maintenance.status(spark, wh)
+    assert(rows.map(_.primary) == Seq("mos_absent_ds", lt, "mos_absent_vs"))
+    val p = rows.find(_.primary == lt).get
+    assert(p.exists && p.rows == before && p.committedBatches == 2,
+      s"probe ledger status wrong: $p")
+    assert(p.orphanBatches == 1, s"orphan row-set not reported: $p")
+    // debt: the shared digest holds 2 committed rows + the orphan
+    // digest is distinct — rows minus distinct digests
+    val distinctDigests =
+      spark.table(lt).select("blob_digest").distinct().count()
+    assert(p.compactionDebt == before - distinctDigests, s"debt: $p")
+    assert(!p.stagingPending && !p.streamActive)
+    val ds = rows.find(_.primary == "mos_absent_ds").get
+    assert(!ds.exists && !ds.stagingPending, s"absent artifact: $ds")
+    // read-only: nothing changed
+    assert(spark.table(lt).count() == before, "status mutated the ledger")
+  }
 }
