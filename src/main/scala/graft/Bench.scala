@@ -321,6 +321,33 @@ object Bench {
       catch { case _: Throwable => -1.0 }
 
     val toRun = SparkEntry.all.filterNot(q => skip(q.name))
+    // ONE fingerprint construction shared by the plansOnly re-seed and
+    // the gating run's pre-pass phase: the SKILL contract demands the
+    // two contexts hash identically, and a second copy of this loop is
+    // exactly how a future one-sided edit would re-create the
+    // round-17 hash-flap class
+    def fingerprintAll(): Map[String, String] = toRun.flatMap { q =>
+      try {
+        spark.catalog.clearCache()
+        Some(q.name -> canonicalPlan(
+          q.fn(spark, sfDir).queryExecution.executedPlan.toString))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] plan hash ${q.name} failed: " +
+          e.getMessage)
+        None
+      }
+    }.toMap
+    // the texts behind the hashes, previous run rotated to _prev — a
+    // plan_changed alarm is a `diff`, not two opaque hashes. The
+    // rotation is SKIPPED when fingerprinting mostly failed (missing
+    // warehouse, bad sfDir): a broken run must not destroy the
+    // last-good texts a later alarm will want to diff against.
+    def dumpPlanTexts(texts: Map[String, String]): Unit =
+      if (texts.size * 2 >= toRun.size)
+        writePlanTexts(java.nio.file.Paths.get("target", "bench_plans"),
+          texts)
+      else System.err.println(s"[bench] plan texts NOT rotated: only " +
+        s"${texts.size}/${toRun.size} fingerprints succeeded this run")
     // SPARK_GRAFT_PLANS_ONLY=1: re-seed the plan-hash baseline without
     // a full timed run (operator tool — e.g. after a canonicalizer
     // change, when every hash legitimately moves at once). Assumes a
@@ -328,19 +355,8 @@ object Bench {
     // artifacts); writes ONLY the <sf>#plans section.
     if (sys.env.get("SPARK_GRAFT_PLANS_ONLY").contains("1")) {
       val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-      val texts = toRun.flatMap { q =>
-        try {
-          spark.catalog.clearCache()
-          Some(q.name -> canonicalPlan(
-            q.fn(spark, sfDir).queryExecution.executedPlan.toString))
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] plan hash ${q.name} failed: " +
-            e.getMessage)
-          None
-        }
-      }.toMap
-      writePlanTexts(java.nio.file.Paths.get("target", "bench_plans"),
-        texts)
+      val texts = fingerprintAll()
+      dumpPlanTexts(texts)
       val hashes = texts.map { case (n, t) => n -> hashOf(t) }
       val steadyPath = java.nio.file.Paths.get("tools", "bench_steady.json")
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -381,21 +397,8 @@ object Bench {
     // queries that materialize eagerly by design (q51) and first-ever
     // artifact builds (build is indexing, not query time — the
     // tx18/tx19 pre-build philosophy).
-    val planTexts: Map[String, String] = toRun.flatMap { q =>
-      try {
-        spark.catalog.clearCache()
-        Some(q.name -> canonicalPlan(
-          q.fn(spark, sfDir).queryExecution.executedPlan.toString))
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] plan hash ${q.name} failed: " +
-          e.getMessage)
-        None
-      }
-    }.toMap
-    // the texts behind the hashes, previous run rotated to _prev — a
-    // plan_changed alarm is a `diff`, not two opaque hashes
-    writePlanTexts(java.nio.file.Paths.get("target", "bench_plans"),
-      planTexts)
+    val planTexts: Map[String, String] = fingerprintAll()
+    dumpPlanTexts(planTexts)
     val planNow: Map[String, String] =
       planTexts.map { case (n, t) => n -> hashOf(t) }
     val loadBefore = loadAtStart
@@ -404,11 +407,19 @@ object Bench {
     // pass and give a contended pass one bounded retry, keeping every
     // query's min over all successful attempts
     var passRetries = 0
+    // real wall seconds of each pass ATTEMPT, keyed by label: the
+    // "passes" provenance must report times a pass actually took —
+    // after a retry the merged per-query minima sum to a total no
+    // physical pass measured, which would corrupt the disposition
+    // protocol's pass-level inflation comparison
+    val passWall = scala.collection.mutable.Map.empty[String, Double]
     def runPass(label: String): Seq[(String, (Double, Boolean))] = {
       val lb = loadavg()
       val r = toRun.map(q => q.name -> timeOne(q))
       val la = loadavg()
-      System.err.println(f"[bench] $label load $lb%.2f -> $la%.2f")
+      passWall(label) = r.map(_._2._1).sum
+      System.err.println(f"[bench] $label load $lb%.2f -> $la%.2f " +
+        f"wall ${passWall(label)}%.1fs")
       if (math.max(lb, la) < ContendedPassLoad) r
       else {
         passRetries += 1
@@ -416,8 +427,9 @@ object Bench {
           f"${math.max(lb, la)}%.2f >= $ContendedPassLoad%.1f) — " +
           "one bounded retry of the whole pass")
         val r2 = toRun.map(q => q.name -> timeOne(q))
+        passWall(label + "-retry") = r2.map(_._2._1).sum
         System.err.println(f"[bench] $label-retry ended at load " +
-          f"${loadavg()}%.2f")
+          f"${loadavg()}%.2f wall ${passWall(label + "-retry")}%.1fs")
         mergeAttempts(r, r2)
       }
     }
@@ -454,7 +466,11 @@ object Bench {
     }
     val results = perQuery.map { case (n, v, _) => n -> v }
     val failedQueries = perQuery.collect { case (n, _, false) => n }
-    val passTotals = (pass1.map(_._2._1).sum, pass2.map(_._2._1).sum)
+    // the ORIGINAL attempts' walls (retry walls go to stderr +
+    // pass_retries): these correspond to physical passes the load
+    // samples straddled, unlike the post-merge per-query minima
+    val passTotals = (passWall.getOrElse("pass1", 0.0),
+      passWall.getOrElse("pass2", 0.0))
     System.err.println(
       f"[bench] pass1=${passTotals._1}%.1fs pass2=${passTotals._2}%.1fs " +
       f"retimed=${retimed.size} failed=${failedQueries.size} " +
@@ -475,6 +491,7 @@ object Bench {
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     // "<sf>#plans" sections carry STRING plan hashes; every other
     // non-note section carries per-query double timings
+    var historyCorrupt = false
     val (allSteady, allPlans): (Map[String, Map[String, Double]],
         Map[String, Map[String, String]]) =
       if (java.nio.file.Files.exists(steadyPath)) {
@@ -502,7 +519,13 @@ object Bench {
           }
           (b.result(), pb.result())
         } catch { case e: Throwable =>
+          // a file that EXISTS but won't parse must never be silently
+          // REPLACED: the unconditional write below would wipe every
+          // committed steady minimum and plan baseline for all SFs off
+          // one half-written/merge-conflicted file. Flag it; the write
+          // is skipped and the operator fixes or deletes the file.
           System.err.println(s"[bench] steady history unreadable: ${e.getMessage}")
+          historyCorrupt = true
           (Map.empty, Map.empty)
         }
       } else {
@@ -559,7 +582,12 @@ object Bench {
         s"${RegressFactor}x steady, plan hash identical): " +
         s"${timeOnly.mkString(", ")} — real slowdowns reproduce across " +
         "low-load runs; retime in a quiet window before believing it")
-    locally {
+    if (historyCorrupt)
+      System.err.println("[bench] history NOT rewritten this run — " +
+        s"$steadyPath exists but is unreadable; fix or delete it first " +
+        "(rewriting now would destroy every committed steady minimum " +
+        "and plan baseline)")
+    else locally {
       // the history file is written on EVERY run: plan hashes don't
       // depend on load (merged unconditionally — alarm fired above,
       // new plan becomes the baseline); the timing sections
@@ -577,7 +605,14 @@ object Bench {
         (1 to RecentKeep).foldLeft(withPending)((m, i) => m - recentKey(i))) {
         case (m, (obs, i)) => m + (recentKey(i + 1) -> obs)
       }
-      val planSections = allPlans + (plansKey -> (priorPlans ++ planNow))
+      // prune renamed/removed queries from the recorded section:
+      // hashes are re-recorded EVERY run, so a name that left the
+      // benched registry would otherwise linger as an unalarmable
+      // ghost forever (a rename-plus-replan enters as a NEW query —
+      // no prior hash to alarm against, same as any new query)
+      val benchedNames = toRun.map(_.name).toSet
+      val planSections = allPlans + (plansKey ->
+        (priorPlans ++ planNow).filter { case (n, _) => benchedNames(n) })
       val numBody = withRecent.toSeq.map { case (sec, qs) =>
         sec -> (qs.toSeq.sorted
           .map { case (n, v) => "\"" + n + "\":" + v }

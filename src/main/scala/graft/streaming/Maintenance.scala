@@ -149,20 +149,26 @@ object Maintenance {
                   groupCols: Seq[String],
                   staging: String): LedgerStatus = {
       val exists = ex(ledger)
-      val committed = if (ex(marker)) rows(marker) else 0L
+      val ledgerRows = if (exists) rows(ledger) else 0L
+      // a ledger WITHOUT its marker table is the deepest crash state
+      // (appendBatch writes rows BEFORE the first-ever marker): every
+      // batch in it is orphan adoption debt — reporting 0 there would
+      // mask exactly what this surface exists to expose
       val orphans =
-        if (!exists || !ex(marker)) 0L
+        if (!exists) 0L
+        else if (!ex(marker))
+          spark.table(ledger).select("batch_id").distinct().count()
         else spark.table(ledger).select("batch_id").distinct()
           .join(org.apache.spark.sql.functions.broadcast(
             spark.table(marker).select("batch_id")),
             Seq("batch_id"), "left_anti").count()
       val debt =
         if (!exists || groupCols.isEmpty) -1L
-        else rows(ledger) -
+        else ledgerRows -
           spark.table(ledger).select(groupCols.map(
             org.apache.spark.sql.functions.col): _*).distinct().count()
-      LedgerStatus(family, ledger, exists, if (exists) rows(ledger) else 0L,
-        if (ex(marker)) committed else -1L, orphans, debt,
+      LedgerStatus(family, ledger, exists, ledgerRows,
+        if (ex(marker)) rows(marker) else 0L, orphans, debt,
         ex(staging), activeFor(spark, ledger).isDefined)
     }
     def artifactRow(family: String, primary: String,

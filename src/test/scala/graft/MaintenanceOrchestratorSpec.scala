@@ -184,5 +184,19 @@ class MaintenanceOrchestratorSpec extends AnyFunSuite {
     assert(!ds.exists && !ds.stagingPending, s"absent artifact: $ds")
     // read-only: nothing changed
     assert(spark.table(lt).count() == before, "status mutated the ledger")
+
+    // deepest crash state: ledger rows exist but the marker table was
+    // never created (crash before the FIRST marker write) — every
+    // batch is adoption debt and must be reported as orphan, not 0
+    val (lx, mx) = ("mosx_probe", "mosx_probe_m")
+    TestWarehouse.reset(spark, lx, mx, s"${lx}_staging")
+    Seq((0L, "aa", 1L), (1L, "bb", 2L))
+      .toDF("batch_id", "blob_digest", "cand_id")
+      .write.mode("overwrite").saveAsTable(lx)
+    val crash = Maintenance.status(spark,
+      Maintenance.Warehouse(probes = Seq((lx, mx)))).head
+    assert(crash.exists && crash.orphanBatches == 2 &&
+      crash.committedBatches == 0,
+      s"markerless ledger must report ALL batches orphan: $crash")
   }
 }
