@@ -53,6 +53,24 @@ class BenchRegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("excluded twins are plan-fingerprinted (coverage, round-17 #6)") {
+    // the twins never run in the timed passes, so without fingerprint
+    // coverage a refactor reintroducing a BNLJ in one would have no
+    // alarm anywhere — the selection must carry benched AND excluded
+    val fp = Bench.fingerprintSelection(SparkEntry.all, Bench.exclude)
+      .map(_.name).toSet
+    val missing = Bench.exclude -- fp
+    assert(missing.isEmpty,
+      s"bench-excluded twins not plan-fingerprinted: $missing")
+    // ...while a non-exclude skip (index-build failure) stays skipped:
+    // fingerprinting tx18/tx19 would rebuild the broken artifact
+    val fpSkip = Bench.fingerprintSelection(SparkEntry.all,
+      Bench.exclude + "tx18_phrase_from_index").map(_.name).toSet
+    assert(!fpSkip("tx18_phrase_from_index"),
+      "an index-build-failure skip must not be fingerprinted")
+    assert((Bench.exclude -- fpSkip).isEmpty)
+  }
+
   test("every excluded query still runs in the correctness tier") {
     // bench exclusion must never become correctness exclusion: each
     // oracle-only twin needs its oracleSql entry so the driver's
