@@ -105,6 +105,50 @@ object DedupStore {
     out
   }
 
+  /** BIPARTITE near-dup pairs of `corpus` docs against the STORED
+    * side — `Dedup.bipartitePairs(corpus, probe, tau)` with the probe
+    * side served from an artifact built over `probe`, equal by
+    * construction (all three tables persist the same
+    * shingleSetOf/signaturesOf/bandKeysOf frames the fresh path
+    * derives). This is the decontamination serve path (round-17
+    * verdict #3): the eval benchmark is FIXED per release, so its
+    * shingling/signing/banding is build-once work — pl14/pl16/pl47
+    * re-derived it on every run, and at 100× that derivation dominated
+    * pl47's cost. Scale shape: the stored band table is eval-sized
+    * (tiny vs the corpus) and BROADCAST, candidate generation stays a
+    * map-side join against corpus bands, the exact verify joins stored
+    * shingles only for candidate pairs — the corpus is never
+    * self-joined, and the eval side is never re-read as text.
+    * Output: (doc_id, probe_doc_id, jaccard), jaccard UNROUNDED. */
+  def bipartitePairsFromStore(corpus: DataFrame, name: String,
+                              tau: Double = 0.4): DataFrame = {
+    val spark = corpus.sparkSession
+    val shC = Dedup.shingleSetOf(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    val sigsC = Dedup.signaturesOf(shC).persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = Dedup.bandKeysOf(sigsC)
+      .join(broadcast(spark.table(s"${name}_bands")
+          .withColumnRenamed("doc_id", "probe_doc_id")),
+        Seq("band", "key"))
+      .select(col("doc_id"), col("probe_doc_id"))
+      .distinct()
+    val inter = cand
+      .join(shC, Seq("doc_id"))
+      .join(spark.table(s"${name}_shingles")
+          .select(col("doc_id").as("probe_doc_id"), col("shingle")),
+        Seq("probe_doc_id", "shingle"))
+      .groupBy("doc_id", "probe_doc_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sigsC.select(col("doc_id"), col("sz").as("sza")), Seq("doc_id"))
+      .join(spark.table(s"${name}_sigs")
+          .select(col("doc_id").as("probe_doc_id"), col("sz").as("szb")),
+        Seq("probe_doc_id"))
+      .select(col("doc_id"), col("probe_doc_id"),
+        (col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
   /** Right-to-erasure seam: physically rewrite all three tables
     * WITHOUT `victims`' rows (a single-column doc_id frame, request-
     * sized — it broadcasts). The shingle table is the one that

@@ -143,6 +143,37 @@ object Pipeline {
   private def duckCoin(idExpr: String): String =
     s"CAST(CAST(concat('0x', substr(md5(CAST($idExpr AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)"
 
+  // --- Fuzzy-decontamination rung, the ONE construction shared by
+  //     pl14 (the standalone report), pl16 (the funnel) and pl47 (the
+  //     fate report): corpus-vs-eval bipartite MinHash pairs at
+  //     j >= 0.4 over the doc_id % 5 eval slice. ---
+
+  /** Session conf naming a `graft.index.DedupStore` artifact built
+    * over the EVAL slice: when set (and the artifact exists), the
+    * fuzzy rung's eval side is served from the stored band/shingle/
+    * sig tables instead of re-derived per run — the eval set is fixed
+    * per release, so its shingling/signing/banding is build-once work
+    * (round-17 verdict #3; at 100× the rung's eval-side derivation
+    * dominated pl47's 274.6 s cost). Unset — the Verify/Bench cold
+    * default — both sides derive fresh; the two paths are equal by
+    * construction (the store persists the same shingle/sig/band
+    * frames), `FuzzyServeSpec` pins it, and `PlanSpec` pins the
+    * served plan to zero eval-side corpus re-reads. */
+  val EvalBandStoreConf = "spark.graft.evalBandStore"
+
+  private def fuzzyEvalPairsOf(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val corpus = d.filter(col("doc_id") % 5 =!= 0)
+    s.conf.getOption(EvalBandStoreConf)
+      .filter(n => s.catalog.tableExists(s"${n}_bands")) match {
+      case Some(n) =>
+        graft.index.DedupStore.bipartitePairsFromStore(corpus, n, 0.4)
+      case None =>
+        graft.queries.Dedup.bipartitePairs(corpus,
+          d.filter(col("doc_id") % 5 === 0), 0.4)
+    }
+  }
+
   // --- Quality-classifier primitives, the ONE source shared by the
   //     registered query (pl23), the saved model artifact
   //     (graft.index.QualityStore) and its streaming scorer — an edit
@@ -783,10 +814,7 @@ object Pipeline {
          |FROM xscored WHERE j >= 0.4
          |ORDER BY doc_id, eval_doc_id"""
     }) { (s, dir) =>
-      val d = docs(s, dir).select(col("doc_id"), col("text"))
-      graft.queries.Dedup.bipartitePairs(
-          d.filter(col("doc_id") % 5 =!= 0),
-          d.filter(col("doc_id") % 5 === 0), 0.4)
+      fuzzyEvalPairsOf(s, dir)
         .select(col("doc_id"), col("probe_doc_id").as("eval_doc_id"),
           graft.functions.ParityFunctions.duckRound(col("jaccard"), 6)
             .as("jaccard"))
@@ -879,10 +907,7 @@ object Pipeline {
         .select("doc_id")
       val s1d = base.join(s1, "doc_id").select("doc_id", "lang", "n_tok")
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val d = docs(s, dir).select(col("doc_id"), col("text"))
-      val hits = Dedup.bipartitePairs(
-          d.filter(col("doc_id") % 5 =!= 0),
-          d.filter(col("doc_id") % 5 === 0), 0.4)
+      val hits = fuzzyEvalPairsOf(s, dir)
         .select("doc_id").distinct()
       val s2 = s1d.filter(col("doc_id") % 5 =!= 0)
         .join(hits, Seq("doc_id"), "left_anti")
@@ -2629,10 +2654,7 @@ object Pipeline {
         .select(col("doc_id"), lit("eval_slice").as("fate"),
           lit(null).cast("long").as("twin_id"))
       val s1t = s1.filter(col("doc_id") % 5 =!= 0)
-      val d = docs(s, dir).select(col("doc_id"), col("text"))
-      val fz = Dedup.bipartitePairs(
-          d.filter(col("doc_id") % 5 =!= 0),
-          d.filter(col("doc_id") % 5 === 0), 0.4)
+      val fz = fuzzyEvalPairsOf(s, dir)
         .groupBy("doc_id").agg(min(col("probe_doc_id")).as("ftwin"))
       val fuzzyDropped = s1t.join(fz, "doc_id")
         .select(col("doc_id"), lit("fuzzy_eval_neardup").as("fate"),

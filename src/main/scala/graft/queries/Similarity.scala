@@ -570,19 +570,48 @@ object Similarity {
   private[queries] def semanticEvalPairsOf(s: SparkSession,
                                            dir: String): DataFrame = {
     val e = emb(s, dir)
+    val (cent, ea) = semanticEvalSides(e)
+    val en = e.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
+    semanticPairsAgainst(en.filter(col("vec_id") % 5 =!= 0), cent, ea)
+  }
+
+  /** The FROZEN sides of the semantic-eval rung — the centroid set and
+    * the eval-side cell-assignment frame `(cid, eval_vec_id, eb, nb)`
+    * — factored out of [[semanticEvalPairsOf]] so `FateMaintenance`
+    * can persist them as a build-once release artifact (round-17
+    * verdict #1): the eval set and the centroid geometry are fixed per
+    * release, and an arriving micro-batch needs only these two sides
+    * to attribute its semantic fate. */
+  private[graft] def semanticEvalSides(e: DataFrame)
+      : (Seq[(Long, Seq[Double])], DataFrame) = {
     val cent = collectCentroids(e.filter(col("vec_id") < adaptiveCells(e))
       .select(col("vec_id").as("cid"), col("embedding").as("ce")))
     val en = e.select(col("vec_id"), col("embedding"),
       l2Norm(col("embedding")).as("nrm"))
-    val ca = nearestCells(en.filter(col("vec_id") % 5 =!= 0),
-      "vec_id", "embedding", cent, 1, carry = Seq("embedding", "nrm"))
     val ea = nearestCells(en.filter(col("vec_id") % 5 === 0),
       "vec_id", "embedding", cent, IvfNProbe,
       carry = Seq("embedding", "nrm"))
       .select(col("cid"), col("vec_id").as("eval_vec_id"),
         col("embedding").as("eb"), col("nrm").as("nb"))
+    (cent, ea)
+  }
+
+  /** pl25/pl47's semantic rung against GIVEN frozen sides: corpus
+    * vectors `(vec_id, embedding, nrm)` each assigned to their ONE
+    * nearest cell, the eval assignment broadcast onto the cell
+    * equi-join, cosine ≥ the near-dup threshold. The one construction
+    * shared by the batch path ([[semanticEvalPairsOf]]) and the
+    * streaming fate maintainer — an edit to the assignment rule or the
+    * threshold moves both, so streamed fates cannot drift from the
+    * batch report. The corpus side is never self-joined and never
+    * shuffled on anything but its cell id. */
+  private[graft] def semanticPairsAgainst(corpusVecs: DataFrame,
+      cent: Seq[(Long, Seq[Double])], evalAssigned: DataFrame): DataFrame = {
+    val ca = nearestCells(corpusVecs, "vec_id", "embedding", cent, 1,
+      carry = Seq("embedding", "nrm"))
     val nrm = col("nrm") * col("nb")
-    ca.join(broadcast(ea), Seq("cid"))
+    ca.join(broadcast(evalAssigned), Seq("cid"))
       .withColumn("cos", when(nrm === 0.0, lit(0.0))
         .otherwise(dot(col("embedding"), col("eb")) / nrm))
       .filter(col("cos") >= NearDupCos)
