@@ -119,9 +119,18 @@ object DedupStore {
     * map-side join against corpus bands, the exact verify joins stored
     * shingles only for candidate pairs — the corpus is never
     * self-joined, and the eval side is never re-read as text.
-    * Output: (doc_id, probe_doc_id, jaccard), jaccard UNROUNDED. */
+    * Output: (doc_id, probe_doc_id, jaccard), jaccard UNROUNDED.
+    *
+    * `eager = true` is the serve-many loop mode (the
+    * [[incrementalPairs]] lifecycle): the result is localCheckpointed
+    * and the corpus-side caches released before returning, so a
+    * caller invoking this once per ingested micro-batch (the fate
+    * maintainer) does not accumulate cached blocks across calls. The
+    * default lazy mode keeps the Q.scala contract — callers clear the
+    * cache between invocations. */
   def bipartitePairsFromStore(corpus: DataFrame, name: String,
-                              tau: Double = 0.4): DataFrame = {
+                              tau: Double = 0.4,
+                              eager: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     val shC = Dedup.shingleSetOf(corpus).persist(StorageLevel.MEMORY_AND_DISK)
     val sigsC = Dedup.signaturesOf(shC).persist(StorageLevel.MEMORY_AND_DISK)
@@ -137,7 +146,7 @@ object DedupStore {
           .select(col("doc_id").as("probe_doc_id"), col("shingle")),
         Seq("probe_doc_id", "shingle"))
       .groupBy("doc_id", "probe_doc_id").agg(count(lit(1)).as("inter"))
-    inter
+    val out = inter
       .join(sigsC.select(col("doc_id"), col("sz").as("sza")), Seq("doc_id"))
       .join(spark.table(s"${name}_sigs")
           .select(col("doc_id").as("probe_doc_id"), col("sz").as("szb")),
@@ -147,6 +156,12 @@ object DedupStore {
           (col("sza") + col("szb") - col("inter")).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= tau)
+    if (!eager) out
+    else {
+      val pinned = out.localCheckpoint(true)
+      shC.unpersist(); sigsC.unpersist()
+      pinned
+    }
   }
 
   /** Right-to-erasure seam: physically rewrite all three tables

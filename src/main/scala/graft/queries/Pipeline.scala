@@ -114,7 +114,7 @@ object Pipeline {
     * `lang` column — the T=2 flattening rates, a tiny broadcastable
     * frame. Only IEEE exact-rounded ops (sqrt/div), so both engines
     * compute the same double. */
-  private def temperatureRates(df: DataFrame): DataFrame = {
+  private[graft] def temperatureRates(df: DataFrame): DataFrame = {
     val counts = df.groupBy("lang").agg(count(lit(1)).as("n_lang"))
     counts
       .crossJoin(broadcast(counts.agg(min(col("n_lang")).as("n_min"))))
@@ -125,7 +125,7 @@ object Pipeline {
 
   /** Deterministic per-doc coin: first 8 md5 hex chars of the id as a
     * uniform u32, as a double for the keep_prob·2^32 comparison. */
-  private def coinOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def coinOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
       .cast("long").cast("double")
 

@@ -48,6 +48,7 @@ object Maintenance {
   final case class Warehouse(
     components: Seq[(String, String, String)] = Nil,  // (nodes, remap, marker)
     datasheets: Seq[String] = Nil,                    // name
+    fateLedgers: Seq[(String, String, String)] = Nil, // (ledger, marker, rates)
     importance: Seq[String] = Nil,                    // weightsTable
     indexes: Seq[(String, Option[String], Option[String])] = Nil,
                                         // (termDoc, stats, tombstones)
@@ -64,7 +65,8 @@ object Maintenance {
 
     /** Every family's primary table, in walk order. */
     def primaries: Seq[String] =
-      components.map(_._1) ++ datasheets ++ importance ++
+      components.map(_._1) ++ datasheets ++ fateLedgers.map(_._1) ++
+        importance ++
         indexes.map(_._1) ++ probes.map(_._1) ++ quality ++
         rewrites.map(_._1) ++ sketches.map(_._1) ++
         snapshots.map(_._1) ++ splits ++ substrings.map(_._1) ++
@@ -88,6 +90,8 @@ object Maintenance {
     wh.components.foreach { case (n, r, m) =>
       ComponentMaintenance.compact(spark, n, r, m) }
     wh.datasheets.foreach(DatasheetMaintenance.compact(spark, _))
+    wh.fateLedgers.foreach { case (l, m, r) =>
+      FateMaintenance.compact(spark, l, m, r) }
     wh.importance.foreach(ImportanceMaintenance.compact(spark, _))
     wh.indexes.foreach { case (t, s, tb) =>
       IndexMaintenance.compact(spark, t, s, tb) }
@@ -181,6 +185,8 @@ object Maintenance {
       ledgerRow("components", n, m, Nil, n + "c_staging") } ++
     wh.datasheets.map(n => artifactRow("datasheet", n,
       s"${n}_digests", s"${n}_digestsc_staging")) ++
+    wh.fateLedgers.map { case (l, m, _) =>
+      ledgerRow("fates", l, m, Seq("doc_id"), l + "_staging") } ++
     wh.importance.map(n => artifactRow("importance", n, n,
       n + "_staging")) ++
     wh.indexes.map { case (t, _, _) =>
