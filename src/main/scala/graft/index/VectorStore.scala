@@ -841,14 +841,70 @@ object VectorStore {
     * the attribute into the code table instead when it is hot). */
   def serveTopKFiltered(probes: DataFrame, name: String,
                         eligible: Column, nprobe: Int = NProbe,
-                        k: Int = TopK): DataFrame = {
-    val scored = scoredCandidates(probes, name, nprobe, Some(eligible))
+                        k: Int = TopK, widenTo: Int = 0): DataFrame = {
+    if (widenTo <= nprobe)
+      rankTopK(scoredCandidates(probes, name, nprobe, Some(eligible)), k)
+        .orderBy("probe_id", "rank")
+    else serveTopKWidening(probes, name, eligible, nprobe, k, widenTo)
+  }
+
+  /** The auto-widen loop behind [[serveTopKFiltered]]'s `widenTo`
+    * (round-17 verdict #2): at extreme selectivity a probe's base
+    * `nprobe` cells may hold fewer than `k` eligible vectors (the
+    * measured 1%-selectivity short-k arc, SURVEY §6) — the fix
+    * RE-PROBES exactly the short probes with a doubled nprobe,
+    * bounded by `widenTo`, leaving full probes' results (and cost)
+    * untouched: each widening round scores ONLY the still-short
+    * probes' cells, and a probe whose round returned a full k never
+    * re-enters. Per-probe semantics: results come from the FIRST
+    * doubling level whose probed cells hold ≥ k eligible candidates
+    * (or from the `widenTo` cap) — the sm28 oracle mirrors exactly
+    * this rule. The level decision is a per-round driver read of
+    * per-probe row counts: probes are request-sized by the serving
+    * contract, and rounds are log2(widenTo/nprobe)-bounded, so the
+    * control-plane cost is (probes × log) rows — never corpus-scale.
+    * Each round's frame is localCheckpointed: it is read twice (count
+    * + final union) and must not re-score on the second read. */
+  private def serveTopKWidening(probes: DataFrame, name: String,
+                                eligible: Column, nprobe: Int, k: Int,
+                                widenTo: Int): DataFrame = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    var np = nprobe
+    var remaining = probes
+    var current = rankTopK(
+      scoredCandidates(remaining, name, np, Some(eligible)), k)
+      .localCheckpoint(true)
+    var finalized: Option[DataFrame] = None
+    var continue = true
+    while (continue && np < widenTo) {
+      val shortIds = remaining.select("probe_id")
+        .join(current.groupBy("probe_id").count(), Seq("probe_id"), "left")
+        .filter(coalesce(col("count"), lit(0L)) < k)
+        .select("probe_id").as[Long].collect().toSeq
+      if (shortIds.isEmpty) continue = false
+      else {
+        val full = current.filter(!col("probe_id").isin(shortIds: _*))
+        finalized = Some(finalized.map(_.union(full)).getOrElse(full))
+        remaining = remaining.filter(col("probe_id").isin(shortIds: _*))
+        np = math.min(np * 2, widenTo)
+        current = rankTopK(
+          scoredCandidates(remaining, name, np, Some(eligible)), k)
+          .localCheckpoint(true)
+      }
+    }
+    finalized.map(_.union(current)).getOrElse(current)
+      .orderBy("probe_id", "rank")
+  }
+
+  /** Shared per-probe ranking tail of the serve surfaces: rank by
+    * cosine desc (neighbor_id tiebreak), keep ≤ k. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("probe_id", "neighbor_id", "rank", "cosine")
-      .orderBy("probe_id", "rank")
   }
 
   /** HARD-NEGATIVE mining from the artifact (the contrastive-training

@@ -2054,6 +2054,90 @@ object Similarity {
         .orderBy("probe_id", "rank")
     },
 
+    // --- sm28: sm27 under EXTREME selectivity with AUTO-WIDENING
+    //     (round-17 verdict #2 — the measured 1%-selectivity arc left
+    //     some probes with fewer than k eligible vectors IN their
+    //     nprobe cells, and the fix was a documented manual knob):
+    //     `serveTopKFiltered(widenTo = 64)` re-probes exactly the
+    //     short probes with doubled nprobe until they fill or the cap
+    //     hits, so every probe returns a full k of ELIGIBLE neighbors
+    //     whenever ≥ k eligible vectors exist store-wide — while full
+    //     probes' results and cost are untouched (their cells are
+    //     never re-scanned; `AutoWidenSpec` pins it). Per-probe
+    //     semantics — results from the FIRST doubling level
+    //     (2,4,8,...,64) whose probed cells hold ≥ k eligible — are
+    //     mirrored exactly by the oracle's level-counting CTEs. The
+    //     % 37 predicate is the short-k regime at the test SFs
+    //     (~2.7% eligible: base cells hold ~3 eligible per probe at
+    //     sf0.001). ---
+    Q("sm28_filtered_autowiden", {
+      val qcos = cosineSql("p.pe", "d.deq")
+      val dist = l2SqSql("e.embedding", "c.ce")
+      val pdist = l2SqSql("p.pe", "c.ce")
+      s"""WITH $sqDeqCtes,
+         |cent AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  WHERE vec_id < ${graft.index.VectorStore.AdaptiveCellsSql}),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |                         ORDER BY $dist, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |p AS (SELECT vec_id AS probe_id, embedding AS pe
+         |      FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 500),
+         |pcells AS (
+         |  SELECT probe_id, cid, rn FROM (
+         |    SELECT p.probe_id, c.cid,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |                         ORDER BY $pdist, c.cid) AS rn
+         |    FROM p CROSS JOIN cent c)),
+         |elig AS (
+         |  SELECT p.probe_id, d.vec_id, pc.rn, $qcos AS cosine
+         |  FROM p
+         |  JOIN pcells pc ON pc.probe_id = p.probe_id
+         |  JOIN assign a ON a.cid = pc.cid
+         |  JOIN dq d ON d.vec_id = a.vec_id AND d.vec_id <> p.probe_id
+         |    AND d.vec_id % 37 = 0),
+         |lv AS (SELECT unnest([2, 4, 8, 16, 32, 64]) AS np),
+         |cnt AS (
+         |  SELECT e.probe_id, lv.np, count(*) AS n
+         |  FROM elig e JOIN lv ON e.rn <= lv.np
+         |  GROUP BY e.probe_id, lv.np),
+         |chosen AS (
+         |  SELECT p.probe_id,
+         |    coalesce((SELECT min(np) FROM cnt
+         |              WHERE cnt.probe_id = p.probe_id
+         |                AND cnt.n >= ${graft.index.VectorStore.TopK}),
+         |             64) AS np
+         |  FROM p),
+         |scored AS (
+         |  SELECT e.probe_id, e.vec_id, e.cosine
+         |  FROM elig e JOIN chosen ch ON ch.probe_id = e.probe_id
+         |  WHERE e.rn <= ch.np)
+         |SELECT probe_id, vec_id AS neighbor_id, CAST(rank AS INT) AS rank,
+         |  round(cosine, 6) AS cosine
+         |FROM (
+         |  SELECT probe_id, vec_id, cosine,
+         |    row_number() OVER (PARTITION BY probe_id
+         |                       ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= ${graft.index.VectorStore.TopK}
+         |ORDER BY probe_id, rank"""
+    }) { (s, dir) =>
+      val store = graft.index.VectorStore.storeFor(s, dir)
+      val probes = emb(s, dir)
+        .filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      graft.index.VectorStore
+        .serveTopKFiltered(probes, store, col("vec_id") % 37 === 0,
+          widenTo = 64)
+        .select(col("probe_id"), col("neighbor_id"), col("rank"),
+          duckRound(col("cosine"), 6).as("cosine"))
+        .orderBy("probe_id", "rank")
+    },
+
     // --- sm19: ANN serving-quality EVAL as a query — per-probe
     //     recall@10 of the IVF-pruned path (sm03's exact
     //     configuration) against the brute-force exact baseline
