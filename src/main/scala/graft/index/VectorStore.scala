@@ -111,7 +111,7 @@ object VectorStore {
     * `saveAsTable` refuses to reuse even in overwrite mode. Sweep any
     * `<name>_*` directory the CURRENT catalog doesn't know; known
     * tables are left alone — overwrite handles those. */
-  private def clearOrphanLocations(s: SparkSession, name: String): Unit = {
+  private[graft] def clearOrphanLocations(s: SparkSession, name: String): Unit = {
     val wh = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"))
     val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -5,14 +5,15 @@ import org.apache.spark.sql.functions._
 
 /** The fuzzy-decontamination rung served from a stored eval band
   * artifact (round-17 verdict #3): pl14/pl16/pl47 share ONE
-  * construction (`Pipeline.fuzzyEvalPairsOf`), and when the session
-  * names a `DedupStore` built over the eval slice, the rung's eval
-  * side must come from the stored band/shingle/sig tables — same
-  * result as the fresh derivation (equality by construction: the
-  * store persists the same shingle/sig/band frames), and a served
-  * plan that re-reads the eval slice from the corpus would defeat the
-  * artifact's point, so the plan is pinned to zero eval-side
-  * documents filters.
+  * construction (`Pipeline.fuzzyEvalPairsOf`) that serves the eval
+  * side from a `DedupStore` — a session-named release store when the
+  * conf points at one, else a per-(application, dir) auto-built one.
+  * The load-bearing equality — store-served == the fresh
+  * `Dedup.bipartitePairs` derivation — is pinned here directly on the
+  * pair frames (and continuously by the DuckDB oracle, whose SQL IS
+  * the fresh semantics); the served plan must read the band artifact
+  * with zero eval-side corpus filters, or the artifact's point is
+  * defeated.
   */
 class FuzzyServeSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -24,22 +25,36 @@ class FuzzyServeSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, dir).collect().toSeq
   }
 
-  test("store-served pl14/pl47 == fresh derivation; plan reads the artifact") {
+  test("store-served pairs == fresh bipartitePairs; conf-served pl14/pl47 " +
+      "== default; plan reads the artifact") {
     TestWarehouse.reset(spark, s"${store}_shingles", s"${store}_sigs",
       s"${store}_bands")
     val d = tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
+    val corpus = d.filter(col("doc_id") % 5 =!= 0)
     graft.index.DedupStore.build(d.filter(col("doc_id") % 5 === 0), store)
-    val freshPl14 = collectQ("pl14_fuzzy_decontaminate")
-    val freshPl47 = collectQ("pl47_funnel_fate")
+    // the core equality, directly on the UNROUNDED pair frames: the
+    // artifact serve must reproduce the fresh derivation bit for bit
+    spark.catalog.clearCache()
+    val fresh = graft.queries.Dedup
+      .bipartitePairs(corpus, d.filter(col("doc_id") % 5 === 0), 0.4)
+      .orderBy("doc_id", "probe_doc_id").collect().toSeq
+    spark.catalog.clearCache()
+    val servedPairs = graft.index.DedupStore
+      .bipartitePairsFromStore(corpus, store, 0.4)
+      .orderBy("doc_id", "probe_doc_id").collect().toSeq
+    assert(servedPairs == fresh,
+      "store-served pairs diverged from the fresh bipartite derivation")
+    // conf-served == default (auto-built store) for the registered
+    // queries — the release-pinned path cannot drift from the default
+    val defaultPl14 = collectQ("pl14_fuzzy_decontaminate")
+    val defaultPl47 = collectQ("pl47_funnel_fate")
     spark.conf.set(graft.queries.Pipeline.EvalBandStoreConf, store)
     try {
-      val servedPl14 = collectQ("pl14_fuzzy_decontaminate")
-      assert(servedPl14 == freshPl14,
-        "store-served pl14 diverged from the fresh rung")
-      val servedPl47 = collectQ("pl47_funnel_fate")
-      assert(servedPl47 == freshPl47,
-        "store-served pl47 diverged from the fresh funnel fate")
+      assert(collectQ("pl14_fuzzy_decontaminate") == defaultPl14,
+        "conf-served pl14 diverged from the default serve")
+      assert(collectQ("pl47_funnel_fate") == defaultPl47,
+        "conf-served pl47 diverged from the default serve")
       // plan pin: the eval side must come from the artifact — the
       // stored band table is in the plan, and the eval slice's
       // defining corpus filter `(doc_id % 5) = 0` is nowhere in it
@@ -63,12 +78,12 @@ class FuzzyServeSpec extends AnyFunSuite {
     }
   }
 
-  test("an unbuilt store name falls back to the fresh rung") {
+  test("an unbuilt conf store name falls back to the auto-built store") {
     spark.conf.set(graft.queries.Pipeline.EvalBandStoreConf,
       "graft_evalbands_never_built")
     try {
       // must not throw table-not-found — the conf names an artifact
-      // that doesn't exist, so the rung derives both sides fresh
+      // that doesn't exist, so the rung serves from the auto-built one
       assert(collectQ("pl14_fuzzy_decontaminate").nonEmpty)
     } finally {
       spark.conf.unset(graft.queries.Pipeline.EvalBandStoreConf)
