@@ -248,6 +248,7 @@ object Erasure {
     probeStoreDirs: Seq[String] = Nil,
     splitAssignments: Seq[String] = Nil,
     componentStores: Seq[(String, String, String)] = Nil,
+    fateLedgers: Seq[(String, String)] = Nil,         // (ledger, marker)
     docTables: Seq[(String, Seq[String])] = Nil,
     chunkLedgers: Seq[(String, String)] = Nil,
     substringLedgers: Seq[String] = Nil,
@@ -288,6 +289,8 @@ object Erasure {
     scope.componentStores.foreach { case (n, r, m) =>
       graft.streaming.ComponentMaintenance.purgeDocs(spark, victims,
         n, r, m) }
+    scope.fateLedgers.foreach { case (l, m) =>
+      graft.streaming.FateMaintenance.purgeDocs(spark, victims, l, m) }
     scope.docTables.foreach { case (t, cols) =>
       purgeRows(spark, victims, t, cols) }
     if (scope.needsVictimText) {

@@ -326,6 +326,83 @@ object FateMaintenance {
     spark.sql(s"DROP TABLE IF EXISTS $staging")
   }
 
+  /** Right-to-erasure seam (the family contract every ledger has):
+    * remove `victims`' rows AND scrub victim ids out of `twin_id`
+    * references — the warehouse convention is ID erasure, an erased
+    * doc's id must survive in NO column of any artifact (the
+    * ErasureSweepSpec contract), so a surviving doc's `url_dup of
+    * <victim>` row keeps its fate label but forgets the twin id
+    * (twin_id → NULL). Mechanics mirror `Erasure.purgeRows`'
+    * batch_id-partitioned path: affected partitions rewritten through
+    * a staged copy + dynamic partition overwrite, all-victim
+    * partitions DROPPED with a post-drop serve check, crashed prior
+    * purges adopted at entry. Refuses loudly on an uncommitted orphan
+    * partition — its replay recomputes from the batch source and
+    * would re-introduce the victim (run in a maintenance window after
+    * the maintainer committed, the ProbeMaintenance rule). Idempotent:
+    * no matches → no write. */
+  def purgeDocs(spark: SparkSession, victims: DataFrame,
+                ledger: String, markerTable: String): Unit = {
+    // the purge never drops the ledger (partitions overwrite in
+    // place), so a leftover erasure staging is always debris — the
+    // pre-write DROP below clears it; compact's own staging heals via
+    // recoverStaging as everywhere else
+    val staging = ledger + "_erasure_staging"
+    recoverStaging(spark, ledger)
+    if (!spark.catalog.tableExists(ledger) ||
+        !spark.catalog.tableExists(markerTable)) return
+    val markers = spark.table(markerTable).select("batch_id")
+    val t = spark.table(ledger)
+    require(t.join(broadcast(markers), Seq("batch_id"), "left_anti")
+      .isEmpty,
+      s"purgeDocs on $ledger: uncommitted orphan partition present — " +
+        "its replay recomputes fates from the batch source and would " +
+        "re-introduce the victim; run in a maintenance window after " +
+        "the maintainer committed")
+    val v = broadcast(victims.toDF("erased_key"))
+    val affected = t.join(v,
+        t("doc_id") === v("erased_key") || t("twin_id") === v("erased_key"),
+        "left_semi")
+      .select("batch_id").distinct()
+      .collect().map(_.getLong(0)).toSeq // bounded: victim batches
+    if (affected.isEmpty) return
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    graft.index.VectorStore.clearOrphanLocation(spark, staging)
+    t.filter(col("batch_id").isin(affected: _*))
+      .join(v, t("doc_id") === v("erased_key"), "left_anti")
+      .join(v, col("twin_id") === col("erased_key"), "left")
+      .select(col("doc_id"), col("lang"), col("fate"),
+        when(col("erased_key").isNotNull, lit(null).cast("long"))
+          .otherwise(col("twin_id")).as("twin_id"),
+        col("epoch_id"), col("batch_id"))
+      .write.mode("overwrite").saveAsTable(staging)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try spark.table(staging)
+      .select("doc_id", "lang", "fate", "twin_id", "epoch_id", "batch_id")
+      .write.mode("overwrite").insertInto(ledger)
+    finally prior match {
+      case Some(x) => spark.conf.set(key, x)
+      case None    => spark.conf.unset(key)
+    }
+    // dynamic overwrite only touches partitions PRESENT in the kept
+    // rows: an all-victim partition must be dropped, and proven gone
+    val still = spark.table(staging).select("batch_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val erasedWhole = affected.toSet -- still
+    erasedWhole.foreach { b =>
+      spark.sql(s"ALTER TABLE $ledger DROP IF EXISTS PARTITION (batch_id=$b)")
+    }
+    if (erasedWhole.nonEmpty)
+      require(spark.table(ledger)
+        .filter(col("batch_id").isin(erasedWhole.toSeq: _*)).isEmpty,
+        s"purgeDocs on $ledger: all-victim partition(s) " +
+          s"${erasedWhole.mkString(", ")} still serve rows after DROP " +
+          "PARTITION — refusing to report the erasure complete")
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+  }
+
   /** Crash recovery for [[compact]]'s stage-then-swap: a crash during
     * the swap leaves no ledger but a complete staged one — re-run the
     * swap. A crashed STAGING write is harmless: the live ledger still

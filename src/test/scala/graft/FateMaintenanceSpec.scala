@@ -181,6 +181,69 @@ class FateMaintenanceSpec extends AnyFunSuite {
     assert(served(p) == want)
   }
 
+  test("purgeDocs erases victims' rows AND twin references; refuses on " +
+      "an orphan partition; wired into Erasure.Scope") {
+    import spark.implicits._
+    val p = "fm5"
+    TestWarehouse.reset(spark, allTables(p): _*)
+    TestWarehouse.reset(spark, s"${p}_ledger_erasure_staging", s"${p}_el")
+    buildStores()
+    stampOracleRates(p)
+    slices.zipWithIndex.foreach { case (s, i) =>
+      FateMaintenance.appendBatch(s, i.toLong, s"${p}_ledger",
+        s"${p}_marker", Band, Sem, s"${p}_rates")
+    }
+    val all = FateMaintenance.fates(spark, s"${p}_ledger", s"${p}_marker")
+      .collect().toSeq
+    // pick a victim that other docs REFERENCE as twin (a url_dup
+    // keeper), plus its referencing doc's subject row must survive
+    // with the reference forgotten
+    val referenced = all.filter(r => !r.isNullAt(3)).map(_.getLong(3))
+    assert(referenced.nonEmpty, "regime check: some twin references exist")
+    val victim = referenced.head
+    val referrers = all.filter(r => !r.isNullAt(3) &&
+      r.getLong(3) == victim).map(_.getLong(0)).toSet
+    // erasure through the warehouse-wide scope surface
+    graft.index.Erasure.record(spark, Seq(victim), s"${p}_el")
+    graft.index.Erasure.enforceAll(spark, s"${p}_el",
+      graft.index.Erasure.Scope(
+        fateLedgers = Seq((s"${p}_ledger", s"${p}_marker"))))
+    val after = FateMaintenance.fates(spark, s"${p}_ledger", s"${p}_marker")
+      .collect().toSeq
+    assert(!after.exists(_.getLong(0) == victim),
+      "victim's own fate row survived the purge")
+    assert(!after.exists(r => !r.isNullAt(3) && r.getLong(3) == victim),
+      "a victim id survived in a twin_id reference")
+    for (d <- referrers) {
+      val row = after.find(_.getLong(0) == d)
+      assert(row.isDefined && row.get.getString(2) == "url_dup" &&
+        row.get.isNullAt(3),
+        s"referrer $d must keep its fate with the twin forgotten")
+    }
+    assert(after.size == all.size - 1,
+      "exactly the victim's row may disappear")
+    // idempotent replay (the ledger already purged; victims still in
+    // the erasure ledger)
+    graft.index.Erasure.enforceAll(spark, s"${p}_el",
+      graft.index.Erasure.Scope(
+        fateLedgers = Seq((s"${p}_ledger", s"${p}_marker"))))
+    assert(FateMaintenance.fates(spark, s"${p}_ledger", s"${p}_marker")
+      .collect().toSeq == after)
+    // orphan refusal: an uncommitted crash-window partition present →
+    // purge must refuse loudly, not silently skip the orphan
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    spark.conf.set(key, "dynamic")
+    try Seq((victim, "xx", "kept", Option.empty[Long], 0L, 99L))
+      .toDF("doc_id", "lang", "fate", "twin_id", "epoch_id", "batch_id")
+      .write.mode("overwrite").insertInto(s"${p}_ledger")
+    finally spark.conf.unset(key)
+    val e = intercept[IllegalArgumentException] {
+      FateMaintenance.purgeDocs(spark, Seq(victim).toDF("doc_id"),
+        s"${p}_ledger", s"${p}_marker")
+    }
+    assert(e.getMessage.contains("orphan"))
+  }
+
   test("compactAll/status wire the fate family into the warehouse") {
     val p = "fm4"
     TestWarehouse.reset(spark, allTables(p): _*)
