@@ -94,6 +94,39 @@ object VectorMaintenance {
               storeName: String): Unit = {
     val p = VectorStore.servingPrefix(spark, storeName)
     VectorStore.recoverCodesStaging(spark, p)
+    // CENTROID-VICTIM erasure (round-18 gap): `_centroids` stores the
+    // seed vectors' FULL-PRECISION embeddings keyed by their vec_id,
+    // and the in-place rewrite below never touches it — a tombstoned
+    // id that IS a centroid would keep its payload on disk after the
+    // "erasure" compaction, violating the store's own contract (an
+    // erased vector's id/payload must survive in NO artifact table).
+    // The in-place path CANNOT drop a centroid row (codes are
+    // quantized under the frozen geometry), so this is the
+    // version-flip case: REBUILD from the purged raw vectors — the
+    // rebuild's training frame already subtracts tombstones, installs
+    // fresh victim-free centroids, pointer-flips, and drops the old
+    // version's tables (tombstones included). A codes-only legacy
+    // store has no raw source to retrain from: refuse loudly rather
+    // than report the erasure complete with the payload still live.
+    val tomb = s"${p}_tombstones"
+    if (spark.catalog.tableExists(tomb)) {
+      val centroidVictims = spark.table(s"${p}_centroids")
+        .join(spark.table(tomb).select(col("vec_id").as("cid")),
+          Seq("cid"), "left_semi")
+      if (!centroidVictims.isEmpty) {
+        require(spark.catalog.tableExists(s"${p}_raw"),
+          s"compact on $storeName: a tombstoned vector is a CENTROID " +
+            "(its full-precision embedding lives in the centroids " +
+            "table, which the in-place rewrite cannot purge) and the " +
+            "store has no raw table to retrain from — rebuild it from " +
+            "the upstream embeddings source (VectorStore.rebuild)")
+        VectorStore.rebuild(
+          VectorStore.purgedRaw(spark, p)
+            .select(col("vec_id"), col("vec").as("embedding")),
+          storeName)
+        return
+      }
+    }
     val codes = s"${p}_codes"
     VectorStore.clearOrphanLocation(spark, codes + "_staging")
     VectorStore.purgedCodes(spark, p)

@@ -268,14 +268,20 @@ class ErasureSweepSpec extends AnyFunSuite {
   //    unreachable through the pin; republish heals.
   //  * in-place-purge artifacts (VectorStore — tombstone at erase,
   //    physical rewrite at compaction, SAME version): the pin stays
-  //    valid and serves the PURGED rows.
+  //    valid and serves the PURGED rows — UNLESS a victim is a
+  //    CENTROID (round-18 gap: `_centroids` stores the seed vectors'
+  //    full-precision embeddings, which no in-place rewrite can drop
+  //    without tearing the frozen geometry), in which case compaction
+  //    REBUILDS — the version-flip semantics — and the victim's
+  //    payload is physically gone from every table of the new version.
   // Both orderings covered: erase-after-publish (the refusal window —
   // exactly the state a crash between the erasure's version flip and a
   // republish leaves behind) and erase-before-publish (the pin is born
   // on purged tables).
   test("a pinned release can never serve a victim: erase-after-publish " +
       "refuses-with-name until republish; erase-before-publish serves " +
-      "purged; vector pin serves purged rows at the same version") {
+      "purged; vector pin serves purged rows at the same version; a " +
+      "centroid victim forces the vector version flip") {
     import spark.implicits._
     val relDir = "/tmp/swp_rel_corpus"
     val ordName = OrderStore.corpusStoreName(relDir)
@@ -286,24 +292,33 @@ class ErasureSweepSpec extends AnyFunSuite {
       .filter(n => n.startsWith("erl_") || n.contains(relTag))
       .toSeq.distinct.sorted
     TestWarehouse.reset(spark, relTables: _*)
+    // ALSO sweep orphan warehouse dirs from a previous failed JVM run
+    // (uncataloged — the listed-name reset above cannot see them)
+    TestWarehouse.resetPrefix(spark, "erl_")
+    TestWarehouse.resetPrefix(spark, ordName)
+    Seq("graft_termdoc_", "graft_docstats_", "graft_probes_")
+      .foreach(p => TestWarehouse.resetPrefix(spark, p + relTag))
 
     val docs40 = tables.load(spark, dir, "documents")
       .orderBy("doc_id").limit(40).cache()
     docs40.write.mode("overwrite").parquet(s"$relDir/documents.parquet")
     val emb = tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    // victims must exist in BOTH artifacts (doc_id == vec_id, the mm08
-    // id-space convention) so each erasure path does real work
-    val victims = docs40.select("doc_id")
-      .join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id"),
-        "left_semi")
-      .orderBy("doc_id").limit(2).as[Long].collect().toSeq
-    assert(victims.size == 2, "victims must be present in the vector store")
-
     val wc = graft.queries.Text.wordCounts(spark, dir)
     graft.index.TokenizerStore.build(wc, "erl_tok")
     OrderStore.forCorpus(spark, relDir)
     VectorStore.build(emb, "erl_vs")
+    // victims must exist in BOTH artifacts (doc_id == vec_id, the mm08
+    // id-space convention) so each erasure path does real work — and
+    // OFF the centroid seed set for the in-place arcs: a centroid
+    // victim is the version-flip case, covered by its own arc below
+    val cells = VectorStore.servingCells(spark, "erl_vs").get
+    val victims = docs40.select("doc_id")
+      .join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id"),
+        "left_semi")
+      .filter(col("doc_id") >= cells)
+      .orderBy("doc_id").limit(2).as[Long].collect().toSeq
+    assert(victims.size == 2, "victims must be present in the vector store")
     val pin1 = graft.index.ReleaseManifest.publish(spark, "erl_rel",
       "corpus-snap-1", "erl_tok", ordName, "erl_vs")
     assert(graft.index.ReleaseManifest.trainingOrder(spark, "erl_rel")
@@ -356,7 +371,7 @@ class ErasureSweepSpec extends AnyFunSuite {
     val victims2 = docs40.select("doc_id")
       .join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id"),
         "left_semi")
-      .filter(!col("doc_id").isin(victims: _*))
+      .filter(!col("doc_id").isin(victims: _*) && col("doc_id") >= cells)
       .orderBy("doc_id").limit(2).as[Long].collect().toSeq
     Erasure.eraseAll(spark, victims2, "erl_ers", scope)
     VectorMaintenance.compact(spark, "erl_vs") // physical purge, same v
@@ -368,22 +383,53 @@ class ErasureSweepSpec extends AnyFunSuite {
         .isEmpty,
       "a release published after erasure must be born victim-free")
 
+    // ---- centroid victim: the version-flip arc (round-18 gap) -----------
+    // a victim whose vec_id seeds a centroid keeps its FULL-PRECISION
+    // embedding in `_centroids`, which no in-place rewrite can drop —
+    // compaction must REBUILD (version flip) and the new version must
+    // be free of the victim in every table, centroids included
+    val vBefore = VectorStore.currentVersion(spark, "erl_vs")
+    val centroidVictim = spark.table(
+        s"${VectorStore.servingPrefix(spark, "erl_vs")}_centroids")
+      .orderBy("cid").limit(1).select("cid").as[Long].collect().head
+    Erasure.eraseAll(spark, Seq(centroidVictim), "erl_ers", scope)
+    VectorMaintenance.compact(spark, "erl_vs")
+    assert(VectorStore.currentVersion(spark, "erl_vs") == vBefore + 1L,
+      "a centroid victim must force the vector version flip")
+    val newPrefix = VectorStore.servingPrefix(spark, "erl_vs")
+    assert(spark.table(s"${newPrefix}_centroids")
+      .filter(col("cid") === centroidVictim).isEmpty,
+      "the victim's embedding survives in the rebuilt centroids table")
+    assert(spark.table(s"${newPrefix}_codes")
+      .filter(col("vec_id") === centroidVictim).isEmpty &&
+      spark.table(s"${newPrefix}_raw")
+        .filter(col("vec_id") === centroidVictim).isEmpty,
+      "the victim survives in the rebuilt code/raw tables")
+    graft.index.ReleaseManifest.publish(spark, "erl_rel",
+      "corpus-snap-4", "erl_tok", ordName, "erl_vs")
+    assert(graft.index.ReleaseManifest.trainingOrder(spark, "erl_rel")
+      .count() == 35L)
+
     // ---- sweep the release-reachable frames ------------------------------
     // every table of this warehouse (including the release pointer and
-    // both stores' current versions) must be free of all four victim
+    // both stores' current versions) must be free of all five victim
     // ids; the only exceptions are the suppression lists, id-only by
-    // design
-    val all4 = victims ++ victims2
+    // design. Centroid tables key by `cid` (= seed vec_id), swept here
+    // explicitly since cell-id columns share the name.
+    val all5 = victims ++ victims2 :+ centroidVictim
     val suppress = Set("erl_ers", OrderStore.erasedTable(ordName))
     relTables.filterNot(suppress.contains).foreach { t =>
       val df = spark.table(t)
       df.schema.fields.foreach { f =>
         if (IdCols.contains(f.name) &&
             f.dataType == org.apache.spark.sql.types.LongType)
-          assert(df.filter(col(f.name).isin(all4: _*)).isEmpty,
+          assert(df.filter(col(f.name).isin(all5: _*)).isEmpty,
             s"table $t still carries a victim id in ${f.name}")
       }
     }
+    assert(spark.table(s"${newPrefix}_centroids")
+      .filter(col("cid").isin(all5: _*)).isEmpty,
+      "a victim id survives as a centroid seed")
 
     docs40.unpersist()
     TestWarehouse.reset(spark, relTables: _*)
