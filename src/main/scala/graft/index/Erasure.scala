@@ -249,6 +249,7 @@ object Erasure {
     splitAssignments: Seq[String] = Nil,
     componentStores: Seq[(String, String, String)] = Nil,
     fateLedgers: Seq[(String, String)] = Nil,         // (ledger, marker)
+    fateSemStores: Seq[(String, String)] = Nil,       // (name, embeddingsDir)
     docTables: Seq[(String, Seq[String])] = Nil,
     chunkLedgers: Seq[(String, String)] = Nil,
     substringLedgers: Seq[String] = Nil,
@@ -291,6 +292,9 @@ object Erasure {
         n, r, m) }
     scope.fateLedgers.foreach { case (l, m) =>
       graft.streaming.FateMaintenance.purgeDocs(spark, victims, l, m) }
+    scope.fateSemStores.foreach { case (n, d) =>
+      graft.streaming.FateMaintenance.eraseSemStore(
+        graft.tables.load(spark, d, "embeddings"), n, ids) }
     scope.docTables.foreach { case (t, cols) =>
       purgeRows(spark, victims, t, cols) }
     if (scope.needsVictimText) {

@@ -82,6 +82,39 @@ object FateMaintenance {
     ea.write.mode("overwrite").saveAsTable(s"${name}_eval")
   }
 
+  /** The semantic store's per-store erasure suppression ledger. */
+  def semErasedTable(name: String): String = s"${name}_erased"
+
+  /** Right-to-erasure for the SEMANTIC store: `_cent`/`_eval` persist
+    * eval vectors' FULL embeddings (and a victim may seed a centroid),
+    * so row-dropping cannot erase without tearing the geometry — the
+    * seam is REBUILD from the source minus the suppression set (the
+    * OrderStore/centroid-victim convention: the geometry legitimately
+    * re-freezes). Victim ids land in a persistent `_erased` ledger
+    * first (append-dedup), so a replay after the source deleted the
+    * victims — or a later rebuild from a still-victim-bearing source —
+    * can never resurrect them. Fate ledgers STAMPED under the old
+    * store stay valid (fates are materialized, the store is build
+    * provenance); new batches judge against the re-frozen geometry. */
+  def eraseSemStore(embeddings: DataFrame, name: String,
+                    ids: Seq[Long]): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    if (ids.isEmpty) return
+    val led = semErasedTable(name)
+    graft.index.VectorStore.clearOrphanLocation(spark, led)
+    val victims = ids.distinct.toDF("vec_id")
+    val fresh =
+      if (spark.catalog.tableExists(led))
+        victims.join(spark.table(led), Seq("vec_id"), "left_anti")
+      else victims
+    if (!fresh.isEmpty)
+      fresh.write.mode("append").saveAsTable(led)
+    buildSemanticStore(
+      embeddings.join(broadcast(spark.table(led)), Seq("vec_id"),
+        "left_anti"), name)
+  }
+
   /** Stamp a rates epoch from any frame with a `lang` column (one row
     * per surviving doc): appends `(epoch_id, lang, keep_prob)` rows
     * computed by `Pipeline.temperatureRates` — the T=2 flattening

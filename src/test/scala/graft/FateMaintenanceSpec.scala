@@ -229,6 +229,36 @@ class FateMaintenanceSpec extends AnyFunSuite {
         fateLedgers = Seq((s"${p}_ledger", s"${p}_marker"))))
     assert(FateMaintenance.fates(spark, s"${p}_ledger", s"${p}_marker")
       .collect().toSeq == after)
+    // the SEMANTIC store holds eval vectors' full embeddings: for an
+    // eval-side victim the seam is rebuild-minus-suppression (the
+    // geometry re-freezes); no victim id may survive in _cent/_eval
+    val semVictim = spark.table(s"${Sem}_eval")
+      .orderBy("eval_vec_id").limit(1)
+      .select("eval_vec_id").collect().head.getLong(0)
+    graft.index.Erasure.record(spark, Seq(semVictim), s"${p}_el")
+    graft.index.Erasure.enforceAll(spark, s"${p}_el",
+      graft.index.Erasure.Scope(
+        fateLedgers = Seq((s"${p}_ledger", s"${p}_marker")),
+        fateSemStores = Seq((Sem, dir))))
+    assert(spark.table(s"${Sem}_eval")
+      .filter(col("eval_vec_id") === semVictim).isEmpty,
+      "victim embedding survives in the sem store's eval assignments")
+    assert(spark.table(s"${Sem}_cent")
+      .filter(col("cid") === semVictim).isEmpty,
+      "victim embedding survives as a sem-store centroid")
+    assert(spark.table(FateMaintenance.semErasedTable(Sem))
+      .filter(col("vec_id") === semVictim).count() == 1,
+      "suppression ledger must carry the victim")
+    // a rebuild from a still-victim-bearing source cannot resurrect:
+    // the suppression set gates every rebuild
+    FateMaintenance.eraseSemStore(
+      tables.load(spark, dir, "embeddings"), Sem, Seq(semVictim))
+    assert(spark.table(s"${Sem}_eval")
+      .filter(col("eval_vec_id") === semVictim).isEmpty)
+    // rebuild the pristine store for later tests (fresh JVM semantics)
+    TestWarehouse.reset(spark, FateMaintenance.semErasedTable(Sem))
+    FateMaintenance.buildSemanticStore(
+      tables.load(spark, dir, "embeddings"), Sem)
     // orphan refusal: an uncommitted crash-window partition present →
     // purge must refuse loudly, not silently skip the orphan
     val key = "spark.sql.sources.partitionOverwriteMode"
