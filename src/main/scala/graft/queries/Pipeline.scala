@@ -2657,6 +2657,25 @@ object Pipeline {
          |  FROM s3 JOIN r ON s3.lang = r.lang)
          |SELECT doc_id, fate, twin_id FROM fates ORDER BY doc_id"""
     }) { (s, dir) =>
+      // ONE wide frame + a when-chain, not a 5-branch union (round-18
+      // optimization): the union form planned each rung's subtree
+      // once per consumer (the fate join AND the next rung's
+      // anti-join see different aggregates of the same rung, so
+      // exchange reuse never fires — the baseline plan carried TWO
+      // full copies of the MinHash band join, 72 Exchange nodes, and
+      // ~50 AQE stages whose submission gaps dominated the 5.8 s
+      // steady time). Here every rung lands once as a LEFT join onto
+      // the keeper frame and the fate is the first-match when-chain —
+      // same first-drop-wins order (url_dup > eval_slice > fuzzy >
+      // semantic > sampling), so the result is row-identical: a
+      // non-keeper never reaches the later whens, a fuzzy-matched
+      // keeper never reaches the semantic when, and the s3 sampling
+      // universe is exactly the all-nulls fall-through. Rates are
+      // still computed on THIS funnel's post-decontamination
+      // survivors (the s3 filter over the same cached frame); the
+      // rate join is LEFT only to keep non-s3 rows — every s3 row's
+      // lang is in the rate table by construction, so no row gains or
+      // loses a match vs the old inner join.
       import org.apache.spark.storage.StorageLevel
       import graft.queries.Dedup
       val base = docs(s, dir)
@@ -2666,39 +2685,38 @@ object Pipeline {
         .withColumn("keeper", min(col("doc_id")).over(
           org.apache.spark.sql.expressions.Window.partitionBy("cu")))
         .select("doc_id", "lang", "keeper")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val urlDup = withK.filter(col("doc_id") =!= col("keeper"))
-        .select(col("doc_id"), lit("url_dup").as("fate"),
-          col("keeper").as("twin_id"))
-      val s1 = withK.filter(col("doc_id") === col("keeper"))
-        .select("doc_id", "lang")
-      val evalSlice = s1.filter(col("doc_id") % 5 === 0)
-        .select(col("doc_id"), lit("eval_slice").as("fate"),
-          lit(null).cast("long").as("twin_id"))
-      val s1t = s1.filter(col("doc_id") % 5 =!= 0)
       val fz = fuzzyEvalPairsOf(s, dir)
         .groupBy("doc_id").agg(min(col("probe_doc_id")).as("ftwin"))
-      val fuzzyDropped = s1t.join(fz, "doc_id")
-        .select(col("doc_id"), lit("fuzzy_eval_neardup").as("fate"),
-          col("ftwin").as("twin_id"))
-      val s2 = s1t.join(fz, Seq("doc_id"), "left_anti")
       val sem = graft.queries.Similarity.semanticEvalPairsOf(s, dir)
         .groupBy(col("vec_id").as("doc_id"))
         .agg(min(col("eval_vec_id")).as("stwin"))
-      val semDropped = s2.join(sem, "doc_id")
-        .select(col("doc_id"), lit("semantic_eval_neardup").as("fate"),
-          col("stwin").as("twin_id"))
-      val s3 = s2.join(sem, Seq("doc_id"), "left_anti")
+      // persisted: consumed twice (the s3 rate aggregation and the
+      // final fate projection) — without it the whole rung chain
+      // would run once per consumer
+      val wide = withK
+        .join(fz, Seq("doc_id"), "left")
+        .join(sem, Seq("doc_id"), "left")
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val withRate = s3.join(broadcast(temperatureRates(s3)), "lang")
+      val isKeeper = col("doc_id") === col("keeper")
+      val isEval = col("doc_id") % 5 === 0
+      val s3 = wide.filter(isKeeper && !isEval &&
+        col("ftwin").isNull && col("stwin").isNull)
       val keepCond =
         coinOf(col("doc_id")) < col("keep_prob") * 4294967296.0
-      val sampled = withRate
+      val nullTwin = lit(null).cast("long")
+      wide.join(broadcast(temperatureRates(s3)), Seq("lang"), "left")
         .select(col("doc_id"),
-          when(keepCond, "kept").otherwise("rebalanced_out").as("fate"),
-          lit(null).cast("long").as("twin_id"))
-      urlDup.unionByName(evalSlice).unionByName(fuzzyDropped)
-        .unionByName(semDropped).unionByName(sampled)
+          when(!isKeeper, "url_dup")
+            .when(isEval, "eval_slice")
+            .when(col("ftwin").isNotNull, "fuzzy_eval_neardup")
+            .when(col("stwin").isNotNull, "semantic_eval_neardup")
+            .when(keepCond, "kept")
+            .otherwise("rebalanced_out").as("fate"),
+          when(!isKeeper, col("keeper"))
+            .when(isEval, nullTwin)
+            .when(col("ftwin").isNotNull, col("ftwin"))
+            .when(col("stwin").isNotNull, col("stwin"))
+            .otherwise(nullTwin).as("twin_id"))
         .orderBy("doc_id")
     }
   )
