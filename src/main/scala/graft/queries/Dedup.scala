@@ -1318,7 +1318,12 @@ object Dedup {
     val tk = documents
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // persisted: the digest stream is consumed twice (the ch-count
+    // aggregation and the per-doc rejoin), and each chunk digest costs
+    // a per-position gear-hash md5 plus a per-chunk md5 — unpersisted,
+    // that map work runs twice over the corpus
     val cc = cdcChunkDigestsOf(tk)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val d = cc.groupBy("ch").agg(countDistinct(col("doc_id")).as("nd"))
     val perDoc = cc.join(d, "ch")
       .groupBy("doc_id")

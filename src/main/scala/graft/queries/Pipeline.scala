@@ -1497,16 +1497,26 @@ object Pipeline {
         |ORDER BY doc_id""") { (s, dir) =>
       import org.apache.spark.storage.StorageLevel
       val ng = ngramDigestsOf(docs(s, dir))
-        .persist(StorageLevel.MEMORY_AND_DISK) // first-seen agg + attribution join
+        .persist(StorageLevel.MEMORY_AND_DISK) // per-doc count + first-seen agg
+      // Attribution WITHOUT the digest-scale join back (round-18
+      // optimization): every ng row joins exactly one fs row, so
+      // n_novel(doc) == count of first-seen rows owned by the doc —
+      // a doc-cardinality aggregate of fs replaces re-shuffling the
+      // whole digest stream onto the first-seen table (the baseline's
+      // dominant shuffle; at 100 TB that join ships every distinct
+      // shingle digest a second time). n_ng is the same per-doc count
+      // as before; rows and values are identical by the 1:1 join
+      // argument, re-proved against the oracle at 3 SFs.
       val fs = ng.groupBy("d").agg(min(col("doc_id")).as("first_doc"))
-      ng.join(fs, Seq("d"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_ng"),
-          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-            .as("n_novel"))
-        .select(col("doc_id"), col("n_ng"), col("n_novel"),
+      val novel = fs.groupBy(col("first_doc").as("doc_id"))
+        .agg(count(lit(1)).as("n_novel"))
+      ng.groupBy("doc_id").agg(count(lit(1)).as("n_ng"))
+        .join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_ng"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
           graft.functions.ParityFunctions.duckRound(
-            col("n_novel").cast("double") / col("n_ng").cast("double"), 6)
+            coalesce(col("n_novel"), lit(0L)).cast("double") /
+              col("n_ng").cast("double"), 6)
             .as("novelty"))
         .orderBy("doc_id")
     },
@@ -2204,10 +2214,16 @@ object Pipeline {
       import org.apache.spark.sql.expressions.Window
       val t = docs(s, dir).select(col("source"),
         size(tokens(col("text"))).cast("long").as("n"))
+      // persisted: src is the ONE corpus pass this operator claims —
+      // it fans out to tot/bycap/unsat/alloc, and unpersisted each
+      // consumer replans the whole tokenize+aggregate chain (the
+      // round-18 baseline plan carried 26 live corpus scans and 73
+      // exchanges for what is otherwise source-cardinality algebra)
       val src = t.groupBy("source").agg(sum("n").as("n_tokens"))
         .withColumn("cap",
           expr("CAST(CASE CAST(substring(source, 4) AS INT) % 3 " +
             "WHEN 0 THEN 4 WHEN 1 THEN 2 ELSE 1 END AS BIGINT)"))
+        .localCheckpoint(true)
       val tot = src.agg(sum("n_tokens").as("total"),
         (lit(2L) * sum("n_tokens")).as("b"))
       val bycap = src.groupBy("cap").agg(sum("n_tokens").as("n_c"))
@@ -2478,9 +2494,15 @@ object Pipeline {
         |  CAST(n_victims_reachable AS BIGINT) AS n_victims_reachable
         |FROM report ORDER BY surface""") { (s, dir) =>
       val d = docs(s, dir).select("doc_id")
+      // persisted: the request-sized ledger is consumed by every
+      // surface (two anti-joins, five broadcast left joins and its own
+      // report row) — unpersisted, each consumer replans the corpus
+      // filter that synthesizes it, turning "one scan per surface"
+      // into 13 live scans (round-18 baseline plan)
       val led = d.filter(conv(substring(md5(concat(lit("ers"),
         col("doc_id").cast("string"))), 1, 6), 16, 10)
         .cast("long") % 100 < 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // each surface built through its REAL construction: the gate is
       // Erasure.gateBatch's broadcast anti-join; the order is pl28's
       // trainingOrderOf over the purged corpus (the frame OrderStore

@@ -1299,11 +1299,18 @@ object Relational {
         |  (SELECT count(*) FROM c) AS n_click,
         |  (SELECT count(*) FROM p) AS n_purchase""") { (s, dir) =>
       val ev = t(s, dir, "events")
+      // v and c are each consumed twice (the next funnel stage AND
+      // their own count row); unpersisted, the count rows replan the
+      // prior stages — the baseline plan scanned events 6 times
+      // (1 + 2 + 3, one per nesting level) for a three-stage funnel
+      import org.apache.spark.storage.StorageLevel
       val v = ev.filter(col("event_type") === "view")
         .groupBy("user_id").agg(min("ts").as("t1"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val c = ev.filter(col("event_type") === "click")
         .join(v, "user_id").filter(col("ts") > col("t1"))
         .groupBy("user_id").agg(min("ts").as("t2"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val p = ev.filter(col("event_type") === "purchase")
         .join(c, "user_id").filter(col("ts") > col("t2"))
         .groupBy("user_id").agg(min("ts").as("t3"))
