@@ -1905,7 +1905,12 @@ object Pipeline {
       val g = tk.select(col("doc_id"),
         explode(wordNgramsOf(col("tk"), 5)).as("ngram"))
       val isEval = col("doc_id") % 5 === 0
+      // persisted: the eval-side distinct n-gram frame is consumed by
+      // the broadcast probe set, the dirty-hit join AND the per-doc
+      // denominator — unpersisted, the corpus n-gram explode+distinct
+      // ran three times (5 live corpus scans in the baseline plan)
       val ev = g.filter(isEval).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val evSet = ev.select("ngram").distinct()
       // collided set: corpus-width train stream filtered map-side by
       // the broadcast eval n-grams, THEN distinct'd — eval-bounded

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
 import graft.tables
 import graft.functions.ParityFunctions.{duckRound, moneySum, moneyAvg, moneyDiscSum, moneySumSql, moneyAvgSql, moneyDiscSumSql}
 
@@ -1936,10 +1937,14 @@ object Relational {
       val e = t(s, dir, "events")
         .select(col("event_type"),
           date_trunc("WEEK", col("ts")).as("week"), col("user_id"))
-      // one weekly rollup carries BOTH the sketch and the exact count
+      // one weekly rollup carries BOTH the sketch and the exact count;
+      // persisted — it feeds both the week and next-week join sides,
+      // and unpersisted each side re-ran the HLL sketch build over
+      // the full event scan
       val wk = e.groupBy("event_type", "week")
         .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
           count_distinct(col("user_id")).as("n_users"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val a = wk.select(col("event_type"), col("week"), col("sk"),
         col("n_users"),
         (col("week") + expr("INTERVAL 7 DAYS")).as("next_week"))
@@ -1955,7 +1960,9 @@ object Relational {
             hll_sketch_estimate(col("b_sk")) -
             hll_sketch_estimate(hll_union(col("sk"), col("b_sk"))))
             .as("est_retained"))
-      val wu = e.distinct()
+      // persisted: the deduped activity frame feeds both sides of the
+      // retention self-join — unpersisted, the distinct ran twice
+      val wu = e.distinct().persist(StorageLevel.MEMORY_AND_DISK)
       val wuNext = wu.select(col("event_type").as("y_type"),
         (col("week") - expr("INTERVAL 7 DAYS")).as("y_week"),
         col("user_id").as("y_user"))
@@ -2015,9 +2022,12 @@ object Relational {
         |ORDER BY r.event_type, r.week""") { (s, dir) =>
       val e = t(s, dir, "events")
       val est = graft.operators.ThetaSketch.weeklyRetention(e)
+      // persisted: consumed by the weekly counts AND both sides of
+      // the retention self-join — unpersisted, the distinct pass over
+      // events ran three times
       val wu = e.select(col("event_type"),
         date_trunc("WEEK", col("ts")).as("week"), col("user_id"))
-        .distinct()
+        .distinct().persist(StorageLevel.MEMORY_AND_DISK)
       val wk = wu.groupBy("event_type", "week")
         .agg(count(lit(1)).as("n_users"))
       val wuNext = wu.select(col("event_type").as("y_type"),

@@ -2235,9 +2235,13 @@ object Similarity {
             .otherwise(dot(col("pe"), col("embedding")) / n).as("cosine"))
       val w = Window.partitionBy("probe_id")
         .orderBy(col("cosine").desc, col("neighbor_id"))
+      // persisted: the exact top-k frame (≤ probes × k rows) feeds
+      // both the per-probe denominator and the hit join — unpersisted,
+      // the whole brute-force score+rank pass planned and ran twice
       val exact = scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)
         .select("probe_id", "neighbor_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nx = exact.groupBy("probe_id").agg(count(lit(1)).as("n"))
       val hits = exact.join(ivf, Seq("probe_id", "neighbor_id"))
         .groupBy("probe_id").agg(count(lit(1)).as("hits"))

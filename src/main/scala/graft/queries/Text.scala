@@ -951,12 +951,19 @@ object Text {
          |WHERE cab >= 5
          |ORDER BY pmi DESC, bigram""") { (s, dir) =>
       val toks = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("tk"))
+      // persisted: both count frames are vocab-sized but fan out (uc
+      // to its total and BOTH join sides, bc to its total and the
+      // report) — unpersisted, each consumer re-ran the corpus
+      // tokenize pass (5 live corpus scans in the baseline plan)
+      import org.apache.spark.storage.StorageLevel
       val bc = toks
         .select(explode(wordNgramsOf(col("tk"), 2)).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("cab"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val uc = toks
         .select(explode(col("tk")).as("token"))
         .groupBy("token").agg(count(lit(1)).as("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val tot = bc.agg(sum("cab").as("bt"))
       val utot = uc.agg(sum("c").as("ut"))
       val pmi = log((col("cab").cast("double") / col("bt").cast("double")) /
