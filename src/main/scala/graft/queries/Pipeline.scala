@@ -115,9 +115,18 @@ object Pipeline {
     * frame. Only IEEE exact-rounded ops (sqrt/div), so both engines
     * compute the same double. */
   private[graft] def temperatureRates(df: DataFrame): DataFrame = {
+    // n_min via an unpartitioned window over the ALREADY-AGGREGATED
+    // lang-cardinality frame (≤ |langs| rows, so the single-partition
+    // window is harmless) instead of a crossJoin with a second
+    // aggregate of the same counts: the old shape planned the
+    // counting pass over `df` twice — a corpus scan per consumer for
+    // direct callers like pl15. Same IEEE ops, same doubles.
     val counts = df.groupBy("lang").agg(count(lit(1)).as("n_lang"))
     counts
-      .crossJoin(broadcast(counts.agg(min(col("n_lang")).as("n_min"))))
+      .withColumn("n_min", min(col("n_lang")).over(
+        org.apache.spark.sql.expressions.Window
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
       .select(col("lang"),
         sqrt(col("n_min").cast("double") / col("n_lang").cast("double"))
           .as("keep_prob"))
@@ -1855,7 +1864,12 @@ object Pipeline {
       val B = 100000L
       val t = docs(s, dir).select(col("source"),
         size(tokens(col("text"))).cast("long").as("n"))
+      // materialized once (the pl41 rationale): the per-source
+      // aggregate fans out to the total, the floor/remainder frame,
+      // the k count and the final ranking — unmaterialized, the
+      // corpus tokenize pass ran four times for sources-sized algebra
       val srcTok = t.groupBy("source").agg(sum("n").as("n_tokens"))
+        .localCheckpoint(true)
       val tot = srcTok.agg(sum("n_tokens").as("total"))
       val f = srcTok.crossJoin(broadcast(tot))
         .select(col("source"), col("n_tokens"),

@@ -931,7 +931,14 @@ object Similarity {
          |SELECT vec_a, vec_b, round(c, 6) AS cosine
          |FROM scored WHERE c >= 0.25
          |ORDER BY vec_a, vec_b""") { (s, dir) =>
-      hyperplaneScored(semanticSurvivors(s, dir))
+      // persisted (the dd07 precedent): hyperplaneScored consumes its
+      // input three ways (the signature frame and both norm-join
+      // sides) — unpersisted, the whole survivors derivation
+      // (assignment + cell near-dup drop + anti-join) re-planned per
+      // consumer: 6 live embedding scans in the round-18 baseline plan
+      val surv = semanticSurvivors(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      hyperplaneScored(surv)
         .filter(col("cos") >= 0.25)
         .select(col("vec_a"), col("vec_b"), duckRound(col("cos"), 6).as("cosine"))
         .orderBy("vec_a", "vec_b")

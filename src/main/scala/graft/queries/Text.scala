@@ -213,9 +213,17 @@ object Text {
     * postings.
     */
   private def bm25Search(index: DataFrame, terms: Seq[String]): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // persisted: dl (doc-cardinality lengths) feeds the corpus stats
+    // AND the scoring join; td (query-term postings, tiny) feeds df
+    // AND the scoring join — unpersisted, each consumer re-ran the
+    // full index derivation (4 live index/corpus scans in the
+    // round-18 baseline tx21/tx22 plans; 2 is the BM25 floor)
     val dl = index.groupBy("doc_id").agg(sum("cnt").as("dl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
     val td = index.filter(col("token").isin(terms: _*))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val dft = td.groupBy("token").agg(count(lit(1)).as("df"))
     val nd = col("n_docs").cast("double")
     val dfd = col("df").cast("double")
@@ -249,7 +257,11 @@ object Text {
     * tiebreak. */
   private def rankedSearch(index: DataFrame, terms: Seq[String],
                            nDocs: DataFrame): DataFrame = {
+    // persisted: the pruned posting set (query-term rows only, tiny)
+    // feeds both the df aggregate and the scoring join — unpersisted,
+    // each consumer re-derived the index (2 corpus passes in tx17)
     val td = index.filter(col("token").isin(terms: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // df over (doc, token) rows == distinct docs per term (see tx03)
     val df = td.groupBy("token").agg(count(lit(1)).as("df"))
     val n = nDocs
