@@ -947,13 +947,19 @@ object VectorStore {
     recoverCodesStaging(spark, p)
     val cent = collectCentroids(spark, s"${p}_centroids")
     checkGeometry(spark, p, cent.size)
+    // persisted: the request-sized probe frame fans out to the cell
+    // projection AND the candidate join — unpersisted, each consumer
+    // re-ran the probe derivation (an embeddings/probe-table scan).
+    // Callers own the cache lifecycle (the Q.scala convention).
+    val pp = probes
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pcells = Similarity.nearestCells(
-      probes.select(col("probe_id"), col("pe").as("embedding")),
+      pp.select(col("probe_id"), col("pe").as("embedding")),
       "probe_id", "embedding", cent, nprobe)
     val pool = withoutDeleted(spark.table(s"${p}_codes"), p, "vec_id")
     eligible.map(pool.filter).getOrElse(pool)
       .join(pcells, Seq("cid"))
-      .join(probes, Seq("probe_id"))
+      .join(pp, Seq("probe_id"))
       .filter(col("vec_id") =!= col("probe_id"))
       .crossJoin(broadcast(spark.table(s"${p}_stats")
         .select("mns", "mxs")))
@@ -990,12 +996,17 @@ object VectorStore {
         "surface): rebuild it to serve refined top-k")
     val cent = collectCentroids(spark, s"${p}_centroids")
     checkGeometry(spark, p, cent.size)
+    // persisted: probes has THREE consumers here (cell projection,
+    // candidate join, exact-refine join) — unpersisted, each re-ran
+    // the probe derivation. Callers own the cache lifecycle.
+    val pp = probes
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pcells = Similarity.nearestCells(
-      probes.select(col("probe_id"), col("pe").as("embedding")),
+      pp.select(col("probe_id"), col("pe").as("embedding")),
       "probe_id", "embedding", cent, nprobe)
     val cand = withoutDeleted(spark.table(s"${p}_codes"), p, "vec_id")
       .join(pcells, Seq("cid"))
-      .join(probes, Seq("probe_id"))
+      .join(pp, Seq("probe_id"))
       .filter(col("vec_id") =!= col("probe_id"))
       .crossJoin(broadcast(spark.table(s"${p}_stats")
         .select("mns", "mxs")))
@@ -1011,7 +1022,7 @@ object VectorStore {
       .select("probe_id", "cid", "vec_id", "qrank")
     val refined = spark.table(s"${p}_raw")
       .join(broadcast(short), Seq("cid", "vec_id"))
-      .join(probes, Seq("probe_id"))
+      .join(pp, Seq("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         col("qrank"),
         VectorFunctions.cosine(col("pe"), col("vec")).as("cosine"))
@@ -1053,10 +1064,15 @@ object VectorStore {
         "binary top-k (the refine stage reads full-precision vectors)")
     val cent = collectCentroids(spark, s"${p}_centroids")
     checkGeometry(spark, p, cent.size)
+    // persisted: probes has THREE consumers here (cell projection,
+    // probe sign-words, exact-refine join) — unpersisted, each re-ran
+    // the probe derivation. Callers own the cache lifecycle.
+    val pp = probes
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pcells = Similarity.nearestCells(
-      probes.select(col("probe_id"), col("pe").as("embedding")),
+      pp.select(col("probe_id"), col("pe").as("embedding")),
       "probe_id", "embedding", cent, nprobe)
-    val pw = probes.select(col("probe_id"),
+    val pw = pp.select(col("probe_id"),
       VectorFunctions.signWord(col("pe"), 0).as("q0"),
       VectorFunctions.signWord(col("pe"), 32).as("q1"))
     val hscored = withoutDeleted(spark.table(s"${p}_bits"), p, "vec_id")
@@ -1073,7 +1089,7 @@ object VectorStore {
       .select("probe_id", "cid", "vec_id", "ham", "hrank")
     val refined = spark.table(s"${p}_raw")
       .join(broadcast(short), Seq("cid", "vec_id"))
-      .join(probes, Seq("probe_id"))
+      .join(pp, Seq("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         col("ham"), col("hrank"),
         VectorFunctions.cosine(col("pe"), col("vec")).as("cosine"))

@@ -366,7 +366,11 @@ object MultimodalQueries {
          |WHERE rank <= ${graft.index.VectorStore.TopK}
          |ORDER BY probe_id, rank""") { (s, dir) =>
       val store = graft.index.VectorStore.storeFor(s, dir)
+      // persisted: the bounded probe artifact feeds the serve AND the
+      // blob_digest rejoin — unpersisted, each re-ran the probe-table
+      // scan + erasure anti-join.
       val probes = graft.index.ProbeStore.probesFor(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.index.VectorStore
         .serveTopK(probes.select("probe_id", "pe"), store)
         .join(probes.select("probe_id", "blob_digest"), Seq("probe_id"))
@@ -404,7 +408,9 @@ object MultimodalQueries {
          |ORDER BY probe_id, rank""") { (s, dir) =>
       import graft.functions.ParityFunctions.duckRound
       val store = graft.index.VectorStore.storeFor(s, dir)
+      // persisted: serve + blob_digest rejoin (the mm08 rationale).
       val probes = graft.index.ProbeStore.probesFor(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.index.VectorStore
         .serveHardNegatives(probes.select("probe_id", "pe"), store,
           HardNegLo, HardNegHi, k = HardNegK)

@@ -1471,7 +1471,11 @@ object Text {
          |JOIN e e2 ON e2.a = e1.b
          |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
          |ORDER BY a, b, c""") { (s, dir) =>
+      import org.apache.spark.storage.StorageLevel
       val sp = split(col("bigram"), " ")
+      // persisted: e is self-joined 3× (triangle enumeration) — unpersisted,
+      // each join side re-ran the corpus bigram pass; the edge list itself
+      // is vocab-sized (~465 rows), so one corpus pass feeds all three sides.
       val e = docs(s, dir)
         .select(tokens(col("text")).as("tk"))
         .select(explode(wordNgramsOf(col("tk"), 2)).as("bigram"))
@@ -1481,6 +1485,7 @@ object Text {
           greatest(sp.getItem(0), sp.getItem(1)).as("b"))
         .filter(col("a") =!= col("b"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
       e.as("e1")
         .join(e.as("e2"), col("e2.a") === col("e1.b"))
         .join(e.as("e3"),
