@@ -1515,22 +1515,34 @@ object Relational {
         |FROM c JOIN b ON b.l_returnflag = c.l_returnflag
         |GROUP BY c.l_returnflag
         |ORDER BY c.l_returnflag""") { (s, dir) =>
-      val c = t(s, dir, "lineitem").select(col("l_returnflag"),
+      import org.apache.spark.storage.StorageLevel
+      // ONE corpus pass (the q58 value-count device): collapse to
+      // per-(group, value) counts, boundaries via percentile's
+      // frequency overload (bit-identical buffer math), then clamp and
+      // average over the value-cardinality-bounded frame — the raw mean
+      // is an exact integer sum either way, and the winsorized mean
+      // accumulates each clipped boundary as one product instead of
+      // cnt repeated additions.
+      val vc = t(s, dir, "lineitem").select(col("l_returnflag"),
         round(col("l_extendedprice") * 100).cast("long").as("v"))
-      val b = c.groupBy("l_returnflag")
-        .agg(percentile(col("v"), array(lit(0.05), lit(0.95))).as("ps"))
+        .groupBy("l_returnflag", "v").agg(count(lit(1)).as("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val b = vc.groupBy("l_returnflag")
+        .agg(percentile(col("v"), array(lit(0.05), lit(0.95)), col("cnt"))
+          .as("ps"))
         .select(col("l_returnflag"),
           element_at(col("ps"), 1).as("lo"),
           element_at(col("ps"), 2).as("hi"))
       val vd = col("v").cast("double")
-      c.join(broadcast(b), "l_returnflag")
+      val cd = col("cnt").cast("double")
+      vc.join(broadcast(b), "l_returnflag")
         .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"),
-          sum(when(vd < col("lo"), 1L).otherwise(0L)).as("n_lo"),
-          sum(when(vd > col("hi"), 1L).otherwise(0L)).as("n_hi"),
-          duckRound(avg(vd) / 100.0, 4).as("mean_raw"),
-          duckRound(avg(greatest(col("lo"), least(col("hi"), vd))) / 100.0, 4)
-            .as("mean_winsor"))
+        .agg(sum(col("cnt")).as("n"),
+          sum(when(vd < col("lo"), col("cnt")).otherwise(0L)).as("n_lo"),
+          sum(when(vd > col("hi"), col("cnt")).otherwise(0L)).as("n_hi"),
+          duckRound(sum(vd * cd) / sum(cd) / 100.0, 4).as("mean_raw"),
+          duckRound(sum(greatest(col("lo"), least(col("hi"), vd)) * cd)
+            / sum(cd) / 100.0, 4).as("mean_winsor"))
         .orderBy("l_returnflag")
     },
 
@@ -1619,26 +1631,34 @@ object Relational {
         |GROUP BY d.l_returnflag, m.n, m.med, md.mad2
         |ORDER BY d.l_returnflag""") { (s, dir) =>
       import org.apache.spark.storage.StorageLevel
-      // persisted: the 2-column cents frame feeds all three passes —
-      // without it lineitem is scanned and cent-cast three times
-      val x = t(s, dir, "lineitem")
+      // ONE corpus pass: collapse to per-(group, value) COUNTS first (a
+      // codegen hash aggregate), then run every later pass — both
+      // medians via percentile's frequency overload (bit-identical: the
+      // aggregate's internal buffer IS a value→count map) and the
+      // outlier count — over the value-cardinality-bounded frame. The
+      // previous shape re-walked all corpus rows three times through
+      // ObjectHashAggregate buffers; dev2 depends only on (group, c),
+      // so rows never needed to survive pass 1.
+      val vc = t(s, dir, "lineitem")
         .select(col("l_returnflag"),
           round(col("l_extendedprice") * 100).cast("long").as("c"))
+        .groupBy("l_returnflag", "c").agg(count(lit(1)).as("cnt"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val m = x.groupBy("l_returnflag").agg(
-        count(lit(1)).as("n"), percentile(col("c"), lit(0.5)).as("med"))
-      val d = x.join(broadcast(m), Seq("l_returnflag"))
+      val m = vc.groupBy("l_returnflag").agg(
+        sum(col("cnt")).as("n"),
+        percentile(col("c"), lit(0.5), col("cnt")).as("med"))
+      val d = vc.join(broadcast(m), Seq("l_returnflag"))
         .withColumn("dev2",
           abs(col("c") * 2 - (col("med") * 2).cast("long")))
       val md = d.groupBy("l_returnflag")
-        .agg(percentile(col("dev2"), lit(0.5)).as("mad2"))
+        .agg(percentile(col("dev2"), lit(0.5), col("cnt")).as("mad2"))
       d.join(broadcast(md), Seq("l_returnflag"))
         .groupBy("l_returnflag")
         .agg(first(col("n")).as("n"),
           duckRound(first(col("med")) / 100.0, 4).as("med_price"),
           duckRound(first(col("mad2")) / 200.0, 4).as("mad_price"),
-          sum(when(col("dev2").cast("double") > col("mad2") * 3.0, 1L)
-            .otherwise(0L)).as("n_outliers"))
+          sum(when(col("dev2").cast("double") > col("mad2") * 3.0,
+            col("cnt")).otherwise(0L)).as("n_outliers"))
         .select(col("l_returnflag"), col("n"), col("med_price"),
           col("mad_price"), col("n_outliers"),
           duckRound(col("n_outliers").cast("double") /

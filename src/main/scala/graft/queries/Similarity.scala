@@ -1683,7 +1683,11 @@ object Similarity {
         |    AS n_dup_vecs
         |FROM grp""") { (s, dir) =>
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      def pick(id: Long) = e.filter(col("vec_id") === id)
+      // persisted: the five injection seeds each point-scanned the
+      // embeddings parquet — one 5-row scan feeds all five instead
+      val seeds = e.filter(col("vec_id").isin(0L, 1L, 2L, 3L, 7L))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def pick(id: Long) = seeds.filter(col("vec_id") === id)
       val headless = slice(col("embedding"), lit(1),
         size(col("embedding")) - 1)
       def injected(id: Long, v: Column) =
