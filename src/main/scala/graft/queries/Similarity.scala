@@ -1119,7 +1119,12 @@ object Similarity {
       val e = emb(s, dir)
       val cents = collectCentroids(e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+      // persisted: a materialization boundary before the probe join —
+      // without it the 64-literal-tree encode projection fuses into the
+      // join stage and is re-evaluated per (vec, probe) OUTPUT row
+      // (|probes|× redundant work, measured 2.2 s in one task at sf0.1)
       val coded = e.select(col("vec_id") +: pqCodeCols(cents): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val lut = pqLutDF(s, e, cents)
       val w = Window.partitionBy("probe_id").orderBy(col("adist"), col("vec_id"))
       coded.crossJoin(broadcast(lut))
@@ -1191,7 +1196,9 @@ object Similarity {
       val assign = nearestCells(
         e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
         cents, 1)
+      // persisted: boundary before the candidate join (the sm05 note)
       val coded = e.select(col("vec_id") +: pqCodeCols(cents): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val probes = e.filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
       val pcells = nearestCells(probes.select(col("probe_id"),
@@ -2379,8 +2386,10 @@ object Similarity {
         val ce = cents.find(_._1 == cid).get._2
         (id - 8, v.zip(ce).map { case (x, c) => x - c })
       }
+      // persisted: boundary before the candidate join (the sm05 note)
       val coded = resid.select(
         col("vec_id") +: col("cid") +: pqCodeColsOn(col("rv"), rcents): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val probeRows = e
         .filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
         .select(col("vec_id").cast("long"),

@@ -27,9 +27,11 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     "tx23_collocations",      // 1-row total-bigram scalar
     "tx24_keywords",          // 1-row corpus doc-count scalar
     "tx30_salted_join",       // bounded 16-row salt replication frame
-    "pl15_temperature_sample",// 1-row n_min scalar
-    "pl16_curation_funnel",   // composes pl15's scalar
-    "pl47_funnel_fate",       // composes pl15's scalar (sampling rung)
+    // pl15/pl16/pl47 left the list in round 18: temperatureRates'
+    // n_min scalar crossJoin became an unpartitioned window over the
+    // ≤|langs|-row rates aggregate (one counting pass) — no BNLJ
+    // remains; the window's SinglePartition exchange is whitelisted
+    // in the bounded-frame audit below instead
     "pl23_quality_classifier",// 1-row (n_good, n_bad) class-prior scalar
     "pl24_classifier_topq",   // composes pl23's class-prior scalar
     "tx36_kl_drift",          // 1-row corpus token-total scalar
@@ -102,8 +104,13 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     //   pl41_epoch_waterfill — the cap lattice and remainder-ranking
     //   windows run over per-SOURCE / per-CAP aggregates (≤ |sources|
     //   rows) — the pl38 class.
+    //   pl15/pl16/pl47 — temperatureRates' n_min window (round 18: the
+    //   scalar crossJoin became min() over an unpartitioned window)
+    //   runs over the per-LANG rates aggregate (≤ |langs| rows — group
+    //   cardinality), the same class as pl07.
     val fullRowAllowed = Set("pl07_dataset_card", "pl38_token_budget",
-      "pl41_epoch_waterfill")
+      "pl41_epoch_waterfill", "pl15_temperature_sample",
+      "pl16_curation_funnel", "pl47_funnel_fate")
 
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     val tripped = scala.collection.mutable.Set[String]()
