@@ -139,7 +139,12 @@ object Similarity {
     val assign = nearestCells(e.select(col("vec_id"), col("embedding")),
       "vec_id", "embedding", cent, 1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val en = e.select(col("vec_id"), col("embedding"),
+    // embeddings pre-cast to double ONCE PER VECTOR: the within-cell
+    // pair filter otherwise re-casts both float arrays per PAIR inside
+    // dot() — ~2 casts × |pairs| (250k pairs at sf0.1) instead of
+    // |vectors|; float→double is exact, so the fold is bit-identical
+    val en = e.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"),
       l2Norm(col("embedding")).as("nrm"))
     val nrm = col("na") * col("nb")
     val dropped = assign.select(col("vec_id").as("va"), col("cid"))
@@ -178,8 +183,11 @@ object Similarity {
       .withColumnRenamed("vec_id_a", "vec_a")
       .withColumnRenamed("vec_id_b", "vec_b")
     // not persisted: same float-array cache tax as sm01 — two scans
-    // of the (small) embeddings table win
-    val en = e.select(col("vec_id"), col("embedding"),
+    // of the (small) embeddings table win. Pre-cast to double once per
+    // vector so the per-candidate cosine doesn't re-cast per pair
+    // (the semanticSurvivors note).
+    val en = e.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"),
       l2Norm(col("embedding")).as("nrm"))
     val n = col("na") * col("nb")
     cand
@@ -608,10 +616,17 @@ object Similarity {
     * shuffled on anything but its cell id. */
   private[graft] def semanticPairsAgainst(corpusVecs: DataFrame,
       cent: Seq[(Long, Seq[Double])], evalAssigned: DataFrame): DataFrame = {
+    // both sides pre-cast to double ONCE PER ROW before the cell
+    // equi-join (the semanticSurvivors note) — dot() would otherwise
+    // re-cast the float arrays per CANDIDATE pair; artifact schemas
+    // (FateMaintenance's frozen eval side) stay float on disk.
     val ca = nearestCells(corpusVecs, "vec_id", "embedding", cent, 1,
       carry = Seq("embedding", "nrm"))
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val ea = evalAssigned
+      .withColumn("eb", col("eb").cast("array<double>"))
     val nrm = col("nrm") * col("nb")
-    ca.join(broadcast(evalAssigned), Seq("cid"))
+    ca.join(broadcast(ea), Seq("cid"))
       .withColumn("cos", when(nrm === 0.0, lit(0.0))
         .otherwise(dot(col("embedding"), col("eb")) / nrm))
       .filter(col("cos") >= NearDupCos)
@@ -1407,8 +1422,10 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // norms once per side (sm01 pattern); the equi-join on cid is the
       // bounded candidate generator — the filter then touches only
-      // in-cell pairs
-      val en = e.select(col("vec_id"), col("embedding"),
+      // in-cell pairs. Pre-cast to double once per vector (the
+      // semanticSurvivors note) so dot() doesn't re-cast per pair.
+      val en = e.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"),
         l2Norm(col("embedding")).as("nrm"))
       val pairs = assign.select(col("vec_id").as("va"), col("cid"))
         .join(assign.select(col("vec_id").as("vb"), col("cid")), Seq("cid"))
